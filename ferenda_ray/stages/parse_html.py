@@ -1,0 +1,162 @@
+"""The flagship ``map_batches`` stage: pages → sections (+ doc metadata).
+
+Reference chain being reproduced (SURVEY §3.1): ``parse()``
+(documentrepository.py:1191-1216) = soup → ``parse_metadata_from_soup``
+(1277-1317: lang, <title> → dcterms:title, identifier, rdf:type,
+prov:wasGeneratedBy) + ``parse_document_from_soup`` (1319-1350:
+content selector "body") → elements tree (elements/html.py:23-71) →
+sectionizer FSM (sources/tech/w3c.py:84-207).
+
+Ray shape: stateless ``map_batches(parse_pages_batch,
+batch_format="pyarrow")``. One output table (the sections table,
+schemas.SECTIONS + lang/basefile/error columns); document-level
+metadata rides on the ``kind == "body"`` row so a single parse pass
+feeds both the sections sink and the triple emitter.
+
+Error rows as data (SURVEY §7 hard-point 6): a page that fails to
+parse produces a body row with ``error`` set instead of failing the
+job — the manifest aggregates these; a single bad page must never
+kill a 10^12-doc run.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..htmltree import as_plaintext, doc_lang, doc_title, parse_html
+from ..sectionize import sectionize
+
+SECTION_COLS = (
+    "url", "section_uri", "kind", "ordinal", "title", "parent_uri",
+    "text", "position", "lang", "basefile", "error",
+)
+
+
+def basefile_from_url(url: str) -> str:
+    """Stable per-document key — the trailing path segment
+    (reference ``basefile_from_uri``, documentrepository.py:719-743)."""
+    return url.rstrip("/").rsplit("/", 1)[-1]
+
+
+def parse_pages_batch(batch: pa.Table, default_lang: str = "en") -> pa.Table:
+    """pages(url, html[, lang]) → sections rows.
+
+    Per-row work (HTML parsing is inherently sequential per document);
+    vectorization happens across the batch via Arrow in/out. The
+    ``html`` column is dropped on output — body blobs must not ride
+    through downstream shuffles (SURVEY §7 hard-point 5).
+    """
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    out: dict[str, list] = {c: [] for c in SECTION_COLS}
+
+    def emit(url, section_uri, kind, ordinal, title, parent_uri, text,
+             position, lang, basefile, error=None):
+        out["url"].append(url)
+        out["section_uri"].append(section_uri)
+        out["kind"].append(kind)
+        out["ordinal"].append(ordinal)
+        out["title"].append(title)
+        out["parent_uri"].append(parent_uri)
+        out["text"].append(text)
+        out["position"].append(position)
+        out["lang"].append(lang)
+        out["basefile"].append(basefile)
+        out["error"].append(error)
+
+    for url, html in zip(urls, htmls):
+        basefile = basefile_from_url(url)
+        try:
+            root = parse_html(html)
+            lang = doc_lang(root, default=default_lang)
+            title = doc_title(root)
+            body = root.find("body")
+            if body is None:
+                raise ValueError("no <body> element")
+            fulltext = as_plaintext(body)
+            rows = sectionize(body, url)
+            for r in rows:
+                if r["kind"] == "body":
+                    # the body row carries doc-level metadata; its
+                    # dedicated `text` is the FULL extracted body text
+                    # (the byte-identity column), not just direct chunks
+                    emit(url, url, "body", None, title, None, fulltext,
+                         r["position"], lang, basefile)
+                else:
+                    emit(url, r["section_uri"], r["kind"], r["ordinal"],
+                         r["title"], r["parent_uri"], r["text"],
+                         r["position"], lang, basefile)
+        except Exception as exc:  # error-as-data, never raise
+            emit(url, url, "body", None, None, None, None, 0,
+                 default_lang, basefile, error="%s: %s" % (type(exc).__name__, exc))
+
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "section_uri": pa.array(out["section_uri"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "ordinal": pa.array(out["ordinal"], pa.string()),
+            "title": pa.array(out["title"], pa.string()),
+            "parent_uri": pa.array(out["parent_uri"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+            "position": pa.array(out["position"], pa.int32()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "basefile": pa.array(out["basefile"], pa.string()),
+            "error": pa.array(out["error"], pa.string()),
+        }
+    )
+
+
+def latest_per_url(pages, dup_threshold: int = 5_000_000):
+    """Keep only the newest ``warc_ts`` row per url (recrawl dedup,
+    SURVEY §2.9: ``groupby(url).max_by(warc_ts)``).
+
+    Scale-aware plan: recrawled urls are typically a small fraction of
+    the corpus, so instead of shuffling every html blob through a
+    ``groupby(url)``, first aggregate only (url → max warc_ts) over the
+    *projected* two columns, keep the urls that appear more than once
+    (small), broadcast that {url: max_ts} map, and filter the full rows
+    map-side — zero movement of the heavy ``html`` column. Falls back
+    to a full groupby shuffle if the duplicate set exceeds
+    ``dup_threshold`` (then it no longer fits a broadcast object).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    slim = pages.select_columns(["url", "warc_ts"])
+    counts = slim.groupby("url").count()
+    dups = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
+    )
+    n_dups = dups.count()
+    if n_dups == 0:
+        return pages
+    if n_dups > dup_threshold:  # pragma: no cover - scale fallback
+        return (
+            pages.groupby("url")
+            .map_groups(
+                lambda t: t.sort_by([("warc_ts", "descending")]).slice(0, 1),
+                batch_format="pyarrow",
+            )
+        )
+    dup_urls = pa.array(dups.to_pandas()["url"], pa.string())
+    max_ts = (
+        slim.map_batches(
+            lambda t: t.filter(pc.is_in(t["url"], value_set=dup_urls)),
+            batch_format="pyarrow",
+        )
+        .groupby("url")
+        .max("warc_ts")
+        .to_pandas()
+    )
+    winner = dict(zip(max_ts["url"], max_ts["max(warc_ts)"]))
+    winner_ref = ray.put(winner)
+
+    def keep_latest(t: pa.Table) -> pa.Table:
+        win = ray.get(winner_ref)
+        urls = t["url"].to_pylist()
+        tss = t["warc_ts"].to_pylist()
+        mask = [u not in win or ts == win[u] for u, ts in zip(urls, tss)]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return pages.map_batches(keep_latest, batch_format="pyarrow")
