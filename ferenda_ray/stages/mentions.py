@@ -1,0 +1,195 @@
+"""Mention detection + entity linking (the stateful actor-pool stage).
+
+Reproduces, over section-text rows instead of element trees:
+
+- ``CitationParser.parse_string`` (citationparser.py:65-96): grammars
+  applied in **priority order**, each grammar scanning only the text
+  segments left unclaimed by earlier grammars (non-overlapping
+  re-scan);
+- the RFC citation grammar + URI formatter (sources/tech/rfc.py:430-452):
+  ``"section 2.2 of [RFC 2616]"`` → ``<rfc_base>2616#S2.2``,
+  ``"RFC 822"`` → ``<rfc_base>822`` (leading zeros stripped,
+  trailing '.' stripped from section ordinals);
+- the generic URL grammar (citationpatterns.py:16-36): http/https/ftp
+  URLs, trailing punctuation ``,.)``  excluded;
+- ``lookup_resource`` entity linking (documentrepository.py:500-547):
+  exact gazetteer match first, then ``difflib.get_close_matches``
+  with cutoff 0.8 over candidate spans (capitalized multi-word
+  phrases), result cached per actor.
+
+Ray shape: ``ds.map_batches(MentionLinker, concurrency=N,
+batch_format="pyarrow")`` — an **actor pool**: the combined surface
+regex and the fuzzy-match cache are built once per actor in
+``__init__`` (mirrors the reference's per-process instance caches,
+manager.py:1287-1291); the gazetteer arrives as a ``ray.put``
+broadcast ref, read once per actor, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import difflib
+import re
+
+import pyarrow as pa
+
+RFC_BASE = "https://rfc.example.org/rfc/"
+
+# priority order mirrors rfc.py:446-448 (+ url last)
+RE_SEC_RFC = re.compile(r"(?i:section)\s+(\d[\d.]*)\s+of\s+\[?RFC\s+(\d+)\]?")
+RE_SEC = re.compile(r"(?i:section)\s+(\d[\d.]*)")
+RE_RFC = re.compile(r"\[?RFC\s+(\d+)\]?")
+RE_URL = re.compile(r"(?:http|https|ftp)://[^\s<>\"']+")
+# candidate spans for fuzzy entity linking: 2+ capitalized words
+RE_CAND = re.compile(r"\b[A-Z][a-zA-Z0-9]*(?: [A-Z][a-zA-Z0-9]*)+\b")
+
+MENTION_COLS = ("url", "section_uri", "surface", "start", "end", "kind",
+                "linked_uri", "predicate")
+
+
+def rfc_uri(rfc_base: str, num: str | None, sec: str | None, doc_url: str) -> str:
+    """rfc_uriformatter semantics (rfc.py:431-441). A section-only
+    citation has no canonical document part in the reference (uri
+    starts at "#S..."); we resolve it against the citing document."""
+    uri = rfc_base + num.lstrip("0") if num else doc_url
+    if sec:
+        uri += "#S" + sec.rstrip(".")
+    return uri
+
+
+def scan_citations(text: str, doc_url: str, rfc_base: str = RFC_BASE):
+    """Priority-ordered, non-overlapping citation scan.
+
+    Returns (matches, segments): matches = list of
+    (start, end, surface, kind, linked_uri); segments = the unclaimed
+    (start, end) text ranges left for the entity pass.
+    """
+    segments = [(0, len(text))]
+    matches = []
+
+    def scan(regex, kind, fmt):
+        nonlocal segments
+        new_segments = []
+        for s, e in segments:
+            pos = s
+            for m in regex.finditer(text, s, e):
+                ms, me = m.start(), m.end()
+                matches.append((ms, me, text[ms:me], kind, fmt(m)))
+                if ms > pos:
+                    new_segments.append((pos, ms))
+                pos = me
+            if pos < e:
+                new_segments.append((pos, e))
+        segments = new_segments
+
+    # grammar order = reference priority (rfc.py:446-448):
+    # section_rfc_citation, section_citation, rfc_citation
+    scan(RE_SEC_RFC, "sec_rfc",
+         lambda m: rfc_uri(rfc_base, m.group(2), m.group(1), doc_url))
+    scan(RE_SEC, "sec", lambda m: rfc_uri(rfc_base, None, m.group(1), doc_url))
+    scan(RE_RFC, "rfc", lambda m: rfc_uri(rfc_base, m.group(1), None, doc_url))
+    scan(RE_URL, "url", lambda m: m.group(0).rstrip(",.)"))
+    matches.sort()
+    return matches, segments
+
+
+class MentionLinker:
+    """Actor-pool stage: sections batch → mentions batch.
+
+    ``gazetteer``: dict surface → entity URI, or a ``ray.ObjectRef``
+    to one (broadcast once with ``ray.put``; each actor reads it a
+    single time in ``__init__``).
+    """
+
+    def __init__(self, gazetteer, rfc_base: str = RFC_BASE,
+                 fuzzy_cutoff: float = 0.8, scan_kinds=None):
+        import ray
+
+        if isinstance(gazetteer, ray.ObjectRef):
+            gazetteer = ray.get(gazetteer)
+        self.gazetteer: dict[str, str] = dict(gazetteer or {})
+        # longest-first alternation so multi-word surfaces win
+        if self.gazetteer:
+            alts = sorted(self.gazetteer, key=len, reverse=True)
+            self._exact = re.compile(
+                r"\b(?:%s)\b" % "|".join(re.escape(s) for s in alts))
+        else:
+            self._exact = None
+        self._labels = list(self.gazetteer)
+        self.rfc_base = rfc_base
+        self.cutoff = fuzzy_cutoff
+        self._fuzzy_cache: dict[str, str | None] = {}
+        # body rows carry the full document text (duplicating section
+        # text) — scan only leaf/section rows by default
+        self.scan_kinds = scan_kinds or (
+            "preamble", "section", "subsection", "subsubsection")
+
+    def _fuzzy(self, surface: str):
+        if surface in self._fuzzy_cache:
+            return self._fuzzy_cache[surface]
+        hit = difflib.get_close_matches(surface, self._labels, 1, self.cutoff)
+        uri = self.gazetteer[hit[0]] if hit else None
+        self._fuzzy_cache[surface] = uri
+        return uri
+
+    def _scan_entities(self, text, segments, out):
+        claimed = []
+        if self._exact is not None:
+            for s, e in segments:
+                for m in self._exact.finditer(text, s, e):
+                    out.append((m.start(), m.end(), m.group(0), "entity",
+                                self.gazetteer[m.group(0)]))
+                    claimed.append((m.start(), m.end()))
+        for s, e in segments:
+            for m in RE_CAND.finditer(text, s, e):
+                if any(m.start() < ce and m.end() > cs for cs, ce in claimed):
+                    continue
+                uri = self._fuzzy(m.group(0))
+                if uri is not None:
+                    out.append((m.start(), m.end(), m.group(0),
+                                "entity_fuzzy", uri))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {c: [] for c in MENTION_COLS}
+        kinds = batch["kind"].to_pylist()
+        urls = batch["url"].to_pylist()
+        uris = batch["section_uri"].to_pylist()
+        texts = batch["text"].to_pylist()
+        for kind, url, sec_uri, text in zip(kinds, urls, uris, texts):
+            if kind not in self.scan_kinds or not text:
+                continue
+            matches, segments = scan_citations(text, url, self.rfc_base)
+            self._scan_entities(text, segments, matches)
+            matches.sort()
+            for ms, me, surface, mkind, linked in matches:
+                cols["url"].append(url)
+                cols["section_uri"].append(sec_uri)
+                cols["surface"].append(surface)
+                cols["start"].append(ms)
+                cols["end"].append(me)
+                cols["kind"].append(mkind)
+                cols["linked_uri"].append(linked)
+                cols["predicate"].append(
+                    "dcterms:subject" if mkind.startswith("entity")
+                    else "dcterms:references")
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "section_uri": pa.array(cols["section_uri"], pa.string()),
+            "surface": pa.array(cols["surface"], pa.string()),
+            "start": pa.array(cols["start"], pa.int32()),
+            "end": pa.array(cols["end"], pa.int32()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "linked_uri": pa.array(cols["linked_uri"], pa.string()),
+            "predicate": pa.array(cols["predicate"], pa.string()),
+        })
+
+
+def mention_triples(batch: pa.Table) -> pa.Table:
+    """mentions batch → reference/subject triples."""
+    return pa.table({
+        "subj": batch["section_uri"],
+        "pred": batch["predicate"],
+        "obj": batch["linked_uri"],
+        "obj_is_literal": pa.array([False] * batch.num_rows, pa.bool_()),
+        "obj_lang": pa.array([""] * batch.num_rows, pa.string()),
+        "source_url": batch["url"],
+    })
