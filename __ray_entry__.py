@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init()`` / ``ray.shutdown()`` here or in any library code these
+callables reach (pipelines auto-use the ambient session).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG pipeline over /root/testdata/sf0.001 —
+  synthesized Common-Crawl-style pages → parse → mention/link →
+  canonicalize → deduped (subj, pred, obj) triples Dataset.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operator family); each takes
+  ``sf_dir`` and returns a Dataset / DataFrame / Table.
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL equivalents, column
+  names matched to the Ray outputs; omitted for non-SQL-expressible
+  operators (full HTML parse, sketch-based near-dup, language-ID).
 """
 
 from __future__ import annotations
@@ -18,27 +20,23 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; returns the triples Dataset."""
+    from ferenda_ray.pipelines.kg import kg_pipeline
+
+    return kg_pipeline(sf_dir=SF_SMOKE)["triples"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ferenda_ray.pipelines.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ferenda_ray.pipelines.queries import oracle_sql as _o
+
+    return _o()

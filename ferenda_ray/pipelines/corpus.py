@@ -474,16 +474,28 @@ def expected_triples(plan: dict, canon: dict[str, str]) -> list[tuple]:
 EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 
-def synthesize_batch(batch: pa.Table) -> pa.Table:
+def synthesize_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
     """documents(doc_id,text,lang,source) → pages(url,warc_ts,html,text,lang).
 
     Vector-of-rows construction (HTML synthesis is inherently per-row);
     runs inside map_batches so it parallelizes across blocks.
+
+    ``replicate`` > 1 deterministically fans each document out into
+    that many distinct pages (doc_id offset by k·1e6 → different
+    structure, urls, citations per replica) — bench-scale corpora
+    from the small driver tables, still fully deterministic.
     """
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
-    langs = batch["lang"].to_pylist()
-    sources = batch["source"].to_pylist()
+    doc_ids0 = batch["doc_id"].to_pylist()
+    texts0 = batch["text"].to_pylist()
+    langs0 = batch["lang"].to_pylist()
+    sources0 = batch["source"].to_pylist()
+    doc_ids, texts, langs, sources = [], [], [], []
+    for k in range(replicate):
+        off = k * 1_000_000
+        doc_ids += [d + off for d in doc_ids0]
+        texts += texts0
+        langs += langs0
+        sources += sources0
     urls, tss, htmls, exps, outlangs = [], [], [], [], []
     for did, text, lang, source in zip(doc_ids, texts, langs, sources):
         plan = plan_document(did, text, lang, source)
@@ -510,28 +522,35 @@ def synthesize_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def pages_dataset(sf_dir: str):
+def pages_dataset(sf_dir: str, replicate: int = 1):
     """Lazy Ray Dataset of synthesized pages for one testdata sf dir."""
+    import functools
+
     import ray.data as rd
 
     docs = rd.read_parquet(sf_dir.rstrip("/") + "/documents.parquet",
                            columns=["doc_id", "text", "lang", "source"])
-    return docs.map_batches(synthesize_batch, batch_format="pyarrow")
+    fn = (synthesize_batch if replicate == 1 else
+          functools.partial(synthesize_batch, replicate=replicate))
+    return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def materialize_pages(sf_dir: str, out_dir: str | None = None) -> str:
+def materialize_pages(sf_dir: str, out_dir: str | None = None,
+                      replicate: int = 1) -> str:
     """Write the synthesized pages for ``sf_dir`` to parquet once and
-    reuse (cache keyed on the sf dir name). Returns the parquet dir."""
+    reuse (cache keyed on sf dir name + replication). Returns the dir."""
     import os
 
     if out_dir is None:
         tag = os.path.basename(sf_dir.rstrip("/"))
+        if replicate != 1:
+            tag += "_x%d" % replicate
         out_dir = "/tmp/ferenda_ray_pages/%s" % tag
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
         import shutil
         shutil.rmtree(out_dir, ignore_errors=True)
-        pages_dataset(sf_dir).write_parquet(out_dir)
+        pages_dataset(sf_dir, replicate=replicate).write_parquet(out_dir)
         with open(marker, "w") as f:
             f.write("ok")
     return out_dir

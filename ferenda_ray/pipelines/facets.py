@@ -1,0 +1,237 @@
+"""Corpus-wide aggregates: facet pivot, stats, citation inversion,
+TOC pagesets, news feeds.
+
+Reference semantics reproduced:
+
+- ``faceted_data()`` (documentrepository.py:2290-2380): corpus-wide
+  ``SELECT DISTINCT ?uri ?facet...`` with OPTIONAL per facet →
+  pivot of the triples table: ``groupby(subj) → min(obj) per pred``
+  (min = deterministic stand-in for SPARQL's arbitrary binding
+  order; exact-duplicate row removal comes free from the groupby).
+- ``WSGIApp.stats()`` (wsgiapp.py:232-386): per-dimension Counter of
+  selector values with per-(uri, observation) dedup →
+  ``groupby(pred, obj) → count(distinct subj)``.
+- ``relate_dependencies`` (documentrepository.py:2015-2077): inverted
+  citation edges — for each referenced target, the set of citing
+  documents; shuffle key = target url (the hot-target skew case —
+  counts are pre-aggregated per batch before the exchange).
+- ``analyze_article_citations`` (graphanalyze.py:268-329): top-N
+  cited targets.
+- ``toc_pagesets`` + ``toc_select_for_pages``
+  (documentrepository.py:2852-2992): distinct selector values per
+  facet, then rows grouped per value sorted by the facet key —
+  selectors/keys are the deterministic pure functions of
+  functions/text.py (never cluster-locale collation, SURVEY §7
+  hard-point 4).
+- ``news_feedsets`` / feeds (documentrepository.py:3232-3374,
+  3524-3545): per-feed lists sorted by timestamp desc, paginated in
+  chunks of ``archivesize``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import firstletter, title_sortkey
+
+DEFAULT_FACETS = ("rdf:type", "dcterms:title", "dcterms:identifier")
+
+
+def _colname(pred: str) -> str:
+    return pred.replace(":", "_")
+
+
+def facet_pivot(triples_ds, facet_preds=DEFAULT_FACETS):
+    """triples → wide table (subj, rdf_type, dcterms_title, ...)."""
+    preds = pa.array(list(facet_preds), pa.string())
+
+    def narrow(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["pred"], value_set=preds))
+        return f.select(["subj", "pred", "obj"])
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        row = {"subj": [g["subj"].iloc[0]]}
+        for p in facet_preds:
+            vals = g.loc[g["pred"] == p, "obj"]
+            row[_colname(p)] = [vals.min() if len(vals) else None]
+        return pd.DataFrame(row)
+
+    return (
+        triples_ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("subj")
+        .map_groups(pivot, batch_format="pandas")
+    )
+
+
+def stats_aggregate(triples_ds, dims=("rdf:type",)):
+    """Per-dimension value counts with per-(subj,value) dedup:
+    (dim, value, n_subjects). Two-phase: local per-batch dedup
+    combiner, then global groupby — only distinct partials shuffle."""
+    dset = pa.array(list(dims), pa.string())
+
+    def local(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["pred"], value_set=dset))
+        df = f.select(["pred", "obj", "subj"]).to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dim": [g["pred"].iloc[0]],
+            "value": [g["obj"].iloc[0]],
+            "n_subjects": [g["subj"].nunique()],
+        })
+
+    return (
+        triples_ds.map_batches(local, batch_format="pyarrow")
+        .groupby(["pred", "obj"])
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+def citation_edges(triples_ds):
+    """dcterms:references triples → (source_url, target_url) edges
+    (fragment stripped from the target: citations point at documents)."""
+
+    def edges(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["pred"], "dcterms:references"))
+        target = pc.replace_substring_regex(f["obj"], r"#.*$", "")
+        return pa.table({"source_url": f["source_url"], "target_url": target})
+
+    return triples_ds.map_batches(edges, batch_format="pyarrow")
+
+
+def inbound_citations(triples_ds):
+    """Inverted citation index: (target_url, citing_urls, n_citations).
+    The relate_dependencies / annotation-CONSTRUCT shape; shuffle key
+    is the cited target."""
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        citing = sorted(set(g["source_url"]))
+        return pd.DataFrame({
+            "target_url": [g["target_url"].iloc[0]],
+            "citing_urls": [citing],
+            "n_citations": [len(citing)],
+        })
+
+    return (
+        citation_edges(triples_ds)
+        .groupby("target_url")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+
+def top_cited(triples_ds, k: int = 10):
+    """Top-k citation targets by distinct citing documents — partial
+    per-batch dedup, global groupby-count, then a small sort+limit."""
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        citation_edges(triples_ds)
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("target_url")
+        .map_groups(
+            lambda g: pd.DataFrame({
+                "target_url": [g["target_url"].iloc[0]],
+                "n": [g["source_url"].nunique()],
+            }),
+            batch_format="pandas",
+        )
+    )
+    return counts.sort(["n", "target_url"], descending=[True, False]).limit(k)
+
+
+def toc_pagesets(facets_ds, binding: str = "dcterms_title"):
+    """Distinct firstletter(selector) values + doc counts (the small
+    driver-facing pageset list). Selector = Facet.firstletter
+    (facet.py:203-233) over the pivoted facet table."""
+
+    def add_letter(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[binding].fillna("")
+        df = df.copy()
+        df["value"] = [firstletter(v) if v else "-" for v in vals]
+        return df[["subj", "value"]]
+
+    return (
+        facets_ds.map_batches(add_letter, batch_format="pandas")
+        .groupby("value")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"value": [g["value"].iloc[0]], "n_docs": [g["subj"].nunique()]}),
+            batch_format="pandas",
+        )
+    )
+
+
+def toc_select_for_pages(facets_ds, binding: str = "dcterms_title"):
+    """Rows per TOC page, each page's docs sorted by titlesortkey
+    (util.py:724 semantics, precomputed deterministic key)."""
+
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[binding].fillna("")
+        df = df.copy()
+        df["value"] = [firstletter(v) if v else "-" for v in vals]
+        df["sortkey"] = [title_sortkey(v) for v in vals]
+        return df
+
+    def page(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sortkey", "subj"], kind="mergesort")
+        return pd.DataFrame({
+            "value": [g["value"].iloc[0]],
+            "uris": [list(g["subj"])],
+            "titles": [list(g[binding].fillna(""))],
+        })
+
+    return (
+        facets_ds.map_batches(add_keys, batch_format="pandas")
+        .groupby("value")
+        .map_groups(page, batch_format="pandas")
+    )
+
+
+def news_feeds(pages_ds, archivesize: int = 100):
+    """Per-source feeds: entries sorted by warc_ts desc, paginated in
+    chunks of ``archivesize`` (documentrepository.py:3308-3317,
+    3524-3545). Feed key = url host (the repo/source analogue)."""
+
+    def key(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            t["url"], r"^https?://([^/]+)/.*$", r"\1")
+        return pa.table({
+            "feed": host,
+            "url": t["url"],
+            "warc_ts": t["warc_ts"],
+        })
+
+    def paginate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["warc_ts", "url"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+        g["page"] = (g.index // archivesize).astype("int32")
+        return g[["feed", "page", "url", "warc_ts"]]
+
+    return (
+        pages_ds.map_batches(key, batch_format="pyarrow")
+        .groupby("feed")
+        .map_groups(paginate, batch_format="pandas")
+    )
+
+
+def fulltext_table(sections_ds):
+    """The fulltext-index table (relate_fulltext semantics,
+    documentrepository.py:2079-2146): one row per addressable resource
+    (document + each section), with its text and facet fields;
+    resource dedup (2148-2155) is already guaranteed by section_uri
+    uniqueness per document."""
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = pc.is_null(t["error"]) if "error" in t.column_names else None
+        if ok is not None:
+            t = t.filter(ok)
+        return t.select(
+            ["url", "section_uri", "kind", "title", "text", "lang", "basefile"])
+
+    return sections_ds.map_batches(project, batch_format="pyarrow")

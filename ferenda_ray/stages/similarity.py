@@ -1,0 +1,135 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once; each task reads it, never
+re-shipped per batch), partial top-k per batch, tiny driver merge.
+
+Scale path: IVF-style coarse quantization — deterministic k-means-lite
+centroids (seeded sample + Lloyd iterations on the driver over a
+sample), assign each vector to its nearest centroid map-side, search
+only the ``n_probe`` closest centroid buckets per query.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
+                    vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Exact cosine top-k per query.
+
+    Returns a pandas DataFrame (query_idx, vec_id, cosine, rank) —
+    rank 0 = best; ties broken by key for determinism.
+    """
+    import ray
+
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        vecs = _unit(_as_matrix(df[vec_col]))
+        sims = vecs @ qm.T  # (n, n_queries)
+        keys = np.asarray(df[key_col])
+        out_q, out_key, out_sim = [], [], []
+        topn = min(k, len(keys))
+        for qi in range(qm.shape[0]):
+            idx = np.argpartition(-sims[:, qi], topn - 1)[:topn]
+            for i in idx:
+                out_q.append(qi)
+                out_key.append(keys[i])
+                out_sim.append(float(sims[i, qi]))
+        return pd.DataFrame(
+            {"query_idx": out_q, "vec_id": out_key, "cosine": out_sim})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, g in partials.groupby("query_idx"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id))
+        for rank, r in enumerate(best):
+            rows.append((qi, r.vec_id, r.cosine, rank))
+    return pd.DataFrame(rows, columns=["query_idx", "vec_id", "cosine", "rank"])
+
+
+def train_centroids(ds, n_centroids: int = 16, sample_frac: float = 0.1,
+                    iters: int = 5, vec_col: str = "embedding",
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd iterations over a seeded sample (driver-side
+    — the sample is small by construction)."""
+    sample = ds.random_sample(sample_frac, seed=seed).to_pandas()
+    m = _unit(_as_matrix(sample[vec_col]))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            n_probe: int = 4, vec_col: str = "embedding",
+            key_col: str = "vec_id", centroids: np.ndarray | None = None):
+    """IVF-bucketed ANN: assign vectors to centroid buckets map-side,
+    scan only the ``n_probe`` nearest buckets per query."""
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids, vec_col=vec_col)
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    cent_ref = ray.put(centroids)
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        pr = ray.get(probe_ref)
+        vecs = _unit(_as_matrix(df[vec_col]))
+        keys = np.asarray(df[key_col])
+        assign = np.argmax(vecs @ cent.T, axis=1)
+        out_q, out_key, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ qm[qi]
+            sel_keys = keys[mask]
+            topn = min(k, len(sel_keys))
+            idx = np.argpartition(-sims, topn - 1)[:topn]
+            for i in idx:
+                out_q.append(qi)
+                out_key.append(sel_keys[i])
+                out_sim.append(float(sims[i]))
+        return pd.DataFrame(
+            {"query_idx": out_q, "vec_id": out_key, "cosine": out_sim})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, g in partials.groupby("query_idx"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id))
+        for rank, r in enumerate(best):
+            rows.append((qi, r.vec_id, r.cosine, rank))
+    return pd.DataFrame(rows, columns=["query_idx", "vec_id", "cosine", "rank"])

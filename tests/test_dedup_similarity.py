@@ -1,0 +1,163 @@
+"""Dedup family + similarity search: planted near-dups must be found,
+exact brute-force KNN agrees with a numpy reference, IVF recall is
+reasonable, multimodal plumbing round-trips."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ferenda_ray.stages import dedup, multimodal, similarity, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    """20 base docs + planted exact and near duplicates."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+    rows = []
+    for i in range(20):
+        words = [vocab[rng.randint(len(vocab))] for _ in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # exact dup of doc 3
+    rows.append({"doc_id": 100, "text": rows[3]["text"]})
+    # near dup of doc 5: change 3 of 60 words
+    w = rows[5]["text"].split()
+    w[10], w[30], w[50] = "changed", "words", "here"
+    rows.append({"doc_id": 101, "text": " ".join(w)})
+    return rd.from_items(rows), rows
+
+
+def test_exact_dedup(docs_with_dups):
+    ds, rows = docs_with_dups
+    out = dedup.exact_dedup(ds).to_pandas()
+    assert len(out) == 21  # 22 rows - 1 exact dup
+    assert 100 not in set(out["doc_id"])  # doc 3 (min key) survives
+    assert 3 in set(out["doc_id"])
+
+
+def test_minhash_finds_planted_neardup(docs_with_dups):
+    ds, rows = docs_with_dups
+    canon = dedup.minhash_dedup(ds, threshold=0.5)
+    m = dict(zip(canon["key"].astype(str), canon["canonical_key"].astype(str)))
+    # near-dup pair (5, 101) must share a canonical representative
+    assert m.get("5") == m.get("101") == "5"
+    # exact pair (3, 100) certainly shares one
+    assert m.get("3") == m.get("100") == "3"
+
+
+def test_simhash_finds_exact_dup(docs_with_dups):
+    ds, rows = docs_with_dups
+    pairs = ds and dedup.simhash_dedup_pairs(ds, max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["key_a", "key_b"]].astype(int).values))
+    assert (3, 100) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 16)
+    vecs[150] = vecs[20] + 0.001 * rng.randn(16)  # planted near-identical
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    return rd.from_items(rows), vecs
+
+
+def test_knn_matches_numpy(vectors):
+    ds, vecs = vectors
+    q = vecs[0]
+    out = similarity.knn_brute_force(ds, q[None, :], k=5)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = unit @ (q / np.linalg.norm(q))
+    expected = list(np.argsort(-sims)[:5])
+    assert list(out["vec_id"]) == expected
+    assert list(out["rank"]) == [0, 1, 2, 3, 4]
+
+
+def test_ivf_finds_top1(vectors):
+    ds, vecs = vectors
+    q = vecs[7]
+    out = similarity.knn_ivf(ds, q[None, :], k=5, n_centroids=8, n_probe=4)
+    # the query vector itself must always be recalled as rank 0
+    assert out.iloc[0]["vec_id"] == 7
+
+
+def test_embedding_neardup(vectors):
+    ds, vecs = vectors
+    pairs = dedup.embedding_neardup_pairs(ds, threshold=0.999).to_pandas()
+    got = set(map(tuple, pairs[["key_a", "key_b"]].astype(int).values))
+    assert (20, 150) in got
+
+
+def test_langid():
+    assert text_analysis.detect_lang("the cat and the dog sat in the house") == "en"
+    assert text_analysis.detect_lang("der hund und die katze ist nicht da") == "de"
+    assert text_analysis.detect_lang("le chat est dans la maison pour un jour") == "fr"
+    assert text_analysis.detect_lang("el gato es un animal para la casa") == "es"
+    assert text_analysis.detect_lang("这是一个中文句子这是一个中文句子") == "zh"
+    assert text_analysis.detect_lang("") == "und"
+
+
+def test_quality_and_tokens():
+    batch = pa.table({"text": ["the quick brown fox jumps over the lazy dog",
+                               "x", ""]})
+    out = text_analysis.quality_metrics(batch)
+    assert out["n_tokens"].to_pylist() == [9, 1, 0]
+    assert out["stopword_ratio"][0].as_py() == pytest.approx(2 / 9)
+    out2 = text_analysis.token_counts(batch)
+    assert out2["ws_tokens"].to_pylist() == [9, 1, 0]
+    assert out2["bpeish_tokens"].to_pylist() == [9, 1, 0]
+    filt = text_analysis.quality_filter(out, min_tokens=2)
+    assert filt.num_rows == 1
+
+
+def test_fingerprint_stable():
+    batch = pa.table({"text": ["a  b\nc", "a b c"]})
+    out = text_analysis.fingerprint(batch)
+    # whitespace-normalized → identical fingerprints
+    assert out["fp_md5"][0].as_py() == out["fp_md5"][1].as_py()
+    assert out["fp_roll"][0].as_py() == out["fp_roll"][1].as_py()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    rows = [{"media_id": i, "url": "http://m/%d" % i, "media_type": "image",
+             "payload": bytes([i]) * 100, "meta_json": "{}"} for i in range(8)]
+    ds = rd.from_items(rows)
+    out = multimodal.decode_stage(ds, multimodal.DecodeImage,
+                                  concurrency=2, batch_size=4).to_pandas()
+    assert set(out.columns) >= {"media_id", "width", "height", "phash"}
+    assert len(out) == 8
+    # deterministic: same payload → same features
+    out2 = multimodal.decode_stage(rd.from_items(rows), multimodal.DecodeImage,
+                                   concurrency=2, batch_size=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True))
+
+
+def test_multimodal_strict_raises():
+    dec = multimodal.DecodeImage(strict=True)
+    if dec.pil is None:
+        batch = pa.table({"media_id": [1], "url": ["u"],
+                          "media_type": ["image"], "payload": [b"x"],
+                          "meta_json": ["{}"]})
+        with pytest.raises(NotImplementedError):
+            dec(batch)
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data as rd
+
+    rows = [{"media_id": i, "url": "http://v/%d" % i, "media_type": "video",
+             "payload": bytes([i]) * 64, "meta_json": "{}"} for i in range(4)]
+    out = multimodal.decode_stage(
+        rd.from_items(rows), multimodal.SampleVideoFrames,
+        concurrency=2, batch_size=2).to_pandas()
+    assert set(out.columns) == {"media_id", "url", "frame_idx", "frame_phash"}
+    assert out.groupby("media_id").size().min() >= 1
