@@ -49,7 +49,7 @@ def sections_dataset(pages, checkpoint_dir: str | None = None,
 def kg_pipeline(sf_dir: str | None = None, pages=None,
                 gazetteer: dict | None = None,
                 sameas_edges: list | None = None,
-                linker_concurrency: int = 4,
+                linker_concurrency=(2, 12),
                 checkpoint_dir: str | None = None) -> dict:
     """Run the full pipeline; returns dict of lazy Datasets:
     ``sections``, ``mentions``, ``triples`` (canonicalized + deduped)

@@ -1,0 +1,94 @@
+"""XHTML+RDFa rendering sink: sections (+ metadata) → one XHTML string
+per document.
+
+Reference semantics (shape, not byte-parity): ``render_xhtml``
+(documentrepository.py:1456-1681) + ``SectionalElement.as_xhtml``
+(elements/elements.py:625-658): the document is a ``<body about=URI>``;
+each section renders as ``<div about=FRAGMENT property="dcterms:title"
+content=TITLE typeof="bibo:DocumentPart">`` with ``bibo:chapter`` /
+``dcterms:isPartOf`` spans — i.e. the RDFa carries exactly the triples
+the engine also emits, so re-distilling the rendered XHTML recovers
+the metadata graph (the reference's distill step).
+
+Ray shape: ``groupby(url).map_groups`` (one document per group,
+sections ordered by position) — a presentation sink, off the hot path.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import pandas as pd
+
+_HEAD = ('<?xml version="1.0" encoding="utf-8"?>\n'
+         '<html xmlns="http://www.w3.org/1999/xhtml"\n'
+         '      xmlns:dcterms="http://purl.org/dc/terms/"\n'
+         '      xmlns:bibo="http://purl.org/ontology/bibo/"\n'
+         '      xmlns:prov="http://www.w3.org/ns/prov#">\n')
+
+
+def _esc(s) -> str:
+    return _html.escape(s or "", quote=True)
+
+
+def render_document(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values("position", kind="mergesort")
+    body_rows = g[g["kind"] == "body"]
+    if body_rows.empty:
+        return pd.DataFrame({"url": [], "xhtml": []})
+    body = body_rows.iloc[0]
+    url = body["url"]
+    out = [_HEAD]
+    out.append('<head><title>%s</title></head>\n' % _esc(body["title"]))
+    lang = body.get("lang") or ""
+    out.append('<body about="%s"%s>\n'
+               % (_esc(url), (' xml:lang="%s"' % _esc(lang)) if lang else ""))
+    for _, row in g[g["kind"] != "body"].iterrows():
+        uri = row["section_uri"]
+        out.append('  <div about="%s" property="dcterms:title" content="%s"'
+                   ' typeof="bibo:DocumentPart" class="%s">\n'
+                   % (_esc(uri), _esc(row["title"]), _esc(row["kind"])))
+        if row["ordinal"]:
+            out.append('    <span about="%s" property="bibo:chapter"'
+                       ' content="%s"/>\n' % (_esc(uri), _esc(row["ordinal"])))
+        if row["parent_uri"]:
+            out.append('    <span rel="dcterms:isPartOf" href="%s"/>\n'
+                       % _esc(row["parent_uri"]))
+        if row["text"]:
+            out.append("    <p>%s</p>\n" % _html.escape(row["text"], quote=False))
+        out.append("  </div>\n")
+    out.append("</body>\n</html>\n")
+    return pd.DataFrame({"url": [url], "xhtml": ["".join(out)]})
+
+
+def render_xhtml(sections_ds):
+    """sections → (url, xhtml) Dataset."""
+    return sections_ds.groupby("url").map_groups(
+        render_document, batch_format="pandas")
+
+
+def distill_rdfa(xhtml: str) -> list[tuple]:
+    """Re-extract (subj, pred, obj, is_literal) from rendered RDFa —
+    the distill step (decorators.py:203-227) used by the round-trip
+    test. Minimal RDFa subset: about/property/content, rel/href,
+    typeof."""
+    import re
+
+    triples = []
+    div_re = re.compile(
+        r'<(?:div|span)\s+about="([^"]*)"(?:\s+property="([^"]*)"\s+'
+        r'content="([^"]*)")?(?:\s+typeof="([^"]*)")?', re.S)
+    rel_re = re.compile(r'<span rel="([^"]*)" href="([^"]*)"/>')
+    for m in div_re.finditer(xhtml):
+        about, prop, content, typeof = m.groups()
+        if prop and content is not None:
+            triples.append((about, prop, _html.unescape(content), True))
+        if typeof:
+            triples.append((about, "rdf:type", typeof, False))
+    # rel spans are nested inside their owning div
+    block_re = re.compile(r'<div about="([^"]*)".*?</div>', re.S)
+    for bm in block_re.finditer(xhtml):
+        about = bm.group(1)
+        for rm in rel_re.finditer(bm.group(0)):
+            triples.append((about, rm.group(1), rm.group(2), False))
+    return triples

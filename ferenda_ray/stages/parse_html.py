@@ -123,12 +123,17 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
     import ray
     import pyarrow.compute as pc
 
+    from ray.data.aggregate import Count, Max
+
+    # one aggregation pass over the 2-column projection gives both the
+    # duplicate set and each duplicate's winning timestamp
     slim = pages.select_columns(["url", "warc_ts"])
-    counts = slim.groupby("url").count()
-    dups = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
-    )
-    n_dups = dups.count()
+    agg = (slim.groupby("url")
+           .aggregate(Count(alias_name="n"),
+                      Max("warc_ts", alias_name="max_ts"))
+           .map_batches(lambda df: df[df["n"] > 1], batch_format="pandas")
+           .to_pandas())
+    n_dups = len(agg)
     if n_dups == 0:
         return pages
     if n_dups > dup_threshold:  # pragma: no cover - scale fallback
@@ -139,17 +144,7 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
                 batch_format="pyarrow",
             )
         )
-    dup_urls = pa.array(dups.to_pandas()["url"], pa.string())
-    max_ts = (
-        slim.map_batches(
-            lambda t: t.filter(pc.is_in(t["url"], value_set=dup_urls)),
-            batch_format="pyarrow",
-        )
-        .groupby("url")
-        .max("warc_ts")
-        .to_pandas()
-    )
-    winner = dict(zip(max_ts["url"], max_ts["max(warc_ts)"]))
+    winner = dict(zip(agg["url"], agg["max_ts"]))
     winner_ref = ray.put(winner)
 
     def keep_latest(t: pa.Table) -> pa.Table:

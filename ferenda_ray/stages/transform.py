@@ -1,0 +1,149 @@
+"""Small per-batch transforms: patches, link rewriting, sampling,
+skew salting.
+
+- ``apply_patches``: per-document text overrides applied before/after
+  parse — the reference's ``patch_if_needed``
+  (documentrepository.py:1352-1401) as a broadcast overrides map
+  (url → [(find, replace), ...]) instead of unified-diff files.
+- ``transform_links``: rewrite URLs in a column by prefix map — the
+  reference's ``transformlinks`` (documentrepository.py:2749-2793)
+  for static-site / devel-url relocation.
+- ``salted_counts``: explicit hot-key salting for skewed groupbys —
+  phase 1 groups on (key, salt) so a hot key spreads over ``salt_n``
+  reducers, phase 2 merges the per-salt partials (SURVEY §4/§7:
+  the north rule's skew requirement, beyond the per-batch combiner).
+- ``sample_corpus``: deterministic sampling
+  (devel.samplerepo semantics, devel.py:1224-1418).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def apply_patches(ds, patches: dict, col: str = "text"):
+    """patches: {url: [(find, replace), ...]} — broadcast once via
+    ray.put, applied map-side to rows whose url matches."""
+    import ray
+
+    ref = ray.put(patches)
+
+    def patch(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(ref)
+        if not p:
+            return df
+        df = df.copy()
+        hits = df["url"].isin(p.keys())
+        for idx in df.index[hits]:
+            val = df.at[idx, col]
+            for find, replace in p[df.at[idx, "url"]]:
+                val = val.replace(find, replace)
+            df.at[idx, col] = val
+        return df
+
+    return ds.map_batches(patch, batch_format="pandas")
+
+
+def transform_links(ds, url_map: dict, cols=("url",)):
+    """Prefix-rewrite URLs: the longest matching prefix in ``url_map``
+    is replaced by its target (transformlinks semantics)."""
+    import ray
+
+    prefixes = sorted(url_map, key=len, reverse=True)
+    ref = ray.put((prefixes, dict(url_map)))
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        pfx, mapping = ray.get(ref)
+        df = df.copy()
+        for c in cols:
+            def rw(u):
+                if u is None:
+                    return u
+                for p in pfx:
+                    if u.startswith(p):
+                        return mapping[p] + u[len(p):]
+                return u
+            df[c] = df[c].map(rw)
+        return df
+
+    return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def salted_counts(ds, key_col: str, salt_n: int = 8):
+    """Two-phase skew-safe groupby-count.
+
+    Phase 1 keys on (key, salt) where salt = row-content hash mod
+    ``salt_n`` — a hot key's rows spread over ``salt_n`` reducers
+    instead of melting one. Phase 2 is a groupby over at most
+    ``salt_n`` partials per key. Returns (key, n)."""
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.RangeIndex(len(df))
+        salts = [(zlib.crc32(("%s|%d" % (k, i)).encode()) % salt_n)
+                 for k, i in zip(df[key_col], idx)]
+        out = pd.DataFrame({key_col: df[key_col], "_salt": salts})
+        return out.groupby([key_col, "_salt"], as_index=False).size().rename(
+            columns={"size": "partial"})
+
+    return (
+        ds.map_batches(add_salt, batch_format="pandas")
+        .groupby([key_col, "_salt"]).sum("partial")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(partial)": "partial"}),
+            batch_format="pandas")
+        .groupby(key_col).sum("partial")
+        .map_batches(lambda df: df.rename(columns={"sum(partial)": "n"}),
+                     batch_format="pandas")
+    )
+
+
+def sample_corpus(ds, frac: float, seed: int = 42):
+    """Deterministic fractional sample."""
+    return ds.random_sample(frac, seed=seed)
+
+
+def limit_corpus(ds, n: int):
+    """downloadmax semantics (decorators.py:353-369)."""
+    return ds.limit(n)
+
+
+def serialize_sections_json(sections_ds):
+    """Round-trippable per-document JSON of the section tree
+    (elements.serialize analogue, elements/elements.py:53-93):
+    one row (url, body_json) per document; ``deserialize_sections``
+    inverts it exactly."""
+    import json
+
+    def to_json(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("position", kind="mergesort")
+        rows = g.to_dict("records")
+        doc = [
+            {k: (None if pd.isna(r[k]) else r[k])
+             for k in ("section_uri", "kind", "ordinal", "title",
+                       "parent_uri", "text", "position")}
+            for r in rows
+        ]
+        return pd.DataFrame({"url": [g["url"].iloc[0]],
+                             "body_json": [json.dumps(doc, sort_keys=True)]})
+
+    return sections_ds.groupby("url").map_groups(to_json, batch_format="pandas")
+
+
+def deserialize_sections(json_ds):
+    """Inverse of serialize_sections_json."""
+    import json
+
+    def from_json(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for url, body in zip(df["url"], df["body_json"]):
+            for r in json.loads(body):
+                r["url"] = url
+                out.append(r)
+        cols = ("url", "section_uri", "kind", "ordinal", "title",
+                "parent_uri", "text", "position")
+        return pd.DataFrame({c: [r.get(c) for r in out] for c in cols})
+
+    return json_ds.map_batches(from_json, batch_format="pandas")
