@@ -49,7 +49,7 @@ def sections_dataset(pages, checkpoint_dir: str | None = None,
 def kg_pipeline(sf_dir: str | None = None, pages=None,
                 gazetteer: dict | None = None,
                 sameas_edges: list | None = None,
-                linker_concurrency=(2, 12),
+                linker_concurrency=None,
                 checkpoint_dir: str | None = None) -> dict:
     """Run the full pipeline; returns dict of lazy Datasets:
     ``sections``, ``mentions``, ``triples`` (canonicalized + deduped)
@@ -67,6 +67,12 @@ def kg_pipeline(sf_dir: str | None = None, pages=None,
 
     meta = sections.map_batches(emit_meta_triples, batch_format="pyarrow")
 
+    if linker_concurrency is None:
+        # size the actor pool to the cluster: the linker is the only
+        # actor stage in the DAG — a fixed small pool would cap the
+        # whole pipeline's throughput at larger cluster sizes
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        linker_concurrency = (2, max(4, ncpu - 2))
     gaz_ref = ray.put(gazetteer)
     mentions = sections.map_batches(
         MentionLinker,
@@ -96,6 +102,91 @@ def kg_pipeline(sf_dir: str | None = None, pages=None,
         "triples": triples,
         "canon": canon,
     }
+
+
+class KGExtract:
+    """Fused flagship actor stage: pages batch → canonicalized triples.
+
+    One pass does parse → sections (in memory) → meta triples →
+    mention scan + entity link → canonical remap. Fusing removes
+    three stage boundaries and — decisively at scale — one full
+    materialize+re-read of the entire triple set between parse and
+    linking. The composable stages (sections_dataset + emit_meta_triples
+    + MentionLinker) remain the right shape when intermediate tables
+    are themselves outputs; this is the throughput path when only the
+    final graph matters.
+
+    All heavy state (gazetteer regex, canon map) is built once per
+    actor from ``ray.put`` refs.
+    """
+
+    def __init__(self, gazetteer_ref, canon_ref, default_lang: str = "en"):
+        import ray as _ray
+
+        from ..stages.mentions import MentionLinker
+
+        gaz = (_ray.get(gazetteer_ref)
+               if isinstance(gazetteer_ref, _ray.ObjectRef) else gazetteer_ref)
+        self.linker = MentionLinker(gaz)
+        self.canon = (_ray.get(canon_ref)
+                      if isinstance(canon_ref, _ray.ObjectRef) else canon_ref)
+        self.default_lang = default_lang
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from ..stages.mentions import mention_triples
+        from ..stages.parse_html import parse_pages_batch
+        from ..stages.triples import emit_meta_triples
+
+        sections = parse_pages_batch(batch, default_lang=self.default_lang)
+        meta = emit_meta_triples(sections)
+        mentions = self.linker(sections)
+        refs = mention_triples(mentions)
+        trip = pa.concat_tables([meta, refs]).combine_chunks()
+        if self.canon:
+            import pandas as pd
+
+            df = trip.to_pandas()
+            df["subj"] = df["subj"].map(self.canon).fillna(df["subj"])
+            is_uri = ~df["obj_is_literal"]
+            mapped = df.loc[is_uri, "obj"].map(self.canon)
+            df.loc[is_uri, "obj"] = mapped.fillna(df.loc[is_uri, "obj"])
+            trip = pa.Table.from_pandas(df, preserve_index=False)
+        return trip
+
+
+def kg_triples_direct(pages, gazetteer: dict | None = None,
+                      sameas_edges: list | None = None,
+                      concurrency=None):
+    """Throughput path: pages → deduped canonical triples with the
+    fused extract stage (see KGExtract)."""
+    if gazetteer is None:
+        gazetteer = corpus.gazetteer()
+    if sameas_edges is None:
+        sameas_edges = corpus.sameas_edges()
+    from ..stages.canonicalize import (
+        dedup_exact_triples as _dedup,
+        sameas_triples as _sameas,
+        union_find as _uf,
+    )
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(4, ncpu - 2))
+    canon = _uf(sameas_edges)
+    pages = latest_per_url(pages)
+    trip = pages.map_batches(
+        KGExtract,
+        fn_constructor_kwargs={
+            "gazetteer_ref": ray.put(gazetteer),
+            "canon_ref": ray.put(canon),
+        },
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    trip = trip.union(ray.data.from_arrow(_sameas(canon)))
+    return _dedup(trip)
 
 
 def write_outputs(result: dict, out_dir: str) -> dict:

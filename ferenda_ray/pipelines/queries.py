@@ -724,6 +724,56 @@ def embedding_neardup(sf_dir):
     return embedding_neardup_pairs(ds, threshold=0.95)
 
 
+def text_sections(sf_dir):
+    """plain-text sectionizer over the documents table (TextReader +
+    RFC-FSM path). The word-soup docs have no headings, so each yields
+    exactly one body row whose text is the whitespace-normalized
+    document — SQL-recomputable."""
+    from ..stages.textparse import parse_text_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_url(t: pa.Table) -> pa.Table:
+        urls = ["doc:%d" % i for i in t["doc_id"].to_pylist()]
+        return pa.table({"url": pa.array(urls), "text": t["text"]})
+
+    out = ds.map_batches(add_url, batch_format="pyarrow").map_batches(
+        parse_text_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({"url": t["url"], "kind": t["kind"],
+                            "text": t["text"]}),
+        batch_format="pyarrow")
+
+
+TEXT_SECTIONS_SQL = """
+SELECT 'doc:' || doc_id AS url, 'body' AS kind,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+FROM documents
+"""
+
+
+def salted_source_counts(sf_dir):
+    """two-phase salted groupby-count (hot-key skew operator) — must
+    agree exactly with a plain SQL GROUP BY."""
+    from ..stages.transform import salted_counts
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+    return salted_counts(ds, "source", salt_n=8)
+
+
+SALTED_SQL = """
+SELECT source, count(*) AS n FROM documents GROUP BY source
+"""
+
+
+def xhtml_render(sf_dir):
+    """XHTML+RDFa render sink over the flagship sections (rows-only:
+    one xhtml doc per url)."""
+    from ..sources.xhtml import render_xhtml
+
+    return render_xhtml(_kg(sf_dir)["sections"])
+
+
 def langid_docs(sf_dir):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text_analysis.LangId, concurrency=2,
@@ -786,6 +836,9 @@ QUERIES = {
     "kg_top_cited": (kg_top_cited, KG_TOP_CITED_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_stats": (kg_stats, KG_STATS_SQL),
+    "text_sections": (text_sections, TEXT_SECTIONS_SQL),
+    "salted_source_counts": (salted_source_counts, SALTED_SQL),
+    "xhtml_render": (xhtml_render, None),
     # rows-only (not SQL-expressible): full pipeline & sketches
     "kg_triples": (kg_triples, None),
     "kg_sections": (kg_sections, None),

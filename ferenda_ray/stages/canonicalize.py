@@ -195,45 +195,61 @@ def remap_triples(triples_ds, canon_map):
     return triples_ds.map_batches(remap, batch_format="pandas")
 
 
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_literal", "obj_lang"]
+
+
+def _joined_key(t: pa.Table):
+    """Unit-separator-joined triple identity as one Arrow string column
+    (hashing input only — exact comparisons always use the individual
+    key columns). NOT NUL-joined: pandas' C string hashing truncates
+    at embedded NULs, which made every shared-subject prefix collide.
+    """
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        t["subj"], t["pred"], t["obj"],
+        pc.cast(t["obj_is_literal"], pa.string()), t["obj_lang"], "\x1f")
+
+
 def dedup_exact_triples(triples_ds, num_buckets: int = 64):
-    """Exact triple dedup as an explicit partitioned hash dedup.
+    """Exact triple dedup as a streaming partitioned hash dedup.
 
     The full semantic identity (subj, pred, obj, obj_is_literal,
     obj_lang) is the dedup key — two literals differing only in
-    language tag are different triples; ``source_url`` keeps the min
-    as the deterministic provenance representative.
+    language tag are different triples; among duplicates the min
+    ``source_url`` row survives (deterministic provenance).
 
-    Plan: (1) local per-batch ``drop_duplicates`` combiner — collapses
-    hot triples before any exchange (the skew mitigation); (2) add
-    ``_bucket = crc32(key) % num_buckets``; (3) ONE groupby on the
-    small int bucket column with a *vectorized* pandas dedup per
-    bucket. Same-key rows always hash to the same bucket, so this is
-    exact. (Both a per-group ``map_groups(head(1))`` — one pandas
-    frame per distinct triple — and Ray's multi-key string
-    ``aggregate(Min)`` measured 60-90s on half a million triples;
-    this shape runs in ~2s because the exchange keys are ints and the
-    per-bucket work is a single vectorized pass.)
+    Plan: (1) exact per-batch dedup combiner — collapses hot triples
+    before the exchange (the skew mitigation); (2) int32 content-hash
+    bucket column; (3) ONE groupby on the bucket with a vectorized
+    pandas dedup per bucket. Same-key rows always land in the same
+    bucket, so the result is exact, and the whole thing stays a
+    single streaming shuffle — no mid-pipeline materialization.
+
+    Designs measured on 2.25M triples @32 CPUs: per-group
+    ``map_groups(head(1))`` 60-90s; multi-key string aggregate 89s;
+    a hash-first variant that materialized + counted hashes to skip
+    the full-row shuffle looked cheaper in isolation but LOST overall
+    (the extra materialize + 2 executions cost more than the
+    pipelined shuffle it avoided); this streaming shape wins.
     """
-    import zlib
-
-    key = ["subj", "pred", "obj", "obj_is_literal", "obj_lang"]
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=key)
-        joined = (df["subj"] + "\x00" + df["pred"] + "\x00" + df["obj"]
-                  + "\x00" + df["obj_is_literal"].astype(str)
-                  + "\x00" + df["obj_lang"])
-        df = df.assign(
-            _bucket=[zlib.crc32(s.encode()) % num_buckets for s in joined])
-        return df
+    def local(t: pa.Table) -> pa.Table:
+        # exact in-batch dedup over the key COLUMNS (first wins), then
+        # an int32 hash bucket — arrow blocks through the shuffle
+        keep = ~t.select(TRIPLE_KEY).to_pandas().duplicated().values
+        jpd = _joined_key(t).to_pandas()
+        h = pd.util.hash_pandas_object(jpd, index=False).values.view("int64")
+        t = t.append_column(
+            "_bucket", pa.array((h % num_buckets).astype("int32")))
+        return t.filter(pa.array(keep))
 
     def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key + ["source_url"], kind="mergesort")
-        g = g.drop_duplicates(subset=key)
+        g = g.sort_values(TRIPLE_KEY + ["source_url"], kind="mergesort")
+        g = g.drop_duplicates(subset=TRIPLE_KEY)
         return g.drop(columns=["_bucket"])
 
     return (
-        triples_ds.map_batches(local, batch_format="pandas")
+        triples_ds.map_batches(local, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(bucket_dedup, batch_format="pandas")
     )
