@@ -220,6 +220,58 @@ def news_feeds(pages_ds, archivesize: int = 100):
     )
 
 
+def keyword_concepts(triples_ds):
+    """keyword-repo semantics (sources/general/keyword.py:107-150):
+    one concept row per distinct ``dcterms:subject`` object, with the
+    documents that mention it — ``triples.filter(pred ==
+    dcterms:subject).groupby(obj)``."""
+
+    def narrow(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["pred"], "dcterms:subject"))
+        return pa.table({"concept": f["obj"], "doc": f["source_url"]})
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(g["doc"]))
+        return pd.DataFrame({
+            "concept": [g["concept"].iloc[0]],
+            "docs": [docs],
+            "n_docs": [len(docs)],
+        })
+
+    return (
+        triples_ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("concept")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+
+def skeleton_entities(triples_ds):
+    """skeleton-repo anti-join (sources/general/skeleton.py:99-120):
+    URIs occurring as objects but never as subjects → stub entities.
+    Broadcast the (distinct) subject set, filter object URIs map-side.
+    """
+    import ray
+
+    subj_ds = triples_ds.map_batches(
+        lambda t: pa.table({"s": pc.unique(t["subj"].combine_chunks())}),
+        batch_format="pyarrow",
+    ).groupby("s").count()
+    subj_set = set(subj_ds.to_pandas()["s"])
+    ref = ray.put(subj_set)
+
+    def anti(t: pa.Table) -> pa.Table:
+        subjects = ray.get(ref)
+        f = t.filter(pc.invert(t["obj_is_literal"].combine_chunks()))
+        objs = [o for o in set(f["obj"].to_pylist()) if o not in subjects]
+        return pa.table({"uri": pa.array(sorted(objs), pa.string())})
+
+    return (
+        triples_ds.map_batches(anti, batch_format="pyarrow")
+        .groupby("uri").count()
+        .map_batches(lambda df: df[["uri"]], batch_format="pandas")
+    )
+
+
 def fulltext_table(sections_ds):
     """The fulltext-index table (relate_fulltext semantics,
     documentrepository.py:2079-2146): one row per addressable resource

@@ -685,6 +685,52 @@ FROM documents
 """
 
 
+def kg_entity_subjects(sf_dir):
+    """entity-link triples from the REAL pipeline (mention detection →
+    exact/fuzzy gazetteer linking → sameAs canonicalization) vs SQL
+    recomputing the planted-entity arithmetic: entity e = doc_id % 24;
+    every surface variant canonicalizes to kb E<e>, except entity 0
+    whose component includes the hot-domain chain (min = hot/x/0)."""
+    t = _kg(sf_dir)["triples"]
+
+    def pick(tb: pa.Table) -> pa.Table:
+        f = tb.filter(pc.equal(tb["pred"], "dcterms:subject"))
+        return pa.table({"subj": f["subj"], "entity": f["obj"]})
+
+    return t.map_batches(pick, batch_format="pyarrow")
+
+
+KG_ENTITY_SQL = f"""
+SELECT {PAGE_URL_SQL} || '#S2' AS subj,
+       CASE WHEN doc_id % 24 = 0 THEN 'https://hot.example.org/x/0'
+            ELSE 'https://kb.example.org/entity/E' || (doc_id % 24) END
+         AS entity
+FROM documents
+"""
+
+
+def kg_keyword_concepts(sf_dir):
+    """keyword-repo groupby over entity subjects: (concept, n_docs)."""
+    kc = facets.keyword_concepts(_kg(sf_dir)["triples"])
+    return kc.map_batches(lambda df: df[["concept", "n_docs"]],
+                          batch_format="pandas")
+
+
+KG_KEYWORD_SQL = """
+SELECT CASE WHEN doc_id % 24 = 0 THEN 'https://hot.example.org/x/0'
+            ELSE 'https://kb.example.org/entity/E' || (doc_id % 24) END
+         AS concept,
+       cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def kg_skeleton(sf_dir):
+    """object-minus-subject anti-join over the flagship triples
+    (rows-only: the stub-entity URI list)."""
+    return facets.skeleton_entities(_kg(sf_dir)["triples"])
+
+
 def kg_facet_pivot(sf_dir):
     """pivoted facet table for document subjects vs SQL recomputation."""
     piv = facets.facet_pivot(_kg(sf_dir)["triples"])
@@ -835,6 +881,9 @@ QUERIES = {
     "kg_section_counts": (kg_section_counts, KG_SECTION_COUNTS_SQL),
     "kg_top_cited": (kg_top_cited, KG_TOP_CITED_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
+    "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
+    "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),
+    "kg_skeleton": (kg_skeleton, None),
     "kg_stats": (kg_stats, KG_STATS_SQL),
     "text_sections": (text_sections, TEXT_SECTIONS_SQL),
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
