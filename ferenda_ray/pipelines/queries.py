@@ -820,6 +820,72 @@ def xhtml_render(sf_dir):
     return render_xhtml(_kg(sf_dir)["sections"])
 
 
+def archived_versions(sf_dir):
+    """archive-versioning operator: the non-latest recrawl rows
+    (synthesizer plants an older version for doc_id % 17 == 0)."""
+    from ..stages.composite import archive_versions
+
+    pages = corpus.pages_dataset(sf_dir)
+    arch = archive_versions(pages)
+    return arch.map_batches(
+        lambda t: pa.table({"url": t["url"]}), batch_format="pyarrow")
+
+
+ARCHIVED_SQL = f"""
+SELECT {PAGE_URL_SQL} AS url FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+def composite_parse(sf_dir):
+    """CompositeRepository fallback parse over pages with a planted
+    non-HTML payload batch: count of docs per winning parser."""
+    import functools
+
+    from ..stages.composite import composite_parse_batch
+    from ..stages.parse_html import latest_per_url
+
+    pages = latest_per_url(corpus.pages_dataset(sf_dir))
+    sections = pages.map_batches(composite_parse_batch, batch_format="pyarrow")
+
+    def body_only(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["kind"], "body"))
+        return f.select(["url", "parser"])
+
+    return (sections.map_batches(body_only, batch_format="pyarrow")
+            .groupby("parser").count()
+            .map_batches(lambda df: df.rename(columns={"count()": "n_docs"}),
+                         batch_format="pandas"))
+
+
+COMPOSITE_SQL = """
+SELECT 'html' AS parser, count(*) AS n_docs FROM documents
+"""
+
+
+def news_feeds_kg(sf_dir):
+    """paginated per-host feeds over the latest pages (archivesize
+    100, warc_ts desc) vs SQL recomputing from the synthesizer's
+    deterministic timestamps (ts = epoch + doc_id·37s)."""
+    from ..stages.parse_html import latest_per_url
+
+    pages = latest_per_url(corpus.pages_dataset(sf_dir))
+    out = facets.news_feeds(pages, archivesize=100)
+    return out.map_batches(
+        lambda df: df[["feed", "page", "url"]], batch_format="pandas")
+
+
+NEWS_FEEDS_SQL = f"""
+WITH p AS (
+  SELECT substr(source, 4) || '.example.org' AS feed,
+         {PAGE_URL_SQL} AS url,
+         row_number() OVER (PARTITION BY substr(source, 4)
+                            ORDER BY doc_id DESC) AS rn
+  FROM documents
+)
+SELECT feed, cast((rn - 1) / 100 AS INTEGER) AS page, url FROM p
+"""
+
+
 def langid_docs(sf_dir):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text_analysis.LangId, concurrency=2,
@@ -886,6 +952,9 @@ QUERIES = {
     "kg_skeleton": (kg_skeleton, None),
     "kg_stats": (kg_stats, KG_STATS_SQL),
     "text_sections": (text_sections, TEXT_SECTIONS_SQL),
+    "archived_versions": (archived_versions, ARCHIVED_SQL),
+    "composite_parse": (composite_parse, COMPOSITE_SQL),
+    "news_feeds_kg": (news_feeds_kg, NEWS_FEEDS_SQL),
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
     "xhtml_render": (xhtml_render, None),
     # rows-only (not SQL-expressible): full pipeline & sketches

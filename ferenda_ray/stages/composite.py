@@ -1,0 +1,84 @@
+"""CompositeRepository semantics: try parsers in order until one
+succeeds (compositerepository.py:57-337) — as a single map_batches
+stage trying each parse strategy per row; the first that yields a
+usable body wins, and the winning strategy is recorded per row
+(the reference stores which subrepo parsed each basefile).
+
+Also archive versioning (documentstore.py:348-354,
+get_archive_version documentrepository.py:639-655): the non-latest
+rows per url, kept as an archive table instead of being discarded.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def composite_parse_batch(batch: pa.Table) -> pa.Table:
+    """pages batch → sections rows, trying (1) HTML parse, then
+    (2) plain-text sectionizer over the decoded payload. Adds a
+    ``parser`` column ('html' | 'text') and keeps error rows only
+    when every strategy failed."""
+    from .parse_html import parse_pages_batch
+    from .textparse import parse_text_batch
+
+    html_out = parse_pages_batch(batch)
+    err_mask = html_out["error"].to_pylist()
+    failed_urls = {u for u, e in zip(html_out["url"].to_pylist(), err_mask) if e}
+    ok = html_out.filter(
+        pa.array([e is None for e in err_mask], pa.bool_()))
+    ok = ok.append_column(
+        "parser", pa.array(["html"] * ok.num_rows, pa.string()))
+    if not failed_urls:
+        return ok
+
+    urls = batch["url"].to_pylist()
+    keep = pa.array([u in failed_urls for u in urls], pa.bool_())
+    retry = batch.filter(keep)
+    texts = [
+        (bytes(h).decode("utf-8", errors="replace") if h is not None else "")
+        for h in retry["html"].to_pylist()
+    ]
+    retry_tbl = pa.table({
+        "url": retry["url"],
+        "text": pa.array(texts, pa.string()),
+    })
+    text_out = parse_text_batch(retry_tbl)
+    # align to the sections schema of the html path
+    text_out = (text_out
+                .append_column("lang", pa.array(["und"] * text_out.num_rows))
+                .append_column("basefile", pa.array(
+                    [u.rstrip("/").rsplit("/", 1)[-1]
+                     for u in text_out["url"].to_pylist()], pa.string()))
+                .append_column("parser", pa.array(
+                    ["text"] * text_out.num_rows, pa.string())))
+    text_out = text_out.select(ok.column_names)
+    return pa.concat_tables([ok, text_out])
+
+
+def archive_versions(pages, dup_threshold: int = 5_000_000):
+    """The inverse of latest_per_url: all NON-latest versions per url
+    (the reference's archive/ directory as a table)."""
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    slim = pages.select_columns(["url", "warc_ts"])
+    agg = (slim.groupby("url")
+           .aggregate(Count(alias_name="n"),
+                      Max("warc_ts", alias_name="max_ts"))
+           .map_batches(lambda df: df[df["n"] > 1], batch_format="pandas")
+           .to_pandas())
+    if agg.empty:
+        return pages.limit(0)
+    winner = dict(zip(agg["url"], agg["max_ts"]))
+    ref = ray.put(winner)
+
+    def keep_archived(t: pa.Table) -> pa.Table:
+        win = ray.get(ref)
+        urls = t["url"].to_pylist()
+        tss = t["warc_ts"].to_pylist()
+        mask = [u in win and ts != win[u] for u, ts in zip(urls, tss)]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return pages.map_batches(keep_archived, batch_format="pyarrow")
