@@ -138,14 +138,19 @@ def connected_components_distributed(edges_ds, max_rounds: int = 30):
 
         return int(cl.map_batches(h, batch_format="pandas").sum("h") or 0) % (1 << 61)
 
+    # convergence check = one extra (small) execution — sample it
+    # every other round: worst case costs one surplus round, saves
+    # half the fixed per-execution overhead of the check
     prev_sig = signature(clusters)
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         clusters = (
             clusters.map_batches(emit, batch_format="pandas")
             .groupby("node")
             .map_groups(merge, batch_format="pandas")
             .materialize()
         )
+        if rnd % 2 == 0:
+            continue
         sig = signature(clusters)
         if sig == prev_sig:
             break
