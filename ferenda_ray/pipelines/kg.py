@@ -278,3 +278,48 @@ def write_outputs(result: dict, out_dir: str) -> dict:
         result[name].write_parquet(path)
         paths[name] = path
     return paths
+
+
+def kg_pipeline_resumable(sf_dir: str | None, checkpoint_dir: str,
+                          pages=None, gazetteer: dict | None = None,
+                          sameas_edges: list | None = None) -> dict:
+    """Full flagship DAG with EVERY stage boundary checkpointed
+    (parse → sections, mentions, triples). A re-run skips completed
+    stages entirely (state/manifest.checkpointed_stage); deleting a
+    later stage's directory re-runs only that stage and its
+    descendants from the durable upstream parquet — the reference's
+    ``needed()`` mtime short-circuit (documentstore.py:400-470)
+    generalized to stage granularity."""
+    from ..state.manifest import checkpointed_stage
+
+    if pages is None:
+        if sf_dir is None:
+            raise ValueError("need sf_dir or pages")
+        pages = corpus.pages_dataset(sf_dir)
+    if gazetteer is None:
+        gazetteer = corpus.gazetteer()
+    if sameas_edges is None:
+        sameas_edges = corpus.sameas_edges()
+
+    sections = sections_dataset(pages, checkpoint_dir)  # stage "parse"
+
+    gaz_ref = ray.put(gazetteer)
+    mentions = sections.map_batches(
+        MentionLinker,
+        fn_constructor_kwargs={"gazetteer": gaz_ref},
+        concurrency=(2, 8),
+        batch_format="pyarrow",
+    )
+    mentions = checkpointed_stage(mentions, checkpoint_dir, "mentions")
+
+    meta = sections.map_batches(emit_meta_triples, batch_format="pyarrow")
+    refs = mentions.map_batches(mention_triples, batch_format="pyarrow")
+    canon = union_find(sameas_edges)
+    triples = remap_triples(meta.union(refs), ray.put(canon))
+    triples = triples.union(ray.data.from_arrow(sameas_triples(canon)))
+    triples = dedup_exact_triples(triples, scope="doc_local")
+    triples = checkpointed_stage(triples, checkpoint_dir, "triples",
+                                 url_col="source_url")
+
+    return {"sections": sections, "mentions": mentions, "triples": triples,
+            "canon": canon}

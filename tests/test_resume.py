@@ -64,6 +64,39 @@ def test_manifest_stats(ray_session, sf_smoke, ckpt):
     assert int(stats["errors"].iloc[0]) == 0
 
 
+def test_full_pipeline_mid_resume(ray_session, sf_smoke, ckpt):
+    """Kill-between-stages semantics: run all three stages, delete the
+    LAST stage's checkpoint, re-run → earlier stages untouched
+    (skipped), final triples byte-identical."""
+    import pandas as pd
+
+    from ferenda_ray.pipelines.kg import kg_pipeline_resumable
+
+    res1 = kg_pipeline_resumable(sf_smoke, ckpt)
+    t1 = res1["triples"].to_pandas().sort_values(
+        ["subj", "pred", "obj"], kind="mergesort").reset_index(drop=True)
+    for stage in ("parse", "mentions", "triples"):
+        assert mf.stage_complete(ckpt, stage)
+    stats = mf.manifest_stats(ckpt)
+    assert set(stats["stage"]) == {"parse", "mentions", "triples"}
+
+    parse_dir = os.path.join(ckpt, "parse")
+    mentions_dir = os.path.join(ckpt, "mentions")
+    before = {d: sorted(os.listdir(d)) for d in (parse_dir, mentions_dir)}
+    mtimes = {f: os.path.getmtime(os.path.join(parse_dir, f))
+              for f in os.listdir(parse_dir)}
+
+    shutil.rmtree(os.path.join(ckpt, "triples"))
+    res2 = kg_pipeline_resumable(sf_smoke, ckpt)
+    t2 = res2["triples"].to_pandas().sort_values(
+        ["subj", "pred", "obj"], kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(t1, t2)
+    # parse/mentions were skipped, not recomputed
+    assert {d: sorted(os.listdir(d)) for d in (parse_dir, mentions_dir)} == before
+    assert {f: os.path.getmtime(os.path.join(parse_dir, f))
+            for f in os.listdir(parse_dir)} == mtimes
+
+
 def test_interrupted_write_invisible(ray_session, sf_smoke, ckpt):
     """A .tmp dir left by a crashed run must not be treated as done."""
     os.makedirs(os.path.join(ckpt, "parse.tmp"), exist_ok=True)
