@@ -177,6 +177,75 @@ FROM documents
 """
 
 
+def doc_quality_filter(sf_dir):
+    """quality gates as a filter (C4-style): keep docs with ≥5 tokens
+    and mean token length in [2, 12]."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = text_analysis.quality_metrics(t)
+        t = text_analysis.quality_filter(t, min_tokens=5,
+                                         min_mean_token_len=2.0,
+                                         max_mean_token_len=12.0)
+        return t.select(["doc_id"])
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+DOC_QUALITY_FILTER_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) AS alpha_len
+  FROM documents
+)
+SELECT doc_id FROM m
+WHERE n_tokens >= 5
+  AND alpha_len >= 2.0 * n_tokens
+  AND alpha_len <= 12.0 * n_tokens
+"""
+
+
+def fulltext_search(sf_dir):
+    """fulltext query over the documents (the reference's fulltext
+    index SELECT shape, fulltextindex.py:395-683): docs containing
+    ALL query terms, ranked by total term frequency; deterministic
+    (doc_id) tie-break; top 20."""
+    terms = ("merge", "join")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id, out_score = [], []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            counts = [sum(1 for w in toks if w == term) for term in terms]
+            if all(c > 0 for c in counts):
+                out_id.append(i)
+                out_score.append(sum(counts))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_score, pa.int64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "doc_id"], descending=[True, False]).limit(20))
+
+
+FULLTEXT_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text, '\\S+'), t -> t = 'merge'))
+           AS c1,
+         len(list_filter(regexp_extract_all(text, '\\S+'), t -> t = 'join'))
+           AS c2
+  FROM documents
+)
+SELECT doc_id, cast(c1 + c2 AS BIGINT) AS score FROM m
+WHERE c1 > 0 AND c2 > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 def doc_fingerprint(sf_dir):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -929,6 +998,8 @@ QUERIES = {
     "doc_token_counts": (doc_token_counts, DOC_TOKENS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),
+    "doc_quality_filter": (doc_quality_filter, DOC_QUALITY_FILTER_SQL),
+    "fulltext_search": (fulltext_search, FULLTEXT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_DEDUP_SQL),
     "toc_firstletter": (toc_firstletter, TOC_SQL),
     "meta_triples_docs": (meta_triples_docs, META_TRIPLES_SQL),
