@@ -834,6 +834,21 @@ def simhash_pairs(sf_dir):
     return simhash_dedup_pairs(ds, max_hamming=3)
 
 
+def embed_knn_ivf(sf_dir):
+    """IVF-bucketed ANN for the vec_id=0 query — the scale path of
+    embed_knn (rows-only: ANN recall is approximate by design; the
+    brute-force baseline carries the SQL oracle)."""
+    from ..stages.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (ds.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+            batch_format="pyarrow").to_pandas())
+    qv = np.asarray(list(q["embedding"])[0], dtype=np.float64)
+    out = knn_ivf(ds, qv[None, :], k=10, n_centroids=8, n_probe=4)
+    return out[["vec_id", "rank"]].astype({"vec_id": "int64", "rank": "int64"})
+
+
 def embedding_neardup(sf_dir):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_neardup_pairs(ds, threshold=0.95)
@@ -1036,6 +1051,7 @@ QUERIES = {
     "minhash_neardup": (minhash_neardup, None),
     "simhash_pairs": (simhash_pairs, None),
     "embedding_neardup": (embedding_neardup, None),
+    "embed_knn_ivf": (embed_knn_ivf, None),
     "langid_docs": (langid_docs, None),
 }
 

@@ -1,0 +1,58 @@
+"""Sink round-trips: partitioned triple parquet, pipeline write_outputs,
+fulltext table projection."""
+
+import os
+
+import duckdb
+import pytest
+
+from ferenda_ray.pipelines.facets import fulltext_table
+from ferenda_ray.pipelines.kg import kg_pipeline, write_outputs
+from ferenda_ray.sources.nt import write_triples_partitioned
+
+
+@pytest.fixture(scope="module")
+def result(ray_session, sf_smoke):
+    return kg_pipeline(sf_dir=sf_smoke)
+
+
+def test_write_outputs_roundtrip(result, tmp_path):
+    out = str(tmp_path / "out")
+    paths = write_outputs(result, out)
+    con = duckdb.connect()
+    n_triples = con.sql(
+        "select count(*) from read_parquet('%s/*.parquet')" % paths["triples"]
+    ).fetchone()[0]
+    assert n_triples == result["triples"].count()
+    n_sections = con.sql(
+        "select count(*) from read_parquet('%s/*.parquet')" % paths["sections"]
+    ).fetchone()[0]
+    assert n_sections == result["sections"].count()
+
+
+def test_partitioned_triple_sink(result, tmp_path):
+    out = str(tmp_path / "buckets")
+    write_triples_partitioned(result["triples"], out, num_buckets=8)
+    buckets = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert 1 < len(buckets) <= 8
+    con = duckdb.connect()
+    n = con.sql(
+        "select count(*) from read_parquet('%s/*/*.parquet')" % out
+    ).fetchone()[0]
+    assert n == result["triples"].count()
+    # same subject always lands in the same bucket (resume contract)
+    per_subj = con.sql(
+        "select count(distinct bucket) m from ("
+        " select subj, bucket from read_parquet('%s/*/*.parquet', hive_partitioning=1))"
+        " group by subj order by m desc limit 1" % out
+    ).fetchone()[0]
+    assert per_subj == 1
+
+
+def test_fulltext_table(result):
+    ft = fulltext_table(result["sections"]).to_pandas()
+    assert set(ft.columns) == {"url", "section_uri", "kind", "title",
+                               "text", "lang", "basefile"}
+    # one row per addressable resource, doc rows included
+    assert (ft["kind"] == "body").sum() > 0
+    assert ft["section_uri"].is_unique
