@@ -39,6 +39,27 @@ RE_SEC_RFC = re.compile(r"(?i:section)\s+(\d[\d.]*)\s+of\s+\[?RFC\s+(\d+)\]?")
 RE_SEC = re.compile(r"(?i:section)\s+(\d[\d.]*)")
 RE_RFC = re.compile(r"\[?RFC\s+(\d+)\]?")
 RE_URL = re.compile(r"(?:http|https|ftp)://[^\s<>\"']+")
+# EU-legislation grammar family (citationpatterns.py:42-70 semantics,
+# anglicized): "Directive 2007/42/EC", "Regulation (EC) No 45/2001",
+# optionally "Article 6(1) of <act>"
+RE_EU_DIRECTIVE = re.compile(
+    r"(?i:directive)\s+(\d{4})/(\d+)/(EC|EEC|EU)\b")
+RE_EU_REGULATION = re.compile(
+    r"(?i:regulation)\s+\((EC|EEC|EU)\)\s+No\s+(\d+)/(\d{2,4})\b")
+RE_EU_ARTICLE = re.compile(
+    r"(?i:article)\s+(\d+)(?:\((\d+)\))?\s+of\s+")
+
+EULAW_BASE = "https://eurlex.example.org/"
+
+
+def eu_uri(kind: str, *parts) -> str:
+    """Deterministic COIN-style URI template for EU acts
+    (uriformats.py:14-45 shape)."""
+    if kind == "directive":
+        year, num, assoc = parts
+        return "%sdir/%s/%s/%s" % (EULAW_BASE, year, num, assoc)
+    year, num, assoc = parts
+    return "%sreg/%s/%s/%s" % (EULAW_BASE, assoc, num, year)
 # candidate spans for fuzzy entity linking: 2+ capitalized words
 RE_CAND = re.compile(r"\b[A-Z][a-zA-Z0-9]*(?: [A-Z][a-zA-Z0-9]*)+\b")
 
@@ -82,11 +103,17 @@ def scan_citations(text: str, doc_url: str, rfc_base: str = RFC_BASE):
         segments = new_segments
 
     # grammar order = reference priority (rfc.py:446-448):
-    # section_rfc_citation, section_citation, rfc_citation
+    # section_rfc_citation, section_citation, rfc_citation; then the
+    # EU-law family (citationpatterns.eulaw: compound before simple),
+    # then bare URLs
     scan(RE_SEC_RFC, "sec_rfc",
          lambda m: rfc_uri(rfc_base, m.group(2), m.group(1), doc_url))
     scan(RE_SEC, "sec", lambda m: rfc_uri(rfc_base, None, m.group(1), doc_url))
     scan(RE_RFC, "rfc", lambda m: rfc_uri(rfc_base, m.group(1), None, doc_url))
+    scan(RE_EU_DIRECTIVE, "eu_directive",
+         lambda m: eu_uri("directive", m.group(1), m.group(2), m.group(3)))
+    scan(RE_EU_REGULATION, "eu_regulation",
+         lambda m: eu_uri("regulation", m.group(3), m.group(2), m.group(1)))
     scan(RE_URL, "url", lambda m: m.group(0).rstrip(",.)"))
     matches.sort()
     return matches, segments

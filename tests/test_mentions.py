@@ -60,6 +60,18 @@ def test_url_citation_trailing_punctuation():
                     "ftp://files.example.com/a/b")]
 
 
+def test_eu_law_grammars():
+    got = _kinds("pursuant to Directive 2007/42/EC as amended")
+    assert got == [("Directive 2007/42/EC", "eu_directive",
+                    "https://eurlex.example.org/dir/2007/42/EC")]
+    got = _kinds("under Regulation (EC) No 45/2001 today")
+    assert got == [("Regulation (EC) No 45/2001", "eu_regulation",
+                    "https://eurlex.example.org/reg/EC/45/2001")]
+    # no overlap with the RFC family
+    got = _kinds("RFC 822 and Directive 1999/5/EC")
+    assert [g[1] for g in got] == ["rfc", "eu_directive"]
+
+
 def _link_batch(texts, gaz):
     linker = MentionLinker(gaz)
     batch = pa.table({
