@@ -93,21 +93,41 @@ def connected_components_distributed(edges_ds, max_rounds: int = 30):
     """
     import zlib
 
-    bidir = edges_ds.map_batches(
-        lambda t: pa.table({
-            "node": pa.concat_arrays([_flat(t["uri_a"]), _flat(t["uri_b"])]),
-            "other": pa.concat_arrays([_flat(t["uri_b"]), _flat(t["uri_a"])]),
-        }),
-        batch_format="pyarrow",
+    def local_contract(t: pa.Table) -> pd.DataFrame:
+        """Batch-local contraction: exact union-find over the edges in
+        THIS batch, then emit each local component in hash-to-min
+        message form ((min, members) + (u, [min])). A component fully
+        contained in one batch needs zero further rounds — for
+        block-local graphs (e.g. chains generated per group) this
+        collapses the round count from O(log diameter) to O(1)."""
+        a = _flat(t["uri_a"]).to_pylist()
+        b = _flat(t["uri_b"]).to_pylist()
+        canon = union_find(list(zip(a, b)))
+        comp: dict[str, list] = {}
+        for node, root in canon.items():
+            comp.setdefault(root, []).append(node)
+        dest, mem = [], []
+        for root, members in comp.items():
+            members = sorted(members)
+            dest.append(root)
+            mem.append(members)
+            for u in members:
+                if u != root:
+                    dest.append(u)
+                    mem.append([root])
+        return pd.DataFrame({"node": dest, "members": mem})
+
+    def merge0(g: pd.DataFrame) -> pd.DataFrame:
+        s: set = set()
+        for mm in g["members"]:
+            s.update(mm)
+        return pd.DataFrame({"node": [g["node"].iloc[0]], "members": [sorted(s)]})
+
+    clusters = (
+        edges_ds.map_batches(local_contract, batch_format="pyarrow")
+        .groupby("node").map_groups(merge0, batch_format="pandas")
+        .materialize()
     )
-
-    def init_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        node = g["node"].iloc[0]
-        members = sorted(set(g["other"]).union((node,)))
-        return pd.DataFrame({"node": [node], "members": [members]})
-
-    clusters = bidir.groupby("node").map_groups(
-        init_cluster, batch_format="pandas").materialize()
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         dest: list = []

@@ -85,6 +85,14 @@ def test_query_parity(name, ray_session, sf_smoke, con):
                merged.head(20) if merged is not None else "shape diff"))
 
 
+def test_registry_consistency():
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) >= 40
+    assert len(sqls) >= 30
+
+
 def test_entry_smoke(ray_session):
     ds = entrymod.entry()
     n = ds.count()
