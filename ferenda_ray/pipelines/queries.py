@@ -432,6 +432,59 @@ SELECT user_id, event_id, event_type FROM (
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def events_sessions(sf_dir):
+    """gap-based sessionization (session = events of one user with
+    < 30 min between consecutive events; the streaming-shaped
+    windowing pattern: partition by key, sort by ts within group).
+    Output: one row per session."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    GAP = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new = (g["ts"].diff() > GAP).fillna(True)
+        sid = new.cumsum()
+        out = g.groupby(sid).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        ).reset_index(drop=True)
+        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        out["session_no"] = range(1, len(out) + 1)
+        # explicit %f so zero-microsecond values still print 6 digits
+        # (str(Timestamp) drops them; DuckDB strftime does not)
+        out["start_ts"] = out["start_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        out["end_ts"] = out["end_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return out[["user_id", "session_no", "n_events", "start_ts", "end_ts"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, cast(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def user_event_pivot(sf_dir):
     """facet pivot shape: per user, count per event_type (wide)."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
@@ -1023,6 +1076,7 @@ QUERIES = {
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
     "events_type_stats": (events_type_stats, EVENTS_TYPE_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
