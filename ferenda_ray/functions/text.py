@@ -191,23 +191,29 @@ def increment(s, amount: int = 1):
     return s + amount
 
 
-# --- base27 (ferenda/util.py:845-853) -----------------------------------
+# --- base27 (ferenda/util.py:840-849) -----------------------------------
+# Reference directions: encode is STRING → int (alphabet
+# " abc...z" read as base-27 digits), decode is int → string.
 
-_B27 = "0abcdefghijklmnopqrstuvwxyz"
-
-
-def base27encode(i: int) -> str:
-    if i == 0:
-        return _B27[0]
-    out = ""
-    while i:
-        i, rem = divmod(i, 27)
-        out = _B27[rem] + out
-    return out
+_B27_ALPHABET = " abcdefghijklmnopqrstuvwxyz"
 
 
-def base27decode(s: str) -> int:
+def base27encode(s: str) -> int:
+    """' ab' / 'ab' → int (space is the zero digit, util.py:843-845)."""
     i = 0
     for c in s:
-        i = i * 27 + _B27.index(c)
+        i = i * 27 + _B27_ALPHABET.index(c)
     return i
+
+
+def base27decode(num: int) -> str:
+    """int → base-27 string; leading zero-digits (spaces) stripped,
+    num == 0 → ' ' (util.py:847-849)."""
+    if num == 0:
+        return _B27_ALPHABET[0]
+    out = ""
+    n = num
+    while n:
+        n, rem = divmod(n, 27)
+        out = _B27_ALPHABET[rem] + out
+    return out.lstrip(_B27_ALPHABET[0]) or _B27_ALPHABET[0]

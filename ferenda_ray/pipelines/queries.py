@@ -1019,7 +1019,7 @@ WITH p AS (
                             ORDER BY doc_id DESC) AS rn
   FROM documents
 )
-SELECT feed, cast((rn - 1) / 100 AS INTEGER) AS page, url FROM p
+SELECT feed, cast((rn - 1) // 100 AS INTEGER) AS page, url FROM p
 """
 
 

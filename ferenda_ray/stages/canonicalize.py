@@ -10,12 +10,10 @@ cluster-independent).
 
 Ray shape (SURVEY §7 M4 — the only multi-round shuffle in the DAG):
 
-- ``connected_components_distributed``: iterative min-label
-  propagation PLUS pointer jumping (label ← label-of-label), both
-  expressed as union-tag-groupby joins (no Dataset.join dependency).
-  Pointer jumping makes convergence O(log diameter) — the 200-node
-  hot-domain chain in the test corpus converges in ~8 rounds where
-  naive propagation needs 200.
+- ``connected_components_distributed``: batch-local union-find
+  contraction, then hash-to-min rounds (one groupby exchange per
+  round, O(log diameter) rounds; block-local components finish in
+  the contraction pass).
 - ``canonical_map``: driver-side union-find fast path when the edge
   set is small enough to collect (entity graphs are orders of
   magnitude smaller than the page corpus — at 10^12 docs the entity
@@ -23,10 +21,11 @@ Ray shape (SURVEY §7 M4 — the only multi-round shuffle in the DAG):
   path runs and the result stays a Dataset).
 - ``remap_triples``: broadcast the canon map once (``ray.put``),
   rewrite subj/obj map-side — no shuffle of the triples.
-- ``dedup_exact_triples``: per-batch local dedup (combiner — the
+- ``dedup_exact_triples``: per-batch exact dedup combiner (the
   skew/salting mitigation: a triple asserted by millions of pages
-  collapses once per block before the exchange) then a global
-  ``groupby(subj,pred,obj).map_groups(first)``.
+  collapses once per block before any exchange) then one streaming
+  hash-bucket groupby — or no exchange at all under the proven
+  ``doc_local`` scope.
 """
 
 from __future__ import annotations
@@ -220,7 +219,8 @@ def remap_triples(triples_ds, canon_map):
     return triples_ds.map_batches(remap, batch_format="pandas")
 
 
-TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_literal", "obj_lang"]
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_literal", "obj_lang",
+              "obj_datatype"]
 
 
 def _joined_key(t: pa.Table):
@@ -233,7 +233,8 @@ def _joined_key(t: pa.Table):
 
     return pc.binary_join_element_wise(
         t["subj"], t["pred"], t["obj"],
-        pc.cast(t["obj_is_literal"], pa.string()), t["obj_lang"], "\x1f")
+        pc.cast(t["obj_is_literal"], pa.string()), t["obj_lang"],
+        t["obj_datatype"], "\x1f")
 
 
 def dedup_exact_triples(triples_ds, num_buckets: int = 64,
@@ -315,5 +316,6 @@ def sameas_triples(canon: dict[str, str]) -> pa.Table:
         "obj": pa.array(obj, pa.string()),
         "obj_is_literal": pa.array([False] * n, pa.bool_()),
         "obj_lang": pa.array([""] * n, pa.string()),
+        "obj_datatype": pa.array([""] * n, pa.string()),
         "source_url": pa.array([""] * n, pa.string()),
     })

@@ -26,11 +26,16 @@ import pandas as pd
 import pyarrow as pa
 
 # --- deterministic minhash permutation parameters -----------------------
+# (a*x + b) mod p over uint64: shingle hashes are masked to 32 bits and
+# a,b drawn below 2^29 so a*x + b < 2^61 NEVER wraps mod 2^64 — an
+# unmasked product would silently overflow and the permutation family
+# would no longer be the documented universal-hash scheme
 _MERSENNE = (1 << 61) - 1
 _RNG = np.random.RandomState(42)
 _N_PERM = 64
-_A = _RNG.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
-_B = _RNG.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+_A = _RNG.randint(1, 1 << 29, size=_N_PERM).astype(np.uint64)
+_B = _RNG.randint(0, 1 << 29, size=_N_PERM).astype(np.uint64)
+_SHINGLE_MASK = np.uint64((1 << 32) - 1)
 
 
 def _hash_text(s: str) -> str:
@@ -78,7 +83,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         out[i] = np.uint64(
             int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
                            "big"))
-    return out
+    return out & _SHINGLE_MASK
 
 
 def minhash_signature(sh: np.ndarray) -> np.ndarray:
@@ -145,15 +150,16 @@ def verify_jaccard(pairs_ds, docs_ds, text_col: str = "text",
     """
     import ray
 
-    keys_needed = set()
     pairs_df = pairs_ds.to_pandas()
-    keys_needed.update(pairs_df["key_a"])
-    keys_needed.update(pairs_df["key_b"])
-    if not len(pairs_df):
-        return pairs_df.assign(jaccard=pd.Series(dtype=float))
+    if pairs_df.empty or "key_a" not in pairs_df.columns:
+        # zero candidates → empty Dataset may come back column-less
+        return pd.DataFrame(columns=["key_a", "key_b", "jaccard"])
+    keys_needed = set(pairs_df["key_a"]) | set(pairs_df["key_b"])
+    keys_ref = ray.put(keys_needed)  # broadcast once, not per-task closure
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
-        sel = df[df[key_col].isin(keys_needed)]
+        needed = ray.get(keys_ref)
+        sel = df[df[key_col].isin(needed)]
         return pd.DataFrame({
             "key": sel[key_col],
             "shingles": [set(map(int, shingle_hashes(t, shingle_k)))
@@ -272,6 +278,9 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "key": [], "unit": []})
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         dim = vecs.shape[1]
         if dim not in planes_by_dim:

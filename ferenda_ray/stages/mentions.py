@@ -46,8 +46,11 @@ RE_EU_DIRECTIVE = re.compile(
     r"(?i:directive)\s+(\d{4})/(\d+)/(EC|EEC|EU)\b")
 RE_EU_REGULATION = re.compile(
     r"(?i:regulation)\s+\((EC|EEC|EU)\)\s+No\s+(\d+)/(\d{2,4})\b")
-RE_EU_ARTICLE = re.compile(
-    r"(?i:article)\s+(\d+)(?:\((\d+)\))?\s+of\s+")
+# compound article-of-act grammar (highest EU priority, like the
+# reference's ArticleLegalact before Legalact, citationpatterns.py:66-69)
+RE_EU_ART_DIR = re.compile(
+    r"(?i:article)\s+(\d+)(?:\((\d+)\))?\s+of\s+"
+    r"(?i:directive)\s+(\d{4})/(\d+)/(EC|EEC|EU)\b")
 
 EULAW_BASE = "https://eurlex.example.org/"
 
@@ -110,6 +113,9 @@ def scan_citations(text: str, doc_url: str, rfc_base: str = RFC_BASE):
          lambda m: rfc_uri(rfc_base, m.group(2), m.group(1), doc_url))
     scan(RE_SEC, "sec", lambda m: rfc_uri(rfc_base, None, m.group(1), doc_url))
     scan(RE_RFC, "rfc", lambda m: rfc_uri(rfc_base, m.group(1), None, doc_url))
+    scan(RE_EU_ART_DIR, "eu_article",
+         lambda m: eu_uri("directive", m.group(3), m.group(4), m.group(5))
+         + "#A" + m.group(1) + ("." + m.group(2) if m.group(2) else ""))
     scan(RE_EU_DIRECTIVE, "eu_directive",
          lambda m: eu_uri("directive", m.group(1), m.group(2), m.group(3)))
     scan(RE_EU_REGULATION, "eu_regulation",
@@ -218,5 +224,6 @@ def mention_triples(batch: pa.Table) -> pa.Table:
         "obj": batch["linked_uri"],
         "obj_is_literal": pa.array([False] * batch.num_rows, pa.bool_()),
         "obj_lang": pa.array([""] * batch.num_rows, pa.string()),
+        "obj_datatype": pa.array([""] * batch.num_rows, pa.string()),
         "source_url": batch["url"],
     })

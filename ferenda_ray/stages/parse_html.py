@@ -123,14 +123,15 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
     import ray
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count, Max
+    import zlib
 
-    # one aggregation pass over the 2-column projection gives both the
-    # duplicate set and each duplicate's winning timestamp
-    slim = pages.select_columns(["url", "warc_ts"])
+    from ray.data.aggregate import Count
+
+    # one aggregation pass over the 1-column projection finds the
+    # (small) duplicated-url set
+    slim = pages.select_columns(["url"])
     agg = (slim.groupby("url")
-           .aggregate(Count(alias_name="n"),
-                      Max("warc_ts", alias_name="max_ts"))
+           .aggregate(Count(alias_name="n"))
            .map_batches(lambda df: df[df["n"] > 1], batch_format="pandas")
            .to_pandas())
     n_dups = len(agg)
@@ -144,14 +145,33 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
                 batch_format="pyarrow",
             )
         )
-    winner = dict(zip(agg["url"], agg["max_ts"]))
-    winner_ref = ray.put(winner)
+    dup_ref = ray.put(set(agg["url"]))
 
-    def keep_latest(t: pa.Table) -> pa.Table:
-        win = ray.get(winner_ref)
-        urls = t["url"].to_pylist()
-        tss = t["warc_ts"].to_pylist()
-        mask = [u not in win or ts == win[u] for u, ts in zip(urls, tss)]
+    def split(t: pa.Table, keep_dups: bool) -> pa.Table:
+        dups = ray.get(dup_ref)
+        mask = [(u in dups) == keep_dups for u in t["url"].to_pylist()]
         return t.filter(pa.array(mask, pa.bool_()))
 
-    return pages.map_batches(keep_latest, batch_format="pyarrow")
+    clean = pages.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow")
+
+    def pick_latest(g: pa.Table) -> pa.Table:
+        # exactly ONE survivor per url even when warc_ts ties:
+        # newest first, content-hash tie-break (deterministic)
+        tss = g["warc_ts"].to_pylist()
+        htmls = g["html"].to_pylist()
+        order = sorted(
+            range(len(tss)),
+            key=lambda i: (tss[i], -(zlib.crc32(htmls[i] or b""))),
+            reverse=True,
+        )
+        return g.take([order[0]])
+
+    dups_latest = (
+        pages.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(pick_latest, batch_format="pyarrow")
+    )
+    # only the duplicated subset (recrawled urls) ever shuffles — the
+    # html blobs of the unique majority pass through map-side
+    return clean.union(dups_latest)

@@ -41,6 +41,8 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(q)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # empty block after upstream filter
+            return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
         qm = ray.get(q_ref)
         vecs = _unit(_as_matrix(df[vec_col]))
         sims = vecs @ qm.T  # (n, n_queries)
@@ -103,6 +105,8 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     probe_ref = ray.put(probe)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
         cent = ray.get(cent_ref)
         qm = ray.get(q_ref)
         pr = ray.get(probe_ref)

@@ -38,16 +38,19 @@ from ..schemas import (
 
 ENGINE_NAME = "ferenda_ray.pipelines.kg.KGPipeline"
 
-TRIPLE_COLS = ("subj", "pred", "obj", "obj_is_literal", "obj_lang", "source_url")
+TRIPLE_COLS = ("subj", "pred", "obj", "obj_is_literal", "obj_lang",
+               "obj_datatype", "source_url")
 
 
 def _table(subj, pred, obj, lit, lang, src) -> pa.Table:
+    n = len(subj)
     return pa.table({
         "subj": pa.array(subj, pa.string()),
         "pred": pa.array(pred, pa.string()),
         "obj": pa.array(obj, pa.string()),
         "obj_is_literal": pa.array(lit, pa.bool_()),
         "obj_lang": pa.array(lang, pa.string()),
+        "obj_datatype": pa.array([""] * n, pa.string()),
         "source_url": pa.array(src, pa.string()),
     })
 

@@ -55,6 +55,7 @@ def test_remap_and_dedup():
         "obj": ["http://v0/e", "http://v1/e", "lit"],
         "obj_is_literal": [False, False, True],
         "obj_lang": ["", "", ""],
+        "obj_datatype": ["", "", ""],
         "source_url": ["http://d/1", "http://d/1", "http://d/1"],
     })
     ds = remap_triples(rd.from_arrow(t), canon)

@@ -52,6 +52,29 @@ def test_error_rows_never_kill_pipeline():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_latest_per_url_timestamp_tie():
+    """Two crawl rows with the same url AND the same max warc_ts must
+    yield exactly ONE survivor, deterministically (content-hash
+    tie-break) — regression for the both-rows-pass bug."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.parse_html import latest_per_url
+
+    rows = [
+        {"url": "http://t/1", "warc_ts": 100, "html": b"<p>version A</p>"},
+        {"url": "http://t/1", "warc_ts": 100, "html": b"<p>version B</p>"},
+        {"url": "http://t/2", "warc_ts": 50, "html": b"<p>only</p>"},
+    ]
+    out1 = latest_per_url(rd.from_items(rows)).to_pandas()
+    assert len(out1) == 2
+    assert out1["url"].is_unique
+    survivor1 = out1.set_index("url").loc["http://t/1", "html"]
+    out2 = latest_per_url(rd.from_items(rows)).to_pandas()
+    survivor2 = out2.set_index("url").loc["http://t/1", "html"]
+    assert bytes(survivor1) == bytes(survivor2)  # deterministic pick
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_archive_versions(sf_smoke):
     from ferenda_ray.pipelines.corpus import pages_dataset
 

@@ -75,5 +75,8 @@ def test_roman():
 
 
 def test_base27():
-    assert base27decode(base27encode(12345)) == 12345
-    assert base27encode(0) == "0"
+    # reference directions (util.py:840-849): encode str→int, decode int→str
+    assert base27encode("a") == 1
+    assert base27encode(base27decode(12345)) == 12345
+    assert base27decode(0) == " "
+    assert base27decode(base27encode("abc")) == "abc"

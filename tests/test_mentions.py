@@ -67,6 +67,14 @@ def test_eu_law_grammars():
     got = _kinds("under Regulation (EC) No 45/2001 today")
     assert got == [("Regulation (EC) No 45/2001", "eu_regulation",
                     "https://eurlex.example.org/reg/EC/45/2001")]
+    # compound article-of-directive (highest EU priority) with
+    # fragment-style article URI
+    got = _kinds("per Article 6(1) of Directive 2007/42/EC here")
+    assert got == [("Article 6(1) of Directive 2007/42/EC", "eu_article",
+                    "https://eurlex.example.org/dir/2007/42/EC#A6.1")]
+    got = _kinds("per Article 9 of Directive 1999/5/EU done")
+    assert got == [("Article 9 of Directive 1999/5/EU", "eu_article",
+                    "https://eurlex.example.org/dir/1999/5/EU#A9")]
     # no overlap with the RFC family
     got = _kinds("RFC 822 and Directive 1999/5/EC")
     assert [g[1] for g in got] == ["rfc", "eu_directive"]
