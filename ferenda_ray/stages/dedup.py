@@ -26,16 +26,20 @@ import pandas as pd
 import pyarrow as pa
 
 # --- deterministic minhash permutation parameters -----------------------
-# (a*x + b) mod p over uint64: shingle hashes are masked to 32 bits and
-# a,b drawn below 2^29 so a*x + b < 2^61 NEVER wraps mod 2^64 — an
-# unmasked product would silently overflow and the permutation family
-# would no longer be the documented universal-hash scheme
-_MERSENNE = (1 << 61) - 1
+# Standard 31-bit universal hashing: h_i(x) = (a_i*x + b_i) mod p with
+# p = 2^31 - 1 (Mersenne prime), shingles masked to 31 bits, a,b < p.
+# Two constraints must BOTH hold:
+#  - a*x + b < 2^62 < 2^64, so the uint64 product never silently wraps
+#    (a 64-bit x with 61-bit a overflowed and broke the hash family);
+#  - a*x + b >> p, so the mod genuinely permutes — if the product
+#    stays below p the map is monotonic and every h_i picks the same
+#    minimum element, degenerating minhash entirely.
+_MERSENNE = (1 << 31) - 1
 _RNG = np.random.RandomState(42)
 _N_PERM = 64
-_A = _RNG.randint(1, 1 << 29, size=_N_PERM).astype(np.uint64)
-_B = _RNG.randint(0, 1 << 29, size=_N_PERM).astype(np.uint64)
-_SHINGLE_MASK = np.uint64((1 << 32) - 1)
+_A = _RNG.randint(1, _MERSENNE, size=_N_PERM).astype(np.uint64)
+_B = _RNG.randint(0, _MERSENNE, size=_N_PERM).astype(np.uint64)
+_SHINGLE_MASK = np.uint64((1 << 31) - 1)
 
 
 def _hash_text(s: str) -> str:

@@ -49,6 +49,25 @@ def test_minhash_finds_planted_neardup(docs_with_dups):
     assert m.get("3") == m.get("100") == "3"
 
 
+def test_minhash_estimates_jaccard():
+    """Signature agreement must estimate true Jaccard (would catch a
+    degenerate permutation family where every h_i picks the same
+    minimum and agreement collapses to 0/1)."""
+    words_a = ["w%d" % i for i in range(100)]
+    words_b = ["w%d" % i for i in range(50, 150)]  # ~1/3 Jaccard on words
+    text_a, text_b = " ".join(words_a), " ".join(words_b)
+    sa = dedup.shingle_hashes(text_a)
+    sb = dedup.shingle_hashes(text_b)
+    true_j = len(set(map(int, sa)) & set(map(int, sb))) / len(
+        set(map(int, sa)) | set(map(int, sb)))
+    siga = dedup.minhash_signature(sa)
+    sigb = dedup.minhash_signature(sb)
+    est = float((siga == sigb).mean())
+    assert abs(est - true_j) < 0.2, "est %.2f vs true %.2f" % (est, true_j)
+    # identical sets → identical signatures
+    assert (dedup.minhash_signature(sa) == siga).all()
+
+
 def test_simhash_finds_exact_dup(docs_with_dups):
     ds, rows = docs_with_dups
     pairs = ds and dedup.simhash_dedup_pairs(ds, max_hamming=3).to_pandas()
