@@ -125,13 +125,14 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
 
     import zlib
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Max
 
-    # one aggregation pass over the 1-column projection finds the
-    # (small) duplicated-url set
-    slim = pages.select_columns(["url"])
+    # one aggregation pass over the 2-column projection gives both the
+    # duplicate set and each duplicate's winning timestamp
+    slim = pages.select_columns(["url", "warc_ts"])
     agg = (slim.groupby("url")
-           .aggregate(Count(alias_name="n"))
+           .aggregate(Count(alias_name="n"),
+                      Max("warc_ts", alias_name="max_ts"))
            .map_batches(lambda df: df[df["n"] > 1], batch_format="pandas")
            .to_pandas())
     n_dups = len(agg)
@@ -145,19 +146,40 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
                 batch_format="pyarrow",
             )
         )
-    dup_ref = ray.put(set(agg["url"]))
+    winner = dict(zip(agg["url"], agg["max_ts"]))
+    # a second TINY aggregate (slim rows of dup urls only) detects urls
+    # whose max warc_ts is itself duplicated — those few need an exact
+    # grouped pick; everything else stays a single map-side pass
+    dup_urls = pa.array(list(winner), pa.string())
+    at_max = (
+        slim.map_batches(
+            lambda t: t.filter(pc.is_in(t["url"], value_set=dup_urls)),
+            batch_format="pyarrow")
+        .groupby(["url", "warc_ts"]).count()
+        .to_pandas()
+    )
+    ties = {
+        u for u, ts, n in zip(at_max["url"], at_max["warc_ts"],
+                              at_max["count()"])
+        if n > 1 and winner.get(u) == ts
+    }
+    state_ref = ray.put((winner, ties))
 
-    def split(t: pa.Table, keep_dups: bool) -> pa.Table:
-        dups = ray.get(dup_ref)
-        mask = [(u in dups) == keep_dups for u in t["url"].to_pylist()]
+    def keep_latest(t: pa.Table) -> pa.Table:
+        win, tie = ray.get(state_ref)
+        urls = t["url"].to_pylist()
+        tss = t["warc_ts"].to_pylist()
+        mask = [u not in tie and (u not in win or ts == win[u])
+                for u, ts in zip(urls, tss)]
         return t.filter(pa.array(mask, pa.bool_()))
 
-    clean = pages.map_batches(
-        lambda t: split(t, False), batch_format="pyarrow")
+    latest = pages.map_batches(keep_latest, batch_format="pyarrow")
+    if not ties:
+        return latest
 
-    def pick_latest(g: pa.Table) -> pa.Table:
-        # exactly ONE survivor per url even when warc_ts ties:
-        # newest first, content-hash tie-break (deterministic)
+    def pick_tied(g: pa.Table) -> pa.Table:
+        # exactly ONE survivor even when warc_ts ties: newest first,
+        # content-hash tie-break (deterministic across runs/paths)
         tss = g["warc_ts"].to_pylist()
         htmls = g["html"].to_pylist()
         order = sorted(
@@ -167,11 +189,14 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
         )
         return g.take([order[0]])
 
-    dups_latest = (
-        pages.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    def only_ties(t: pa.Table) -> pa.Table:
+        _, tie = ray.get(state_ref)
+        mask = [u in tie for u in t["url"].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    tied_latest = (
+        pages.map_batches(only_ties, batch_format="pyarrow")
         .groupby("url")
-        .map_groups(pick_latest, batch_format="pyarrow")
+        .map_groups(pick_tied, batch_format="pyarrow")
     )
-    # only the duplicated subset (recrawled urls) ever shuffles — the
-    # html blobs of the unique majority pass through map-side
-    return clean.union(dups_latest)
+    return latest.union(tied_latest)
