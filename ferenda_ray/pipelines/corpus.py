@@ -535,14 +535,28 @@ def pages_dataset(sf_dir: str, replicate: int = 1):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def _synth_version() -> str:
+    """Hash of the synthesizer source — any edit to the page-planning
+    or rendering code changes the cache tag, so stale /tmp page caches
+    self-invalidate instead of silently serving old corpora."""
+    import hashlib
+    import inspect
+
+    src = "".join(inspect.getsource(f) for f in (
+        plan_document, build_body_elem, render_html, synthesize_batch))
+    return hashlib.md5(src.encode()).hexdigest()[:10]
+
+
 def materialize_pages(sf_dir: str, out_dir: str | None = None,
                       replicate: int = 1) -> str:
     """Write the synthesized pages for ``sf_dir`` to parquet once and
-    reuse (cache keyed on sf dir name + replication). Returns the dir."""
+    reuse (cache keyed on sf dir name + replication + synthesizer
+    source hash). Returns the dir."""
     import os
 
     if out_dir is None:
-        tag = os.path.basename(sf_dir.rstrip("/"))
+        tag = "%s_%s" % (os.path.basename(sf_dir.rstrip("/")),
+                         _synth_version())
         if replicate != 1:
             tag += "_x%d" % replicate
         out_dir = "/tmp/ferenda_ray_pages/%s" % tag

@@ -310,7 +310,8 @@ def kg_pipeline_resumable(sf_dir: str | None, checkpoint_dir: str,
         concurrency=(2, 8),
         batch_format="pyarrow",
     )
-    mentions = checkpointed_stage(mentions, checkpoint_dir, "mentions")
+    mentions = checkpointed_stage(mentions, checkpoint_dir, "mentions",
+                                  upstream=("parse",))
 
     meta = sections.map_batches(emit_meta_triples, batch_format="pyarrow")
     refs = mentions.map_batches(mention_triples, batch_format="pyarrow")
@@ -319,7 +320,8 @@ def kg_pipeline_resumable(sf_dir: str | None, checkpoint_dir: str,
     triples = triples.union(ray.data.from_arrow(sameas_triples(canon)))
     triples = dedup_exact_triples(triples, scope="doc_local")
     triples = checkpointed_stage(triples, checkpoint_dir, "triples",
-                                 url_col="source_url")
+                                 url_col="source_url",
+                                 upstream=("parse", "mentions"))
 
     return {"sections": sections, "mentions": mentions, "triples": triples,
             "canon": canon}

@@ -55,6 +55,9 @@ def _kg(sf_dir: str) -> dict:
         res = kg_pipeline(sf_dir=sf_dir)
         res["triples"] = res["triples"].materialize()
         res["sections"] = res["sections"].materialize()
+        # mentions feed kg_mentions (and are small next to pages) —
+        # without this every access re-runs the actor-pool linker
+        res["mentions"] = res["mentions"].materialize()
         _KG_CACHE[sf_dir] = res
     return _KG_CACHE[sf_dir]
 
@@ -1024,10 +1027,40 @@ SELECT feed, cast((rn - 1) // 100 AS INTEGER) AS page, url FROM p
 
 
 def langid_docs(sf_dir):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(text_analysis.LangId, concurrency=2,
-                          batch_format="pyarrow").select_columns(
-        ["doc_id", "detected_lang"])
+    """Language-ID actor pool over deterministic stopword probe text.
+
+    The probe text is pure doc_id arithmetic (stopword profile of
+    lang[doc_id % 4] repeated — pipelines/corpus.py pattern), so the
+    detected language is SQL-recomputable while the query still
+    exercises the real LangId actor-pool stage end to end. Pool sized
+    to the cluster like the flagship linker (kg.py:70-77) — a fixed
+    concurrency=2 starved 30 of 32 CPUs."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    langs = sorted(text_analysis._STOP)  # ["de", "en", "es", "fr"]
+
+    def probe(t: pa.Table) -> pa.Table:
+        texts = []
+        for did in t["doc_id"].to_pylist():
+            lang = langs[did % 4]
+            texts.append(" ".join(sorted(text_analysis._STOP[lang]) * 3))
+        return t.append_column("text", pa.array(texts, pa.string()))
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return (ds.map_batches(probe, batch_format="pyarrow")
+            .map_batches(text_analysis.LangId,
+                         concurrency=(max(2, ncpu // 4), max(4, ncpu - 2)),
+                         batch_format="pyarrow")
+            .select_columns(["doc_id", "detected_lang"]))
+
+
+LANGID_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                       WHEN 2 THEN 'es' ELSE 'fr' END AS detected_lang
+FROM documents
+"""
 
 
 def toc_pages_kg(sf_dir):
@@ -1106,7 +1139,7 @@ QUERIES = {
     "simhash_pairs": (simhash_pairs, None),
     "embedding_neardup": (embedding_neardup, None),
     "embed_knn_ivf": (embed_knn_ivf, None),
-    "langid_docs": (langid_docs, None),
+    "langid_docs": (langid_docs, LANGID_SQL),
 }
 
 

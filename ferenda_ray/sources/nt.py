@@ -31,12 +31,16 @@ def _escape_literal(s: str) -> str:
 
 
 def format_triple(subj: str, pred: str, obj: str, is_literal: bool,
-                  lang: str = "") -> str:
+                  lang: str = "", datatype: str = "") -> str:
     p = expand_curie(pred)
     if is_literal:
         o = '"%s"' % _escape_literal(obj)
+        # @lang and ^^datatype are mutually exclusive in the N-Triples
+        # grammar (a language-tagged string IS rdf:langString)
         if lang:
             o += "@" + lang
+        elif datatype:
+            o += "^^<%s>" % expand_curie(datatype)
     else:
         o = "<%s>" % expand_curie(obj)
     return "<%s> <%s> %s ." % (subj, p, o)
@@ -48,8 +52,12 @@ def nt_lines(batch: pa.Table) -> pa.Table:
     obj = batch["obj"].to_pylist()
     lit = batch["obj_is_literal"].to_pylist()
     lang = batch["obj_lang"].to_pylist()
-    lines = [format_triple(s, p, o, l, g)
-             for s, p, o, l, g in zip(subj, pred, obj, lit, lang)]
+    if "obj_datatype" in batch.column_names:
+        dtype = batch["obj_datatype"].to_pylist()
+    else:
+        dtype = [""] * batch.num_rows
+    lines = [format_triple(s, p, o, l, g, d or "")
+             for s, p, o, l, g, d in zip(subj, pred, obj, lit, lang, dtype)]
     return pa.table({"line": pa.array(lines, pa.string())})
 
 

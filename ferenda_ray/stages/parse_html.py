@@ -182,9 +182,14 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
         # content-hash tie-break (deterministic across runs/paths)
         tss = g["warc_ts"].to_pylist()
         htmls = g["html"].to_pylist()
+        def _crc(h) -> int:
+            if isinstance(h, str):  # html column accepts str or bytes
+                h = h.encode("utf-8")
+            return zlib.crc32(h or b"")
+
         order = sorted(
             range(len(tss)),
-            key=lambda i: (tss[i], -(zlib.crc32(htmls[i] or b""))),
+            key=lambda i: (tss[i], -_crc(htmls[i])),
             reverse=True,
         )
         return g.take([order[0]])

@@ -81,25 +81,65 @@ def read_manifest(checkpoint_dir: str) -> list[dict]:
     return rows
 
 
-def stage_complete(checkpoint_dir: str, stage: str) -> bool:
-    return os.path.exists(os.path.join(checkpoint_dir, stage, "_SUCCESS"))
+def _marker_path(checkpoint_dir: str, stage: str) -> str:
+    return os.path.join(checkpoint_dir, stage, "_SUCCESS")
+
+
+def _read_marker(checkpoint_dir: str, stage: str) -> dict | None:
+    path = _marker_path(checkpoint_dir, stage)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        body = f.read()
+    try:
+        return json.loads(body)
+    except ValueError:  # legacy "ok" marker (pre-fingerprint)
+        return {"fingerprint": body, "upstream": {}}
+
+
+def stage_fingerprint(checkpoint_dir: str, stage: str) -> str | None:
+    """The stage's write-identity: changes on every (re)write, so a
+    downstream stage can detect that its input was regenerated (the
+    reference's ``needed()`` infile-vs-outfile mtime comparison,
+    documentstore.py:400-470, at stage granularity)."""
+    marker = _read_marker(checkpoint_dir, stage)
+    return marker["fingerprint"] if marker else None
+
+
+def stage_complete(checkpoint_dir: str, stage: str,
+                   upstream=()) -> bool:
+    """Marker present AND every upstream stage's current fingerprint
+    matches the one recorded when this stage was written. A rewritten
+    (or deleted) upstream therefore invalidates all descendants —
+    markers alone are not trusted."""
+    marker = _read_marker(checkpoint_dir, stage)
+    if marker is None:
+        return False
+    recorded = marker.get("upstream", {})
+    for up in upstream:
+        if recorded.get(up) != stage_fingerprint(checkpoint_dir, up):
+            return False
+    return True
 
 
 def checkpointed_stage(ds, checkpoint_dir: str, stage: str,
-                       url_col: str = "url"):
+                       url_col: str = "url", upstream=()):
     """Execute-or-skip a stage boundary.
 
-    Completed (marker present) → re-read the parquet, NO recompute.
-    Otherwise: write to ``<stage>.tmp``, derive manifest rows from the
-    parquet footers, atomically rename, mark complete.
-    Returns a Dataset reading from the checkpoint (downstream stages
-    consume the durable artifact, like the reference's parsed/ files).
+    Completed (marker present and, when ``upstream`` stage names are
+    given, their recorded fingerprints still current) → re-read the
+    parquet, NO recompute. Otherwise: write to ``<stage>.tmp``, derive
+    manifest rows from the parquet footers, atomically rename, mark
+    complete with a fresh fingerprint + the upstream fingerprints it
+    was built from. Returns a Dataset reading from the checkpoint
+    (downstream stages consume the durable artifact, like the
+    reference's parsed/ files).
     """
     import ray.data as rd
     import shutil
 
     final = os.path.join(checkpoint_dir, stage)
-    if stage_complete(checkpoint_dir, stage):
+    if stage_complete(checkpoint_dir, stage, upstream):
         return rd.read_parquet(final)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -112,8 +152,16 @@ def checkpointed_stage(ds, checkpoint_dir: str, stage: str,
     rows = _file_manifest_rows(tmp, stage, duration, url_col)
     os.replace(tmp, final)
     append_manifest(checkpoint_dir, rows)
-    with open(os.path.join(final, "_SUCCESS"), "w") as f:
-        f.write("ok")
+    marker = {
+        # unique per write: wall-clock ns + row count — any rewrite of
+        # this stage yields a new fingerprint, invalidating descendants
+        "fingerprint": "%d:%d" % (time.time_ns(),
+                                  sum(r["rows_out"] for r in rows)),
+        "upstream": {up: stage_fingerprint(checkpoint_dir, up)
+                     for up in upstream},
+    }
+    with open(_marker_path(checkpoint_dir, stage), "w") as f:
+        json.dump(marker, f)
     return rd.read_parquet(final)
 
 

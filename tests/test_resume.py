@@ -97,6 +97,28 @@ def test_full_pipeline_mid_resume(ray_session, sf_smoke, ckpt):
             for f in os.listdir(parse_dir)} == mtimes
 
 
+def test_upstream_rewrite_invalidates_descendants(ray_session, sf_smoke, ckpt):
+    """Deleting + regenerating an EARLY stage must re-run descendants
+    even though their _SUCCESS markers are intact: markers record the
+    upstream fingerprints they were built from (ADVICE r01 item 1)."""
+    from ferenda_ray.pipelines.kg import kg_pipeline_resumable
+
+    kg_pipeline_resumable(sf_smoke, ckpt)["triples"].count()
+    fp_mentions_1 = mf.stage_fingerprint(ckpt, "mentions")
+    fp_triples_1 = mf.stage_fingerprint(ckpt, "triples")
+
+    # regenerate the parse stage → descendants' recorded upstream
+    # fingerprints are now stale, so they must be recomputed
+    shutil.rmtree(os.path.join(ckpt, "parse"))
+    assert not mf.stage_complete(ckpt, "mentions", upstream=("parse",))
+    kg_pipeline_resumable(sf_smoke, ckpt)["triples"].count()
+    assert mf.stage_fingerprint(ckpt, "mentions") != fp_mentions_1
+    assert mf.stage_fingerprint(ckpt, "triples") != fp_triples_1
+    assert mf.stage_complete(ckpt, "mentions", upstream=("parse",))
+    assert mf.stage_complete(ckpt, "triples",
+                             upstream=("parse", "mentions"))
+
+
 def test_interrupted_write_invisible(ray_session, sf_smoke, ckpt):
     """A .tmp dir left by a crashed run must not be treated as done."""
     os.makedirs(os.path.join(ckpt, "parse.tmp"), exist_ok=True)
