@@ -49,6 +49,38 @@ def test_minhash_finds_planted_neardup(docs_with_dups):
     assert m.get("3") == m.get("100") == "3"
 
 
+def test_minhash_distributed_path_matches_driver(docs_with_dups):
+    """driver_threshold=0 forces the distributed clustering path
+    (hash-partitioned verify + hash-to-min CC); its output must equal
+    the driver union-find path exactly."""
+    ds, rows = docs_with_dups
+    small = dedup.minhash_dedup(ds, threshold=0.5)
+    dist = dedup.minhash_dedup(ds, threshold=0.5, driver_threshold=0)
+    dist_df = dist.to_pandas() if not isinstance(dist, pd.DataFrame) else dist
+    a = small.sort_values("key").reset_index(drop=True)
+    b = (dist_df.sort_values("key").reset_index(drop=True)
+         .astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_verify_jaccard_no_driver_materialization(docs_with_dups):
+    """verify_jaccard returns a (lazy) Dataset whose pairs carry exact
+    Jaccard values — spot-check the planted near-dup pair's value."""
+    ds, rows = docs_with_dups
+    bands = dedup.minhash_bands(ds)
+    cand = dedup.lsh_candidate_pairs(bands)
+    verified = dedup.verify_jaccard(cand, ds, threshold=0.5)
+    assert not isinstance(verified, pd.DataFrame)  # stays distributed
+    got = verified.to_pandas()
+    row = got[(got["key_a"] == 5) & (got["key_b"] == 101)]
+    assert len(row) == 1
+    # 3 of 60 words changed → 9 of ~58 trigram shingles differ
+    sa = set(dedup.shingle_hashes(rows[5]["text"]).tolist())
+    sb = set(dedup.shingle_hashes(rows[21]["text"]).tolist())
+    expect = len(sa & sb) / len(sa | sb)
+    assert row["jaccard"].iloc[0] == pytest.approx(expect)
+
+
 def test_minhash_estimates_jaccard():
     """Signature agreement must estimate true Jaccard (would catch a
     degenerate permutation family where every h_i picks the same
