@@ -851,9 +851,31 @@ FROM documents GROUP BY 1
 
 
 def kg_skeleton(sf_dir):
-    """object-minus-subject anti-join over the flagship triples
-    (rows-only: the stub-entity URI list)."""
+    """object-minus-subject anti-join over the flagship triples:
+    stub-entity URIs (cited-but-never-described resources). The SQL
+    oracle recomputes the object set from the planted citation/entity
+    arithmetic and the constant sameAs graph (page urls, section uris
+    and non-representative sameAs nodes are the only subjects, so the
+    skeleton = type objects ∪ citation targets ∪ component
+    representatives)."""
     return facets.skeleton_entities(_kg(sf_dir)["triples"])
+
+
+KG_SKELETON_SQL = """
+WITH objs AS (
+  SELECT 'bibo:Document' AS uri
+  UNION SELECT 'bibo:DocumentPart'
+  UNION SELECT DISTINCT 'https://rfc.example.org/rfc/' || (100 + doc_id % 900)
+    FROM documents WHERE doc_id % 3 = 0
+  UNION SELECT 'https://rfc.example.org/rfc/2616#S2.2'
+    WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 7 = 0)
+  UNION SELECT DISTINCT 'https://spec.example.org/s/' || (doc_id % 50)
+    FROM documents WHERE doc_id % 5 = 1
+  UNION SELECT 'https://kb.example.org/entity/E' || i FROM range(1, 24) t(i)
+  UNION SELECT 'https://hot.example.org/x/0'
+)
+SELECT uri FROM objs
+"""
 
 
 def kg_facet_pivot(sf_dir):
@@ -877,17 +899,93 @@ FROM documents
 
 
 # ---------------------------------------------------------------------
-# near-dup / langid (rows-only checks — not SQL-expressible)
+# near-dup sketches — SQL-oracled where brute force / planted clones
+# make the expected output exactly recomputable
 # ---------------------------------------------------------------------
 
+CLONE_OFFSET = 10_000_000
+
+
 def minhash_neardup(sf_dir):
+    """MinHash+LSH near-dup clustering over the documents table. The
+    driver's synthetic corpus plants near-dup chains (word-level edits,
+    trigram Jaccard ≥ 0.88 with nothing else above 0.4), so the full
+    output is recomputable by a brute-force trigram-Jaccard self-join
+    + recursive transitive closure in SQL — verified hash-J == string-J
+    exactly at sf0.001/sf0.01 (no 31-bit shingle-hash collisions touch
+    the threshold)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.5)
 
 
+MINHASH_SQL = """
+WITH RECURSIVE s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w)-2, 1)),
+    i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents)
+), p AS (
+  SELECT a.doc_id AS ka, b.doc_id AS kb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        >= 0.5 * len(list_distinct(list_concat(a.sh, b.sh)))
+), e AS (
+  SELECT ka AS a, kb AS b FROM p UNION SELECT kb, ka FROM p
+), reach(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node
+)
+SELECT node AS key, min(lbl) AS canonical_key FROM reach GROUP BY node
+"""
+
+
 def simhash_pairs(sf_dir):
+    """Full SimHash pair output over the raw documents (rows-only: the
+    Hamming distances of the natural word-edit near-dups depend on the
+    64-bit word-hash family, which SQL cannot recompute)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_dedup_pairs(ds, max_hamming=3)
+
+
+def simhash_planted_recall(sf_dir):
+    """Planted-recall oracle for SimHash: exact text clones
+    (doc_id % 10 == 0 → doc_id + CLONE_OFFSET) have Hamming distance 0
+    and MUST all be recovered; the query runs the full operator and
+    projects the planted subset, which SQL enumerates exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clones(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        oi, ot = list(ids), list(texts)
+        for i, txt in zip(ids, texts):
+            if i % 10 == 0:
+                oi.append(i + CLONE_OFFSET)
+                ot.append(txt)
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    pairs = simhash_dedup_pairs(ds.map_batches(clones, batch_format="pyarrow"),
+                                max_hamming=3)
+
+    def planted(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "key_a" not in df.columns:
+            return pd.DataFrame({"key_a": pd.Series(dtype="int64"),
+                                 "key_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        m = (df["key_b"] - df["key_a"] == CLONE_OFFSET) \
+            & (df["key_a"] % 10 == 0)
+        return df[m]
+
+    return pairs.map_batches(planted, batch_format="pandas")
+
+
+SIMHASH_PLANTED_SQL = """
+SELECT doc_id AS key_a, doc_id + 10000000 AS key_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 
 def embed_knn_ivf(sf_dir):
@@ -906,8 +1004,45 @@ def embed_knn_ivf(sf_dir):
 
 
 def embedding_neardup(sf_dir):
+    """Embedding-cosine near-dup with planted duplicate directions:
+    vec_id % 10 == 0 gains a clone (vec_id + CLONE_OFFSET) scaled by
+    2.0 — scaling by a power of two is IEEE-exact, so the clone's unit
+    vector is bitwise-identical (cosine exactly 1, every hyperplane
+    sign unchanged → guaranteed same LSH bucket). Nothing natural in
+    the synthetic embeddings exceeds cosine 0.52, so the full output
+    is exactly the planted pair list."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.95)
+
+    def clones(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        embs = t["embedding"].to_pylist()
+        oi, oe = list(ids), list(embs)
+        for i, e in zip(ids, embs):
+            if i % 10 == 0:
+                oi.append(i + CLONE_OFFSET)
+                oe.append([2.0 * x for x in e])
+        return pa.table({"vec_id": pa.array(oi, pa.int64()),
+                         "embedding": pa.array(oe, t["embedding"].type)})
+
+    pairs = embedding_neardup_pairs(
+        ds.map_batches(clones, batch_format="pyarrow"), threshold=0.95)
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "key_a" not in df.columns:
+            return pd.DataFrame({"key_a": pd.Series(dtype="int64"),
+                                 "key_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        df = df.copy()
+        df["cosine"] = df["cosine"].round(6)
+        return df
+
+    return pairs.map_batches(shape, batch_format="pandas")
+
+
+EMBED_NEARDUP_SQL = """
+SELECT vec_id AS key_a, vec_id + 10000000 AS key_b, 1.0 AS cosine
+FROM embeddings WHERE vec_id % 10 = 0
+"""
 
 
 def text_sections(sf_dir):
@@ -1064,13 +1199,51 @@ FROM documents
 
 
 def toc_pages_kg(sf_dir):
-    """TOC pages (grouped + per-page sorted doc lists) over the pivoted
-    facet table of the flagship triples."""
+    """TOC pages (per-letter doc lists, sorted by titlesortkey) over
+    the pivoted facet table of the flagship triples — exploded to one
+    row per (value, position-in-page) so the list ordering is
+    hash-verifiable against SQL row_number recomputation."""
     piv = facets.facet_pivot(_kg(sf_dir)["triples"])
     docs = piv.map_batches(
         lambda df: df[~df["subj"].str.contains("#")],
         batch_format="pandas")
-    return facets.toc_select_for_pages(docs)
+    pages = facets.toc_select_for_pages(docs)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        vals, pos, uris, titles = [], [], [], []
+        for value, us, ts in zip(df["value"], df["uris"], df["titles"]):
+            for i, (u, t) in enumerate(zip(us, ts)):
+                vals.append(value)
+                pos.append(i)
+                uris.append(u)
+                titles.append(t)
+        return pd.DataFrame({
+            "value": pd.Series(vals, dtype=object),
+            "pos": pd.Series(pos, dtype="int64"),
+            "uri": pd.Series(uris, dtype=object),
+            "title": pd.Series(titles, dtype=object)})
+
+    return pages.map_batches(explode, batch_format="pandas")
+
+
+TOC_PAGES_SQL = f"""
+WITH t AS (
+  SELECT {PAGE_URL_SQL} AS uri, {TITLE_SQL} AS title FROM documents
+), k AS (
+  SELECT uri, title,
+         regexp_replace(CASE WHEN lower(title) LIKE 'the %'
+                             THEN substr(lower(title), 5)
+                             ELSE lower(title) END,
+                        '[^a-z0-9]', '', 'g') AS skey
+  FROM t
+)
+SELECT CASE WHEN skey = '' THEN '-' ELSE substr(skey, 1, 1) END AS value,
+       cast(row_number() OVER (
+         PARTITION BY (CASE WHEN skey = '' THEN '-' ELSE substr(skey, 1, 1) END)
+         ORDER BY skey, uri) - 1 AS BIGINT) AS pos,
+       uri, title
+FROM k
+"""
 
 
 def kg_stats(sf_dir):
@@ -1087,6 +1260,194 @@ SELECT 'rdf:type' AS dim, 'bibo:Document' AS value, docs AS n_subjects FROM n
 UNION ALL
 SELECT 'rdf:type', 'bibo:DocumentPart', cast(parts AS BIGINT) FROM s
 """.format(sec=_SEC_TERM)
+
+
+# ---------------------------------------------------------------------
+# full-pipeline SQL oracles (generated): the synthesizer is pure
+# doc_id arithmetic (corpus.plan_document), so the complete sections /
+# mentions / triples outputs are recomputable in SQL — branch per
+# structural case (s ∈ 1..4, preamble, sub/subsub), titles via cycled
+# word indexing over regexp_extract_all(text).
+# ---------------------------------------------------------------------
+
+def _cyc_sql(start: int, count: int) -> str:
+    """SQL for corpus._cyc(words, start, count): cycled 1-indexed word
+    list joined by single spaces."""
+    parts = ", ".join("w[((%d + %d) %% nw) + 1]" % (start, j)
+                      for j in range(count))
+    return "array_to_string([%s], ' ')" % parts
+
+
+_D_CTE = f"""
+  SELECT doc_id, lang,
+         {PAGE_URL_SQL} AS url,
+         regexp_extract_all(text, '\\S+') AS w,
+         greatest(len(regexp_extract_all(text, '\\S+')), 1) AS nw,
+         {TITLE_SQL} AS title
+  FROM documents
+"""
+
+
+def _section_rows():
+    """(section_uri, kind, ordinal, title, parent_uri, position, cond)
+    SQL fragments — one tuple per structural row kind of
+    corpus.plan_document / expected_sections."""
+    rows = [
+        ("url", "'body'", "CAST(NULL AS VARCHAR)", "title",
+         "CAST(NULL AS VARCHAR)", "0", "TRUE"),
+        ("url || '#PS1'", "'preamble'", "CAST(NULL AS VARCHAR)",
+         "'Abstract'", "url", "1", "doc_id % 2 = 0"),
+    ]
+    pre = "(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)"
+
+    def sub(s):
+        return "(CASE WHEN (doc_id + %d) %% 2 = 0 THEN 1 ELSE 0 END)" % s
+
+    def ssub(s):
+        return "(CASE WHEN (doc_id + %d) %% 4 = 0 THEN 1 ELSE 0 END)" % s
+
+    for s in (1, 2, 3, 4):
+        prior = " + ".join("(1 + %s + %s)" % (sub(sp), ssub(sp))
+                           for sp in range(1, s)) or "0"
+        pos = "1 + %s + %s" % (pre, prior)
+        cond = "%d <= 2 + doc_id %% 3" % s
+        rows.append((
+            "url || '#S%d'" % s, "'section'", "'%d'" % s,
+            _cyc_sql(3 + 2 * s, 2), "url", pos, cond))
+        rows.append((
+            "url || '#S%d.1'" % s, "'subsection'", "'%d.1'" % s,
+            _cyc_sql(11 * s, 2), "url || '#S%d'" % s, "(%s) + 1" % pos,
+            "%s AND (doc_id + %d) %% 2 = 0" % (cond, s)))
+        rows.append((
+            "url || '#S%d.1.1'" % s, "'subsubsection'", "'%d.1.1'" % s,
+            _cyc_sql(13 * s + 1, 2), "url || '#S%d.1'" % s,
+            "(%s) + 2" % pos,
+            "%s AND (doc_id + %d) %% 4 = 0" % (cond, s)))
+    return rows
+
+
+KG_SECTIONS_SQL = "WITH d AS (%s)\n%s" % (_D_CTE, "\nUNION ALL\n".join(
+    "SELECT url, %s AS section_uri, %s AS kind, %s AS ordinal, "
+    "%s AS title, %s AS parent_uri, CAST(%s AS INTEGER) AS position "
+    "FROM d WHERE %s" % (su, kind, o, t, p, pos, cond)
+    for su, kind, o, t, p, pos, cond in _section_rows()))
+
+
+def _kg_triples_sql() -> str:
+    sec_branches = "\nUNION ALL\n".join(
+        "SELECT doc_id, url, %s AS section_uri, %s AS ordinal, "
+        "%s AS title, %s AS parent_uri FROM d WHERE %s"
+        % (su, o, t, p, cond)
+        for su, kind, o, t, p, pos, cond in _section_rows()
+        if kind != "'body'")
+    sameas_vals = ",\n".join(
+        "('%s', 'owl:sameAs', '%s', FALSE, '', '', '')" % (u, c)
+        for u, c in sorted(corpus.expected_canonical().items()) if u != c)
+    return f"""
+WITH d AS ({_D_CTE}),
+sec AS ({sec_branches})
+SELECT url AS subj, 'rdf:type' AS pred, 'bibo:Document' AS obj,
+       FALSE AS obj_is_literal, '' AS obj_lang, '' AS obj_datatype,
+       url AS source_url FROM d
+UNION ALL SELECT url, 'dcterms:title', title, TRUE, lang, '', url FROM d
+UNION ALL SELECT url, 'dcterms:identifier', CAST(doc_id AS VARCHAR),
+       TRUE, '', '', url FROM d
+UNION ALL SELECT url, 'prov:wasGeneratedBy', '{corpus.ENGINE_NAME}',
+       TRUE, '', '', url FROM d
+UNION ALL SELECT section_uri, 'rdf:type', 'bibo:DocumentPart',
+       FALSE, '', '', url FROM sec
+UNION ALL SELECT section_uri, 'dcterms:title', title, TRUE, '', '', url
+       FROM sec
+UNION ALL SELECT section_uri, 'bibo:chapter', ordinal, TRUE, '', '', url
+       FROM sec WHERE ordinal IS NOT NULL
+UNION ALL SELECT section_uri, 'dcterms:isPartOf', parent_uri,
+       FALSE, '', '', url FROM sec
+UNION ALL SELECT url || '#S1', 'dcterms:references',
+       'https://rfc.example.org/rfc/' || (100 + doc_id % 900),
+       FALSE, '', '', url FROM d WHERE doc_id % 3 = 0
+UNION ALL SELECT url || '#S1', 'dcterms:references',
+       'https://rfc.example.org/rfc/2616#S2.2',
+       FALSE, '', '', url FROM d WHERE doc_id % 7 = 0
+UNION ALL SELECT url || '#S1', 'dcterms:references',
+       'https://spec.example.org/s/' || (doc_id % 50),
+       FALSE, '', '', url FROM d WHERE doc_id % 5 = 1
+UNION ALL SELECT url || '#S2', 'dcterms:subject',
+       CASE WHEN doc_id % 24 = 0 THEN 'https://hot.example.org/x/0'
+            ELSE 'https://kb.example.org/entity/E' || (doc_id % 24) END,
+       FALSE, '', '', url FROM d
+UNION ALL SELECT * FROM (VALUES
+{sameas_vals}
+) v(subj, pred, obj, obj_is_literal, obj_lang, obj_datatype, source_url)
+"""
+
+
+KG_TRIPLES_SQL = _kg_triples_sql()
+
+
+def _kg_mentions_sql() -> str:
+    b1 = _cyc_sql(7, 8)    # section 1 paragraph base (s=1 → start 7·1)
+    b2 = _cyc_sql(14, 8)   # section 2 paragraph base
+    secrfc_str = "section 2.2 of [RFC 2616]"
+    secrfc_full = " see section 2.2 of [RFC 2616] for details"
+    rfc_len = ("(CASE WHEN doc_id % 3 = 0 THEN 19 + "
+               "length(CAST(100 + doc_id % 900 AS VARCHAR)) ELSE 0 END)")
+    sec_len = ("(CASE WHEN doc_id %% 7 = 0 THEN %d ELSE 0 END)"
+               % len(secrfc_full))
+    labels_vals = ",\n".join(
+        "(%d, '%s')" % (i, lbl.replace("'", "''"))
+        for i, lbl in enumerate(corpus.ENTITY_LABELS))
+    ent_surface = ("CASE idx WHEN 0 THEN label WHEN 1 THEN label || ' System' "
+                   "ELSE substr(label, 1, length(label) - 1) || 'x' END")
+    return f"""
+WITH d AS ({_D_CTE}),
+b AS (SELECT d.*, length({b1}) AS l1, length({b2}) AS l2 FROM d),
+ent AS (
+  SELECT b.*, e, label, (doc_id // 24) % 3 AS idx
+  FROM b JOIN (VALUES {labels_vals}) labels(e, label) ON e = doc_id % 24
+)
+SELECT url, url || '#S1' AS section_uri,
+       'RFC ' || (100 + doc_id % 900) AS surface,
+       CAST(l1 + 15 AS INTEGER) AS "start",
+       CAST(l1 + 19 + length(CAST(100 + doc_id % 900 AS VARCHAR))
+            AS INTEGER) AS "end",
+       'rfc' AS kind,
+       'https://rfc.example.org/rfc/' || (100 + doc_id % 900) AS linked_uri,
+       'dcterms:references' AS predicate
+FROM b WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, url || '#S1', '{secrfc_str}',
+       CAST(l1 + {rfc_len} + 5 AS INTEGER),
+       CAST(l1 + {rfc_len} + 5 + {len(secrfc_str)} AS INTEGER),
+       'sec_rfc', 'https://rfc.example.org/rfc/2616#S2.2',
+       'dcterms:references'
+FROM b WHERE doc_id % 7 = 0
+UNION ALL
+SELECT url, url || '#S1',
+       'https://spec.example.org/s/' || (doc_id % 50),
+       CAST(l1 + {rfc_len} + {sec_len} + 14 AS INTEGER),
+       CAST(l1 + {rfc_len} + {sec_len} + 14
+            + length('https://spec.example.org/s/' || (doc_id % 50))
+            AS INTEGER),
+       'url', 'https://spec.example.org/s/' || (doc_id % 50),
+       'dcterms:references'
+FROM b WHERE doc_id % 5 = 1
+UNION ALL
+SELECT url, url || '#S2',
+       {ent_surface},
+       CAST(l2 + 5 AS INTEGER),
+       CAST(l2 + 5 + length({ent_surface}) AS INTEGER),
+       -- a label already ending in 'x' ("Vector Index") is its own
+       -- "misspelling" → the exact matcher claims it, not the fuzzy one
+       CASE WHEN idx = 2 AND right(label, 1) <> 'x'
+            THEN 'entity_fuzzy' ELSE 'entity' END,
+       'https://v' || (CASE WHEN idx = 1 AND e % 3 <> 0 THEN 1 ELSE 0 END)
+           || '.alt.example.org/e/' || e,
+       'dcterms:subject'
+FROM ent
+"""
+
+
+KG_MENTIONS_SQL = _kg_mentions_sql()
 
 
 # ---------------------------------------------------------------------
@@ -1122,7 +1483,7 @@ QUERIES = {
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),
-    "kg_skeleton": (kg_skeleton, None),
+    "kg_skeleton": (kg_skeleton, KG_SKELETON_SQL),
     "kg_stats": (kg_stats, KG_STATS_SQL),
     "text_sections": (text_sections, TEXT_SECTIONS_SQL),
     "archived_versions": (archived_versions, ARCHIVED_SQL),
@@ -1130,14 +1491,16 @@ QUERIES = {
     "news_feeds_kg": (news_feeds_kg, NEWS_FEEDS_SQL),
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
     "xhtml_render": (xhtml_render, None),
-    # rows-only (not SQL-expressible): full pipeline & sketches
-    "kg_triples": (kg_triples, None),
-    "kg_sections": (kg_sections, None),
-    "kg_mentions": (kg_mentions, None),
-    "toc_pages_kg": (toc_pages_kg, None),
-    "minhash_neardup": (minhash_neardup, None),
+    "kg_triples": (kg_triples, KG_TRIPLES_SQL),
+    "kg_sections": (kg_sections, KG_SECTIONS_SQL),
+    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
+    "toc_pages_kg": (toc_pages_kg, TOC_PAGES_SQL),
+    "minhash_neardup": (minhash_neardup, MINHASH_SQL),
     "simhash_pairs": (simhash_pairs, None),
-    "embedding_neardup": (embedding_neardup, None),
+    "simhash_planted_recall": (simhash_planted_recall, SIMHASH_PLANTED_SQL),
+    "embedding_neardup": (embedding_neardup, EMBED_NEARDUP_SQL),
+    # rows-only: ANN recall is approximate by design (brute-force
+    # embed_knn carries the SQL oracle; recall bound in pytest)
     "embed_knn_ivf": (embed_knn_ivf, None),
     "langid_docs": (langid_docs, LANGID_SQL),
 }

@@ -137,6 +137,17 @@ def test_ivf_finds_top1(vectors):
     assert out.iloc[0]["vec_id"] == 7
 
 
+def test_ivf_recall_bound(ray_session):
+    """IVF is approximate by design (its queries() entry is rows-only);
+    bound its recall@10 against brute force on the real testdata."""
+    from ferenda_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    brute = set(Q.embed_knn(sf)["vec_id"])
+    ivf = set(Q.embed_knn_ivf(sf)["vec_id"])
+    assert len(brute & ivf) / len(brute) >= 0.6
+
+
 def test_embedding_neardup(vectors):
     ds, vecs = vectors
     pairs = dedup.embedding_neardup_pairs(ds, threshold=0.999).to_pandas()
