@@ -30,6 +30,7 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -43,25 +44,43 @@ def _colname(pred: str) -> str:
     return pred.replace(":", "_")
 
 
-def facet_pivot(triples_ds, facet_preds=DEFAULT_FACETS):
-    """triples → wide table (subj, rdf_type, dcterms_title, ...)."""
+def facet_pivot(triples_ds, facet_preds=DEFAULT_FACETS, num_buckets: int = 64):
+    """triples → wide table (subj, rdf_type, dcterms_title, ...).
+
+    Two-phase: a vectorized per-batch partial pivot (pandas
+    pivot_table, min per (subj, pred)), then ONE groupby on an int
+    hash bucket of subj with a vectorized merge inside each bucket —
+    min-of-mins is exact, and no one-pandas-frame-per-subject group
+    ever exists (at per-document subject cardinality that pattern
+    measured ~10x slower; see memory ray-data-perf-pitfalls)."""
     preds = pa.array(list(facet_preds), pa.string())
+    cols = [_colname(p) for p in facet_preds]
 
-    def narrow(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pd.DataFrame:
         f = t.filter(pc.is_in(t["pred"], value_set=preds))
-        return f.select(["subj", "pred", "obj"])
+        df = f.select(["subj", "pred", "obj"]).to_pandas()
+        if len(df) == 0:
+            out = pd.DataFrame({"subj": pd.Series(dtype=object)})
+            for c in cols:
+                out[c] = pd.Series(dtype=object)
+            out["_bucket"] = pd.Series(dtype="int32")
+            return out
+        piv = df.pivot_table(index="subj", columns="pred", values="obj",
+                             aggfunc="min")
+        piv = piv.reindex(columns=list(facet_preds))
+        piv.columns = cols
+        piv = piv.reset_index()
+        h = pd.util.hash_pandas_object(piv["subj"], index=False).values
+        piv["_bucket"] = (h % np.uint64(num_buckets)).astype("int32")
+        return piv
 
-    def pivot(g: pd.DataFrame) -> pd.DataFrame:
-        row = {"subj": [g["subj"].iloc[0]]}
-        for p in facet_preds:
-            vals = g.loc[g["pred"] == p, "obj"]
-            row[_colname(p)] = [vals.min() if len(vals) else None]
-        return pd.DataFrame(row)
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("subj", as_index=False)[cols].min()
 
     return (
-        triples_ds.map_batches(narrow, batch_format="pyarrow")
-        .groupby("subj")
-        .map_groups(pivot, batch_format="pandas")
+        triples_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -245,31 +264,34 @@ def keyword_concepts(triples_ds):
     )
 
 
-def skeleton_entities(triples_ds):
+def skeleton_entities(triples_ds, broadcast_threshold: int = 5_000_000,
+                      force_bloom: bool = False):
     """skeleton-repo anti-join (sources/general/skeleton.py:99-120):
     URIs occurring as objects but never as subjects → stub entities.
-    Broadcast the (distinct) subject set, filter object URIs map-side.
-    """
-    import ray
+
+    Routed through ``joins.membership_join``: subject sets below the
+    broadcast threshold ship as a Python set (zero shuffle); a 10^9-
+    subject corpus switches to the Bloom-prefilter + exact-recheck
+    path automatically — both return identical results (tested via
+    ``force_bloom``)."""
+    from ..stages.joins import membership_join
 
     subj_ds = triples_ds.map_batches(
         lambda t: pa.table({"s": pc.unique(t["subj"].combine_chunks())}),
         batch_format="pyarrow",
     ).groupby("s").count()
-    subj_set = set(subj_ds.to_pandas()["s"])
-    ref = ray.put(subj_set)
 
-    def anti(t: pa.Table) -> pa.Table:
-        subjects = ray.get(ref)
+    def uri_objs(t: pa.Table) -> pa.Table:
         f = t.filter(pc.invert(t["obj_is_literal"].combine_chunks()))
-        objs = [o for o in set(f["obj"].to_pylist()) if o not in subjects]
-        return pa.table({"uri": pa.array(sorted(objs), pa.string())})
+        return pa.table({
+            "uri": pc.unique(f["obj"].combine_chunks())})
 
-    return (
-        triples_ds.map_batches(anti, batch_format="pyarrow")
-        .groupby("uri").count()
-        .map_batches(lambda df: df[["uri"]], batch_format="pandas")
-    )
+    objs = triples_ds.map_batches(uri_objs, batch_format="pyarrow")
+    anti = membership_join(objs, "uri", subj_ds, "s", mode="anti",
+                           broadcast_threshold=broadcast_threshold,
+                           force_bloom=force_bloom)
+    return (anti.groupby("uri").count()
+            .map_batches(lambda df: df[["uri"]], batch_format="pandas"))
 
 
 def fulltext_table(sections_ds):

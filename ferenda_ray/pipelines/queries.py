@@ -406,21 +406,28 @@ FROM events GROUP BY 1, 2
 
 
 def latest_event_per_user(sf_dir):
-    """latest-per-key (groupby.max_by shape; ties broken by event_id)."""
+    """latest-per-key (groupby.max_by shape; ties broken by event_id).
+    Two-phase: per-batch winner per user (combiner), then per-bucket
+    winner — winner-of-winners is exact, only one row per (batch,
+    user) ever shuffles, and the groupby key is an int bucket, not one
+    Ray group per user."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
                                           "event_type"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False],
-                          kind="mergesort")
-        top = g.head(1)
-        return pd.DataFrame({
-            "user_id": [int(top["user_id"].iloc[0])],
-            "event_id": [int(top["event_id"].iloc[0])],
-            "event_type": [top["event_type"].iloc[0]],
-        })
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ascending=False,
+                            kind="mergesort").drop_duplicates("user_id")
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=False,
+                          kind="mergesort").drop_duplicates("user_id")
+        return g[["user_id", "event_id", "event_type"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
 
 
 LATEST_EVENT_SQL = """
@@ -443,24 +450,33 @@ def events_sessions(sf_dir):
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     GAP = pd.Timedelta(minutes=30)
 
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new = (g["ts"].diff() > GAP).fillna(True)
-        sid = new.cumsum()
+        # all events of each user co-located in this bucket; the gap
+        # scan is vectorized across ALL users at once (groupby.diff),
+        # never one Ray group (or one pandas frame) per user
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = g.groupby("user_id")["ts"].diff()
+        sid = (d.isna() | (d > GAP)).cumsum()
         out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
             n_events=("event_id", "size"),
             start_ts=("ts", "min"),
             end_ts=("ts", "max"),
         ).reset_index(drop=True)
-        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
-        out["session_no"] = range(1, len(out) + 1)
+        out["session_no"] = out.groupby("user_id").cumcount() + 1
         # explicit %f so zero-microsecond values still print 6 digits
         # (str(Timestamp) drops them; DuckDB strftime does not)
         out["start_ts"] = out["start_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         out["end_ts"] = out["end_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         return out[["user_id", "session_no", "n_events", "start_ts", "end_ts"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(sessions, batch_format="pandas"))
 
 
 EVENTS_SESSIONS_SQL = """
@@ -489,17 +505,27 @@ FROM s GROUP BY user_id, session_no
 
 
 def user_event_pivot(sf_dir):
-    """facet pivot shape: per user, count per event_type (wide)."""
+    """facet pivot shape: per user, count per event_type (wide).
+    Two-phase partial pivot (vectorized pivot_table per batch) + one
+    bucket groupby summing partials — sums of partial counts are exact."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    ncols = ["n_" + et for et in EVENT_TYPES]
 
-    def pivot(g: pd.DataFrame) -> pd.DataFrame:
-        row = {"user_id": [int(g["user_id"].iloc[0])]}
-        counts = g["event_type"].value_counts()
-        for et in EVENT_TYPES:
-            row["n_" + et] = [int(counts.get(et, 0))]
-        return pd.DataFrame(row)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="user_id", columns="event_type",
+                             values="event_type", aggfunc="size",
+                             fill_value=0)
+        piv = piv.reindex(columns=list(EVENT_TYPES), fill_value=0)
+        piv.columns = ncols
+        piv = piv.astype("int64").reset_index()
+        piv["_bucket"] = (piv["user_id"] % 64).astype("int32")
+        return piv
 
-    return ds.groupby("user_id").map_groups(pivot, batch_format="pandas")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)[ncols].sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
 
 
 USER_PIVOT_SQL = """
@@ -537,25 +563,19 @@ FROM events GROUP BY event_type
 """
 
 
-def anti_join_empty_orders(sf_dir):
+def anti_join_empty_orders(sf_dir, force_bloom: bool = False):
     """skeleton-repo anti-join (objects minus subjects shape,
     skeleton.py:111-120): orders with no lineitems — broadcast the
-    distinct orderkey set of the small side, filter map-side (no
-    shuffle; at scale the broadcast becomes a Bloom filter)."""
-    import ray
+    distinct orderkey set when it fits; above the threshold (or with
+    ``force_bloom``) the Bloom-prefilter + exact-recheck path of
+    ``joins.membership_join`` takes over with identical results."""
+    from ..stages.joins import membership_join
 
     keys_ds = (_read(sf_dir, "lineitem", columns=["l_orderkey"])
                .groupby("l_orderkey").count())
-    keyset = set(keys_ds.to_pandas()["l_orderkey"])
-    ref = ray.put(keyset)
-
-    def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = [k not in keys for k in t["o_orderkey"].to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
-
-    return (_read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-            .map_batches(anti, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    return membership_join(orders, "o_orderkey", keys_ds, "l_orderkey",
+                           mode="anti", force_bloom=force_bloom)
 
 
 ANTI_JOIN_SQL = """

@@ -1,0 +1,230 @@
+"""Distributed join / semi-join / anti-join building blocks.
+
+Reference semantics served here:
+
+- skeleton anti-join (sources/general/skeleton.py:99-120): URIs
+  occurring as objects but never as subjects;
+- annotation CONSTRUCT joins (documentrepository.py:2633-2688);
+- ``Facet.resourcelabel`` label-resolution lookups (facet.py:259-281).
+
+Scale design: the small-side broadcast (ray.put a Python set / dict)
+is the fast path, but a 10^9-key side is tens of GB — above
+``broadcast_threshold`` the anti/semi join switches to a **Bloom
+filter + exact recheck**:
+
+1. the driver streams the key side once through ``iter_batches`` into
+   a numpy bit-array Bloom filter (~1.2 GB per 10^9 keys at 1% fp) —
+   one ``ray.put``, read once per map task;
+2. rows the filter rejects are DEFINITE non-members (Bloom has no
+   false negatives) → anti-join keeps them immediately with zero
+   shuffle;
+3. "maybe" rows (true members + the fp-rate sliver) go through an
+   exact hash-partitioned recheck against the key side, so the final
+   result is EXACT, never approximate.
+
+``bucket_join`` is the general two-sided hash-equi-join used when
+neither side fits a broadcast: both sides carry an int hash bucket of
+the key and meet in ONE groupby(bucket) with a vectorized pandas
+merge per bucket (the measured-fast shape from memory
+ray-data-perf-pitfalls — never one Ray group per key).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash64(series: pd.Series) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of an arbitrary key column
+    (pandas C siphash; join composite keys with \\x1f, never NUL)."""
+    return pd.util.hash_pandas_object(series, index=False).values
+
+
+class BloomFilter:
+    """Numpy bit-array Bloom filter with double hashing (Kirsch &
+    Mitzenmacher 2006, public). Deterministic; picklable (rides a
+    single ``ray.put``)."""
+
+    def __init__(self, n_items: int, fp_rate: float = 0.01):
+        n = max(1, int(n_items))
+        m = int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = np.uint64(max(64, m))
+        self.k = max(1, round(int(self.m) / n * math.log(2)))
+        self.words = np.zeros((int(self.m) + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, series: pd.Series):
+        h1 = _hash64(series)
+        h2 = (h1 ^ (h1 >> np.uint64(33))) * _GOLDEN | np.uint64(1)
+        for i in range(self.k):
+            yield (h1 + np.uint64(i) * h2) % self.m
+
+    def add(self, series: pd.Series):
+        for idx in self._positions(series):
+            np.bitwise_or.at(self.words, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains(self, series: pd.Series) -> np.ndarray:
+        """Boolean maybe-member mask (no false negatives)."""
+        out = np.ones(len(series), dtype=bool)
+        for idx in self._positions(series):
+            w = self.words[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= ((w >> (idx & np.uint64(63))) & np.uint64(1)) == 1
+        return out
+
+
+def _exact_membership_filter(rows_ds, key_col: str, keys_ds, keys_col: str,
+                             keep_members: bool, num_buckets: int):
+    """Exact distributed membership filter: hash-partition rows and
+    keys by the key's bucket, decide per bucket. Returns the surviving
+    rows with their original schema."""
+    schema = rows_ds.schema()  # ray.data Schema wrapper
+    col_types = list(zip(schema.names, schema.types))
+
+    def prep_rows(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_pandas()
+        bucket = (_hash64(key) % np.uint64(num_buckets)).astype("int32")
+        t = t.append_column("_bucket", pa.array(bucket))
+        return t.append_column("_is_key", pa.array([False] * t.num_rows))
+
+    def prep_keys(t: pa.Table) -> pa.Table:
+        keys = t[keys_col].to_pandas()
+        n = t.num_rows
+        cols = {}
+        for name, typ in col_types:
+            if name == key_col:
+                cols[name] = pa.array(keys, typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        out = pa.table(cols)
+        bucket = (_hash64(keys) % np.uint64(num_buckets)).astype("int32")
+        out = out.append_column("_bucket", pa.array(bucket))
+        return out.append_column("_is_key", pa.array([True] * n))
+
+    tagged = (rows_ds.map_batches(prep_rows, batch_format="pyarrow")
+              .union(keys_ds.map_batches(prep_keys, batch_format="pyarrow")))
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        keys = set(g.loc[g["_is_key"], key_col])
+        rows = g[~g["_is_key"]]
+        member = rows[key_col].isin(keys)
+        out = rows[member] if keep_members else rows[~member]
+        return out.drop(columns=["_bucket", "_is_key"])
+
+    out = tagged.groupby("_bucket").map_groups(decide, batch_format="pandas")
+    # normalize back to arrow blocks — callers union this with
+    # arrow-block datasets (mixed block types break downstream builders)
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def membership_join(rows_ds, key_col: str, keys_ds, keys_col: str | None = None,
+                    mode: str = "anti", broadcast_threshold: int = 5_000_000,
+                    bloom_fp: float = 0.01, force_bloom: bool = False,
+                    num_buckets: int = 64):
+    """Anti/semi join of ``rows_ds`` against the key side.
+
+    mode="anti": keep rows whose key is NOT in keys_ds;
+    mode="semi": keep rows whose key IS in keys_ds.
+
+    Key side ≤ ``broadcast_threshold``: broadcast a Python set
+    (ray.put once), filter map-side — zero shuffle. Above it (or
+    ``force_bloom``): Bloom pre-filter + exact hash-partitioned
+    recheck of only the maybe-member rows; Bloom false positives are
+    re-checked exactly, so both paths return identical results.
+    """
+    import ray
+
+    keys_col = keys_col or key_col
+    keep_members = (mode == "semi")
+    n_keys = keys_ds.count()
+
+    if not force_bloom and n_keys <= broadcast_threshold:
+        keyset = set(keys_ds.to_pandas()[keys_col])
+        ref = ray.put(keyset)
+
+        def flt(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            keys = ray.get(ref)
+            member = np.array([k in keys for k in t[key_col].to_pylist()])
+            return t.filter(pa.array(member if keep_members else ~member))
+
+        return rows_ds.map_batches(flt, batch_format="pyarrow")
+
+    bloom = BloomFilter(n_keys, bloom_fp)
+    for batch in keys_ds.iter_batches(batch_format="pandas",
+                                      batch_size=65536):
+        bloom.add(batch[keys_col])
+    bloom_ref = ray.put(bloom)
+
+    def split(maybe: bool):
+        def flt(t: pa.Table) -> pa.Table:
+            bf = ray.get(bloom_ref)
+            mask = bf.contains(t[key_col].to_pandas())
+            return t.filter(pa.array(mask if maybe else ~mask))
+        return flt
+
+    if keep_members:
+        # semi: bloom-absent rows are definite non-members → dropped;
+        # maybe rows need the exact check
+        maybe_rows = rows_ds.map_batches(split(True), batch_format="pyarrow")
+        return _exact_membership_filter(maybe_rows, key_col, keys_ds,
+                                        keys_col, True, num_buckets)
+    definite_keep = rows_ds.map_batches(split(False), batch_format="pyarrow")
+    maybe_rows = rows_ds.map_batches(split(True), batch_format="pyarrow")
+    rechecked = _exact_membership_filter(maybe_rows, key_col, keys_ds,
+                                         keys_col, False, num_buckets)
+    return definite_keep.union(rechecked)
+
+
+def bucket_join(left_ds, right_ds, left_on: str, right_on: str | None = None,
+                how: str = "inner", num_buckets: int = 64,
+                suffix: str = "_r"):
+    """General hash-equi-join: both sides bucketed by key hash, ONE
+    groupby(bucket), vectorized ``pd.merge`` per bucket. Use when
+    neither side fits a broadcast dict. Right-side columns colliding
+    with left names get ``suffix``. how: "inner" or "left"."""
+    right_on = right_on or left_on
+    lcols = list(left_ds.schema().names)
+    rcols = [c for c in right_ds.schema().names if c != right_on]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+    out_rcols = [rename[c] for c in rcols]
+    all_cols = lcols + out_rcols + ["_bucket", "_side"]
+
+    def prep_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (_hash64(df[left_on])
+                         % np.uint64(num_buckets)).astype("int32")
+        df["_side"] = np.int8(0)
+        for c in out_rcols:
+            df[c] = None
+        return df[all_cols]
+
+    def prep_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns=rename)
+        if right_on != left_on:
+            df = df.rename(columns={right_on: left_on})
+        df = df.copy()
+        df["_bucket"] = (_hash64(df[left_on])
+                         % np.uint64(num_buckets)).astype("int32")
+        df["_side"] = np.int8(1)
+        for c in lcols:
+            if c not in df.columns:
+                df[c] = None
+        return df[all_cols]
+
+    tagged = (left_ds.map_batches(prep_left, batch_format="pandas")
+              .union(right_ds.map_batches(prep_right, batch_format="pandas")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0][lcols]
+        right = g[g["_side"] == 1][[left_on] + out_rcols]
+        return left.merge(right, on=left_on,
+                          how="inner" if how == "inner" else "left")
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
