@@ -141,6 +141,40 @@ def inbound_citations(triples_ds):
     )
 
 
+def annotations(triples_ds, num_buckets: int = 64):
+    """Per-resource annotation rows — the reference's
+    ``prep_annotation_file`` CONSTRUCT (documentrepository.py:2633-2688):
+    for every cited target, the citing documents WITH their titles,
+    ready to be joined into the presentation layer (render_xhtml's
+    ``annotations_ds`` input).
+
+    Exploded relational form (target_url, citing_url, citing_title);
+    the title attachment is a distributed bucket hash join (neither
+    side is broadcast — at 10^12 docs the title table is corpus-sized).
+    """
+    from ..stages.joins import bucket_join
+
+    def edges(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["pred"], "dcterms:references"))
+        target = pc.replace_substring_regex(f["obj"], r"#.*$", "")
+        return pa.table({"citing_url": f["source_url"],
+                         "target_url": target})
+
+    def titles(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["pred"], "dcterms:title"),
+                       pc.equal(t["subj"], t["source_url"]))
+        f = t.filter(mask)
+        return pa.table({"citing_url": f["subj"], "citing_title": f["obj"]})
+
+    joined = bucket_join(
+        triples_ds.map_batches(edges, batch_format="pyarrow"),
+        triples_ds.map_batches(titles, batch_format="pyarrow"),
+        "citing_url", num_buckets=num_buckets)
+    return joined.map_batches(
+        lambda df: df[["target_url", "citing_url", "citing_title"]],
+        batch_format="pandas")
+
+
 def top_cited(triples_ds, k: int = 10):
     """Top-k citation targets by distinct citing documents — partial
     per-batch dedup, global groupby-count, then a small sort+limit."""

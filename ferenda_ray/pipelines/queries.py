@@ -1266,6 +1266,29 @@ FROM k
 """
 
 
+def kg_annotations(sf_dir):
+    """Per-target annotation artifact (inbound citations joined with
+    the citing documents' titles via the distributed bucket hash join)
+    vs SQL recomputing the planted-citation arithmetic + title rule."""
+    return facets.annotations(_kg(sf_dir)["triples"])
+
+
+KG_ANNOTATIONS_SQL = f"""
+WITH cites AS (
+  SELECT 'https://rfc.example.org/rfc/' || (100 + doc_id % 900) AS target_url,
+         doc_id FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'https://rfc.example.org/rfc/2616', doc_id
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'https://spec.example.org/s/' || (doc_id % 50), doc_id
+  FROM documents WHERE doc_id % 5 = 1
+)
+SELECT target_url, {PAGE_URL_SQL} AS citing_url, {TITLE_SQL} AS citing_title
+FROM cites JOIN documents USING (doc_id)
+"""
+
+
 def kg_stats(sf_dir):
     """per-type subject counts over the flagship triples."""
     return facets.stats_aggregate(_kg(sf_dir)["triples"], dims=("rdf:type",))
@@ -1505,6 +1528,7 @@ QUERIES = {
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),
     "kg_skeleton": (kg_skeleton, KG_SKELETON_SQL),
     "kg_stats": (kg_stats, KG_STATS_SQL),
+    "kg_annotations": (kg_annotations, KG_ANNOTATIONS_SQL),
     "text_sections": (text_sections, TEXT_SECTIONS_SQL),
     "archived_versions": (archived_versions, ARCHIVED_SQL),
     "composite_parse": (composite_parse, COMPOSITE_SQL),

@@ -43,7 +43,8 @@ def render_document(group: pd.DataFrame) -> pd.DataFrame:
     lang = body.get("lang") or ""
     out.append('<body about="%s"%s>\n'
                % (_esc(url), (' xml:lang="%s"' % _esc(lang)) if lang else ""))
-    for _, row in g[g["kind"] != "body"].iterrows():
+    ann = g[g["kind"] == "_annotation"]
+    for _, row in g[~g["kind"].isin(("body", "_annotation"))].iterrows():
         uri = row["section_uri"]
         out.append('  <div about="%s" property="dcterms:title" content="%s"'
                    ' typeof="bibo:DocumentPart" class="%s">\n'
@@ -57,12 +58,62 @@ def render_document(group: pd.DataFrame) -> pd.DataFrame:
         if row["text"]:
             out.append("    <p>%s</p>\n" % _html.escape(row["text"], quote=False))
         out.append("  </div>\n")
+    if len(ann):
+        # inbound-reference annotations (prep_annotation_file output,
+        # documentrepository.py:2633-2688) — rendered as an RDFa aside
+        # so distilling recovers the dcterms:isReferencedBy edges
+        out.append('  <aside class="annotations">\n')
+        for _, row in ann.sort_values("section_uri").iterrows():
+            out.append('    <span about="%s" rel="dcterms:isReferencedBy"'
+                       ' href="%s" title="%s"/>\n'
+                       % (_esc(url), _esc(row["section_uri"]),
+                          _esc(row["title"])))
+        out.append("  </aside>\n")
     out.append("</body>\n</html>\n")
     return pd.DataFrame({"url": [url], "xhtml": ["".join(out)]})
 
 
-def render_xhtml(sections_ds):
-    """sections → (url, xhtml) Dataset."""
+def render_xhtml(sections_ds, annotations_ds=None):
+    """sections → (url, xhtml) Dataset. With ``annotations_ds``
+    (facets.annotations output: target_url, citing_url, citing_title),
+    each document additionally renders its inbound citations — the
+    reference's generate-with-annotations step (transformer.py shape)."""
+    if annotations_ds is not None:
+        import pyarrow as pa
+
+        def _atype(t):
+            # ray Schema types are arrow DataTypes for arrow blocks but
+            # numpy dtypes for pandas blocks; object → string
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (TypeError, pa.ArrowNotImplementedError):
+                return pa.string()
+
+        schema = sections_ds.schema()
+        col_types = {n: _atype(t) for n, t in zip(schema.names, schema.types)}
+
+        def as_section_rows(t: "pa.Table") -> "pa.Table":
+            n = t.num_rows
+            cols = {}
+            for name, typ in col_types.items():
+                if name == "url":
+                    cols[name] = t["target_url"].cast(typ)
+                elif name == "section_uri":
+                    cols[name] = t["citing_url"].cast(typ)
+                elif name == "title":
+                    cols[name] = t["citing_title"].cast(typ)
+                elif name == "kind":
+                    cols[name] = pa.array(["_annotation"] * n, typ)
+                elif name == "position":
+                    cols[name] = pa.array([2 ** 30] * n, typ)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            return pa.table(cols)
+
+        sections_ds = sections_ds.union(
+            annotations_ds.map_batches(as_section_rows, batch_format="pyarrow"))
     return sections_ds.groupby("url").map_groups(
         render_document, batch_format="pandas")
 

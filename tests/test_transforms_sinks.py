@@ -95,6 +95,26 @@ def test_render_xhtml_and_distill(ray_session):
     assert ("http://d/1#S1", "bibo:chapter", "1", True) in triples
 
 
+def test_render_xhtml_with_annotations(ray_session):
+    """Annotated render (prep_annotation_file → generate shape): the
+    doc-to-doc inbound citations appear as distillable RDFa spans."""
+    import ray.data as rd
+
+    ann = rd.from_items([
+        {"target_url": "http://d/1", "citing_url": "http://d/9",
+         "citing_title": "Citing Doc"},
+    ])
+    out = render_xhtml(rd.from_pandas(_sections_df()),
+                       annotations_ds=ann).to_pandas()
+    xhtml = out["xhtml"].iloc[0]
+    assert '<aside class="annotations">' in xhtml
+    assert ('rel="dcterms:isReferencedBy" href="http://d/9" '
+            'title="Citing Doc"' in xhtml)
+    # plain render unchanged when no annotations exist for the doc
+    out2 = render_xhtml(rd.from_pandas(_sections_df())).to_pandas()
+    assert "<aside" not in out2["xhtml"].iloc[0]
+
+
 def test_apply_patches(ray_session):
     import ray.data as rd
 
