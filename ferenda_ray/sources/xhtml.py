@@ -112,7 +112,10 @@ def render_xhtml(sections_ds, annotations_ds=None):
                     cols[name] = pa.nulls(n, typ)
             return pa.table(cols)
 
-        sections_ds = sections_ds.union(
+        # normalize both sides to arrow blocks before the union —
+        # mixed block types break downstream block builders
+        sections_ds = sections_ds.map_batches(
+            lambda t: t, batch_format="pyarrow").union(
             annotations_ds.map_batches(as_section_rows, batch_format="pyarrow"))
     return sections_ds.groupby("url").map_groups(
         render_document, batch_format="pandas")
