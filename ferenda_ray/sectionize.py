@@ -70,6 +70,73 @@ def _classify(chunk):
     return (True, ordinal, depth, title, text.lower() in _PREAMBLE_TITLES, False)
 
 
+def build_w3c_parser() -> "FSMParser":
+    """The W3C HTML sectionizer expressed as a configuration of the
+    general FSM framework (ferenda_ray.fsm) — recognizers + transition
+    table only, no bespoke parsing code. State-filtered semantics:
+    recognizers without a transition from the current state are never
+    tried (a depth-2 header in "body" state falls through to plain
+    content), POP outcomes do not consume the chunk (a depth-1 header
+    cascades out of any nesting depth), and preamble sections end on
+    hr / new preamble / depth-1 header without consuming it."""
+    from .fsm import FSMParser
+
+    p = FSMParser("body")
+    cache: dict[int, tuple] = {}
+
+    def cls(chunk):
+        k = id(chunk)
+        if k not in cache:
+            cache[k] = _classify(chunk)
+        return cache[k]
+
+    def depth_is(d):
+        return lambda parser, c: cls(c)[0] and cls(c)[2] == d
+
+    p.set_recognizers(
+        ("section", depth_is(1)),
+        ("subsection", depth_is(2)),
+        ("subsubsection", depth_is(3)),
+        ("preamble", lambda parser, c: cls(c)[4]),
+        ("hr", lambda parser, c: cls(c)[5]),
+    )
+    p.default_content = lambda parser, chunk, row, ctx: as_plaintext(chunk)
+
+    def make(kind):
+        def ctor(parser, chunk, parent, ctx):
+            _h, ordinal, _d, title, _p, _hr = cls(chunk)
+            return parser.new_row(parent["url"], kind,
+                                  parent["url"] + "#S" + ordinal,
+                                  ordinal, title, parent["section_uri"])
+        return ctor
+
+    def make_preamble(parser, chunk, parent, ctx):
+        ctx["ps"] = ctx.get("ps", 0) + 1
+        return parser.new_row(parent["url"], "preamble",
+                              parent["url"] + "#PS" + str(ctx["ps"]),
+                              None, as_plaintext(chunk),
+                              parent["section_uri"])
+
+    POP = FSMParser.POP
+    p.set_transitions({
+        ("body", "section"): ("push", make("section"), "section"),
+        ("body", "preamble"): ("push", make_preamble, "preamble"),
+        ("section", "section"): POP,
+        ("section", "subsection"): ("push", make("subsection"), "subsection"),
+        ("subsection", "section"): POP,
+        ("subsection", "subsection"): POP,
+        ("subsection", "subsubsection"):
+            ("push", make("subsubsection"), "subsubsection"),
+        ("subsubsection", "section"): POP,
+        ("subsubsection", "subsection"): POP,
+        ("subsubsection", "subsubsection"): POP,
+        ("preamble", "hr"): POP,
+        ("preamble", "preamble"): POP,
+        ("preamble", "section"): POP,
+    })
+    return p
+
+
 def sectionize(body: Elem, url: str) -> list[dict]:
     """Flatten one document body into section rows (document order).
 
@@ -78,89 +145,4 @@ def sectionize(body: Elem, url: str) -> list[dict]:
     direct body content (not captured by any section), matching the
     container-text rule used for every other row.
     """
-    chunks = list(body.children)
-    cls = [_classify(c) for c in chunks]
-    rows: list[dict] = []
-    pos = 0
-
-    def new_row(kind, uri, ordinal, title, parent_uri):
-        nonlocal pos
-        row = {
-            "url": url,
-            "section_uri": uri,
-            "kind": kind,
-            "ordinal": ordinal,
-            "title": title,
-            "parent_uri": parent_uri,
-            "text_parts": [],
-            "position": pos,
-        }
-        pos += 1
-        rows.append(row)
-        return row
-
-    body_row = new_row("body", url, None, None, None)
-    ps_counter = 0
-    i = 0
-    n = len(chunks)
-
-    def content(row, idx):
-        txt = as_plaintext(chunks[idx])
-        if txt:
-            row["text_parts"].append(txt)
-
-    def parse_container(row, level, start):
-        """Consume chunks into `row` until a pop condition; return next index.
-
-        level: 1=section, 2=subsection, 3=subsubsection.
-        Pop on any header of depth 1..level; recurse on depth level+1
-        (only when level < 3). Everything else — including preamble
-        headers and deeper-than-level+1 headers — is content, exactly
-        as the FSM's applicable-recognizer filtering dictates.
-        """
-        i = start
-        while i < n:
-            is_hdr, ordinal, depth, title, _pre, _hr = cls[i]
-            if is_hdr and 1 <= depth <= level:
-                return i
-            if is_hdr and depth == level + 1 and level < 3:
-                sub_kind = ("section", "subsection", "subsubsection")[level]
-                sub = new_row(
-                    sub_kind, url + "#S" + ordinal, ordinal, title,
-                    row["section_uri"],
-                )
-                i = parse_container(sub, level + 1, i + 1)
-                continue
-            content(row, i)
-            i += 1
-        return i
-
-    def parse_preamble(row, start):
-        i = start
-        while i < n:
-            is_hdr, _ordinal, depth, _title, pre, hr = cls[i]
-            if hr or (is_hdr and (pre or depth == 1)):
-                return i  # pop; ending chunk NOT consumed
-            content(row, i)
-            i += 1
-        return i
-
-    while i < n:
-        is_hdr, ordinal, depth, title, pre, _hr = cls[i]
-        if is_hdr and depth == 1:
-            sec = new_row("section", url + "#S" + ordinal, ordinal, title, url)
-            i = parse_container(sec, 1, i + 1)
-        elif is_hdr and pre:
-            ps_counter += 1
-            ps_title = as_plaintext(chunks[i])
-            ps = new_row(
-                "preamble", url + "#PS" + str(ps_counter), None, ps_title, url
-            )
-            i = parse_preamble(ps, i + 1)
-        else:
-            content(body_row, i)
-            i += 1
-
-    for row in rows:
-        row["text"] = " ".join(filter(None, row.pop("text_parts")))
-    return rows
+    return build_w3c_parser().parse(list(body.children), url)

@@ -46,72 +46,77 @@ def _is_preformatted(chunk: str) -> bool:
     return bool(lines) and all(ln.startswith("   ") for ln in lines)
 
 
+def _classify_text(chunk: str):
+    """(ordinal, depth, title): a header chunk is a single line
+    starting with an ordinal."""
+    if "\n" in chunk:
+        return (None, 0, None)
+    ordinal, title = analyze_sectionstart(chunk.strip())
+    depth = len([s for s in ordinal.split(".") if s]) if ordinal else 0
+    return (ordinal, depth, title)
+
+
+def build_rfc_text_parser() -> "FSMParser":
+    """The RFC plain-text sectionizer as a configuration of the
+    general FSM framework (ferenda_ray.fsm) — same states and
+    transition outcomes as the W3C HTML grammar, plus a preformatted
+    recognizer whose content rule preserves raw whitespace."""
+    from ..fsm import FSMParser
+
+    p = FSMParser("body")
+    cache: dict[int, tuple] = {}
+
+    def cls(chunk):
+        k = id(chunk)
+        if k not in cache:
+            cache[k] = _classify_text(chunk)
+        return cache[k]
+
+    def depth_is(d):
+        return lambda parser, c: cls(c)[0] is not None and cls(c)[1] == d
+
+    p.set_recognizers(
+        ("section", depth_is(1)),
+        ("subsection", depth_is(2)),
+        ("subsubsection", depth_is(3)),
+        ("pre", lambda parser, c: _is_preformatted(c)),
+    )
+    p.default_content = (
+        lambda parser, chunk, row, ctx: normalize_space(chunk))
+    raw = ("content", lambda parser, chunk, row, ctx: chunk)
+
+    def make(kind):
+        def ctor(parser, chunk, parent, ctx):
+            ordinal, _d, title = cls(chunk)
+            return parser.new_row(parent["url"], kind,
+                                  parent["url"] + "#S" + ordinal,
+                                  ordinal, title, parent["section_uri"])
+        return ctor
+
+    POP = FSMParser.POP
+    p.set_transitions({
+        ("body", "section"): ("push", make("section"), "section"),
+        ("body", "pre"): raw,
+        ("section", "section"): POP,
+        ("section", "subsection"): ("push", make("subsection"), "subsection"),
+        ("section", "pre"): raw,
+        ("subsection", "section"): POP,
+        ("subsection", "subsection"): POP,
+        ("subsection", "subsubsection"):
+            ("push", make("subsubsection"), "subsubsection"),
+        ("subsection", "pre"): raw,
+        ("subsubsection", "section"): POP,
+        ("subsubsection", "subsection"): POP,
+        ("subsubsection", "subsubsection"): POP,
+        ("subsubsection", "pre"): raw,
+    })
+    return p
+
+
 def sectionize_text(text: str, url: str) -> list[dict]:
     """Plain text → section rows (same adjacency-list schema as the
     HTML sectionizer)."""
-    chunks = paragraphs(text)
-
-    def classify(chunk):
-        # a header chunk is a single line starting with an ordinal
-        if "\n" in chunk:
-            return (None, 0, None, chunk)
-        ordinal, title = analyze_sectionstart(chunk.strip())
-        depth = len([s for s in ordinal.split(".") if s]) if ordinal else 0
-        return (ordinal, depth, title, chunk)
-
-    cls = [classify(c) for c in chunks]
-    rows: list[dict] = []
-    pos = [0]
-
-    def new_row(kind, uri, ordinal, title, parent):
-        row = {"url": url, "section_uri": uri, "kind": kind,
-               "ordinal": ordinal, "title": title, "parent_uri": parent,
-               "text_parts": [], "position": pos[0]}
-        pos[0] += 1
-        rows.append(row)
-        return row
-
-    body = new_row("body", url, None, None, None)
-    n = len(chunks)
-
-    def content(row, idx):
-        chunk = chunks[idx]
-        if _is_preformatted(chunk):
-            row["text_parts"].append(chunk)  # whitespace preserved
-        else:
-            t = normalize_space(chunk)
-            if t:
-                row["text_parts"].append(t)
-
-    def parse_container(row, level, start):
-        i = start
-        while i < n:
-            ordinal, depth, title, _ = cls[i]
-            if ordinal and 1 <= depth <= level:
-                return i
-            if ordinal and depth == level + 1 and level < 3:
-                kind = ("section", "subsection", "subsubsection")[level]
-                sub = new_row(kind, url + "#S" + ordinal, ordinal, title,
-                              row["section_uri"])
-                i = parse_container(sub, level + 1, i + 1)
-                continue
-            content(row, i)
-            i += 1
-        return i
-
-    i = 0
-    while i < n:
-        ordinal, depth, title, _ = cls[i]
-        if ordinal and depth == 1:
-            sec = new_row("section", url + "#S" + ordinal, ordinal, title, url)
-            i = parse_container(sec, 1, i + 1)
-        else:
-            content(body, i)
-            i += 1
-
-    for row in rows:
-        row["text"] = " ".join(filter(None, row.pop("text_parts")))
-    return rows
+    return build_rfc_text_parser().parse(paragraphs(text), url)
 
 
 def parse_text_batch(batch: pa.Table, url_col: str = "url",
