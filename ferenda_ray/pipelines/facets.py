@@ -35,6 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..facet import Facet, facet_colnames, facet_predicates
 from ..functions import firstletter, title_sortkey
 
 DEFAULT_FACETS = ("rdf:type", "dcterms:title", "dcterms:identifier")
@@ -52,9 +53,14 @@ def facet_pivot(triples_ds, facet_preds=DEFAULT_FACETS, num_buckets: int = 64):
     hash bucket of subj with a vectorized merge inside each bucket —
     min-of-mins is exact, and no one-pandas-frame-per-subject group
     ever exists (at per-document subject cardinality that pattern
-    measured ~10x slower; see memory ray-data-perf-pitfalls)."""
-    preds = pa.array(list(facet_preds), pa.string())
-    cols = [_colname(p) for p in facet_preds]
+    measured ~10x slower; see memory ray-data-perf-pitfalls).
+
+    ``facet_preds`` accepts plain predicate strings OR Facet
+    declarations (ferenda_ray.facet) — the declarative form also
+    carries the fulltext indexing type and selector/key callables."""
+    pred_names = facet_predicates(facet_preds)
+    preds = pa.array(pred_names, pa.string())
+    cols = facet_colnames(facet_preds)
 
     def partial(t: pa.Table) -> pd.DataFrame:
         f = t.filter(pc.is_in(t["pred"], value_set=preds))
@@ -67,15 +73,25 @@ def facet_pivot(triples_ds, facet_preds=DEFAULT_FACETS, num_buckets: int = 64):
             return out
         piv = df.pivot_table(index="subj", columns="pred", values="obj",
                              aggfunc="min")
-        piv = piv.reindex(columns=list(facet_preds))
+        piv = piv.reindex(columns=pred_names)
         piv.columns = cols
         piv = piv.reset_index()
         h = pd.util.hash_pandas_object(piv["subj"], index=False).values
         piv["_bucket"] = (h % np.uint64(num_buckets)).astype("int32")
         return piv
 
+    # NaN-safe vectorized min: object-dtype groupby.min raises on
+    # str-vs-NaN comparison when a subject's partials disagree on which
+    # facets are present; fill with a beyond-any-string sentinel, min,
+    # then restore None
+    _SENTINEL = "￿￿"
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("subj", as_index=False)[cols].min()
+        filled = g[["subj"] + cols].copy()
+        filled[cols] = filled[cols].fillna(_SENTINEL)
+        out = filled.groupby("subj", as_index=False)[cols].min()
+        out[cols] = out[cols].where(out[cols] != _SENTINEL, None)
+        return out
 
     return (
         triples_ds.map_batches(partial, batch_format="pyarrow")
@@ -198,15 +214,19 @@ def top_cited(triples_ds, k: int = 10):
     return counts.sort(["n", "target_url"], descending=[True, False]).limit(k)
 
 
-def toc_pagesets(facets_ds, binding: str = "dcterms_title"):
-    """Distinct firstletter(selector) values + doc counts (the small
-    driver-facing pageset list). Selector = Facet.firstletter
-    (facet.py:203-233) over the pivoted facet table."""
+def toc_pagesets(facets_ds, binding: str = "dcterms_title",
+                 facet: Facet | None = None):
+    """Distinct selector values + doc counts (the small driver-facing
+    pageset list). Selector = the Facet declaration's selector
+    callable (facet.py:203-233; default Facet.firstletter) over the
+    pivoted facet table."""
+    sel = facet.selector if facet else (
+        lambda v, row=None: firstletter(v) if v else "-")
 
     def add_letter(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[binding].fillna("")
         df = df.copy()
-        df["value"] = [firstletter(v) if v else "-" for v in vals]
+        df["value"] = [sel(v) for v in vals]
         return df[["subj", "value"]]
 
     return (
@@ -220,15 +240,20 @@ def toc_pagesets(facets_ds, binding: str = "dcterms_title"):
     )
 
 
-def toc_select_for_pages(facets_ds, binding: str = "dcterms_title"):
-    """Rows per TOC page, each page's docs sorted by titlesortkey
-    (util.py:724 semantics, precomputed deterministic key)."""
+def toc_select_for_pages(facets_ds, binding: str = "dcterms_title",
+                         facet: Facet | None = None):
+    """Rows per TOC page, each page's docs sorted by the facet's key
+    callable (default titlesortkey, util.py:724 semantics —
+    precomputed deterministic key, never cluster-locale collation)."""
+    sel = facet.selector if facet else (
+        lambda v, row=None: firstletter(v) if v else "-")
+    keyfn = facet.key if facet else (lambda v, row=None: title_sortkey(v))
 
     def add_keys(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[binding].fillna("")
         df = df.copy()
-        df["value"] = [firstletter(v) if v else "-" for v in vals]
-        df["sortkey"] = [title_sortkey(v) for v in vals]
+        df["value"] = [sel(v) for v in vals]
+        df["sortkey"] = [keyfn(v) for v in vals]
         return df
 
     def page(g: pd.DataFrame) -> pd.DataFrame:
@@ -328,12 +353,21 @@ def skeleton_entities(triples_ds, broadcast_threshold: int = 5_000_000,
             .map_batches(lambda df: df[["uri"]], batch_format="pandas"))
 
 
-def fulltext_table(sections_ds):
+def fulltext_table(sections_ds, facets_by_repo: dict | None = None):
     """The fulltext-index table (relate_fulltext semantics,
     documentrepository.py:2079-2146): one row per addressable resource
     (document + each section), with its text and facet fields;
     resource dedup (2148-2155) is already guaranteed by section_uri
-    uniqueness per document."""
+    uniqueness per document.
+
+    With ``facets_by_repo`` ({repo: [Facet, ...]}), the merged index
+    schema is derived up front and conflicting declarations raise
+    SchemaConflictError BEFORE any data moves (fulltextindex.py:65-94).
+    """
+    if facets_by_repo:
+        from ..facet import fulltext_schema
+
+        fulltext_schema(facets_by_repo)  # raises on conflict
 
     def project(t: pa.Table) -> pa.Table:
         ok = pc.is_null(t["error"]) if "error" in t.column_names else None

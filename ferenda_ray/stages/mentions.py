@@ -54,15 +54,6 @@ RE_EU_ART_DIR = re.compile(
 
 EULAW_BASE = "https://eurlex.example.org/"
 
-
-def eu_uri(kind: str, *parts) -> str:
-    """Deterministic COIN-style URI template for EU acts
-    (uriformats.py:14-45 shape)."""
-    if kind == "directive":
-        year, num, assoc = parts
-        return "%sdir/%s/%s/%s" % (EULAW_BASE, year, num, assoc)
-    year, num, assoc = parts
-    return "%sreg/%s/%s/%s" % (EULAW_BASE, assoc, num, year)
 # candidate spans for fuzzy entity linking: 2+ capitalized words
 RE_CAND = re.compile(r"\b[A-Z][a-zA-Z0-9]*(?: [A-Z][a-zA-Z0-9]*)+\b")
 
@@ -70,57 +61,125 @@ MENTION_COLS = ("url", "section_uri", "surface", "start", "end", "kind",
                 "linked_uri", "predicate")
 
 
+def eu_uri(kind: str, *parts) -> str:
+    """Back-compat wrapper over the declarative EU URISpace
+    (uris.eulaw_space)."""
+    from ..uris import eulaw_space
+
+    space = eulaw_space(EULAW_BASE)
+    year, num, assoc = parts
+    if kind == "directive":
+        return space.mint({"year": year, "num": num, "assoc": assoc},
+                          template="directive")
+    return space.mint({"year": year, "num": num, "assoc": assoc},
+                      template="regulation")
+
+
 def rfc_uri(rfc_base: str, num: str | None, sec: str | None, doc_url: str) -> str:
-    """rfc_uriformatter semantics (rfc.py:431-441). A section-only
-    citation has no canonical document part in the reference (uri
-    starts at "#S..."); we resolve it against the citing document."""
-    uri = rfc_base + num.lstrip("0") if num else doc_url
-    if sec:
-        uri += "#S" + sec.rstrip(".")
-    return uri
+    """rfc_uriformatter semantics (rfc.py:431-441) via the declarative
+    RFC URISpace. A section-only citation has no canonical document
+    part in the reference (uri starts at "#S..."); we resolve it
+    against the citing document."""
+    from ..uris import rfc_space
+
+    space = rfc_space(rfc_base)
+    if num and sec:
+        return space.mint({"num": num, "sec": sec}, template="rfc_sec")
+    if num:
+        return space.mint({"num": num}, template="rfc")
+    return space.mint({"doc_url": doc_url, "sec": sec}, template="sec_only")
 
 
-def scan_citations(text: str, doc_url: str, rfc_base: str = RFC_BASE):
-    """Priority-ordered, non-overlapping citation scan.
+class CitationGrammar:
+    """One registered citation family: a name (becomes the mention
+    ``kind``), a compiled pattern, and a formatter(match, ctx) → URI
+    (typically a URISpace.mint call). The registry replaces round 1's
+    hardwired scan list — the LegalRef shape (legalref.py:62-186):
+    grammar families are data registered in priority order, not code
+    edits."""
+
+    __slots__ = ("name", "pattern", "formatter")
+
+    def __init__(self, name: str, pattern, formatter):
+        self.name = name
+        self.pattern = re.compile(pattern) if isinstance(pattern, str) else pattern
+        self.formatter = formatter
+
+
+def default_grammars(rfc_base: str = RFC_BASE,
+                     eulaw_base: str = EULAW_BASE) -> tuple:
+    """The built-in grammar families in reference priority order
+    (rfc.py:446-448: section_rfc, section, rfc; then the EU-law family
+    — compound article-of-act before plain acts, citationpatterns.py:
+    66-69; bare URLs last)."""
+    from ..uris import eulaw_space, rfc_space
+
+    rfc = rfc_space(rfc_base)
+    eu = eulaw_space(eulaw_base)
+    return (
+        CitationGrammar(
+            "sec_rfc", RE_SEC_RFC,
+            lambda m, ctx: rfc.mint({"num": m.group(2), "sec": m.group(1)},
+                                    template="rfc_sec")),
+        CitationGrammar(
+            "sec", RE_SEC,
+            lambda m, ctx: rfc.mint({"doc_url": ctx["doc_url"],
+                                     "sec": m.group(1)}, template="sec_only")),
+        CitationGrammar(
+            "rfc", RE_RFC,
+            lambda m, ctx: rfc.mint({"num": m.group(1)}, template="rfc")),
+        CitationGrammar(
+            "eu_article", RE_EU_ART_DIR,
+            lambda m, ctx: eu.mint(
+                {"year": m.group(3), "num": m.group(4), "assoc": m.group(5),
+                 "art": m.group(1) + ("." + m.group(2) if m.group(2) else "")},
+                template="eu_article")),
+        CitationGrammar(
+            "eu_directive", RE_EU_DIRECTIVE,
+            lambda m, ctx: eu.mint(
+                {"year": m.group(1), "num": m.group(2), "assoc": m.group(3)},
+                template="directive")),
+        CitationGrammar(
+            "eu_regulation", RE_EU_REGULATION,
+            lambda m, ctx: eu.mint(
+                {"year": m.group(3), "num": m.group(2), "assoc": m.group(1)},
+                template="regulation")),
+        CitationGrammar("url", RE_URL,
+                        lambda m, ctx: m.group(0).rstrip(",.)")),
+    )
+
+
+def scan_citations(text: str, doc_url: str, rfc_base: str = RFC_BASE,
+                   grammars=None):
+    """Priority-ordered, non-overlapping citation scan over the
+    registered grammar families (CitationParser.parse_string,
+    citationparser.py:65-96: each grammar scans only the text segments
+    left unclaimed by earlier grammars).
 
     Returns (matches, segments): matches = list of
     (start, end, surface, kind, linked_uri); segments = the unclaimed
     (start, end) text ranges left for the entity pass.
     """
+    if grammars is None:
+        grammars = default_grammars(rfc_base)
+    ctx = {"doc_url": doc_url}
     segments = [(0, len(text))]
     matches = []
 
-    def scan(regex, kind, fmt):
-        nonlocal segments
+    for g in grammars:
         new_segments = []
         for s, e in segments:
             pos = s
-            for m in regex.finditer(text, s, e):
+            for m in g.pattern.finditer(text, s, e):
                 ms, me = m.start(), m.end()
-                matches.append((ms, me, text[ms:me], kind, fmt(m)))
+                matches.append((ms, me, text[ms:me], g.name,
+                                g.formatter(m, ctx)))
                 if ms > pos:
                     new_segments.append((pos, ms))
                 pos = me
             if pos < e:
                 new_segments.append((pos, e))
         segments = new_segments
-
-    # grammar order = reference priority (rfc.py:446-448):
-    # section_rfc_citation, section_citation, rfc_citation; then the
-    # EU-law family (citationpatterns.eulaw: compound before simple),
-    # then bare URLs
-    scan(RE_SEC_RFC, "sec_rfc",
-         lambda m: rfc_uri(rfc_base, m.group(2), m.group(1), doc_url))
-    scan(RE_SEC, "sec", lambda m: rfc_uri(rfc_base, None, m.group(1), doc_url))
-    scan(RE_RFC, "rfc", lambda m: rfc_uri(rfc_base, m.group(1), None, doc_url))
-    scan(RE_EU_ART_DIR, "eu_article",
-         lambda m: eu_uri("directive", m.group(3), m.group(4), m.group(5))
-         + "#A" + m.group(1) + ("." + m.group(2) if m.group(2) else ""))
-    scan(RE_EU_DIRECTIVE, "eu_directive",
-         lambda m: eu_uri("directive", m.group(1), m.group(2), m.group(3)))
-    scan(RE_EU_REGULATION, "eu_regulation",
-         lambda m: eu_uri("regulation", m.group(3), m.group(2), m.group(1)))
-    scan(RE_URL, "url", lambda m: m.group(0).rstrip(",.)"))
     matches.sort()
     return matches, segments
 
@@ -134,11 +193,16 @@ class MentionLinker:
     """
 
     def __init__(self, gazetteer, rfc_base: str = RFC_BASE,
-                 fuzzy_cutoff: float = 0.8, scan_kinds=None):
+                 fuzzy_cutoff: float = 0.8, scan_kinds=None,
+                 grammars=None):
         import ray
 
         if isinstance(gazetteer, ray.ObjectRef):
             gazetteer = ray.get(gazetteer)
+        # grammar registry built ONCE per actor (patterns compile here,
+        # never per batch); custom families slot in via the kwarg
+        self.grammars = (tuple(grammars) if grammars is not None
+                         else default_grammars(rfc_base))
         self.gazetteer: dict[str, str] = dict(gazetteer or {})
         # longest-first alternation so multi-word surfaces win
         if self.gazetteer:
@@ -190,7 +254,8 @@ class MentionLinker:
         for kind, url, sec_uri, text in zip(kinds, urls, uris, texts):
             if kind not in self.scan_kinds or not text:
                 continue
-            matches, segments = scan_citations(text, url, self.rfc_base)
+            matches, segments = scan_citations(text, url, self.rfc_base,
+                                               grammars=self.grammars)
             self._scan_entities(text, segments, matches)
             matches.sort()
             for ms, me, surface, mkind, linked in matches:
