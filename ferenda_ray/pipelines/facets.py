@@ -137,22 +137,32 @@ def citation_edges(triples_ds):
     return triples_ds.map_batches(edges, batch_format="pyarrow")
 
 
-def inbound_citations(triples_ds):
+def _target_bucket(df: pd.DataFrame, col: str, num_buckets: int) -> pd.DataFrame:
+    df = df.copy()
+    h = pd.util.hash_pandas_object(df[col], index=False).values
+    df["_bucket"] = (h % np.uint64(num_buckets)).astype("int32")
+    return df
+
+
+def inbound_citations(triples_ds, num_buckets: int = 64):
     """Inverted citation index: (target_url, citing_urls, n_citations).
     The relate_dependencies / annotation-CONSTRUCT shape; shuffle key
-    is the cited target."""
+    is an int hash bucket of the cited target (one Ray group per
+    bucket, vectorized pandas groupby inside — never one frame per
+    target at web citation cardinality)."""
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
-        citing = sorted(set(g["source_url"]))
-        return pd.DataFrame({
-            "target_url": [g["target_url"].iloc[0]],
-            "citing_urls": [citing],
-            "n_citations": [len(citing)],
-        })
+        out = (g.groupby("target_url")["source_url"]
+               .agg(lambda s: sorted(set(s))).reset_index())
+        out.columns = ["target_url", "citing_urls"]
+        out["n_citations"] = out["citing_urls"].map(len)
+        return out
 
     return (
         citation_edges(triples_ds)
-        .groupby("target_url")
+        .map_batches(lambda df: _target_bucket(df, "target_url", num_buckets),
+                     batch_format="pandas")
+        .groupby("_bucket")
         .map_groups(collect, batch_format="pandas")
     )
 
@@ -195,21 +205,21 @@ def top_cited(triples_ds, k: int = 10):
     """Top-k citation targets by distinct citing documents — partial
     per-batch dedup, global groupby-count, then a small sort+limit."""
 
-    def local(t: pa.Table) -> pa.Table:
+    def local(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _target_bucket(df, "target_url", 64)
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("target_url")["source_url"]
+               .nunique().reset_index())
+        out.columns = ["target_url", "n"]
+        return out
 
     counts = (
         citation_edges(triples_ds)
         .map_batches(local, batch_format="pyarrow")
-        .groupby("target_url")
-        .map_groups(
-            lambda g: pd.DataFrame({
-                "target_url": [g["target_url"].iloc[0]],
-                "n": [g["source_url"].nunique()],
-            }),
-            batch_format="pandas",
-        )
+        .groupby("_bucket")
+        .map_groups(count_distinct, batch_format="pandas")
     )
     return counts.sort(["n", "target_url"], descending=[True, False]).limit(k)
 
@@ -304,21 +314,22 @@ def keyword_concepts(triples_ds):
     documents that mention it — ``triples.filter(pred ==
     dcterms:subject).groupby(obj)``."""
 
-    def narrow(t: pa.Table) -> pa.Table:
+    def narrow(t: pa.Table) -> pd.DataFrame:
         f = t.filter(pc.equal(t["pred"], "dcterms:subject"))
-        return pa.table({"concept": f["obj"], "doc": f["source_url"]})
+        df = pd.DataFrame({"concept": f["obj"].to_pandas(),
+                           "doc": f["source_url"].to_pandas()})
+        return _target_bucket(df, "concept", 64)
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc"]))
-        return pd.DataFrame({
-            "concept": [g["concept"].iloc[0]],
-            "docs": [docs],
-            "n_docs": [len(docs)],
-        })
+        out = (g.groupby("concept")["doc"]
+               .agg(lambda s: sorted(set(s))).reset_index())
+        out.columns = ["concept", "docs"]
+        out["n_docs"] = out["docs"].map(len)
+        return out
 
     return (
         triples_ds.map_batches(narrow, batch_format="pyarrow")
-        .groupby("concept")
+        .groupby("_bucket")
         .map_groups(collect, batch_format="pandas")
     )
 

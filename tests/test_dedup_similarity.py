@@ -63,13 +63,15 @@ def test_minhash_distributed_path_matches_driver(docs_with_dups):
     pd.testing.assert_frame_equal(a, b)
 
 
-def test_verify_jaccard_no_driver_materialization(docs_with_dups):
-    """verify_jaccard returns a (lazy) Dataset whose pairs carry exact
-    Jaccard values — spot-check the planted near-dup pair's value."""
+def test_verify_jaccard_distributed_path(docs_with_dups):
+    """driver_threshold=0 forces the hash-partitioned verify (no
+    driver materialization); pairs carry exact Jaccard values —
+    spot-check the planted near-dup pair."""
     ds, rows = docs_with_dups
     bands = dedup.minhash_bands(ds)
     cand = dedup.lsh_candidate_pairs(bands)
-    verified = dedup.verify_jaccard(cand, ds, threshold=0.5)
+    verified = dedup.verify_jaccard(cand, ds, threshold=0.5,
+                                    driver_threshold=0)
     assert not isinstance(verified, pd.DataFrame)  # stays distributed
     got = verified.to_pandas()
     row = got[(got["key_a"] == 5) & (got["key_b"] == 101)]
