@@ -1493,6 +1493,137 @@ FROM ent
 KG_MENTIONS_SQL = _kg_mentions_sql()
 
 
+def _sql_lit(s: str) -> str:
+    """SQL string literal (embedded newlines are valid in standard
+    string literals; single quotes double)."""
+    return "'%s'" % s.replace("'", "''")
+
+
+def _esc_xml(expr: str, quote: bool) -> str:
+    """html.escape as a SQL replace chain (& first)."""
+    e = ("replace(replace(replace(%s, '&', '&amp;'), '<', '&lt;'), "
+         "'>', '&gt;')" % expr)
+    if quote:
+        e = ("replace(replace(%s, '\"', '&quot;'), '''', '&#x27;')" % e)
+    return e
+
+
+def _kg_xhtml_sql() -> str:
+    """Full XHTML render recomputed in SQL: per-section div fragments
+    (with the arithmetic-derived section TEXTS) string_agg'd in
+    position order inside the head/body envelope — byte-identical to
+    sources/xhtml.render_document over the flagship sections."""
+    labels_vals = ",\n".join(
+        "(%d, '%s')" % (i, lbl.replace("'", "''"))
+        for i, lbl in enumerate(corpus.ENTITY_LABELS))
+    ent_surface = ("CASE idx WHEN 0 THEN label WHEN 1 THEN label || ' System' "
+                   "ELSE substr(label, 1, length(label) - 1) || 'x' END")
+
+    def cyc(start, count):
+        return _cyc_sql(start, count)
+
+    def sec_text(s: int) -> str:
+        parts = [cyc(7 * s, 8)]
+        if s == 1:
+            parts.append(
+                "(CASE WHEN doc_id % 3 = 0 THEN ' as defined in RFC ' || "
+                "(100 + doc_id % 900) ELSE '' END)")
+            parts.append(
+                "(CASE WHEN doc_id % 7 = 0 THEN "
+                "' see section 2.2 of [RFC 2616] for details' ELSE '' END)")
+            parts.append(
+                "(CASE WHEN doc_id % 5 = 1 THEN "
+                "' published at https://spec.example.org/s/' || (doc_id % 50)"
+                " || ' today' ELSE '' END)")
+        if s == 2:
+            parts.append("' the ' || %s || ' project ships'" % ent_surface)
+        if s == 1:
+            parts.append(
+                "(CASE WHEN doc_id % 5 = 0 THEN ' raw   text' || chr(10) || "
+                "'  line' || doc_id || '()' || chr(10) || 'end' ELSE '' END)")
+        # <ul> lands in the LAST section (s == n_sec = 2 + doc_id % 3,
+        # so only s ∈ {2,3,4} can be last — never s=1)
+        if s >= 2:
+            parts.append(
+                "(CASE WHEN doc_id %% 4 = 1 AND doc_id %% 3 = %d THEN ' ' || %s"
+                " || ' ' || %s ELSE '' END)" % (s - 2, cyc(17, 2), cyc(19, 2)))
+        return " || ".join(parts)
+
+    def div(su, kind_lit, ordinal, title, parent, text):
+        pieces = [
+            _sql_lit('  <div about="'), _esc_xml(su, True),
+            _sql_lit('" property="dcterms:title" content="'),
+            _esc_xml(title, True),
+            _sql_lit('" typeof="bibo:DocumentPart" class="%s">\n' % kind_lit),
+        ]
+        if ordinal is not None:
+            pieces += [
+                _sql_lit('    <span about="'), _esc_xml(su, True),
+                _sql_lit('" property="bibo:chapter" content="'),
+                _esc_xml(ordinal, True), _sql_lit('"/>\n'),
+            ]
+        pieces += [
+            _sql_lit('    <span rel="dcterms:isPartOf" href="'),
+            _esc_xml(parent, True), _sql_lit('"/>\n'),
+            _sql_lit("    <p>"), _esc_xml(text, False),
+            _sql_lit("</p>\n"), _sql_lit("  </div>\n"),
+        ]
+        return " || ".join(pieces)
+
+    branches = []
+    branches.append(
+        "SELECT url, 1 AS position, %s AS frag FROM d WHERE doc_id %% 2 = 0"
+        % div("url || '#PS1'", "preamble", None, "'Abstract'", "url",
+              cyc(1, 5)))
+    for su, kind, o, t, p, pos, cond in _section_rows():
+        if kind in ("'body'", "'preamble'"):
+            continue
+        k = kind.strip("'")
+        s = int(su.split("#S")[1].rstrip("'").split(".")[0])
+        if k == "section":
+            text = sec_text(s)
+        elif k == "subsection":
+            text = cyc(13 * s, 6)
+        else:
+            text = cyc(15 * s, 4)
+        branches.append(
+            "SELECT url, %s AS position, %s AS frag FROM d WHERE %s"
+            % (pos, div(su, k, o, t, p, text), cond))
+
+    head = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml"\n'
+        '      xmlns:dcterms="http://purl.org/dc/terms/"\n'
+        '      xmlns:bibo="http://purl.org/ontology/bibo/"\n'
+        '      xmlns:prov="http://www.w3.org/ns/prov#">\n')
+    return f"""
+WITH d AS (
+  SELECT dd.*, e, label, (doc_id // 24) % 3 AS idx
+  FROM ({_D_CTE}) dd
+  JOIN (VALUES {labels_vals}) labels(e, label) ON e = doc_id % 24
+),
+frags AS (
+{chr(10).join("UNION ALL " + b if i else b for i, b in enumerate(branches))}
+),
+divs AS (
+  SELECT url, string_agg(frag, '' ORDER BY position) AS body_divs
+  FROM frags GROUP BY url
+),
+docs0 AS (SELECT DISTINCT url, title, lang FROM d)
+SELECT docs0.url,
+       {_sql_lit(head)}
+       || '<head><title>' || {_esc_xml("title", True)} || '</title></head>' || chr(10)
+       || '<body about="' || {_esc_xml("docs0.url", True)} || '" xml:lang="'
+       || {_esc_xml("lang", True)} || '">' || chr(10)
+       || coalesce(body_divs, '')
+       || '</body>' || chr(10) || '</html>' || chr(10) AS xhtml
+FROM docs0 LEFT JOIN divs ON docs0.url = divs.url
+"""
+
+
+KG_XHTML_SQL = _kg_xhtml_sql()
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1534,7 +1665,7 @@ QUERIES = {
     "composite_parse": (composite_parse, COMPOSITE_SQL),
     "news_feeds_kg": (news_feeds_kg, NEWS_FEEDS_SQL),
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
-    "xhtml_render": (xhtml_render, None),
+    "xhtml_render": (xhtml_render, KG_XHTML_SQL),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
     "kg_sections": (kg_sections, KG_SECTIONS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
