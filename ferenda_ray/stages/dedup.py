@@ -284,8 +284,12 @@ def verify_jaccard(pairs_ds, docs_ds, text_col: str = "text",
             sel = df[df[key_col].isin(needed)]
             return pd.DataFrame({
                 "key": sel[key_col],
-                "sh": [np.unique(shingle_hashes(t or "", shingle_k))
-                       for t in sel[text_col]]})
+                # explicit object dtype: an empty list would type as
+                # float64 and trip Ray's block-schema consistency check
+                "sh": pd.Series(
+                    [np.unique(shingle_hashes(t or "", shingle_k))
+                     for t in sel[text_col]], dtype=object,
+                    index=sel.index)})
 
         sh_df = docs_ds.map_batches(collect, batch_format="pandas").to_pandas()
         sh = dict(zip(sh_df["key"], sh_df["sh"]))
