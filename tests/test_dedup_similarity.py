@@ -205,11 +205,98 @@ def test_multimodal_plumbing(ray_session):
         out2.sort_values("media_id").reset_index(drop=True))
 
 
+def _ppm(w, h, value_fn):
+    header = b"P6\n%d %d\n255\n" % (w, h)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = value_fn(x, y)
+            px += bytes([v, v, v])
+    return header + bytes(px)
+
+
+def test_real_image_decode_ppm_and_bmp():
+    """BMP/PPM payloads run the REAL decode path: exact dimensions and
+    a content-derived average hash (not a payload-bytes hash)."""
+    import struct
+
+    # 8x8 PPM, left half dark / right half bright
+    ppm = _ppm(8, 8, lambda x, y: 30 if x < 4 else 220)
+    dec = multimodal.DecodeImage(strict=True)  # strict: fake path forbidden
+    batch = pa.table({"media_id": [1], "url": ["u"], "media_type": ["image"],
+                      "payload": [ppm], "meta_json": ["{}"]})
+    out = dec(batch)
+    assert out["width"].to_pylist() == [8]
+    assert out["height"].to_pylist() == [8]
+    assert out["decoded"].to_pylist() == [True]
+    # ahash: right half above mean → alternating 0000 1111 rows
+    got = out["phash"].to_pylist()[0]
+    expected_bits = ("00001111" * 8)[:63]
+    assert got == int(expected_bits, 2)
+
+    # 4x2 bottom-up 24bpp BMP, all-bright row then all-dark row
+    w, h = 4, 2
+    row_dark = bytes([20, 20, 20] * w) + b"\0" * ((4 - (w * 3) % 4) % 4)
+    row_bright = bytes([240, 240, 240] * w) + b"\0" * ((4 - (w * 3) % 4) % 4)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(row_dark) * 2, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(row_dark) * 2, 0, 0, 0, 0))
+    bmp = header + row_dark + row_bright  # bottom-up: dark stored first
+    out2 = dec(pa.table({"media_id": [2], "url": ["u"],
+                         "media_type": ["image"], "payload": [bmp],
+                         "meta_json": ["{}"]}))
+    assert out2["width"].to_pylist() == [4]
+    assert out2["height"].to_pylist() == [2]
+    assert out2["decoded"].to_pylist() == [True]
+    # top half bright (1s), bottom dark (0s) after bottom-up flip
+    assert out2["phash"].to_pylist()[0] == int(("1" * 32 + "0" * 31), 2)
+
+
+def test_real_wav_decode():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        t = np.arange(16000)
+        samples = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype("<i2")
+        w.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    dec = multimodal.ExtractAudioFeatures(strict=True)
+    out = dec(pa.table({"media_id": [1], "url": ["u"],
+                        "media_type": ["audio"], "payload": [payload],
+                        "meta_json": ["{}"]}))
+    assert out["n_samples"].to_pylist() == [16000]
+    assert out["duration_s"].to_pylist() == [1.0]
+    # sine RMS = A/sqrt(2) → 20*log10(10000/32768/sqrt(2)) ≈ -13.3 dB
+    assert out["loudness_db"].to_pylist()[0] == pytest.approx(-13.31, abs=0.1)
+    assert out["decoded"].to_pylist() == [True]
+
+
+def test_real_video_frame_sampling():
+    """A concatenated-PPM stream samples every_n-th real frame."""
+    frames = b"".join(_ppm(4, 4, lambda x, y, v=v: v)
+                      for v in (0, 60, 120, 180, 240))
+    dec = multimodal.SampleVideoFrames(every_n=2, strict=True)
+    out = dec(pa.table({"media_id": [7], "url": ["u"],
+                        "media_type": ["video"], "payload": [frames],
+                        "meta_json": ["{}"]}))
+    assert out["frame_idx"].to_pylist() == [0, 2, 4]
+    # uniform frames: no pixel exceeds the mean → ahash 0
+    assert out["frame_phash"].to_pylist() == [0, 0, 0]
+
+
 def test_multimodal_strict_raises():
+    """Codecs we cannot really decode (here: a JPEG-ish blob) must
+    raise under strict instead of silently faking."""
     dec = multimodal.DecodeImage(strict=True)
     if dec.pil is None:
         batch = pa.table({"media_id": [1], "url": ["u"],
-                          "media_type": ["image"], "payload": [b"x"],
+                          "media_type": ["image"],
+                          "payload": [b"\xff\xd8\xff\xe0notajpeg"],
                           "meta_json": ["{}"]})
         with pytest.raises(NotImplementedError):
             dec(batch)
