@@ -72,6 +72,11 @@ class FSMParser:
         # parse-time state
         self.rows: list[dict] = []
         self._pos = 0
+        # per-parse chunk-classification memo for recognizer instances
+        # (keyed by id(chunk); cleared at every parse() so one parser
+        # object is safely reusable across documents — id reuse after
+        # GC can never serve a stale classification)
+        self.chunk_cache: dict = {}
 
     # -- configuration -------------------------------------------------
     def set_recognizers(self, *pairs):
@@ -117,6 +122,7 @@ class FSMParser:
         ctx = context if context is not None else {}
         self.rows = []
         self._pos = 0
+        self.chunk_cache.clear()
         root = self.new_row(url, root_kind, url, None, None, None)
         stream = Peekable(chunks)
         stack = [(self.initial_state, root)]

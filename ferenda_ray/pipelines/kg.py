@@ -304,10 +304,11 @@ def kg_pipeline_resumable(sf_dir: str | None, checkpoint_dir: str,
     sections = sections_dataset(pages, checkpoint_dir)  # stage "parse"
 
     gaz_ref = ray.put(gazetteer)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     mentions = sections.map_batches(
         MentionLinker,
         fn_constructor_kwargs={"gazetteer": gaz_ref},
-        concurrency=(2, 8),
+        concurrency=(max(2, ncpu // 4), max(4, ncpu - 2)),
         batch_format="pyarrow",
     )
     mentions = checkpointed_stage(mentions, checkpoint_dir, "mentions",

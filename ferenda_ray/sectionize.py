@@ -82,29 +82,31 @@ def build_w3c_parser() -> "FSMParser":
     from .fsm import FSMParser
 
     p = FSMParser("body")
-    cache: dict[int, tuple] = {}
 
-    def cls(chunk):
+    def cls(parser, chunk):
+        # memo lives ON the parser (cleared each parse) so one parser
+        # instance is reusable across documents with no stale-id risk
         k = id(chunk)
-        if k not in cache:
-            cache[k] = _classify(chunk)
-        return cache[k]
+        memo = parser.chunk_cache
+        if k not in memo:
+            memo[k] = _classify(chunk)
+        return memo[k]
 
     def depth_is(d):
-        return lambda parser, c: cls(c)[0] and cls(c)[2] == d
+        return lambda parser, c: cls(parser, c)[0] and cls(parser, c)[2] == d
 
     p.set_recognizers(
         ("section", depth_is(1)),
         ("subsection", depth_is(2)),
         ("subsubsection", depth_is(3)),
-        ("preamble", lambda parser, c: cls(c)[4]),
-        ("hr", lambda parser, c: cls(c)[5]),
+        ("preamble", lambda parser, c: cls(parser, c)[4]),
+        ("hr", lambda parser, c: cls(parser, c)[5]),
     )
     p.default_content = lambda parser, chunk, row, ctx: as_plaintext(chunk)
 
     def make(kind):
         def ctor(parser, chunk, parent, ctx):
-            _h, ordinal, _d, title, _p, _hr = cls(chunk)
+            _h, ordinal, _d, title, _p, _hr = cls(parser, chunk)
             return parser.new_row(parent["url"], kind,
                                   parent["url"] + "#S" + ordinal,
                                   ordinal, title, parent["section_uri"])
@@ -137,6 +139,9 @@ def build_w3c_parser() -> "FSMParser":
     return p
 
 
+_W3C_PARSER = None
+
+
 def sectionize(body: Elem, url: str) -> list[dict]:
     """Flatten one document body into section rows (document order).
 
@@ -144,5 +149,13 @@ def sectionize(body: Elem, url: str) -> list[dict]:
     its ``text`` holds the joined text of only the chunks that are
     direct body content (not captured by any section), matching the
     container-text rule used for every other row.
+
+    One module-level parser instance serves every document (parse()
+    resets all per-document state) — within a Ray worker process,
+    map_batches tasks run sequentially, so this is safe and avoids
+    rebuilding the grammar closure per page.
     """
-    return build_w3c_parser().parse(list(body.children), url)
+    global _W3C_PARSER
+    if _W3C_PARSER is None:
+        _W3C_PARSER = build_w3c_parser()
+    return _W3C_PARSER.parse(list(body.children), url)

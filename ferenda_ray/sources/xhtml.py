@@ -117,8 +117,24 @@ def render_xhtml(sections_ds, annotations_ds=None):
         sections_ds = sections_ds.map_batches(
             lambda t: t, batch_format="pyarrow").union(
             annotations_ds.map_batches(as_section_rows, batch_format="pyarrow"))
-    return sections_ds.groupby("url").map_groups(
-        render_document, batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["url"], index=False).values
+        df["_bucket"] = (h % 64).astype("int32")
+        return df
+
+    def render_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per hash bucket, one render per url inside —
+        # never one Ray group per document at corpus cardinality
+        out = [render_document(grp) for _, grp in g.groupby("url", sort=False)]
+        if not out:
+            return pd.DataFrame({"url": [], "xhtml": []})
+        return pd.concat(out, ignore_index=True)
+
+    return (sections_ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(render_bucket,
+                                           batch_format="pandas"))
 
 
 def distill_rdfa(xhtml: str) -> list[tuple]:

@@ -64,16 +64,17 @@ def build_rfc_text_parser() -> "FSMParser":
     from ..fsm import FSMParser
 
     p = FSMParser("body")
-    cache: dict[int, tuple] = {}
 
-    def cls(chunk):
+    def cls(parser, chunk):
         k = id(chunk)
-        if k not in cache:
-            cache[k] = _classify_text(chunk)
-        return cache[k]
+        memo = parser.chunk_cache
+        if k not in memo:
+            memo[k] = _classify_text(chunk)
+        return memo[k]
 
     def depth_is(d):
-        return lambda parser, c: cls(c)[0] is not None and cls(c)[1] == d
+        return (lambda parser, c:
+                cls(parser, c)[0] is not None and cls(parser, c)[1] == d)
 
     p.set_recognizers(
         ("section", depth_is(1)),
@@ -87,7 +88,7 @@ def build_rfc_text_parser() -> "FSMParser":
 
     def make(kind):
         def ctor(parser, chunk, parent, ctx):
-            ordinal, _d, title = cls(chunk)
+            ordinal, _d, title = cls(parser, chunk)
             return parser.new_row(parent["url"], kind,
                                   parent["url"] + "#S" + ordinal,
                                   ordinal, title, parent["section_uri"])
@@ -113,10 +114,17 @@ def build_rfc_text_parser() -> "FSMParser":
     return p
 
 
+_RFC_PARSER = None
+
+
 def sectionize_text(text: str, url: str) -> list[dict]:
     """Plain text → section rows (same adjacency-list schema as the
-    HTML sectionizer)."""
-    return build_rfc_text_parser().parse(paragraphs(text), url)
+    HTML sectionizer). One module-level parser serves every document
+    (parse() resets per-document state)."""
+    global _RFC_PARSER
+    if _RFC_PARSER is None:
+        _RFC_PARSER = build_rfc_text_parser()
+    return _RFC_PARSER.parse(paragraphs(text), url)
 
 
 def parse_text_batch(batch: pa.Table, url_col: str = "url",

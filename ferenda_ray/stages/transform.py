@@ -110,26 +110,36 @@ def limit_corpus(ds, n: int):
     return ds.limit(n)
 
 
-def serialize_sections_json(sections_ds):
+def serialize_sections_json(sections_ds, num_buckets: int = 64):
     """Round-trippable per-document JSON of the section tree
     (elements.serialize analogue, elements/elements.py:53-93):
     one row (url, body_json) per document; ``deserialize_sections``
-    inverts it exactly."""
+    inverts it exactly. Shuffle key = int hash bucket of url (never
+    one Ray group per document at corpus cardinality)."""
     import json
 
-    def to_json(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("position", kind="mergesort")
-        rows = g.to_dict("records")
-        doc = [
-            {k: (None if pd.isna(r[k]) else r[k])
-             for k in ("section_uri", "kind", "ordinal", "title",
-                       "parent_uri", "text", "position")}
-            for r in rows
-        ]
-        return pd.DataFrame({"url": [g["url"].iloc[0]],
-                             "body_json": [json.dumps(doc, sort_keys=True)]})
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["url"], index=False).values
+        df["_bucket"] = (h % num_buckets).astype("int32")
+        return df
 
-    return sections_ds.groupby("url").map_groups(to_json, batch_format="pandas")
+    def to_json(g: pd.DataFrame) -> pd.DataFrame:
+        urls, bodies = [], []
+        for url, grp in g.groupby("url", sort=False):
+            grp = grp.sort_values("position", kind="mergesort")
+            doc = [
+                {k: (None if pd.isna(r[k]) else r[k])
+                 for k in ("section_uri", "kind", "ordinal", "title",
+                           "parent_uri", "text", "position")}
+                for r in grp.to_dict("records")
+            ]
+            urls.append(url)
+            bodies.append(json.dumps(doc, sort_keys=True))
+        return pd.DataFrame({"url": urls, "body_json": bodies})
+
+    return (sections_ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(to_json, batch_format="pandas"))
 
 
 def deserialize_sections(json_ds):
