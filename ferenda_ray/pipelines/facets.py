@@ -296,14 +296,19 @@ def news_feeds(pages_ds, archivesize: int = 100):
         })
 
     def paginate(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["warc_ts", "url"], ascending=[False, True],
-                          kind="mergesort").reset_index(drop=True)
-        g["page"] = (g.index // archivesize).astype("int32")
+        # all rows of each feed co-located in this bucket; sort once,
+        # then a vectorized per-feed cumcount gives the page numbers
+        g = g.sort_values(["feed", "warc_ts", "url"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.reset_index(drop=True)
+        g["page"] = (g.groupby("feed").cumcount() // archivesize).astype("int32")
         return g[["feed", "page", "url", "warc_ts"]]
 
     return (
         pages_ds.map_batches(key, batch_format="pyarrow")
-        .groupby("feed")
+        .map_batches(lambda df: _target_bucket(df, "feed", 64),
+                     batch_format="pandas")
+        .groupby("_bucket")
         .map_groups(paginate, batch_format="pandas")
     )
 

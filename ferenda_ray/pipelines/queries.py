@@ -270,18 +270,20 @@ def doc_exact_dedup(sf_dir):
     (canonical = min doc_id, n_copies)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def add_hash(t: pa.Table) -> pd.DataFrame:
         t = text_analysis.fingerprint(t)
-        return t.select(["doc_id", "fp_md5"])
+        df = t.select(["doc_id", "fp_md5"]).to_pandas()
+        h = pd.util.hash_pandas_object(df["fp_md5"], index=False).values
+        df["_bucket"] = (h % np.uint64(64)).astype("int32")
+        return df
 
     def rep(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].min())],
-            "n_copies": [len(g)],
-        })
+        out = g.groupby("fp_md5", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return out[["doc_id", "n_copies"]]
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("fp_md5").map_groups(rep, batch_format="pandas"))
+            .groupby("_bucket").map_groups(rep, batch_format="pandas"))
 
 
 DOC_DEDUP_SQL = """

@@ -30,6 +30,7 @@ Ray shape (SURVEY §7 M4 — the only multi-round shuffle in the DAG):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -92,6 +93,16 @@ def connected_components_distributed(edges_ds, max_rounds: int = 30):
     """
     import zlib
 
+    NUM_BUCKETS = 64
+
+    def _with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # int hash bucket of the destination node: the per-round
+        # exchange groups per BUCKET (vectorized merge inside), never
+        # one Ray group / one pandas frame per node
+        h = pd.util.hash_pandas_object(df["node"], index=False).values
+        df["_bucket"] = (h % np.uint64(NUM_BUCKETS)).astype("int32")
+        return df
+
     def local_contract(t: pa.Table) -> pd.DataFrame:
         """Batch-local contraction: exact union-find over the edges in
         THIS batch, then emit each local component in hash-to-min
@@ -114,17 +125,21 @@ def connected_components_distributed(edges_ds, max_rounds: int = 30):
                 if u != root:
                     dest.append(u)
                     mem.append([root])
-        return pd.DataFrame({"node": dest, "members": mem})
+        return _with_bucket(pd.DataFrame({"node": dest, "members": mem}))
 
-    def merge0(g: pd.DataFrame) -> pd.DataFrame:
-        s: set = set()
-        for mm in g["members"]:
-            s.update(mm)
-        return pd.DataFrame({"node": [g["node"].iloc[0]], "members": [sorted(s)]})
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        nodes, mems = [], []
+        for node, grp in g.groupby("node", sort=False):
+            s: set = set()
+            for mm in grp["members"]:
+                s.update(mm)
+            nodes.append(node)
+            mems.append(sorted(s))
+        return pd.DataFrame({"node": nodes, "members": mems})
 
     clusters = (
         edges_ds.map_batches(local_contract, batch_format="pyarrow")
-        .groupby("node").map_groups(merge0, batch_format="pandas")
+        .groupby("_bucket").map_groups(merge, batch_format="pandas")
         .materialize()
     )
 
@@ -140,13 +155,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 30):
                 if u != m:
                     dest.append(u)
                     mem.append([m])
-        return pd.DataFrame({"node": dest, "members": mem})
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        s: set = set()
-        for mm in g["members"]:
-            s.update(mm)
-        return pd.DataFrame({"node": [g["node"].iloc[0]], "members": [sorted(s)]})
+        return _with_bucket(pd.DataFrame({"node": dest, "members": mem}))
 
     def signature(cl) -> int:
         def h(df: pd.DataFrame) -> pd.DataFrame:
@@ -164,7 +173,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 30):
     for rnd in range(max_rounds):
         clusters = (
             clusters.map_batches(emit, batch_format="pandas")
-            .groupby("node")
+            .groupby("_bucket")
             .map_groups(merge, batch_format="pandas")
             .materialize()
         )

@@ -139,13 +139,24 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
     if n_dups == 0:
         return pages
     if n_dups > dup_threshold:  # pragma: no cover - scale fallback
-        return (
-            pages.groupby("url")
-            .map_groups(
-                lambda t: t.sort_by([("warc_ts", "descending")]).slice(0, 1),
-                batch_format="pyarrow",
-            )
-        )
+        # full-shuffle path: hash-bucket the urls (never one Ray group
+        # per url at corpus cardinality), newest-first dedup per bucket
+        import pandas as pd
+
+        def bucketize(df):
+            h = pd.util.hash_pandas_object(df["url"], index=False).values
+            df = df.copy()
+            df["_bucket"] = (h % 256).astype("int32")
+            return df
+
+        def newest(g):
+            g = g.sort_values(["url", "warc_ts"], ascending=[True, False],
+                              kind="mergesort")
+            return g.drop_duplicates("url").drop(columns=["_bucket"])
+
+        return (pages.map_batches(bucketize, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(newest, batch_format="pandas"))
     winner = dict(zip(agg["url"], agg["max_ts"]))
     # a second TINY aggregate (slim rows of dup urls only) detects urls
     # whose max warc_ts is itself duplicated — those few need an exact
