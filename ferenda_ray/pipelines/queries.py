@@ -27,6 +27,7 @@ from ..stages import text_analysis
 from ..stages.dedup import (
     embedding_neardup_pairs,
     minhash_dedup,
+    ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
 from ..stages.similarity import knn_brute_force
@@ -506,6 +507,89 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def events_asof_click_view(sf_dir):
+    """as-of join (Ray Data has no native one — composed per the
+    brief): each click event picks the most recent view event of the
+    same user at or before the click. (user_id, ts) is unique in the
+    corpus, so the winner is deterministic. DuckDB's ASOF JOIN is the
+    oracle."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def of_type(et):
+        def flt(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.equal(t["event_type"], et))
+                    .select(["event_id", "ts", "user_id"]))
+        return flt
+
+    clicks = ev.map_batches(of_type("click"), batch_format="pyarrow")
+    views = ev.map_batches(of_type("view"), batch_format="pyarrow")
+    out = asof_join(clicks, views, on="ts", by="user_id", how="inner")
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "click_ts": pd.Series(dtype="object"),
+                "view_id": pd.Series(dtype="int64"),
+                "view_ts": pd.Series(dtype="object")})
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "click_id": df["event_id"].astype("int64"),
+            "click_ts": df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "view_id": df["event_id_r"].astype("int64"),
+            "view_ts": df["ts_r"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")})
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       v.event_id AS view_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def events_range_pairs(sf_dir):
+    """band/range self-join: ordered event pairs of the same user
+    within 60 seconds (sorted two-pointer per bucket, never a cross
+    product)."""
+    from ..stages.joins import range_join_pairs
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = range_join_pairs(ev, on="ts", by="user_id",
+                           window=pd.Timedelta(seconds=60))
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "key_a" not in df.columns:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "event_id_a": pd.Series(dtype="int64"),
+                "event_id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id_a": df["key_a"].astype("int64"),
+            "event_id_b": df["key_b"].astype("int64")})
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+EVENTS_RANGE_SQL = """
+SELECT e1.user_id AS user_id, e1.event_id AS event_id_a,
+       e2.event_id AS event_id_b
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+"""
+
+
 def user_event_pivot(sf_dir):
     """facet pivot shape: per user, count per event_type (wide).
     Two-phase partial pivot (vectorized pivot_table per batch) + one
@@ -959,6 +1043,41 @@ WITH RECURSIVE s AS (
   SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node
 )
 SELECT node AS key, min(lbl) AS canonical_key FROM reach GROUP BY node
+"""
+
+
+def ngram_jaccard(sf_dir):
+    """EXACT n-gram Jaccard similarity self-join (prefix-filtered
+    AllPairs — no LSH approximation), the deterministic sibling of
+    minhash_neardup. Output = every unordered doc pair with trigram
+    Jaccard >= 0.5, keys only: the jaccard double itself is
+    hash-fragile across engines ((1e6*i)/u vs 1e6*(i/u) differ by one
+    ulp at exact fractions), and the threshold decision already
+    exercises the value. Hash-J == string-J exactly at sf0.001/0.01
+    (verified: no 31-bit shingle collisions touch the threshold)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5)
+
+    def keys_only(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "key_a" not in df.columns:
+            return pd.DataFrame({"key_a": pd.Series(dtype="int64"),
+                                 "key_b": pd.Series(dtype="int64")})
+        return df[["key_a", "key_b"]].astype("int64")
+
+    return pairs.map_batches(keys_only, batch_format="pandas")
+
+
+NGRAM_JACCARD_SQL = """
+WITH s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w)-2, 1)),
+    i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents)
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      >= 0.5 * len(list_distinct(list_concat(a.sh, b.sh)))
 """
 
 
@@ -1647,6 +1766,8 @@ QUERIES = {
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
     "events_type_stats": (events_type_stats, EVENTS_TYPE_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
+    "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
@@ -1673,6 +1794,7 @@ QUERIES = {
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "toc_pages_kg": (toc_pages_kg, TOC_PAGES_SQL),
     "minhash_neardup": (minhash_neardup, MINHASH_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pairs": (simhash_pairs, None),
     "simhash_planted_recall": (simhash_planted_recall, SIMHASH_PLANTED_SQL),
     "embedding_neardup": (embedding_neardup, EMBED_NEARDUP_SQL),

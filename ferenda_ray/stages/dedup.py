@@ -432,6 +432,83 @@ def minhash_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------
+# exact n-gram Jaccard similarity self-join (no LSH approximation)
+# ---------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", key_col: str = "doc_id",
+                        threshold: float = 0.5, shingle_k: int = 3,
+                        num_buckets: int = 64, max_posting: int = 1024,
+                        driver_threshold: int = 500_000):
+    """EXACT n-gram Jaccard similarity self-join — the deterministic
+    sibling of minhash_dedup (no LSH false negatives), via the
+    prefix-filtering principle of AllPairs / PPJoin (Bayardo, Ma &
+    Srikant, WWW'07; Xiao et al., WWW'08 — public): under one global
+    total order on shingles (numeric hash value here), any two sets
+    with Jaccard >= t share at least one shingle inside each one's
+    prefix of length |S| - ceil(t*|S|) + 1. So exploding ONLY prefix
+    shingles to (shingle, key) rows and pairing within equal shingles
+    yields a complete candidate set — orders of magnitude smaller than
+    a full inverted index — which exact verify_jaccard then filters.
+
+    Returns Dataset(key_a, key_b, jaccard) with key_a < key_b.
+
+    Scale notes: the shuffle key is an int hash bucket of the shingle,
+    never one Ray group per shingle; a posting list longer than
+    ``max_posting`` keys is truncated after a deterministic sort (a
+    shingle shared by >1024 doc PREFIXES is boilerplate — same skew
+    guard and caveat as lsh_candidate_pairs' max_bucket). Prefixes
+    shrink as the threshold rises, so the explode stage emits
+    ~(1-t)·|shingles| rows, not |shingles|.
+    """
+    import math
+
+    def explode_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        sh_out, key_out = [], []
+        for k, t in zip(df[key_col], df[text_col]):
+            sh = np.unique(shingle_hashes(t or "", shingle_k))
+            n = len(sh)
+            if n == 0:
+                continue
+            p = n - int(math.ceil(threshold * n)) + 1
+            sh_out.append(sh[:p])
+            key_out.append(np.full(p, k))
+        if not sh_out:
+            return pd.DataFrame({
+                "shingle": pd.Series(dtype="int64"),
+                "key": pd.Series(dtype=df[key_col].dtype),
+                "_bucket": pd.Series(dtype="int32")})
+        out = pd.DataFrame({
+            "shingle": np.concatenate(sh_out).astype("int64"),
+            "key": np.concatenate(key_out)})
+        out["_bucket"] = (
+            (out["shingle"].values.view("uint64") * _GOLDEN)
+            % np.uint64(num_buckets)).astype("int32")
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in g.groupby("shingle", sort=False):
+            if len(grp) < 2:
+                continue
+            keys = sorted(set(grp["key"]))[:max_posting]
+            for i in range(len(keys)):
+                for j in range(i + 1, len(keys)):
+                    a_out.append(keys[i])
+                    b_out.append(keys[j])
+        return pd.DataFrame({"key_a": pd.Series(a_out, dtype=g["key"].dtype),
+                             "key_b": pd.Series(b_out, dtype=g["key"].dtype)})
+
+    # dedup of multi-shingle hits is free inside verify_jaccard's
+    # (key_a, key_b) grouping — no separate pair-dedup exchange
+    cand = (ds.map_batches(explode_prefix, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(pairs, batch_format="pandas"))
+    return verify_jaccard(cand, ds, text_col, key_col, threshold,
+                          shingle_k, num_buckets=num_buckets,
+                          driver_threshold=driver_threshold)
+
+
+# ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------
 

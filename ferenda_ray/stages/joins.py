@@ -182,6 +182,126 @@ def membership_join(rows_ds, key_col: str, keys_ds, keys_col: str | None = None,
     return definite_keep.union(rechecked)
 
 
+def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
+              direction: str = "backward", how: str = "inner",
+              suffix: str = "_r", num_buckets: int = 64):
+    """As-of join: for each left row, the single right row of the same
+    ``by`` group with the greatest right.``on`` <= left.``on``
+    (direction="backward"; "forward" = smallest right.on >= left.on).
+    Ray Data has no native as-of join — this is the composition the
+    brief calls for: tag both sides, hash-bucket by the ``by`` key,
+    ONE groupby(bucket), vectorized ``pd.merge_asof`` per bucket.
+
+    Partitioning assumption (documented per the brief): every row of
+    one ``by`` group lands in one bucket. Unlike an equi-join a
+    skewed group cannot blow up the output — as-of emits at most
+    |left| rows — so the only skew cost is one big sort per hot
+    bucket. Right columns colliding with left names (including ``on``,
+    which both sides carry) get ``suffix``. how: "inner" drops left
+    rows with no match; "left" keeps them with nulls.
+    """
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != by]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+    out_rcols = [rename[c] for c in rcols]
+    on_r = rename.get(on, on)
+    # one combined arrow schema: typed nulls (NOT pandas None columns,
+    # which degrade datetimes to object and ints to float across the
+    # union) so each bucket's frame keeps real dtypes for merge_asof
+    combined = ([(c, ltypes[c]) for c in lcols]
+                + [(rename[c], rtypes[c]) for c in rcols])
+    int_cols = [c for c, t in combined if pa.types.is_integer(t)]
+
+    inv = {v: k for k, v in rename.items()}  # output name → right name
+    src_left = {name: (name if name in ltypes else None)
+                for name, _ in combined}
+    src_right = {name: (by if name == by else inv.get(name))
+                 for name, _ in combined}
+
+    def prep(side: int, src: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {name: (t[src[name]] if src[name] is not None
+                           else pa.nulls(n, typ))
+                    for name, typ in combined}
+            out = pa.table(cols)
+            bucket = (_hash64(out[by].to_pandas())
+                      % np.uint64(num_buckets)).astype("int32")
+            out = out.append_column("_bucket", pa.array(bucket))
+            return out.append_column(
+                "_side", pa.array(np.full(n, side, dtype=np.int8)))
+        return fn
+
+    tagged = (left_ds.map_batches(prep(0, src_left), batch_format="pyarrow")
+              .union(right_ds.map_batches(prep(1, src_right),
+                                          batch_format="pyarrow")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0][lcols].sort_values(on, kind="mergesort")
+        right = (g[g["_side"] == 1][[by] + out_rcols]
+                 .sort_values(on_r, kind="mergesort"))
+        # nullable side of the union turns int64 into float64 — restore
+        right = right.astype({c: "int64" for c in int_cols
+                              if c in right.columns and c != by})
+        left = left.astype({c: "int64" for c in int_cols if c in lcols})
+        out = pd.merge_asof(left, right, left_on=on, right_on=on_r,
+                            by=by, direction=direction)
+        if how == "inner":
+            out = out[out[on_r].notna()]
+            out = out.astype({c: "int64" for c in int_cols
+                              if c in out.columns})
+        return out
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join_pairs(ds, on: str = "ts", by: str = "user_id",
+                     window=None, key_col: str = "event_id",
+                     num_buckets: int = 64):
+    """Band/range self-join: all ordered pairs (a, b) of rows sharing
+    a ``by`` key with 0 < b.on - a.on <= window. Hash-bucket by the
+    ``by`` key, one groupby(bucket); inside a bucket the scan is a
+    vectorized sorted two-pointer (np.searchsorted per row block),
+    never an |n|^2 cross product. Output:
+    (by, key_a, key_b, on_a, on_b)."""
+    if window is None:
+        window = pd.Timedelta(seconds=60)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (_hash64(df[by])
+                         % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, on, key_col], kind="mergesort")
+        by_out, a_out, b_out, ta_out, tb_out = [], [], [], [], []
+        for bval, grp in g.groupby(by, sort=False):
+            ts = grp[on].values
+            keys = grp[key_col].values
+            hi = np.searchsorted(ts, ts + window, side="right")
+            for i in range(len(ts)):
+                for j in range(i + 1, hi[i]):
+                    if ts[j] > ts[i]:  # strict: equal-ts rows not paired
+                        by_out.append(bval)
+                        a_out.append(keys[i])
+                        b_out.append(keys[j])
+                        ta_out.append(ts[i])
+                        tb_out.append(ts[j])
+        return pd.DataFrame({
+            by: pd.Series(by_out, dtype=g[by].dtype),
+            "key_a": pd.Series(a_out, dtype=g[key_col].dtype),
+            "key_b": pd.Series(b_out, dtype=g[key_col].dtype),
+            "on_a": pd.Series(ta_out, dtype=g[on].dtype),
+            "on_b": pd.Series(tb_out, dtype=g[on].dtype)})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(pairs, batch_format="pandas"))
+
+
 def bucket_join(left_ds, right_ds, left_on: str, right_on: str | None = None,
                 how: str = "inner", num_buckets: int = 64,
                 suffix: str = "_r"):

@@ -312,3 +312,57 @@ def test_video_frame_sampling(ray_session):
         concurrency=2, batch_size=2).to_pandas()
     assert set(out.columns) == {"media_id", "url", "frame_idx", "frame_phash"}
     assert out.groupby("media_id").size().min() >= 1
+
+
+def test_ngram_jaccard_exact_vs_brute_force(ray_session):
+    """Prefix-filtered AllPairs must find EVERY pair >= threshold (no
+    LSH-style misses) — compared against the O(n^2) truth."""
+    import itertools
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import ngram_jaccard_pairs, shingle_hashes
+
+    rng = np.random.RandomState(3)
+    vocab = ["w%d" % i for i in range(40)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    docs = list(base)
+    for i in range(0, 40, 5):  # planted near-dups: one word changed
+        words = base[i].split()
+        words[3] = "EDIT"
+        docs.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype="int64"),
+                       "text": docs})
+    got = ngram_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["key_a"], got["key_b"]))
+    sh = {k: set(np.unique(shingle_hashes(t)).tolist())
+          for k, t in zip(df["doc_id"], df["text"])}
+    exp_pairs = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        u = sh[a] | sh[b]
+        if u and len(sh[a] & sh[b]) / len(u) >= 0.5:
+            exp_pairs.add((a, b))
+    assert got_pairs == exp_pairs
+    assert len(exp_pairs) >= 8  # the planted clones are found
+
+
+def test_ngram_jaccard_distributed_path(ray_session):
+    """driver_threshold=0 forces the hash-partitioned verify path —
+    must equal the driver fast path exactly."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(20, dtype="int64"),
+        "text": ["alpha beta gamma delta epsilon zeta %d" % (i % 4)
+                 for i in range(20)]})
+    fast = ngram_jaccard_pairs(rd.from_pandas(df),
+                               threshold=0.5).to_pandas()
+    dist = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5,
+                               driver_threshold=0).to_pandas()
+    key = ["key_a", "key_b"]
+    assert (set(zip(fast["key_a"], fast["key_b"]))
+            == set(zip(dist["key_a"], dist["key_b"])))
+    assert len(fast) == len(fast.drop_duplicates(key))

@@ -91,3 +91,70 @@ def test_bucket_join_matches_pandas(ray_session):
     got = got[key].sort_values(key).reset_index(drop=True)
     exp = exp[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "lid": np.arange(300, dtype="int64"),
+        "ts": rng.randint(0, 10_000, 300).astype("int64"),
+        "uid": rng.randint(0, 20, 300).astype("int64")})
+    right = pd.DataFrame({
+        "rid": np.arange(200, dtype="int64"),
+        "ts": rng.randint(0, 10_000, 200).astype("int64"),
+        "uid": rng.randint(0, 25, 200).astype("int64")})
+    got = joins.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="ts", by="uid", how="inner").to_pandas()
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="uid", direction="backward", suffixes=("", "_r"))
+    exp = exp[exp["rid"].notna()].astype({"rid": "int64"})
+    exp = exp.rename(columns={"rid": "rid"})
+    exp["ts_r"] = exp["ts"]  # pandas collapses the key; ours keeps both
+    key = ["lid", "rid"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["lid"].values == exp["lid"].values).all()
+    assert (got["rid"].values == exp["rid"].values).all()
+    assert (got["ts_r"].values <= got["ts"].values).all()
+
+
+def test_asof_join_forward_and_left(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"lid": [0, 1, 2], "ts": [10, 50, 90],
+                         "uid": [1, 1, 1]})
+    right = pd.DataFrame({"rid": [0, 1], "ts": [40, 60], "uid": [1, 1]})
+    fwd = joins.asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="ts", by="uid", direction="forward",
+                          how="inner").to_pandas().sort_values("lid")
+    # 10→40 (rid 0), 50→60 (rid 1), 90→none
+    assert list(fwd["lid"]) == [0, 1]
+    assert list(fwd["rid"]) == [0, 1]
+    lj = joins.asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="ts", by="uid", how="left").to_pandas()
+    assert len(lj) == 3  # unmatched left row retained
+
+
+def test_range_join_pairs_brute_force(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "eid": np.arange(200, dtype="int64"),
+        "ts": rng.randint(0, 500, 200).astype("int64"),
+        "uid": rng.randint(0, 8, 200).astype("int64")})
+    got = joins.range_join_pairs(
+        rd.from_pandas(df), on="ts", by="uid", window=np.int64(30),
+        key_col="eid").to_pandas()
+    exp = df.merge(df, on="uid", suffixes=("_a", "_b"))
+    exp = exp[(exp["ts_b"] > exp["ts_a"])
+              & (exp["ts_b"] <= exp["ts_a"] + 30)]
+    assert len(got) == len(exp)
+    assert (set(zip(got["key_a"], got["key_b"]))
+            == set(zip(exp["eid_a"], exp["eid_b"])))
