@@ -535,6 +535,90 @@ def pages_dataset(sf_dir: str, replicate: int = 1):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def pages_slim_dataset(sf_dir: str, replicate: int = 1):
+    """Just (url, warc_ts) of ``pages_dataset`` without rendering any
+    html — the cheap pre-pass input for ``latest_per_url`` (pure
+    url/timestamp arithmetic over a 2-column documents read; kept in
+    lockstep with ``synthesize_batch``, tested equal in
+    test_corpus_golden)."""
+    import ray.data as rd
+
+    # modest fan-out: the pre-pass is IO- and compute-light, and at
+    # this block-count per-task overhead dominates (measured: 64 read
+    # tasks ≈ 3-8 s vs 8 tasks ≈ 0.6 s on the same tiny columns)
+    docs = rd.read_parquet(sf_dir.rstrip("/") + "/documents.parquet",
+                           columns=["doc_id", "source"],
+                           override_num_blocks=8)
+
+    def slim_batch(batch: pa.Table) -> pa.Table:
+        doc_ids0 = batch["doc_id"].to_pylist()
+        sources0 = batch["source"].to_pylist()
+        urls, tss = [], []
+        for k in range(replicate):
+            off = k * 1_000_000
+            for d0, src in zip(doc_ids0, sources0):
+                did = d0 + off
+                urls.append(page_url(src, did))
+                tss.append(EPOCH_US + did * 37_000_000)
+                if did % 17 == 0:  # older recrawl version, same url
+                    urls.append(page_url(src, did))
+                    tss.append(EPOCH_US + did * 37_000_000
+                               - 86_400_000_000)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.asarray(tss, dtype="int64"),
+                                pa.timestamp("us")),
+        })
+
+    return docs.map_batches(slim_batch, batch_format="pyarrow")
+
+
+def read_pages(pages_dir: str):
+    """Read a materialized pages dir with read fan-out sized to the
+    cluster. Ray's size-based splitting packs the small benchmark
+    page files into a handful of read tasks, and because the
+    downstream parse / link stages fuse with the read, that would cap
+    the whole pipeline's parallelism at the read's block count
+    (observed: 65 files → 6 read tasks → 6 of 32 CPUs busy). The
+    override keeps at least two blocks per CPU, and never fewer than
+    the file count — at real corpus scale the file count dominates
+    and the override is a no-op."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    try:
+        nfiles = sum(1 for f in os.listdir(pages_dir)
+                     if f.endswith(".parquet"))
+    except OSError:
+        nfiles = 1
+    return rd.read_parquet(
+        pages_dir, override_num_blocks=max(2 * ncpu, nfiles))
+
+
+def read_pages_slim(pages_dir: str):
+    """(url, warc_ts) projection of a materialized pages dir for the
+    ``latest_per_url`` pre-pass. Low fan-out on purpose: the
+    projection is tiny and per-read-task overhead dominates below
+    ~1 M rows/block (see pages_slim_dataset)."""
+    import os
+
+    import ray.data as rd
+
+    try:
+        nfiles = sum(1 for f in os.listdir(pages_dir)
+                     if f.endswith(".parquet"))
+    except OSError:
+        nfiles = 1
+    return rd.read_parquet(pages_dir, columns=["url", "warc_ts"],
+                           override_num_blocks=max(8, nfiles // 8))
+
+
 def _synth_version() -> str:
     """Hash of the synthesizer source — any edit to the page-planning
     or rendering code changes the cache tag, so stale /tmp page caches

@@ -34,10 +34,12 @@ from . import corpus
 
 
 def sections_dataset(pages, checkpoint_dir: str | None = None,
-                     stage_name: str = "parse"):
+                     stage_name: str = "parse", pages_slim=None):
     """pages → sections (the flagship parse stage), optionally
-    checkpointed to parquet for resume (see state/manifest.py)."""
-    pages = latest_per_url(pages)
+    checkpointed to parquet for resume (see state/manifest.py).
+    ``pages_slim``: cheap (url, warc_ts) source for the recrawl-dedup
+    pre-pass (see latest_per_url)."""
+    pages = latest_per_url(pages, slim=pages_slim)
     sections = pages.map_batches(parse_pages_batch, batch_format="pyarrow")
     if checkpoint_dir:
         from ..state.manifest import checkpointed_stage
@@ -50,7 +52,8 @@ def kg_pipeline(sf_dir: str | None = None, pages=None,
                 gazetteer: dict | None = None,
                 sameas_edges: list | None = None,
                 linker_concurrency=None,
-                checkpoint_dir: str | None = None) -> dict:
+                checkpoint_dir: str | None = None,
+                pages_slim=None) -> dict:
     """Run the full pipeline; returns dict of lazy Datasets:
     ``sections``, ``mentions``, ``triples`` (canonicalized + deduped)
     and the ``canon`` map."""
@@ -58,12 +61,15 @@ def kg_pipeline(sf_dir: str | None = None, pages=None,
         if sf_dir is None:
             raise ValueError("need sf_dir or pages")
         pages = corpus.pages_dataset(sf_dir)
+        if pages_slim is None:
+            pages_slim = corpus.pages_slim_dataset(sf_dir)
     if gazetteer is None:
         gazetteer = corpus.gazetteer()
     if sameas_edges is None:
         sameas_edges = corpus.sameas_edges()
 
-    sections = sections_dataset(pages, checkpoint_dir)
+    sections = sections_dataset(pages, checkpoint_dir,
+                                pages_slim=pages_slim)
 
     meta = sections.map_batches(emit_meta_triples, batch_format="pyarrow")
 
@@ -152,7 +158,7 @@ class TripleEmitter:
 
 def kg_triples_streaming(pages, gazetteer: dict | None = None,
                          sameas_edges: list | None = None,
-                         emitter_concurrency=None):
+                         emitter_concurrency=None, pages_slim=None):
     """Single-execution flagship path: pages → canonical deduped
     triples with zero mid-pipeline materialization. Output set is
     identical to ``kg_pipeline(...)["triples"]`` (tested)."""
@@ -170,7 +176,7 @@ def kg_triples_streaming(pages, gazetteer: dict | None = None,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         emitter_concurrency = (max(2, ncpu // 4), max(4, ncpu - 2))
     canon = _uf(sameas_edges)
-    pages = latest_per_url(pages)
+    pages = latest_per_url(pages, slim=pages_slim)
     sections = pages.map_batches(parse_pages_batch, batch_format="pyarrow")
     trip = sections.map_batches(
         TripleEmitter,
@@ -239,7 +245,7 @@ class KGExtract:
 
 def kg_triples_direct(pages, gazetteer: dict | None = None,
                       sameas_edges: list | None = None,
-                      concurrency=None):
+                      concurrency=None, pages_slim=None):
     """Throughput path: pages → deduped canonical triples with the
     fused extract stage (see KGExtract)."""
     if gazetteer is None:
@@ -256,7 +262,7 @@ def kg_triples_direct(pages, gazetteer: dict | None = None,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = (2, max(4, ncpu - 2))
     canon = _uf(sameas_edges)
-    pages = latest_per_url(pages)
+    pages = latest_per_url(pages, slim=pages_slim)
     trip = pages.map_batches(
         KGExtract,
         fn_constructor_kwargs={
@@ -282,7 +288,8 @@ def write_outputs(result: dict, out_dir: str) -> dict:
 
 def kg_pipeline_resumable(sf_dir: str | None, checkpoint_dir: str,
                           pages=None, gazetteer: dict | None = None,
-                          sameas_edges: list | None = None) -> dict:
+                          sameas_edges: list | None = None,
+                          pages_slim=None) -> dict:
     """Full flagship DAG with EVERY stage boundary checkpointed
     (parse → sections, mentions, triples). A re-run skips completed
     stages entirely (state/manifest.checkpointed_stage); deleting a
@@ -296,12 +303,15 @@ def kg_pipeline_resumable(sf_dir: str | None, checkpoint_dir: str,
         if sf_dir is None:
             raise ValueError("need sf_dir or pages")
         pages = corpus.pages_dataset(sf_dir)
+        if pages_slim is None:
+            pages_slim = corpus.pages_slim_dataset(sf_dir)
     if gazetteer is None:
         gazetteer = corpus.gazetteer()
     if sameas_edges is None:
         sameas_edges = corpus.sameas_edges()
 
-    sections = sections_dataset(pages, checkpoint_dir)  # stage "parse"
+    sections = sections_dataset(pages, checkpoint_dir,
+                                pages_slim=pages_slim)  # stage "parse"
 
     gaz_ref = ray.put(gazetteer)
     ncpu = int(ray.cluster_resources().get("CPU", 8))

@@ -1260,7 +1260,8 @@ def composite_parse(sf_dir):
     from ..stages.composite import composite_parse_batch
     from ..stages.parse_html import latest_per_url
 
-    pages = latest_per_url(corpus.pages_dataset(sf_dir))
+    pages = latest_per_url(corpus.pages_dataset(sf_dir),
+                           slim=corpus.pages_slim_dataset(sf_dir))
     sections = pages.map_batches(composite_parse_batch, batch_format="pyarrow")
 
     def body_only(t: pa.Table) -> pa.Table:
@@ -1284,7 +1285,8 @@ def news_feeds_kg(sf_dir):
     deterministic timestamps (ts = epoch + doc_id·37s)."""
     from ..stages.parse_html import latest_per_url
 
-    pages = latest_per_url(corpus.pages_dataset(sf_dir))
+    pages = latest_per_url(corpus.pages_dataset(sf_dir),
+                           slim=corpus.pages_slim_dataset(sf_dir))
     out = facets.news_feeds(pages, archivesize=100)
     return out.map_batches(
         lambda df: df[["feed", "page", "url"]], batch_format="pandas")

@@ -107,33 +107,84 @@ def parse_pages_batch(batch: pa.Table, default_lang: str = "en") -> pa.Table:
     )
 
 
-def latest_per_url(pages, dup_threshold: int = 5_000_000):
+def latest_per_url(pages, dup_threshold: int = 5_000_000, slim=None):
     """Keep only the newest ``warc_ts`` row per url (recrawl dedup,
     SURVEY §2.9: ``groupby(url).max_by(warc_ts)``).
 
     Scale-aware plan: recrawled urls are typically a small fraction of
     the corpus, so instead of shuffling every html blob through a
-    ``groupby(url)``, first aggregate only (url → max warc_ts) over the
-    *projected* two columns, keep the urls that appear more than once
-    (small), broadcast that {url: max_ts} map, and filter the full rows
-    map-side — zero movement of the heavy ``html`` column. Falls back
-    to a full groupby shuffle if the duplicate set exceeds
+    ``groupby(url)``, run ONE pre-pass over just (url, warc_ts):
+    per-batch partial aggregate (count, max ts, count at max ts),
+    bucketed merge, keep the urls that appear more than once (small),
+    broadcast that {url: max_ts} map, and filter the full rows
+    map-side — zero movement of the heavy ``html`` column. The
+    count-at-max piggybacks on the same pass so timestamp ties (which
+    need an exact grouped pick) are detected without a second scan.
+    Falls back to a full groupby shuffle if the duplicate set exceeds
     ``dup_threshold`` (then it no longer fits a broadcast object).
+
+    ``slim``: optional Dataset with just (url, warc_ts) from a cheaper
+    source. Ray does not push ``select_columns`` down into the parquet
+    scan, so for parquet-backed pages pass
+    ``read_parquet(dir, columns=["url", "warc_ts"])`` here to keep the
+    html blobs out of the pre-pass entirely.
     """
     import ray
-    import pyarrow.compute as pc
 
     import zlib
 
-    from ray.data.aggregate import Count, Max
+    import pandas as pd
 
-    # one aggregation pass over the 2-column projection gives both the
-    # duplicate set and each duplicate's winning timestamp
-    slim = pages.select_columns(["url", "warc_ts"])
-    agg = (slim.groupby("url")
-           .aggregate(Count(alias_name="n"),
-                      Max("warc_ts", alias_name="max_ts"))
-           .map_batches(lambda df: df[df["n"] > 1], batch_format="pandas")
+    if slim is None:
+        slim = pages.select_columns(["url", "warc_ts"])
+
+    _AGG_COLS = {"url": "object", "n": "int64", "max_ts": "datetime64[us]",
+                 "n_at_max": "int64"}
+
+    def _empty_agg() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _AGG_COLS.items()})
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("url", sort=False)["warc_ts"]
+        mx = g.max()
+        n = g.size()
+        at_max = (df["warc_ts"].values ==
+                  mx.reindex(df["url"]).values)
+        nam = (df.loc[at_max].groupby("url", sort=False).size()
+               .reindex(mx.index).fillna(0).astype("int64"))
+        out = pd.DataFrame({"url": mx.index.to_numpy(dtype=object),
+                            "n": n.to_numpy(),
+                            "max_ts": mx.to_numpy(),
+                            "n_at_max": nam.to_numpy()})
+        # only urls that might be duplicated anywhere need the merge:
+        # a url unique in its batch can still repeat across batches, so
+        # everything flows on, but hash-bucketed (64 groups, never one
+        # Ray group per url at corpus cardinality)
+        h = pd.util.hash_pandas_object(out["url"], index=False).values
+        out["_b"] = (h % 64).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _empty_agg()
+        gg = g.groupby("url", sort=False)
+        n = gg["n"].sum()
+        mx = gg["max_ts"].max()
+        at_gmax = (g["max_ts"].values == mx.reindex(g["url"]).values)
+        nam = (g.loc[at_gmax].groupby("url", sort=False)["n_at_max"].sum()
+               .reindex(mx.index).fillna(0).astype("int64"))
+        out = pd.DataFrame({"url": n.index.to_numpy(dtype=object),
+                            "n": n.to_numpy(),
+                            "max_ts": mx.to_numpy(),
+                            "n_at_max": nam.to_numpy()})
+        out = out[out["n"] > 1]
+        return out if len(out) else _empty_agg()
+
+    agg = (slim.map_batches(partial, batch_format="pyarrow")
+           .groupby("_b")
+           .map_groups(merge, batch_format="pandas")
            .to_pandas())
     n_dups = len(agg)
     if n_dups == 0:
@@ -158,22 +209,9 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000):
                 .groupby("_bucket")
                 .map_groups(newest, batch_format="pandas"))
     winner = dict(zip(agg["url"], agg["max_ts"]))
-    # a second TINY aggregate (slim rows of dup urls only) detects urls
-    # whose max warc_ts is itself duplicated — those few need an exact
-    # grouped pick; everything else stays a single map-side pass
-    dup_urls = pa.array(list(winner), pa.string())
-    at_max = (
-        slim.map_batches(
-            lambda t: t.filter(pc.is_in(t["url"], value_set=dup_urls)),
-            batch_format="pyarrow")
-        .groupby(["url", "warc_ts"]).count()
-        .to_pandas()
-    )
-    ties = {
-        u for u, ts, n in zip(at_max["url"], at_max["warc_ts"],
-                              at_max["count()"])
-        if n > 1 and winner.get(u) == ts
-    }
+    # urls whose max warc_ts is itself duplicated need an exact grouped
+    # pick; the count-at-max from the single pre-pass identifies them
+    ties = {u for u, nam in zip(agg["url"], agg["n_at_max"]) if nam > 1}
     state_ref = ray.put((winner, ties))
 
     def keep_latest(t: pa.Table) -> pa.Table:

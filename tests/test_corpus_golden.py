@@ -137,3 +137,20 @@ def test_titles_and_langs(pages, documents):
         title, got_lang = by_url[plan["url"]]
         assert title == plan["title"]
         assert got_lang == lang
+
+
+def test_pages_slim_matches_full_synthesis(documents, pages, sf_smoke):
+    """pages_slim_dataset (no-html arithmetic) must stay in lockstep
+    with synthesize_batch's (url, warc_ts) — latest_per_url's
+    correctness depends on it."""
+    import collections
+
+    for replicate in (1, 3):
+        full = corpus.synthesize_batch(documents, replicate=replicate)
+        slim = corpus.pages_slim_dataset(sf_smoke, replicate=replicate)
+        slim_t = slim.to_pandas()
+        want = collections.Counter(
+            zip(full["url"].to_pylist(), full["warc_ts"].to_pylist()))
+        got = collections.Counter(
+            zip(slim_t["url"], slim_t["warc_ts"].dt.to_pydatetime()))
+        assert got == want
