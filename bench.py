@@ -29,6 +29,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "4"))
+TRIALS = max(1, int(os.environ.get("GRAFT_TRIALS", "2")))
 
 
 def run_bench() -> dict:
@@ -62,22 +63,33 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    t0 = time.time()
-    n_triples = kg_triples_streaming(
-        read_pages(pages_dir),
-        pages_slim=read_pages_slim(pages_dir)).count()
-    kg_sec = time.time() - t0
+    # min-of-N trials: the shared sandbox's many-core throughput
+    # swings ±2-3x minute to minute (BASELINE.md protocol notes);
+    # the minimum is the stable estimator of what the code costs
+    kg_sec = None
+    n_triples = 0
+    for _ in range(TRIALS):
+        t0 = time.time()
+        n_triples = kg_triples_streaming(
+            read_pages(pages_dir),
+            pages_slim=read_pages_slim(pages_dir)).count()
+        dt = time.time() - t0
+        kg_sec = dt if kg_sec is None else min(kg_sec, dt)
     timings["kg_pipeline"] = round(kg_sec, 3)
 
     def timed(name, fn):
-        t = time.time()
-        out = fn(SF_DIR)
-        # consume
-        if hasattr(out, "count"):
-            out.count()
-        else:
-            len(out)
-        timings[name] = round(time.time() - t, 3)
+        best = None
+        for _ in range(TRIALS):
+            t = time.time()
+            out = fn(SF_DIR)
+            # consume
+            if hasattr(out, "count"):
+                out.count()
+            else:
+                len(out)
+            dt = time.time() - t
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     timed("q1_pricing", Q.q1_pricing)
     timed("doc_token_counts", Q.doc_token_counts)

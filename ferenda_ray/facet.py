@@ -104,3 +104,74 @@ def fulltext_schema(facets_by_repo: dict) -> dict:
                     % (f.colname, repo, f.indexingtype, prev[1], prev[0]))
             schema.setdefault(f.colname, (f.indexingtype, repo))
     return {name: typ for name, (typ, _repo) in schema.items()}
+
+
+# ---------------------------------------------------------------------
+# resource-label resolution (facet.py:235-344)
+# ---------------------------------------------------------------------
+
+LABEL_PREDICATES = ("rdfs:label", "skos:prefLabel", "skos:altLabel",
+                    "dcterms:title", "dcterms:alternative", "foaf:name",
+                    "bibo:identifier")
+
+
+def label_map(triples_ds, predicates=LABEL_PREDICATES) -> dict:
+    """{uri → best label} from a triples Dataset, honouring the
+    reference's predicate priority (facet.py:258-263, the
+    ``resource_graph.value`` probe order). Ray-native shape: each
+    batch keeps only label-predicate literal rows and its best
+    candidate per subject (map-side combine), then the labeled
+    subjects — authority-table scale, orders of magnitude smaller
+    than the corpus — merge on the driver into a broadcast-ready
+    dict (``ray.put`` once, read per actor), the stand-in for the
+    reference's in-memory ``resource_graph``."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    prio = {p: i for i, p in enumerate(predicates)}
+    pred_arr = pa.array(list(predicates), pa.string())
+
+    def partial(t):
+        f = t.filter(pc.and_(pc.is_in(t["pred"], value_set=pred_arr),
+                             t["obj_is_literal"]))
+        df = pd.DataFrame({"subj": f["subj"].to_pylist(),
+                           "rank": [prio[p] for p in f["pred"].to_pylist()],
+                           "label": f["obj"].to_pylist()})
+        if not len(df):
+            return pd.DataFrame({"subj": pd.Series(dtype="object"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="object")})
+        # deterministic per-batch best: lowest rank, then lexicographic
+        df = df.sort_values(["subj", "rank", "label"], kind="mergesort")
+        return df.drop_duplicates("subj", keep="first")
+
+    parts = triples_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return {}
+    parts = parts.sort_values(["subj", "rank", "label"], kind="mergesort")
+    best = parts.drop_duplicates("subj", keep="first")
+    return dict(zip(best["subj"], best["label"]))
+
+
+def resourcelabel(uri, labels: dict):
+    """Reference ``Facet.resourcelabel`` (facet.py:235-263): the best
+    label for ``uri``, or the uri itself when nothing labels it."""
+    return labels.get(uri, uri)
+
+
+def resourcelabel_or_term(uri, labels: dict):
+    """Reference ``Facet.resourcelabel_or_qname`` (facet.py:334-340):
+    label if any, else the uri's leaf term (CURIE-ish shortening)."""
+    got = labels.get(uri)
+    if got is not None:
+        return got
+    from .functions import uri_leaf
+
+    return uri_leaf(uri) or uri
+
+
+def sortresource(uri, labels: dict):
+    """Reference ``Facet.sortresource`` (facet.py:293-311): sortable
+    collation key of the resolved label."""
+    return title_sortkey(resourcelabel(uri, labels))

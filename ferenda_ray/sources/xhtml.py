@@ -162,3 +162,41 @@ def distill_rdfa(xhtml: str) -> list[tuple]:
         for rm in rel_re.finditer(bm.group(0)):
             triples.append((about, rm.group(1), rm.group(2), False))
     return triples
+
+
+def validate_rendered(xhtml_ds, max_resources: int = 1000):
+    """Per-document sanity check of rendered XHTML, the reference's
+    ``render_xhtml_validate`` (documentrepository.py:1684-1698, with
+    ``max_resources = 1000`` from documentrepository.py:320): a
+    resource (div @about) encountered twice, or more distinct
+    resources than ``max_resources``, flags the document. Only divs
+    count — spans re-use their owning div's @about to attach extra
+    metadata, exactly as in the reference.
+
+    Returns a (url, error) Dataset holding ONLY the failing documents
+    (empty = all good); runs map-side, nothing shuffles."""
+    import re
+
+    div_about_re = re.compile(r'<div\s+about="([^"]*)"')
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        urls, errors = [], []
+        for url, xhtml in zip(df["url"], df["xhtml"]):
+            seen = set()
+            err = None
+            for m in div_about_re.finditer(xhtml):
+                about = m.group(1)
+                if about in seen:
+                    err = "Resource %s encountered twice" % about
+                    break
+                seen.add(about)
+            if err is None and max_resources and len(seen) > max_resources:
+                err = ("Found over %s resources (%s), that's probably "
+                       "not right" % (max_resources, len(seen)))
+            if err is not None:
+                urls.append(url)
+                errors.append(err)
+        return pd.DataFrame({"url": pd.Series(urls, dtype="object"),
+                             "error": pd.Series(errors, dtype="object")})
+
+    return xhtml_ds.map_batches(check, batch_format="pandas")
