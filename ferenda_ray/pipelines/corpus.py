@@ -528,8 +528,11 @@ def pages_dataset(sf_dir: str, replicate: int = 1):
 
     import ray.data as rd
 
-    docs = rd.read_parquet(sf_dir.rstrip("/") + "/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"])
+    from ..stages.transform import strip_schema_metadata
+
+    docs = strip_schema_metadata(
+        rd.read_parquet(sf_dir.rstrip("/") + "/documents.parquet",
+                        columns=["doc_id", "text", "lang", "source"]))
     fn = (synthesize_batch if replicate == 1 else
           functools.partial(synthesize_batch, replicate=replicate))
     return docs.map_batches(fn, batch_format="pyarrow")
@@ -546,9 +549,12 @@ def pages_slim_dataset(sf_dir: str, replicate: int = 1):
     # modest fan-out: the pre-pass is IO- and compute-light, and at
     # this block-count per-task overhead dominates (measured: 64 read
     # tasks ≈ 3-8 s vs 8 tasks ≈ 0.6 s on the same tiny columns)
-    docs = rd.read_parquet(sf_dir.rstrip("/") + "/documents.parquet",
-                           columns=["doc_id", "source"],
-                           override_num_blocks=8)
+    from ..stages.transform import strip_schema_metadata
+
+    docs = strip_schema_metadata(
+        rd.read_parquet(sf_dir.rstrip("/") + "/documents.parquet",
+                        columns=["doc_id", "source"],
+                        override_num_blocks=8))
 
     def slim_batch(batch: pa.Table) -> pa.Table:
         doc_ids0 = batch["doc_id"].to_pylist()
@@ -597,8 +603,10 @@ def read_pages(pages_dir: str):
                      if f.endswith(".parquet"))
     except OSError:
         nfiles = 1
-    return rd.read_parquet(
-        pages_dir, override_num_blocks=max(2 * ncpu, nfiles))
+    from ..stages.transform import strip_schema_metadata
+
+    return strip_schema_metadata(rd.read_parquet(
+        pages_dir, override_num_blocks=max(2 * ncpu, nfiles)))
 
 
 def read_pages_slim(pages_dir: str):
@@ -615,8 +623,11 @@ def read_pages_slim(pages_dir: str):
                      if f.endswith(".parquet"))
     except OSError:
         nfiles = 1
-    return rd.read_parquet(pages_dir, columns=["url", "warc_ts"],
-                           override_num_blocks=max(8, nfiles // 8))
+    from ..stages.transform import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet(pages_dir, columns=["url", "warc_ts"],
+                        override_num_blocks=max(8, nfiles // 8)))
 
 
 def _synth_version() -> str:

@@ -42,8 +42,11 @@ from .kg import kg_pipeline
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet("%s/%s.parquet" % (sf_dir.rstrip("/"), table),
-                           columns=columns)
+    from ..stages.transform import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet("%s/%s.parquet" % (sf_dir.rstrip("/"), table),
+                        columns=columns))
 
 
 _KG_CACHE: dict[str, dict] = {}

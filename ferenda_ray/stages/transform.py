@@ -24,6 +24,21 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None)
+
+
+def strip_schema_metadata(ds):
+    """Drop schema-level metadata (pandas index blobs etc.) from every
+    block — zero-copy. Parquet written by pandas carries a metadata
+    dict that makes ``hash(schema)`` raise in pyarrow 16, which
+    defeats Ray's schema-deduplication fast path and forces a full
+    ``unify_schemas`` on every block concat (transform_pyarrow.py
+    "Failed to hash the schemas" warning). Applied at every read
+    entry point."""
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")
+
+
 def apply_patches(ds, patches: dict, col: str = "text"):
     """patches: {url: [(find, replace), ...]} — broadcast once via
     ray.put, applied map-side to rows whose url matches."""

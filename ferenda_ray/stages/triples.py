@@ -103,34 +103,80 @@ def emit_meta_triples(batch: pa.Table, doc_type: str = BIBO_DOCUMENT,
 DEFAULT_REQUIRED = (RDF_TYPE, DCTERMS_TITLE, DCTERMS_IDENTIFIER)
 
 
-def validate_required_predicates(triples_ds, required=DEFAULT_REQUIRED):
+def validate_required_predicates(triples_ds, required=DEFAULT_REQUIRED,
+                                 as_dataset: bool = False):
     """Documents missing any required predicate (decorators.py:229-236
     semantics, as counters instead of DocumentRemovedError).
 
-    Returns a small pandas DataFrame (url, missing_pred) — a groupby
-    over (source_url, pred) partials, so only O(docs × |required|)
-    rows ever shuffle.
+    Fully distributed: each batch ORs a per-document bitmask of the
+    required predicates it sees (one tiny row per url per batch), a
+    64-bucket merge ORs across batches, and only the FAILING documents
+    are ever emitted — the driver never holds the per-document table.
+    Only documents carrying at least one required predicate are
+    checked (a url absent from the triple set entirely is a parse
+    failure, caught upstream by the parse stage's ``error`` column).
+
+    Returns a pandas DataFrame (url, missing_pred) of failures — small
+    by assumption; pass ``as_dataset=True`` to keep it distributed
+    when validating a corpus where failures may be corpus-scale.
     """
-    req = pa.array(list(required), pa.string())
-
-    def partial(t: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.is_in(t["pred"], value_set=req),
-                       pc.equal(t["subj"], t["source_url"]))
-        f = t.filter(mask)
-        return f.group_by(["source_url", "pred"]).aggregate([("pred", "count")])
-
-    have = (
-        triples_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["source_url", "pred"])
-        .sum("pred_count")
-        .to_pandas()
-    )
-    missing = []
-    by_url = have.groupby("source_url")["pred"].apply(set).to_dict()
-    for url, preds in by_url.items():
-        for r in required:
-            if r not in preds:
-                missing.append({"url": url, "missing_pred": r})
+    import numpy as np
     import pandas as pd
 
-    return pd.DataFrame(missing, columns=["url", "missing_pred"])
+    req = list(required)
+    if len(req) > 63:
+        raise ValueError("more than 63 required predicates")
+    bit = {p: 1 << i for i, p in enumerate(req)}
+    full = (1 << len(req)) - 1
+    req_arr = pa.array(req, pa.string())
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"url": pd.Series(dtype="object"),
+                             "bits": pd.Series(dtype="int64"),
+                             "_b": pd.Series(dtype="int32")})
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        mask = pc.and_(pc.is_in(t["pred"], value_set=req_arr),
+                       pc.equal(t["subj"], t["source_url"]))
+        f = t.filter(mask)
+        if f.num_rows == 0:
+            return _empty()
+        df = pd.DataFrame({
+            "url": f["source_url"].to_pylist(),
+            "bits": np.array([bit[p] for p in f["pred"].to_pylist()],
+                             dtype="int64"),
+        })
+        g = (df.groupby("url", sort=False)["bits"]
+             .agg(lambda s: int(np.bitwise_or.reduce(s.values))))
+        out = pd.DataFrame({"url": g.index.to_numpy(dtype=object),
+                            "bits": g.to_numpy(dtype="int64")})
+        h = pd.util.hash_pandas_object(out["url"], index=False).values
+        out["_b"] = (h % 64).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        urls, miss = [], []
+        if len(g):
+            gg = (g.groupby("url", sort=False)["bits"]
+                  .agg(lambda s: int(np.bitwise_or.reduce(s.values))))
+            for url, bits in gg[gg != full].items():
+                for i, p in enumerate(req):
+                    if not (bits >> i) & 1:
+                        urls.append(url)
+                        miss.append(p)
+        # typed arrow output: an empty pandas object column trips
+        # Ray's block size estimator (np.vectorize on size-0)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "missing_pred": pa.array(miss, pa.string())})
+
+    out = (triples_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("_b")
+           .map_groups(merge, batch_format="pandas"))
+    if as_dataset:
+        return out
+    pdf = out.to_pandas()
+    if len(pdf) == 0:  # all-green: columns may be absent entirely
+        return pd.DataFrame({"url": pd.Series(dtype="object"),
+                             "missing_pred": pd.Series(dtype="object")})
+    return (pdf.sort_values(["url", "missing_pred"])
+            .reset_index(drop=True))

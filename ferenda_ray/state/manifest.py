@@ -138,9 +138,11 @@ def checkpointed_stage(ds, checkpoint_dir: str, stage: str,
     import ray.data as rd
     import shutil
 
+    from ..stages.transform import strip_schema_metadata
+
     final = os.path.join(checkpoint_dir, stage)
     if stage_complete(checkpoint_dir, stage, upstream):
-        return rd.read_parquet(final)
+        return strip_schema_metadata(rd.read_parquet(final))
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = final + ".tmp"
@@ -162,7 +164,7 @@ def checkpointed_stage(ds, checkpoint_dir: str, stage: str,
     }
     with open(_marker_path(checkpoint_dir, stage), "w") as f:
         json.dump(marker, f)
-    return rd.read_parquet(final)
+    return strip_schema_metadata(rd.read_parquet(final))
 
 
 def manifest_stats(checkpoint_dir: str):
