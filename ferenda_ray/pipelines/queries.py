@@ -796,6 +796,34 @@ FROM embeddings
 """
 
 
+def canonicalize_cc_star(sf_dir):
+    """Same component problem as canonicalize_cc, solved by the
+    giant-component-safe alternating large-star/small-star contraction
+    (flat pair state, vectorized per-bucket min — no member sets on
+    any reducer). Same oracle: both algorithms must agree exactly."""
+    import ray.data as rd
+
+    from ..stages.canonicalize import connected_components_starcontract
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(v) for v in g["vec_id"])
+        a = ["v%08d" % ids[i] for i in range(len(ids) - 1)]
+        b = ["v%08d" % ids[i + 1] for i in range(len(ids) - 1)]
+        return pd.DataFrame({"uri_a": a, "uri_b": b})
+
+    edges = ds.groupby("label").map_groups(chain, batch_format="pandas")
+    labels = connected_components_starcontract(edges)
+    return labels.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["node"].str[1:].astype("int64"),
+            "canonical": df["label"].str[1:].astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------
 # KG flagship queries (pipeline-backed; several SQL-oracled thanks to
 # the arithmetic-deterministic page synthesizer)
@@ -1553,6 +1581,23 @@ UNION ALL SELECT * FROM (VALUES
 KG_TRIPLES_SQL = _kg_triples_sql()
 
 
+def kg_labels(sf_dir):
+    """facet.label_map over the flagship triples: best label per
+    resource by the reference's predicate priority. In this KG the
+    only label predicate is dcterms:title, so the oracle reduces to
+    the lexicographic-min title per subject."""
+    from ..facet import label_map
+
+    labels = label_map(_kg(sf_dir)["triples"])
+    return pd.DataFrame(sorted(labels.items()), columns=["uri", "label"])
+
+
+KG_LABELS_SQL = (
+    "WITH t AS (%s) SELECT subj AS uri, min(obj) AS label FROM t "
+    "WHERE pred = 'dcterms:title' AND obj_is_literal GROUP BY subj"
+    % KG_TRIPLES_SQL)
+
+
 def _kg_mentions_sql() -> str:
     b1 = _cyc_sql(7, 8)    # section 1 paragraph base (s=1 → start 7·1)
     b2 = _cyc_sql(14, 8)   # section 2 paragraph base
@@ -1778,6 +1823,7 @@ QUERIES = {
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
     "canonicalize_cc": (canonicalize_cc, CANON_CC_SQL),
+    "canonicalize_cc_star": (canonicalize_cc_star, CANON_CC_SQL),
     "kg_titles": (kg_titles, KG_TITLES_SQL),
     "kg_identifiers": (kg_identifiers, KG_IDENTIFIERS_SQL),
     "kg_section_counts": (kg_section_counts, KG_SECTION_COUNTS_SQL),
@@ -1795,6 +1841,7 @@ QUERIES = {
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
     "xhtml_render": (xhtml_render, KG_XHTML_SQL),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
+    "kg_labels": (kg_labels, KG_LABELS_SQL),
     "kg_sections": (kg_sections, KG_SECTIONS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "toc_pages_kg": (toc_pages_kg, TOC_PAGES_SQL),

@@ -193,6 +193,124 @@ def connected_components_distributed(edges_ds, max_rounds: int = 30):
     )
 
 
+def connected_components_starcontract(edges_ds, max_rounds: int = 50):
+    """edges(uri_a, uri_b) → Dataset(node, label): alternating
+    **large-star / small-star** contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 —
+    public literature).
+
+    The giant-component-safe alternative to hash-to-min: state is
+    always a flat (node, neighbor) PAIR list — no row ever carries a
+    member set — and every reducer step is a vectorized per-bucket
+    ``groupby(node).min()``. A hub node's adjacency still lands in
+    one hash bucket, but as a flat string column min-reduced by
+    pandas, not a Python set-of-sets; memory per bucket is O(bucket
+    share of edges), and the output star is (member → center) pairs
+    spread across buckets. Two exchanges per round (vs hash-to-min's
+    one), same O(log n) round bound — use this when components may be
+    a large fraction of the graph.
+
+    * large-star: for each node u, connect every neighbor v > u to
+      m = min(N(u) ∪ {u}).
+    * small-star: connect every neighbor v ≤ u (and u itself) to m.
+
+    Converged when the edge multiset is a fixpoint (every node points
+    directly at its component min)."""
+    import zlib
+
+    NUM_BUCKETS = 64
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["u"], index=False).values
+        return df.assign(_bucket=(h % np.uint64(NUM_BUCKETS))
+                         .astype("int32"))
+
+    _EMPTY = {"u": pd.Series(dtype="object"), "v": pd.Series(dtype="object")}
+
+    def init(t: pa.Table) -> pd.DataFrame:
+        a = _flat(t["uri_a"]).to_pylist()
+        b = _flat(t["uri_b"]).to_pylist()
+        # self-loops keep every node present through to the fixpoint
+        df = pd.DataFrame({"u": a + b, "v": b + a})
+        df = pd.concat([df, pd.DataFrame({"u": a + b, "v": a + b})],
+                       ignore_index=True)
+        return _bucketize(df.drop_duplicates())
+
+    def mirror(df: pd.DataFrame) -> pd.DataFrame:
+        # large-star groups every node with ALL its neighbors, so the
+        # oriented (bigger → smaller) state must be re-mirrored map-side
+        # each round (the reverse edge belongs to the OTHER endpoint's
+        # bucket, so this cannot happen inside the reducer)
+        both = pd.concat(
+            [df[["u", "v"]],
+             df[["u", "v"]].rename(columns={"u": "v", "v": "u"})],
+            ignore_index=True).drop_duplicates()
+        return _bucketize(both)
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _bucketize(pd.DataFrame(_EMPTY))
+        m = g.groupby("u", sort=False)["v"].transform("min")
+        m = np.minimum(m.values, g["u"].values)  # min(N(u) ∪ {u})
+        keep = g["v"].values > g["u"].values
+        out = pd.DataFrame({"u": g["v"].values[keep], "v": m[keep]})
+        return _bucketize(out.drop_duplicates())
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _bucketize(pd.DataFrame(_EMPTY))
+        # input is oriented (u ≥ v); every neighbor and u itself link
+        # to the min
+        m = g.groupby("u", sort=False)["v"].transform("min")
+        m = np.minimum(m.values, g["u"].values)
+        out = pd.concat(
+            [pd.DataFrame({"u": g["v"].values, "v": m}),
+             pd.DataFrame({"u": g["u"].values, "v": m})],
+            ignore_index=True)
+        return _bucketize(out.drop_duplicates())
+
+    def signature(ds) -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            total = 0
+            for u, v in zip(df["u"], df["v"]):
+                total += zlib.crc32(("%s\x00%s" % (u, v)).encode())
+            return pd.DataFrame({"h": [total % (1 << 61)]})
+
+        return int(ds.map_batches(h, batch_format="pandas").sum("h") or 0) \
+            % (1 << 61)
+
+    pairs = (edges_ds.map_batches(init, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(lambda g: _bucketize(g[["u", "v"]].drop_duplicates()),
+                         batch_format="pandas")
+             .materialize())
+    prev_sig = signature(pairs)
+    for _ in range(max_rounds):
+        pairs = (pairs.map_batches(mirror, batch_format="pandas")
+                 .groupby("_bucket")
+                 .map_groups(large_star, batch_format="pandas")
+                 .groupby("_bucket")
+                 .map_groups(small_star, batch_format="pandas")
+                 .materialize())
+        sig = signature(pairs)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # fixpoint state: u → component min for every node (self-loop for
+    # the representative itself)
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "label": pd.Series(dtype="object")})
+        lab = g.groupby("u", sort=False)["v"].min()
+        return pd.DataFrame({"node": lab.index.to_numpy(dtype=object),
+                             "label": lab.to_numpy(dtype=object)})
+
+    return (pairs.groupby("_bucket")
+            .map_groups(emit, batch_format="pandas"))
+
+
 def canonical_map(edges_ds, driver_threshold: int = 5_000_000):
     """edges Dataset → {uri: canonical_uri} dict (small path) or a
     (node, label) Dataset (distributed path)."""

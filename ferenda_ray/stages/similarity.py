@@ -137,3 +137,117 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         for rank, r in enumerate(best):
             rows.append((qi, r.vec_id, r.cosine, rank))
     return pd.DataFrame(rows, columns=["query_idx", "vec_id", "cosine", "rank"])
+
+
+def build_ivf_index(ds, out_dir: str, n_centroids: int = 16,
+                    vec_col: str = "embedding", key_col: str = "vec_id",
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """Materialize the IVF index: vectors written as hive-partitioned
+    parquet keyed by nearest-centroid bucket (one directory per
+    bucket) + the centroid matrix beside it. At corpus scale this is
+    what makes IVF an *index*: a query probes ``n_probe`` buckets and
+    the read plans ONLY those directories — the other
+    ``n_centroids - n_probe`` shares of the corpus never leave
+    storage (vs ``knn_ivf``, which re-scans and re-assigns every
+    block per query batch). Partitioned output is also resumable: a
+    failed build re-runs only missing bucket dirs' rows.
+
+    Returns the centroid matrix (also saved to
+    ``out_dir/centroids.npy``)."""
+    import os
+
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids, vec_col=vec_col)
+    import ray
+
+    cent_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(bucket=pd.Series(dtype="int32"))
+        cent = ray.get(cent_ref)
+        vecs = _unit(_as_matrix(df[vec_col]))
+        df = df.copy()
+        df["bucket"] = np.argmax(vecs @ cent.T, axis=1).astype("int32")
+        return df
+
+    os.makedirs(out_dir, exist_ok=True)
+    (ds.map_batches(assign, batch_format="pandas")
+       .write_parquet(out_dir, partition_cols=["bucket"]))
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
+                    n_probe: int = 4, vec_col: str = "embedding",
+                    key_col: str = "vec_id"):
+    """ANN over a materialized IVF index (``build_ivf_index`` output):
+    plan the read over ONLY the probed bucket directories, brute-force
+    within them, per-query masked to its own probe set. Same result
+    contract as ``knn_ivf``."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    needed = sorted({int(b) for row in probe for b in row})
+    dirs = [os.path.join(index_dir, "bucket=%d" % b) for b in needed
+            if os.path.isdir(os.path.join(index_dir, "bucket=%d" % b))]
+    if not dirs:
+        return pd.DataFrame(columns=["query_idx", "vec_id", "cosine",
+                                     "rank"])
+    # one dataset per probed bucket, tagged with its bucket id — only
+    # these directories are ever read
+    parts = []
+    for b, d in zip([b for b in needed
+                     if os.path.isdir(os.path.join(index_dir,
+                                                   "bucket=%d" % b))],
+                    dirs):
+        parts.append(rd.read_parquet(d).add_column(
+            "bucket", lambda df, _b=b: pd.Series([_b] * len(df),
+                                                 dtype="int32")))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_idx": [], "vec_id": [],
+                                 "cosine": []})
+        qm = ray.get(q_ref)
+        pr = ray.get(probe_ref)
+        vecs = _unit(_as_matrix(df[vec_col]))
+        keys = np.asarray(df[key_col])
+        buckets = np.asarray(df["bucket"])
+        out_q, out_key, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(buckets, pr[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ qm[qi]
+            sel_keys = keys[mask]
+            topn = min(k, len(sel_keys))
+            idx = np.argpartition(-sims, topn - 1)[:topn]
+            for i in idx:
+                out_q.append(qi)
+                out_key.append(sel_keys[i])
+                out_sim.append(float(sims[i]))
+        return pd.DataFrame(
+            {"query_idx": out_q, "vec_id": out_key, "cosine": out_sim})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, g in partials.groupby("query_idx"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False),
+            key=lambda r: (-r.cosine, r.vec_id))
+        for rank, r in enumerate(best):
+            rows.append((qi, r.vec_id, r.cosine, rank))
+    return pd.DataFrame(rows,
+                        columns=["query_idx", "vec_id", "cosine", "rank"])

@@ -76,3 +76,42 @@ def test_validate_required_predicates():
     got = set(zip(missing["url"], missing["missing_pred"]))
     assert got == {("http://d/2", "dcterms:title"),
                    ("http://d/2", "dcterms:identifier")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_starcontract_cc_matches_union_find():
+    """large-star/small-star (the giant-component-safe CC) must agree
+    with exact union-find on the corpus sameAs graph — including the
+    200-node giant chain — and on random forests."""
+    import random
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.canonicalize import (
+        connected_components_starcontract,
+    )
+
+    edges = corpus.sameas_edges()
+    ds = rd.from_arrow(pa.table({
+        "uri_a": [a for a, _ in edges],
+        "uri_b": [b for _, b in edges],
+    })).repartition(40)
+    labels = connected_components_starcontract(ds).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == corpus.expected_canonical()
+
+    rng = random.Random(13)
+    edges = []
+    for comp in range(8):
+        nodes = ["m%02d_%03d" % (comp, i) for i in range(20)]
+        rng.shuffle(nodes)
+        for i in range(1, len(nodes)):
+            edges.append((nodes[i], nodes[rng.randrange(i)]))
+    rng.shuffle(edges)
+    ds = rd.from_arrow(pa.table({
+        "uri_a": [a for a, _ in edges],
+        "uri_b": [b for _, b in edges],
+    })).repartition(25)
+    labels = connected_components_starcontract(ds).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == union_find(edges)

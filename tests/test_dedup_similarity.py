@@ -366,3 +366,24 @@ def test_ngram_jaccard_distributed_path(ray_session):
     assert (set(zip(fast["key_a"], fast["key_b"]))
             == set(zip(dist["key_a"], dist["key_b"])))
     assert len(fast) == len(fast.drop_duplicates(key))
+
+
+def test_ivf_indexed_matches_online(vectors, tmp_path):
+    """The materialized IVF index (partitioned parquet + stored
+    centroids, probed buckets pruned at the read) must return exactly
+    what the online knn_ivf returns for the same centroids."""
+    ds, vecs = vectors
+    idx = str(tmp_path / "ivf")
+    cent = similarity.build_ivf_index(ds, idx, n_centroids=8)
+    q = vecs[[7, 42]]
+    online = similarity.knn_ivf(ds, q, k=5, n_probe=4, centroids=cent)
+    indexed = similarity.knn_ivf_indexed(idx, q, k=5, n_probe=4)
+    key = ["query_idx", "rank"]
+    a = online.sort_values(key).reset_index(drop=True)
+    b = indexed.sort_values(key).reset_index(drop=True)
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert np.allclose(a["cosine"], b["cosine"])
+    # the index prunes at the read: only probed bucket dirs exist/read
+    import os
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    assert any(d.startswith("bucket=") for d in os.listdir(idx))
