@@ -63,41 +63,41 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # min-of-N trials: the shared sandbox's many-core throughput
-    # swings ±2-3x minute to minute (BASELINE.md protocol notes);
-    # the minimum is the stable estimator of what the code costs
-    kg_sec = None
+    # min over GRAFT_TRIALS full SWEEPS (not adjacent repeats): the
+    # shared sandbox's many-core throughput swings ±2-3x in windows
+    # that last minutes — back-to-back trials of one query land in the
+    # same window, but whole-sweep repeats are minutes apart, so the
+    # per-query minimum across sweeps actually escapes a bad window
     n_triples = 0
-    for _ in range(TRIALS):
-        t0 = time.time()
+
+    def kg_run():
+        nonlocal n_triples
         n_triples = kg_triples_streaming(
             read_pages(pages_dir),
             pages_slim=read_pages_slim(pages_dir)).count()
-        dt = time.time() - t0
-        kg_sec = dt if kg_sec is None else min(kg_sec, dt)
-    timings["kg_pipeline"] = round(kg_sec, 3)
 
-    def timed(name, fn):
-        best = None
-        for _ in range(TRIALS):
-            t = time.time()
+    SWEEP = [("kg_pipeline", lambda _sf: kg_run()),
+             ("q1_pricing", Q.q1_pricing),
+             ("doc_token_counts", Q.doc_token_counts),
+             ("events_windows", Q.events_windows),
+             ("embed_knn", Q.embed_knn),
+             ("canonicalize_cc", Q.canonicalize_cc),
+             ("minhash_neardup", Q.minhash_neardup),
+             ("revenue_by_nation", Q.revenue_by_nation)]
+
+    for _ in range(TRIALS):
+        for name, fn in SWEEP:
+            t0 = time.time()
             out = fn(SF_DIR)
-            # consume
             if hasattr(out, "count"):
-                out.count()
-            else:
+                out.count()  # consume
+            elif out is not None:
                 len(out)
-            dt = time.time() - t
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            dt = time.time() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 3)
 
-    timed("q1_pricing", Q.q1_pricing)
-    timed("doc_token_counts", Q.doc_token_counts)
-    timed("events_windows", Q.events_windows)
-    timed("embed_knn", Q.embed_knn)
-    timed("canonicalize_cc", Q.canonicalize_cc)
-    timed("minhash_neardup", Q.minhash_neardup)
-    timed("revenue_by_nation", Q.revenue_by_nation)
+    kg_sec = timings["kg_pipeline"]
 
     result = {
         "metric": "kg_pipeline_sec",
