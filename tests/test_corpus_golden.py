@@ -152,5 +152,6 @@ def test_pages_slim_matches_full_synthesis(documents, pages, sf_smoke):
         want = collections.Counter(
             zip(full["url"].to_pylist(), full["warc_ts"].to_pylist()))
         got = collections.Counter(
-            zip(slim_t["url"], slim_t["warc_ts"].dt.to_pydatetime()))
+            zip(slim_t["url"],
+                (ts.to_pydatetime() for ts in slim_t["warc_ts"])))
         assert got == want
