@@ -1372,6 +1372,61 @@ FROM documents
 """
 
 
+def embed_link_entities(sf_dir):
+    """Embedding-linker actor pool (the north-star's "embedding
+    linkers" alongside the fuzzy gazetteer) over planted one-char-
+    deletion variants of the authority labels.
+
+    The variant is pure doc_id arithmetic (entity = doc_id % N_ENT,
+    deleted position = 1 + (doc_id // N_ENT) % (len-2)), so the
+    EXPECTED top-1 link is SQL-recomputable while the query exercises
+    the real trigram-embedding + broadcast-matrix cosine stage end to
+    end: a mislink anywhere hash-fails the oracle.
+    `tests/test_embed_link.py` proves every (entity, position) variant
+    in the space links back to its source, which is what licenses the
+    arithmetic oracle. Pool sized to the cluster like the linker."""
+    import ray
+
+    from ..stages.embed_link import EmbedLinker
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    labels = corpus.ENTITY_LABELS
+
+    def plant(t: pa.Table) -> pa.Table:
+        surfaces = []
+        for did in t["doc_id"].to_pylist():
+            label = labels[did % corpus.N_ENT]
+            p = 1 + (did // corpus.N_ENT) % (len(label) - 2)
+            surfaces.append(label[:p] + label[p + 1:])
+        return t.append_column("surface", pa.array(surfaces, pa.string()))
+
+    entities_ref = ray.put(
+        {lbl: corpus.KB + str(i) for i, lbl in enumerate(labels)})
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return (ds.map_batches(plant, batch_format="pyarrow")
+            .map_batches(EmbedLinker,
+                         fn_constructor_kwargs={"entities": entities_ref},
+                         concurrency=(max(2, ncpu // 4), max(4, ncpu - 2)),
+                         batch_format="pyarrow")
+            .select_columns(["doc_id", "surface", "linked_uri"]))
+
+
+EMBED_LINK_SQL = """
+WITH ents(e, label) AS (VALUES %s),
+d AS (
+  SELECT doc_id, label, e,
+         1 + (doc_id // %d) %% (length(label) - 2) AS p
+  FROM documents JOIN ents ON ents.e = documents.doc_id %% %d
+)
+SELECT doc_id,
+       substr(label, 1, p) || substr(label, p + 2) AS surface,
+       '%s' || e AS linked_uri
+FROM d
+""" % (", ".join("(%d, '%s')" % (i, l)
+                 for i, l in enumerate(corpus.ENTITY_LABELS)),
+       corpus.N_ENT, corpus.N_ENT, corpus.KB)
+
+
 def toc_pages_kg(sf_dir):
     """TOC pages (per-letter doc lists, sorted by titlesortkey) over
     the pivoted facet table of the flagship triples — exploded to one
@@ -1854,6 +1909,7 @@ QUERIES = {
     # embed_knn carries the SQL oracle; recall bound in pytest)
     "embed_knn_ivf": (embed_knn_ivf, None),
     "langid_docs": (langid_docs, LANGID_SQL),
+    "embed_link_entities": (embed_link_entities, EMBED_LINK_SQL),
 }
 
 
