@@ -58,6 +58,11 @@ class RepoProfile:
     patches: Mapping[str, Mapping[str, str]] = field(default_factory=dict)
     checkpoint_dir: str | None = None
     linker_concurrency: tuple | None = None
+    # embedding-linker fallback (stages/embed_link) for candidate
+    # surfaces the fuzzy gazetteer misses. None = off (default: the
+    # flagship output is byte-identical with or without this field).
+    embed_entities: Mapping[str, str] | None = None
+    embed_threshold: float = 0.55
 
 
 def kg_pipeline_profiled(pages, profile: RepoProfile = RepoProfile(),
@@ -110,6 +115,10 @@ def kg_pipeline_profiled(pages, profile: RepoProfile = RepoProfile(),
     linker_kwargs = {"gazetteer": ray.put(gazetteer)}
     if profile.grammars is not None:
         linker_kwargs["grammars"] = tuple(profile.grammars)
+    if profile.embed_entities is not None:
+        linker_kwargs["embed_entities"] = ray.put(
+            dict(profile.embed_entities))
+        linker_kwargs["embed_threshold"] = profile.embed_threshold
     mentions = sections.map_batches(
         MentionLinker,
         fn_constructor_kwargs=linker_kwargs,

@@ -194,11 +194,14 @@ class MentionLinker:
 
     def __init__(self, gazetteer, rfc_base: str = RFC_BASE,
                  fuzzy_cutoff: float = 0.8, scan_kinds=None,
-                 grammars=None):
+                 grammars=None, embed_entities=None,
+                 embed_threshold: float = 0.55, embed_dim: int = 64):
         import ray
 
         if isinstance(gazetteer, ray.ObjectRef):
             gazetteer = ray.get(gazetteer)
+        if isinstance(embed_entities, ray.ObjectRef):
+            embed_entities = ray.get(embed_entities)
         # grammar registry built ONCE per actor (patterns compile here,
         # never per batch); custom families slot in via the kwarg
         self.grammars = (tuple(grammars) if grammars is not None
@@ -215,6 +218,22 @@ class MentionLinker:
         self.rfc_base = rfc_base
         self.cutoff = fuzzy_cutoff
         self._fuzzy_cache: dict[str, str | None] = {}
+        # optional embedding-linker fallback (north star: actor pools
+        # holding gazetteer tries AND embedding linkers): candidates
+        # the fuzzy pass misses are batch-embedded (one matmul per
+        # batch) against an entity matrix built once per actor. Off by
+        # default — the flagship outputs stay byte-identical.
+        self._embed_mat = None
+        if embed_entities:
+            from .embed_link import trigram_embed
+
+            self._embed_labels = list(embed_entities)
+            self._embed_uris = [embed_entities[l]
+                                for l in self._embed_labels]
+            self._embed_mat = trigram_embed(self._embed_labels, embed_dim)
+            self._embed_dim = embed_dim
+            self._embed_threshold = embed_threshold
+            self._embed_cache: dict[str, str | None] = {}
         # body rows carry the full document text (duplicating section
         # text) — scan only leaf/section rows by default
         self.scan_kinds = scan_kinds or (
@@ -228,7 +247,7 @@ class MentionLinker:
         self._fuzzy_cache[surface] = uri
         return uri
 
-    def _scan_entities(self, text, segments, out):
+    def _scan_entities(self, text, segments, out, pending=None):
         claimed = []
         if self._exact is not None:
             for s, e in segments:
@@ -244,6 +263,28 @@ class MentionLinker:
                 if uri is not None:
                     out.append((m.start(), m.end(), m.group(0),
                                 "entity_fuzzy", uri))
+                elif pending is not None:
+                    pending.append((m.start(), m.end(), m.group(0)))
+
+    def _embed_resolve(self, surfaces):
+        """Batch-resolve surfaces the fuzzy pass missed: ONE
+        vectorized embed + ONE matmul per unique-surface set (results
+        cached per actor). Returns {surface: uri_or_None}."""
+        import numpy as np
+
+        from .embed_link import trigram_embed
+
+        todo = [s for s in set(surfaces) if s not in self._embed_cache]
+        if todo:
+            q = trigram_embed(todo, self._embed_dim)
+            sims = q @ self._embed_mat.T
+            best = sims.argmax(axis=1)
+            score = sims[np.arange(len(todo)), best]
+            for s, b, sc in zip(todo, best, score):
+                self._embed_cache[s] = (self._embed_uris[int(b)]
+                                        if sc >= self._embed_threshold
+                                        else None)
+        return {s: self._embed_cache[s] for s in surfaces}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {c: [] for c in MENTION_COLS}
@@ -251,12 +292,17 @@ class MentionLinker:
         urls = batch["url"].to_pylist()
         uris = batch["section_uri"].to_pylist()
         texts = batch["text"].to_pylist()
+        deferred = []  # (url, sec_uri, start, end, surface)
         for kind, url, sec_uri, text in zip(kinds, urls, uris, texts):
             if kind not in self.scan_kinds or not text:
                 continue
             matches, segments = scan_citations(text, url, self.rfc_base,
                                                grammars=self.grammars)
-            self._scan_entities(text, segments, matches)
+            pending = [] if self._embed_mat is not None else None
+            self._scan_entities(text, segments, matches, pending)
+            if pending:
+                deferred.extend((url, sec_uri, ms, me, sf)
+                                for ms, me, sf in pending)
             matches.sort()
             for ms, me, surface, mkind, linked in matches:
                 cols["url"].append(url)
@@ -269,6 +315,20 @@ class MentionLinker:
                 cols["predicate"].append(
                     "dcterms:subject" if mkind.startswith("entity")
                     else "dcterms:references")
+        if deferred:
+            resolved = self._embed_resolve([d[4] for d in deferred])
+            for url, sec_uri, ms, me, surface in deferred:
+                uri = resolved[surface]
+                if uri is None:
+                    continue
+                cols["url"].append(url)
+                cols["section_uri"].append(sec_uri)
+                cols["surface"].append(surface)
+                cols["start"].append(ms)
+                cols["end"].append(me)
+                cols["kind"].append("entity_embed")
+                cols["linked_uri"].append(uri)
+                cols["predicate"].append("dcterms:subject")
         return pa.table({
             "url": pa.array(cols["url"], pa.string()),
             "section_uri": pa.array(cols["section_uri"], pa.string()),

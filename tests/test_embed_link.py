@@ -42,6 +42,39 @@ def test_every_deletion_variant_links_to_source():
             assert sims[0, sims.argmax()] >= 0.5
 
 
+def test_mention_linker_embed_fallback():
+    # a word-swapped surface the fuzzy pass (difflib cutoff 0.8)
+    # misses gets linked by the embedding fallback; default-off keeps
+    # the output unchanged
+    from ferenda_ray.stages.mentions import MentionLinker
+
+    entities = {l: corpus.KB + str(i)
+                for i, l in enumerate(corpus.ENTITY_LABELS)}
+    batch = pa.table({
+        "kind": pa.array(["section"], pa.string()),
+        "url": pa.array(["https://x.example.org/d1"], pa.string()),
+        "section_uri": pa.array(["https://x.example.org/d1#S1"],
+                                pa.string()),
+        "text": pa.array(["An engine called Spark Apache is fast."],
+                         pa.string()),
+    })
+    gaz = {"Columnar Store": corpus.KB + "99"}
+    plain = MentionLinker(gaz)(batch)
+    assert "entity_embed" not in plain["kind"].to_pylist()
+
+    linked = MentionLinker(gaz, embed_entities=entities)(batch)
+    rows = linked.to_pylist()
+    embed_rows = [r for r in rows if r["kind"] == "entity_embed"]
+    assert len(embed_rows) == 1
+    r = embed_rows[0]
+    assert r["surface"] == "Spark Apache"
+    assert r["linked_uri"] == corpus.KB + "0"      # -> Apache Spark
+    assert r["predicate"] == "dcterms:subject"
+    # all non-embed rows are identical to the default-off output
+    others = [tuple(r.values()) for r in rows if r["kind"] != "entity_embed"]
+    assert others == [tuple(r.values()) for r in plain.to_pylist()]
+
+
 def test_embed_linker_actor_contract():
     entities = {l: corpus.KB + str(i)
                 for i, l in enumerate(corpus.ENTITY_LABELS)}

@@ -68,3 +68,35 @@ def test_custom_profile_changes_behavior_without_engine_edits():
     n_docs = res["sections"].to_pandas()
     n_docs = n_docs[n_docs["kind"] == "body"]["url"].nunique()
     assert len(missing_abstract) == n_docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_embed_linker_fallback():
+    # north star: linker actor pools hold gazetteer tries AND
+    # embedding linkers. A word-swapped entity surface ("Spark
+    # Apache") that difflib-fuzzy misses is linked by the
+    # RepoProfile-configured embedding fallback; with the default
+    # profile the surface stays unlinked.
+    entities = {l: corpus.KB + str(i)
+                for i, l in enumerate(corpus.ENTITY_LABELS)}
+
+    def plant(t: pa.Table) -> pa.Table:
+        htmls = [h if isinstance(h, bytes) else h.encode()
+                 for h in t["html"].to_pylist()]
+        htmls = [h.replace(b" project ships",
+                           b" project Spark Apache ships", 1)
+                 for h in htmls]
+        return t.set_column(t.schema.get_field_index("html"), "html",
+                            pa.array(htmls, pa.binary()))
+
+    pages = corpus.pages_dataset(SF).map_batches(plant,
+                                                 batch_format="pyarrow")
+    base = kg_pipeline_profiled(pages)["mentions"].to_pandas()
+    assert (base["surface"] == "Spark Apache").sum() == 0
+
+    prof = RepoProfile(embed_entities=entities)
+    ment = kg_pipeline_profiled(pages, prof)["mentions"].to_pandas()
+    hits = ment[ment["kind"] == "entity_embed"]
+    assert len(hits) >= 1
+    assert (hits["surface"] == "Spark Apache").all()
+    assert (hits["linked_uri"] == corpus.KB + "0").all()
