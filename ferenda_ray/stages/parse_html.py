@@ -138,12 +138,13 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000, slim=None):
     if slim is None:
         slim = pages.select_columns(["url", "warc_ts"])
 
-    _AGG_COLS = {"url": "object", "n": "int64", "max_ts": "datetime64[us]",
-                 "n_at_max": "int64"}
-
-    def _empty_agg() -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series(dtype=t)
-                             for c, t in _AGG_COLS.items()})
+    # merge emits Arrow with ONE explicit schema (empty groups
+    # included): pandas 0-row object columns trip Ray's block size
+    # estimator ("cannot call `vectorize` on size 0 inputs") and
+    # mixed pandas/Arrow blocks draw RefBundle schema warnings
+    _AGG_SCHEMA = pa.schema([("url", pa.string()), ("n", pa.int64()),
+                             ("max_ts", pa.timestamp("us")),
+                             ("n_at_max", pa.int64())])
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
@@ -166,9 +167,9 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000, slim=None):
         out["_b"] = (h % 64).astype("int32")
         return out
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
-            return _empty_agg()
+            return _AGG_SCHEMA.empty_table()
         gg = g.groupby("url", sort=False)
         n = gg["n"].sum()
         mx = gg["max_ts"].max()
@@ -180,7 +181,10 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000, slim=None):
                             "max_ts": mx.to_numpy(),
                             "n_at_max": nam.to_numpy()})
         out = out[out["n"] > 1]
-        return out if len(out) else _empty_agg()
+        if not len(out):
+            return _AGG_SCHEMA.empty_table()
+        return pa.Table.from_pandas(out, schema=_AGG_SCHEMA,
+                                    preserve_index=False)
 
     agg = (slim.map_batches(partial, batch_format="pyarrow")
            .groupby("_b")
