@@ -333,15 +333,20 @@ def remap_triples(triples_ds, canon_map):
 
     ref = canon_map if isinstance(canon_map, ray.ObjectRef) else ray.put(canon_map)
 
-    def remap(df: pd.DataFrame) -> pd.DataFrame:
+    from ..schemas import TRIPLES
+
+    def remap(df: pd.DataFrame) -> pa.Table:
         canon = ray.get(ref)
-        if not canon:
-            return df
-        df["subj"] = df["subj"].map(canon).fillna(df["subj"])
-        is_uri = ~df["obj_is_literal"]
-        mapped = df.loc[is_uri, "obj"].map(canon)
-        df.loc[is_uri, "obj"] = mapped.fillna(df.loc[is_uri, "obj"])
-        return df
+        if canon:
+            df["subj"] = df["subj"].map(canon).fillna(df["subj"])
+            is_uri = ~df["obj_is_literal"]
+            mapped = df.loc[is_uri, "obj"].map(canon)
+            df.loc[is_uri, "obj"] = mapped.fillna(df.loc[is_uri, "obj"])
+        # Arrow out with the declared schema: this stage is unioned with
+        # from_arrow datasets, and mixed pandas/Arrow blocks draw
+        # RefBundle schema warnings downstream
+        return pa.Table.from_pandas(df, schema=TRIPLES,
+                                    preserve_index=False)
 
     return triples_ds.map_batches(remap, batch_format="pandas")
 
