@@ -279,20 +279,24 @@ def verify_jaccard(pairs_ds, docs_ds, text_col: str = "text",
         pairs_df = pairs_df.drop_duplicates(subset=["key_a", "key_b"])
         keys_ref = ray.put(set(pairs_df["key_a"]) | set(pairs_df["key_b"]))
 
-        def collect(df: pd.DataFrame) -> pd.DataFrame:
+        def collect(df: pd.DataFrame) -> pa.Table:
+            # Arrow list<uint64> out: pandas object columns of ndarrays
+            # get ragged-tensor-typed on non-empty batches but stay
+            # object on empty ones — mixed block schemas that trip
+            # Ray's consistency check and its size estimator
             needed = ray.get(keys_ref)
             sel = df[df[key_col].isin(needed)]
-            return pd.DataFrame({
-                "key": sel[key_col],
-                # explicit object dtype: an empty list would type as
-                # float64 and trip Ray's block-schema consistency check
-                "sh": pd.Series(
+            return pa.table({
+                "key": pa.array(sel[key_col].to_numpy(dtype="int64"),
+                                pa.int64()),
+                "sh": pa.array(
                     [np.unique(shingle_hashes(t or "", shingle_k))
-                     for t in sel[text_col]], dtype=object,
-                    index=sel.index)})
+                     for t in sel[text_col]],
+                    pa.list_(pa.uint64()))})
 
         sh_df = docs_ds.map_batches(collect, batch_format="pandas").to_pandas()
-        sh = dict(zip(sh_df["key"], sh_df["sh"]))
+        sh = {k: np.asarray(v, dtype=np.uint64)
+              for k, v in zip(sh_df["key"], sh_df["sh"])}
         empty = np.empty(0, dtype=np.uint64)
         out = []
         for a, b in zip(pairs_df["key_a"], pairs_df["key_b"]):
