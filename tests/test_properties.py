@@ -87,3 +87,58 @@ def test_extract_text_never_raises(b):
     # must be total)
     out = extract_text(b"<html><body>" + b + b"</body></html>")
     assert isinstance(out, str)
+
+
+# --- dedup / CC primitives (pure functions, no Ray) -------------------
+
+WORD = st.sampled_from(["alpha", "beta", "gamma", "delta-4", "ε", "rfc"])
+
+
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                max_size=50))
+@settings(deadline=None)
+def test_union_find_representative_is_component_min(pairs):
+    from ferenda_ray.stages.canonicalize import union_find
+
+    edges = [("n%02d" % a, "n%02d" % b) for a, b in pairs]
+    canon = union_find(edges)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n in adj:
+        seen, stack = {n}, [n]
+        while stack:
+            for y in adj[stack.pop()]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert canon[n] == min(seen)
+
+
+@given(st.lists(WORD, max_size=25), st.randoms(use_true_random=False))
+@settings(deadline=None)
+def test_simhash_word_permutation_invariant_and_int64(words, rnd):
+    from ferenda_ray.stages.dedup import simhash63
+
+    h = simhash63(" ".join(words))
+    assert 0 <= h < 2 ** 63  # fits signed int64 (Arrow round-trip)
+    shuffled = list(words)
+    rnd.shuffle(shuffled)
+    assert simhash63(" ".join(shuffled)) == h
+
+
+@given(st.lists(WORD, max_size=30), st.lists(WORD, max_size=30))
+@settings(deadline=None)
+def test_minhash_signature_of_union_is_elementwise_min(wa, wb):
+    # the defining MinHash property: sig(A ∪ B) == min(sig(A), sig(B))
+    # elementwise — banding/LSH correctness rests on exactly this
+    import numpy as np
+
+    from ferenda_ray.stages.dedup import minhash_signature, shingle_hashes
+
+    sa = shingle_hashes(" ".join(wa))
+    sb = shingle_hashes(" ".join(wb))
+    union = np.union1d(sa, sb).astype(np.uint64)
+    expect = np.minimum(minhash_signature(sa), minhash_signature(sb))
+    assert (minhash_signature(union) == expect).all()
