@@ -142,3 +142,23 @@ def test_minhash_signature_of_union_is_elementwise_min(wa, wb):
     union = np.union1d(sa, sb).astype(np.uint64)
     expect = np.minimum(minhash_signature(sa), minhash_signature(sb))
     assert (minhash_signature(union) == expect).all()
+
+
+@given(TEXT)
+@settings(deadline=None)
+def test_sectionize_text_total_and_faithful(s):
+    # the RFC-text FSM instance is total: never raises, every section
+    # row carries the document url, and all emitted section text is
+    # made of lines present in the input (no invented content)
+    from ferenda_ray.stages.textparse import sectionize_text
+
+    rows = sectionize_text(s, "https://t.example.org/d")
+    # paragraph reflow joins lines and C0 control chars become
+    # spaces, so faithfulness is token-level: every output token
+    # exists verbatim in the (sanitized) input
+    tokens = set(re.sub(r"[\x00-\x1f\x7f]", " ", s).split())
+    tokens |= set(s.split())
+    for r in rows:
+        assert r["url"] == "https://t.example.org/d"
+        for tok in str(r.get("text") or "").split():
+            assert tok in tokens
