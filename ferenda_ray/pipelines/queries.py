@@ -375,6 +375,50 @@ GROUP BY source ORDER BY n DESC, source ASC LIMIT 10
 """
 
 
+def top_docs_per_source(sf_dir, k: int = 3):
+    """Per-source top-k curation: keep the k longest (by token count)
+    documents of every source — the best-k-per-domain selection step
+    of a training-data pipeline. Scale shape: per-BATCH partial top-k
+    per source (local combiner — at most k rows per (batch, source)
+    reach the exchange, never the corpus), then a per-source merge
+    top-k. Deterministic: ties break on doc_id ascending."""
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def partial_topk(t: pa.Table) -> pd.DataFrame:
+        t = text_analysis.token_counts(t)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(),
+            "source": t["source"].to_pylist(),
+            "n_tokens": t["ws_tokens"].to_numpy(),
+        })
+        df = df.sort_values(["source", "n_tokens", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return g[["doc_id", "source", "n_tokens", "rank"]]
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("source").map_groups(merge_topk, batch_format="pandas"))
+
+
+TOP_DOCS_PER_SOURCE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents)
+SELECT doc_id, source, n_tokens, rank FROM (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS rank
+  FROM t) WHERE rank <= 3
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -1866,6 +1910,7 @@ QUERIES = {
     "toc_firstletter": (toc_firstletter, TOC_SQL),
     "meta_triples_docs": (meta_triples_docs, META_TRIPLES_SQL),
     "top_sources": (top_sources, TOP_SOURCES_SQL),
+    "top_docs_per_source": (top_docs_per_source, TOP_DOCS_PER_SOURCE_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
