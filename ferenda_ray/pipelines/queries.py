@@ -419,6 +419,43 @@ SELECT doc_id, source, n_tokens, rank FROM (
 """
 
 
+def sample_per_source(sf_dir, n: int = 5):
+    """Deterministic stratified sample: n docs per source, chosen by
+    md5(doc_id) order — seedless and stable across runs, engines and
+    partitionings (no PRNG state to ship to workers). Same scale
+    shape as top_docs_per_source: per-batch partial selection keeps
+    only n rows per (batch, source) ahead of the exchange."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial_pick(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        df = pd.DataFrame({
+            "doc_id": ids,
+            "source": t["source"].to_pylist(),
+            "h": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+        })
+        df = df.sort_values(["source", "h"], kind="mergesort")
+        return df.groupby("source", sort=False).head(n)
+
+    def merge_pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("h", kind="mergesort").head(n)
+        return g[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    return (ds.map_batches(partial_pick, batch_format="pyarrow")
+            .groupby("source").map_groups(merge_pick, batch_format="pandas"))
+
+
+SAMPLE_PER_SOURCE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS r
+  FROM documents) WHERE r <= 5
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -1911,6 +1948,7 @@ QUERIES = {
     "meta_triples_docs": (meta_triples_docs, META_TRIPLES_SQL),
     "top_sources": (top_sources, TOP_SOURCES_SQL),
     "top_docs_per_source": (top_docs_per_source, TOP_DOCS_PER_SOURCE_SQL),
+    "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
