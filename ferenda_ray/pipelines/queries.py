@@ -456,6 +456,64 @@ SELECT doc_id, source FROM (
 """
 
 
+def source_token_quantiles(sf_dir):
+    """EXACT per-source token-count quantiles (p50/p90) without ever
+    shuffling raw per-doc values: token counts have a bounded small
+    domain, so a per-batch (source, value) -> count histogram is a
+    lossless combiner; the exchange moves histograms, the merge sums
+    them and reads the quantile off the cumulative counts. Quantile
+    convention pinned to integer arithmetic on BOTH sides (0-based
+    index q*(n-1) computed as (9*(n-1))//10 etc. — no float floor at
+    engine boundaries)."""
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial_hist(t: pa.Table) -> pd.DataFrame:
+        t = text_analysis.token_counts(t)
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "v": t["ws_tokens"].to_numpy()})
+        g = df.groupby(["source", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def merge_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g.groupby("v", as_index=False)["cnt"].sum()
+             .sort_values("v", kind="mergesort"))
+        counts = h["cnt"].to_numpy()
+        values = h["v"].to_numpy()
+        cum = counts.cumsum()
+        n = int(cum[-1])
+
+        def pick(idx0):
+            return int(values[int((cum > idx0).argmax())])
+
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": [n],
+            "p50_tokens": [pick((n - 1) // 2)],
+            "p90_tokens": [pick((9 * (n - 1)) // 10)],
+        })
+
+    return (ds.map_batches(partial_hist, batch_format="pyarrow")
+            .groupby("source").map_groups(merge_quantiles,
+                                          batch_format="pandas"))
+
+
+SOURCE_QUANTILES_SQL = """
+WITH t AS (
+  SELECT source, len(regexp_extract_all(text, '\\S+')) AS v
+  FROM documents),
+r AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t)
+SELECT source, max(n) AS n_docs,
+       max(CASE WHEN rn = 1 + (n - 1) // 2 THEN v END) AS p50_tokens,
+       max(CASE WHEN rn = 1 + (9 * (n - 1)) // 10 THEN v END) AS p90_tokens
+FROM r GROUP BY source
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -1949,6 +2007,7 @@ QUERIES = {
     "top_sources": (top_sources, TOP_SOURCES_SQL),
     "top_docs_per_source": (top_docs_per_source, TOP_DOCS_PER_SOURCE_SQL),
     "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
+    "source_token_quantiles": (source_token_quantiles, SOURCE_QUANTILES_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
