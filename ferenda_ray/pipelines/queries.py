@@ -514,6 +514,58 @@ FROM r GROUP BY source
 """
 
 
+def cross_source_contamination(sf_dir):
+    """Benchmark-contamination / cross-split-leakage detector: every
+    document whose exact text also appears under a DIFFERENT source.
+    The raw table has no cross-source duplicates, so (planted-oracle
+    convention, cf. simhash_planted_recall) the query clones
+    doc_id % 7 == 0 into a synthetic 'heldout' source and the detector
+    must recover exactly the planted originals + clones. Scale shape:
+    map-side md5 fingerprint, fingerprints hash-bucketed (64 groups,
+    never one Ray group per fingerprint), per-bucket nunique(source)
+    filter — only (fp, doc_id, source) triples reach the exchange,
+    never text."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def plant_and_fp(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        oi, osrc, otxt = list(ids), list(srcs), list(texts)
+        for i, txt in zip(ids, texts):
+            if i % 7 == 0:
+                oi.append(i + CLONE_OFFSET)
+                osrc.append("heldout")
+                otxt.append(txt)
+        fps = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+               for x in otxt]
+        df = pd.DataFrame({"fp": fps, "doc_id": oi, "source": osrc})
+        df["_b"] = (pd.util.hash_pandas_object(df["fp"], index=False)
+                    % 64).astype("int32")
+        return df
+
+    def leaked(g: pd.DataFrame) -> pd.DataFrame:
+        ns = g.groupby("fp")["source"].transform("nunique")
+        out = g.loc[ns > 1, ["doc_id", "source"]]
+        if not len(out):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype="object")})
+        return out.astype({"doc_id": "int64"})
+
+    return (ds.map_batches(plant_and_fp, batch_format="pyarrow")
+            .groupby("_b").map_groups(leaked, batch_format="pandas"))
+
+
+CONTAMINATION_SQL = """
+SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, 'heldout' AS source
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -2008,6 +2060,8 @@ QUERIES = {
     "top_docs_per_source": (top_docs_per_source, TOP_DOCS_PER_SOURCE_SQL),
     "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
     "source_token_quantiles": (source_token_quantiles, SOURCE_QUANTILES_SQL),
+    "cross_source_contamination": (cross_source_contamination,
+                                   CONTAMINATION_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
