@@ -566,6 +566,81 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+HLL_P = 8  # 256 registers; HLL σ ≈ 1.04/√256 ≈ 6.5 %
+
+
+def _hll_rank_cols(ids):
+    """ids → parallel (bucket, rank) lists. Hash = first 15 hex chars
+    of md5(str(id)) parsed as a 60-bit integer — an avalanche hash
+    BOTH engines share exactly (DuckDB: CAST('0x'||substr(md5(..),
+    1,15) AS BIGINT) — verified bit-identical to hashlib). Low
+    HLL_P bits bucket; rank = leading-zero count + 1 in the remaining
+    52-bit window."""
+    import hashlib
+
+    buckets, ranks = [], []
+    w = 60 - HLL_P
+    for u in ids:
+        h = int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+        rem = h >> HLL_P
+        buckets.append(h % (1 << HLL_P))
+        ranks.append(w - rem.bit_length() + 1 if rem else w + 1)
+    return buckets, ranks
+
+
+def hll_estimate(registers: dict, p: int = HLL_P) -> float:
+    """Standard HyperLogLog estimator (Flajolet et al. '07) with the
+    small-range linear-counting correction; absent buckets count as
+    rank 0."""
+    import math
+
+    m = 1 << p
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if b not in registers)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return e
+
+
+def hll_user_registers(sf_dir):
+    """Mergeable distinct-count sketch (HyperLogLog register state)
+    over events.user_id. Scale shape: each batch reduces to ≤256
+    (bucket, max_rank) ints — the exchange moves registers, never
+    ids, and registers merge by max (associative/commutative, so any
+    partial aggregation tree is exact). The register state is pure
+    integer arithmetic over a hash both engines share, so the SQL
+    oracle recomputes it EXACTLY; the float estimator on top is unit
+    tested separately (test_hll: accuracy bound + merge law)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b, r = _hll_rank_cols(pd.unique(df["user_id"]))  # hash once/id
+        out = pd.DataFrame({"bucket": pd.Series(b, dtype="int64"),
+                            "max_rank": pd.Series(r, dtype="int64")})
+        return out.groupby("bucket", as_index=False)["max_rank"].max()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False)["max_rank"].max()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket").map_groups(merge, batch_format="pandas"))
+
+
+HLL_REGISTERS_SQL = """
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events),
+r AS (SELECT hv % 256 AS bucket, hv // 256 AS rem FROM h)
+SELECT bucket,
+       max(CASE WHEN rem = 0 THEN 53
+                ELSE 52 - length(printf('%b', rem)) + 1 END) AS max_rank
+FROM r GROUP BY bucket
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -2062,6 +2137,7 @@ QUERIES = {
     "source_token_quantiles": (source_token_quantiles, SOURCE_QUANTILES_SQL),
     "cross_source_contamination": (cross_source_contamination,
                                    CONTAMINATION_SQL),
+    "hll_user_registers": (hll_user_registers, HLL_REGISTERS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
