@@ -641,6 +641,69 @@ FROM r GROUP BY bucket
 """
 
 
+CM_DEPTH = 4   # independent hash rows
+CM_WIDTH = 64  # counters per row; ε ≈ e/64, δ ≈ e^-4
+
+
+def _cm_col(row: int, key) -> int:
+    """Column index of ``key`` in hash row ``row`` — md5 over
+    'row:key', same 60-bit parse the HLL sketch uses, shared
+    bit-exactly with the SQL oracle."""
+    import hashlib
+
+    h = hashlib.md5(("%d:%d" % (row, int(key))).encode()).hexdigest()
+    return int(h[:15], 16) % CM_WIDTH
+
+
+def cm_point_estimate(cells: dict, key) -> int:
+    """Count-Min point query: min over rows of the key's cell (absent
+    cell = 0). Never underestimates the true count."""
+    return min(cells.get((r, _cm_col(r, key)), 0) for r in range(CM_DEPTH))
+
+
+def cm_user_counts(sf_dir):
+    """Mergeable frequency sketch (Count-Min, Cormode & Muthukrishnan
+    '05) of per-user event counts. Scale shape: each batch reduces to
+    ≤ CM_DEPTH·CM_WIDTH (row, col, count) cells — counters merge by
+    SUM (associative/commutative), so the exchange moves a fixed-size
+    sketch regardless of input size. Cell state is exact integer
+    counting over the shared md5-derived column hash, so the SQL
+    oracle recomputes every cell EXACTLY; the point-query estimator's
+    one-sided error guarantee is unit tested (test_cm_sketch)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()  # count once per unique id
+        rows, cols, cnts = [], [], []
+        for u, n in vc.items():
+            for r in range(CM_DEPTH):
+                rows.append(r)
+                cols.append(_cm_col(r, u))
+                cnts.append(int(n))
+        out = pd.DataFrame({"row_id": pd.Series(rows, dtype="int64"),
+                            "col_id": pd.Series(cols, dtype="int64"),
+                            "cnt": pd.Series(cnts, dtype="int64")})
+        return out.groupby(["row_id", "col_id"], as_index=False)["cnt"].sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["row_id", "col_id"], as_index=False)["cnt"].sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("row_id").map_groups(merge, batch_format="pandas"))
+
+
+CM_COUNTS_SQL = """
+WITH g AS (
+  SELECT r.row_id,
+         CAST(concat('0x', substr(md5(concat(r.row_id, ':',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS col_id
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS row_id) r)
+SELECT row_id, col_id, count(*) AS cnt
+FROM g GROUP BY row_id, col_id
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -2138,6 +2201,7 @@ QUERIES = {
     "cross_source_contamination": (cross_source_contamination,
                                    CONTAMINATION_SQL),
     "hll_user_registers": (hll_user_registers, HLL_REGISTERS_SQL),
+    "cm_user_counts": (cm_user_counts, CM_COUNTS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),

@@ -46,3 +46,47 @@ def test_hll_rank_window():
     _, ranks = _hll_rank_cols(range(5_000))
     w = 60 - HLL_P
     assert min(ranks) >= 1 and max(ranks) <= w + 1
+
+
+# --- Count-Min sketch (same sketch family, counters merge by sum) ----
+
+from collections import Counter
+
+from ferenda_ray.pipelines.queries import (
+    CM_DEPTH,
+    CM_WIDTH,
+    _cm_col,
+    cm_point_estimate,
+)
+
+
+def _cm_cells(stream):
+    cells: dict = {}
+    for u, n in Counter(stream).items():
+        for r in range(CM_DEPTH):
+            k = (r, _cm_col(r, u))
+            cells[k] = cells.get(k, 0) + n
+    return cells
+
+
+def test_cm_never_underestimates():
+    # zipf-ish stream: user u appears 1 + 1000 // (u + 1) times
+    stream = [u for u in range(200) for _ in range(1 + 1000 // (u + 1))]
+    cells = _cm_cells(stream)
+    truth = Counter(stream)
+    total = len(stream)
+    for u, n in truth.items():
+        est = cm_point_estimate(cells, u)
+        assert est >= n  # one-sided guarantee
+        # ε·N overflow bound with ε = e/width (loose, deterministic)
+        assert est <= n + 3 * total / CM_WIDTH
+
+
+def test_cm_cells_merge_by_sum():
+    s1 = [u for u in range(100) for _ in range(3)]
+    s2 = [u for u in range(50, 150) for _ in range(2)]
+    whole = _cm_cells(s1 + s2)
+    merged: dict = dict(_cm_cells(s1))
+    for k, v in _cm_cells(s2).items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
