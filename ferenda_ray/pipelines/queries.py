@@ -704,6 +704,25 @@ FROM g GROUP BY row_id, col_id
 """
 
 
+def name_edit1_pairs(sf_dir):
+    """Edit-distance-1 similarity self-join over customer names —
+    EXACT, via FastSS deletion-neighborhood signatures
+    (stages/dedup.edit1_join_pairs): map-side signature explode,
+    signature-hash-bucketed candidate grouping, O(len) verify, pair
+    dedup exchange. Oracle = brute-force levenshtein self-join."""
+    from ..stages.dedup import edit1_join_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return edit1_join_pairs(ds, text_col="c_name", key_col="c_custkey")
+
+
+NAME_EDIT1_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -2202,6 +2221,7 @@ QUERIES = {
                                    CONTAMINATION_SQL),
     "hll_user_registers": (hll_user_registers, HLL_REGISTERS_SQL),
     "cm_user_counts": (cm_user_counts, CM_COUNTS_SQL),
+    "name_edit1_pairs": (name_edit1_pairs, NAME_EDIT1_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),

@@ -387,3 +387,50 @@ def test_ivf_indexed_matches_online(vectors, tmp_path):
     import os
     assert os.path.exists(os.path.join(idx, "centroids.npy"))
     assert any(d.startswith("bucket=") for d in os.listdir(idx))
+
+
+def test_ed_le1_predicate_exhaustive():
+    # O(len) predicate == DP Levenshtein <= 1 for ALL string pairs up
+    # to length 3 over a 2-letter alphabet (1296 pairs)
+    import itertools
+
+    from ferenda_ray.stages.dedup import _ed_le1
+
+    def dp(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb] <= 1
+
+    strs = ["".join(t) for n in range(4)
+            for t in itertools.product("ab", repeat=n)]
+    for a in strs:
+        for b in strs:
+            assert _ed_le1(a, b) == dp(a, b), (a, b)
+
+
+def test_edit1_join_matches_brute_force(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import _ed_le1, edit1_join_pairs
+
+    names = (["item-%03d" % i for i in range(40)]        # digit edits
+             + ["item-0%02d" % i for i in range(0, 40, 7)]  # len-8 vs 8
+             + ["widget", "widgets", "gadget", "gidget", "midget"])
+    df = pd.DataFrame({"key": range(len(names)), "name": names})
+    got = (edit1_join_pairs(rd.from_pandas(df), text_col="name",
+                            key_col="key")
+           .to_pandas().sort_values(["key_a", "key_b"])
+           .reset_index(drop=True))
+    expect = sorted(
+        (a, b) for (a, na), (b, nb) in
+        itertools.combinations(zip(df["key"], df["name"]), 2)
+        if _ed_le1(na, nb))
+    assert list(zip(got["key_a"], got["key_b"])) == expect
+    assert len(expect) > 50  # the planted set is non-trivial
