@@ -723,6 +723,76 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def doc_tfidf_terms(sf_dir, k: int = 3):
+    """Per-document top-k TF-IDF keyword extraction in two linear
+    passes: (1) document frequencies — per-batch (term, n-docs-
+    containing) partials merged in ONE vocabulary-sized groupby and
+    broadcast via ray.put (vocabulary << corpus; each doc is one row,
+    so batch-local distinct-doc counts sum globally with no dedup
+    exchange); (2) map-side tf + top-k — entirely doc-local, zero
+    shuffle. The score is the integer surrogate (tf*N)//df — exact in
+    any engine, so no float idf crosses the oracle boundary; ties
+    break on term ascending."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        counts: dict = {}
+        for txt in t["text"].to_pylist():
+            for term in set((txt or "").split()):
+                counts[term] = counts.get(term, 0) + 1
+        return pd.DataFrame({
+            "term": pd.Series(list(counts), dtype="object"),
+            "df": pd.Series(list(counts.values()), dtype="int64")})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("term").sum("df").to_pandas())
+    dfm = dict(zip(df_tbl["term"], df_tbl["sum(df)"]))
+    n_docs = int(ds.count())
+    ref = ray.put((dfm, n_docs))
+
+    def topk(t: pa.Table) -> pd.DataFrame:
+        dfm_, n = ray.get(ref)
+        od, ot, os_, orank = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            tf: dict = {}
+            for term in (txt or "").split():
+                tf[term] = tf.get(term, 0) + 1
+            scored = sorted(((-((c * n) // dfm_[term]), term)
+                             for term, c in tf.items()))[:k]
+            for r, (neg, term) in enumerate(scored, 1):
+                od.append(did)
+                ot.append(term)
+                os_.append(-neg)
+                orank.append(r)
+        return pd.DataFrame({
+            "doc_id": pd.Series(od, dtype="int64"),
+            "term": pd.Series(ot, dtype="object"),
+            "score": pd.Series(os_, dtype="int64"),
+            "rank": pd.Series(orank, dtype="int64")})
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+DOC_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+r AS (
+  SELECT tf.doc_id, tf.term, (tf.tf * n.n) // df.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY (tf.tf * n.n) // df.df DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+"""
+
+
 def events_windows(sf_dir):
     """tumbling 1-hour windows per event_type: count + rounded sum."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -2222,6 +2292,7 @@ QUERIES = {
     "hll_user_registers": (hll_user_registers, HLL_REGISTERS_SQL),
     "cm_user_counts": (cm_user_counts, CM_COUNTS_SQL),
     "name_edit1_pairs": (name_edit1_pairs, NAME_EDIT1_SQL),
+    "doc_tfidf_terms": (doc_tfidf_terms, DOC_TFIDF_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
