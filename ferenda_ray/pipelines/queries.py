@@ -2269,6 +2269,155 @@ KG_XHTML_SQL = _kg_xhtml_sql()
 
 
 # ---------------------------------------------------------------------
+# PII scrubbing, duplicated passages, table profiling
+# ---------------------------------------------------------------------
+
+def pii_scan(sf_dir):
+    """PII detection + redaction over documents. The word-salad corpus
+    carries no natural PII, so the query plants emails / NANP phones /
+    SSN-shaped ids / IPv4s by pure doc_id arithmetic (planted-oracle
+    convention, cf. simhash_planted_recall) and then runs the real
+    regex scrubber (stages/pii.py). The SQL oracle re-plants with the
+    identical string arithmetic and re-scans with the IDENTICAL
+    RE2-compatible patterns via regexp_extract_all / regexp_replace —
+    so the check exercises true regex-match and byte-level redaction
+    parity, not just arithmetic. No shuffle anywhere: plant, scan and
+    filter are all fused stateless maps."""
+    from ..stages.pii import pii_scan as scan_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = []
+        for i, txt in zip(ids, texts):
+            s = txt or ""
+            if i % 7 == 0:
+                s += " contact user%d@example.org" % i
+            if i % 5 == 0:
+                s += " call +1 555-%d-%d" % (700 + i % 300,
+                                             1000 + i % 9000)
+            if i % 13 == 0:
+                s += " ssn %d-%d-%d" % (100 + i % 900, 10 + i % 90,
+                                        1000 + i % 9000)
+            if i % 11 == 0:
+                s += " from 10.%d.0.%d" % (i % 256, i % 100)
+            out.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    scanned = (ds.map_batches(plant, batch_format="pyarrow")
+               .map_batches(scan_batch, batch_format="pyarrow"))
+
+    def any_pii(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["n_email"] + df["n_phone"] + df["n_ssn"]
+             + df["n_ipv4"]) > 0
+        return df[m]
+
+    return scanned.map_batches(any_pii, batch_format="pandas")
+
+
+def _pii_sql() -> str:
+    from ..stages.pii import PII_PATTERNS
+
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id"
+        " || '@example.org' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-'"
+        " || (700 + doc_id % 300) || '-' || (1000 + doc_id % 9000)"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' ssn '"
+        " || (100 + doc_id % 900) || '-' || (10 + doc_id % 90) || '-'"
+        " || (1000 + doc_id % 9000) ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.'"
+        " || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END")
+    counts = ",\n       ".join(
+        "len(regexp_extract_all(text, '%s')) AS n_%s"
+        % (pat.replace("'", "''"), name)
+        for name, pat, _ in PII_PATTERNS)
+    clean = "text"
+    for _, pat, token in PII_PATTERNS:
+        clean = "regexp_replace(%s, '%s', '%s', 'g')" % (
+            clean, pat.replace("'", "''"), token)
+    return (
+        "WITH aug AS (SELECT doc_id, %s AS text FROM documents),\n"
+        "scan AS (SELECT doc_id,\n       %s,\n       %s AS clean"
+        " FROM aug)\n"
+        "SELECT * FROM scan"
+        " WHERE n_email + n_phone + n_ssn + n_ipv4 > 0" % (
+            aug, counts, clean))
+
+
+PII_SCAN_SQL = _pii_sql()
+
+
+def dup_passages(sf_dir):
+    """Cross-document duplicated-passage detection (exact word-6-gram
+    document frequency — stages/dedup.duplicated_passages). Beyond the
+    ~1k natural 6-gram collisions the small-vocabulary corpus already
+    contains, a 6-word marker passage is planted on doc_id % 10 == 0
+    so even sf0.001 has a guaranteed high-frequency passage. The SQL
+    oracle recomputes the FULL output (natural + planted + junction
+    grams) from the same augmented text with string_split /
+    generate_series / list slicing."""
+    from ..stages.dedup import duplicated_passages
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [(txt or "")
+               + (" shared passage marker alpha beta gamma"
+                  if i % 10 == 0 else "")
+               for i, txt in zip(ids, texts)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    return duplicated_passages(
+        ds.map_batches(plant, batch_format="pyarrow"), n=6)
+
+
+DUP_PASSAGES_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+                      THEN ' shared passage marker alpha beta gamma'
+                      ELSE '' END AS text
+  FROM documents),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i
+        FROM words),
+grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') AS gram
+          FROM idx)
+SELECT gram, count(*) AS n_docs
+FROM grams GROUP BY gram HAVING count(*) >= 2
+"""
+
+
+def profile_documents(sf_dir):
+    """Column profile of the documents table (stages/profiling.py):
+    n_rows / n_null / exact n_distinct / min / max per column, with
+    native-typed min-max merge and a bucketed distinct-count
+    exchange."""
+    from ..stages.profiling import profile_columns
+
+    return profile_columns(_read(sf_dir, "documents"))
+
+
+PROFILE_DOCS_SQL = "\nUNION ALL\n".join(
+    "SELECT '%(c)s' AS col, count(*) AS n_rows,"
+    " count(*) - count(%(c)s) AS n_null,"
+    " count(DISTINCT %(c)s) AS n_distinct,"
+    " CAST(min(%(c)s) AS VARCHAR) AS min_val,"
+    " CAST(max(%(c)s) AS VARCHAR) AS max_val FROM documents"
+    % {"c": c}
+    for c in ("doc_id", "text", "lang", "source", "n_chars"))
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -2337,6 +2486,9 @@ QUERIES = {
     "embed_knn_ivf": (embed_knn_ivf, None),
     "langid_docs": (langid_docs, LANGID_SQL),
     "embed_link_entities": (embed_link_entities, EMBED_LINK_SQL),
+    "pii_scan": (pii_scan, PII_SCAN_SQL),
+    "dup_passages": (dup_passages, DUP_PASSAGES_SQL),
+    "profile_documents": (profile_documents, PROFILE_DOCS_SQL),
 }
 
 

@@ -739,3 +739,54 @@ def edit1_join_pairs(ds, text_col: str = "name", key_col: str = "key",
              .groupby("_bucket")
              .map_groups(pairs, batch_format="pandas"))
     return _dedup_pairs(found, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------
+# duplicated passages (exact substring dedup at word-n-gram grain)
+# ---------------------------------------------------------------------
+
+def duplicated_passages(ds, n: int = 6, text_col: str = "text",
+                        key_col: str = "doc_id", min_docs: int = 2,
+                        num_buckets: int = 64):
+    """Cross-document exact duplicated-passage detector: every word
+    n-gram that occurs in >= min_docs DISTINCT documents, with its
+    document frequency. The passage-granularity counterpart of
+    ``exact_dedup`` (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 — exact-substring dedup, here at
+    fixed n-gram grain instead of suffix arrays).
+
+    Scale shape: each doc emits its DISTINCT grams once (doc-local
+    combiner — repeats inside a doc never reach the exchange); grams
+    are hash-bucketed into ``num_buckets`` Ray groups (never one group
+    per gram); the per-bucket pandas nunique filter ships only
+    (gram, key) pairs, never full text. At 100 TB you would exchange a
+    64-bit gram hash and re-derive the passage text from one
+    representative doc; the gram string is kept here because it makes
+    the output directly SQL-comparable.
+
+    Tokenization is a single-space split (``text.split(" ")``) —
+    pinned to match SQL ``string_split(text, ' ')`` exactly.
+    """
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        keys_out, grams_out = [], []
+        for k, txt in zip(df[key_col], df[text_col]):
+            words = (txt or "").split(" ")
+            seen = {" ".join(words[i:i + n])
+                    for i in range(len(words) - n + 1)}
+            keys_out.extend([k] * len(seen))
+            grams_out.extend(seen)
+        out = pd.DataFrame({"gram": pd.Series(grams_out, dtype="object"),
+                            "key": pd.Series(keys_out, dtype="int64")})
+        out["_bucket"] = _bucket_of(out["gram"], num_buckets)
+        return out
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("gram", sort=False)["key"].nunique()
+        cnt = cnt[cnt >= min_docs]
+        return pd.DataFrame({"gram": cnt.index.to_numpy(dtype=object),
+                             "n_docs": cnt.to_numpy(dtype="int64")})
+
+    return (ds.map_batches(grams, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(dups, batch_format="pandas"))
