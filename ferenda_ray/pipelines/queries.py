@@ -2407,6 +2407,76 @@ def profile_documents(sf_dir):
     return profile_columns(_read(sf_dir, "documents"))
 
 
+def doc_repetition(sf_dir):
+    """Gopher-style repetition metrics per doc (integer outputs:
+    duplicate 2-/3-gram and top-word counts — stages/text_analysis.
+    repetition_metrics). Pure doc-local map fused with the pruned
+    read; the SQL oracle recomputes every count via string_split +
+    n-gram slicing."""
+    from ..stages.text_analysis import repetition_metrics
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_metrics, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+base AS (SELECT doc_id, len(w) AS n_words FROM words),
+uw AS (SELECT doc_id, unnest(w) AS word FROM words),
+topw AS (SELECT doc_id, max(c) AS top_word FROM (
+           SELECT doc_id, word, count(*) AS c FROM uw
+           GROUP BY doc_id, word) GROUP BY doc_id),
+g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+       FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, len(w) - 1)) AS i
+             FROM words)),
+a2 AS (SELECT doc_id, count(*) AS ngrams_2,
+              count(DISTINCT gram) AS distinct_2
+       FROM g2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+       FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, len(w) - 2)) AS i
+             FROM words)),
+a3 AS (SELECT doc_id, count(*) AS ngrams_3,
+              count(DISTINCT gram) AS distinct_3
+       FROM g3 GROUP BY doc_id)
+SELECT base.doc_id, base.n_words, topw.top_word,
+       coalesce(a2.ngrams_2, 0) AS ngrams_2,
+       coalesce(a2.distinct_2, 0) AS distinct_2,
+       coalesce(a3.ngrams_3, 0) AS ngrams_3,
+       coalesce(a3.distinct_3, 0) AS distinct_3
+FROM base
+JOIN topw USING (doc_id)
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+"""
+
+
+def split_assign(sf_dir):
+    """Deterministic hash-based train/val/test split (80/10/10) over
+    doc_id — stages/transform.hash_split; membership is a pure
+    function of the key (no seed, no state), so resumes and
+    late-arriving shards agree. The oracle recomputes the identical
+    md5-prefix bucket in SQL."""
+    from ..stages.transform import hash_split
+
+    return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+SPLIT_ASSIGN_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+FROM b
+"""
+
+
 PROFILE_DOCS_SQL = "\nUNION ALL\n".join(
     "SELECT '%(c)s' AS col, count(*) AS n_rows,"
     " count(*) - count(%(c)s) AS n_null,"
@@ -2489,6 +2559,8 @@ QUERIES = {
     "pii_scan": (pii_scan, PII_SCAN_SQL),
     "dup_passages": (dup_passages, DUP_PASSAGES_SQL),
     "profile_documents": (profile_documents, PROFILE_DOCS_SQL),
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
 }
 
 

@@ -159,3 +159,35 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return (batch
             .append_column("fp_md5", pa.array(md5s, pa.string()))
             .append_column("fp_roll", pa.array(rolls, pa.int64())))
+
+
+# --- repetition metrics (Gopher-style quality rules) --------------------
+
+def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document duplicate-n-gram statistics — the Gopher repetition
+    filters (Rae et al. 2021, "Scaling Language Models", App. A1.1)
+    with integer outputs so a SQL oracle hashes exactly: word counts,
+    distinct-vs-total 2-/3-gram counts, and the top single-word
+    frequency. The filter thresholds (e.g. drop when
+    1 - distinct_2/ngrams_2 > 0.2) stay caller-side so one scan serves
+    any policy. Doc-local — fuses with the read, never shuffles.
+    Tokenization pinned to single-space split == string_split(text,' ')."""
+    from collections import Counter
+
+    n_words, top_word = [], []
+    tot2, dis2, tot3, dis3 = [], [], [], []
+    for txt in batch[text_col].to_pylist():
+        words = (txt or "").split(" ")
+        n = len(words)
+        n_words.append(n)
+        top_word.append(max(Counter(words).values()))
+        g2 = [" ".join(words[i:i + 2]) for i in range(n - 1)]
+        g3 = [" ".join(words[i:i + 3]) for i in range(n - 2)]
+        tot2.append(len(g2)); dis2.append(len(set(g2)))
+        tot3.append(len(g3)); dis3.append(len(set(g3)))
+    out = batch.drop_columns([text_col])
+    for name, vals in (("n_words", n_words), ("top_word", top_word),
+                       ("ngrams_2", tot2), ("distinct_2", dis2),
+                       ("ngrams_3", tot3), ("distinct_3", dis3)):
+        out = out.append_column(name, pa.array(vals, pa.int64()))
+    return out

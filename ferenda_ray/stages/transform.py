@@ -172,3 +172,30 @@ def deserialize_sections(json_ds):
         return pd.DataFrame({c: [r.get(c) for r in out] for c in cols})
 
     return json_ds.map_batches(from_json, batch_format="pandas")
+
+
+def hash_split(ds, key_col: str = "doc_id",
+               bounds=(("train", 80), ("val", 90), ("test", 100))):
+    """Deterministic train/val/test assignment: md5(key) -> bucket in
+    [0, 100); the first bound whose threshold exceeds the bucket wins.
+    Pure map (no shuffle, no seed state) — membership is a property of
+    the key alone, so re-runs, resumes and late-arriving shards all
+    agree. Hash = first 15 md5 hex chars as an integer, the same
+    avalanche recipe the HLL/CM sketches pin bit-exactly against SQL
+    (CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT))."""
+    import hashlib
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        def split_of(k):
+            b = int(hashlib.md5(str(int(k)).encode())
+                    .hexdigest()[:15], 16) % 100
+            for name, hi in bounds:
+                if b < hi:
+                    return name
+            return bounds[-1][0]
+
+        df = df.copy()
+        df["split"] = df[key_col].map(split_of)
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")

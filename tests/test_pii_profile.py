@@ -93,3 +93,34 @@ def test_profile_columns_native_minmax_and_nulls(ray_session):
     assert out.loc["s", "n_distinct"] == 2
     assert out.loc["s", "min_val"] == "a"
     assert int(out.loc["s", "n_rows"]) == 4
+
+
+def test_repetition_metrics():
+    from ferenda_ray.stages.text_analysis import repetition_metrics
+
+    out = repetition_metrics(_t([
+        "a b a b a b",     # 5 bigrams, 2 distinct; 4 trigrams, 2 distinct
+        "x",                # no bigrams at all
+        "",                 # one empty word
+    ])).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_words"] == 6 and out.loc[0, "top_word"] == 3
+    assert out.loc[0, "ngrams_2"] == 5 and out.loc[0, "distinct_2"] == 2
+    assert out.loc[0, "ngrams_3"] == 4 and out.loc[0, "distinct_3"] == 2
+    assert out.loc[1, "ngrams_2"] == 0 and out.loc[1, "top_word"] == 1
+    assert out.loc[2, "n_words"] == 1  # "" splits to one empty token
+
+
+def test_hash_split_deterministic_and_proportioned(ray_session):
+    import hashlib as hl
+
+    from ferenda_ray.stages.transform import hash_split
+
+    keys = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    out = hash_split(rd.from_arrow(keys)).to_pandas()
+    # membership is a pure function of the key: recompute independently
+    for k, s in zip(out["doc_id"], out["split"]):
+        b = int(hl.md5(str(k).encode()).hexdigest()[:15], 16) % 100
+        assert s == ("train" if b < 80 else "val" if b < 90 else "test")
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.15 and 0.05 < frac["test"] < 0.15
