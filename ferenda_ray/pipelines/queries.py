@@ -2407,6 +2407,99 @@ def profile_documents(sf_dir):
     return profile_columns(_read(sf_dir, "documents"))
 
 
+def xhtml_annotated(sf_dir):
+    """Annotation-joined presentation render — the reference's
+    generate()-with-annotations step (transformer.py:25-330 consuming
+    prep_annotation_file output). The corpus' natural citation targets
+    are all external URI spaces, so this planted variant mints a
+    minimal one-body-row document per page and plants internal
+    citations (doc_id % 3 == 1 cites page (doc_id*7) % 100); the full
+    rendered XHTML — including each target's RDFa
+    ``<aside class=annotations>`` with citing urls + titles in
+    citing-url order — is recomputed byte-exactly by SQL string
+    assembly. Exercises render_xhtml's typed annotation-row union and
+    bucketed per-url render, not just the bare sink."""
+    from ..sources.xhtml import render_xhtml
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    SEC_SCHEMA = pa.schema([("url", pa.string()), ("kind", pa.string()),
+                            ("title", pa.string()), ("lang", pa.string()),
+                            ("section_uri", pa.string()),
+                            ("ordinal", pa.string()),
+                            ("parent_uri", pa.string()),
+                            ("text", pa.string()),
+                            ("position", pa.int64())])
+
+    def body_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        urls = ["https://%s.example.org/d/%d" % (s[3:], i)
+                for s, i in zip(srcs, ids)]
+        n = len(ids)
+        return pa.table({
+            "url": urls, "kind": ["body"] * n,
+            "title": ["DOC %d" % i for i in ids], "lang": ["en"] * n,
+            "section_uri": [""] * n, "ordinal": [""] * n,
+            "parent_uri": [""] * n, "text": [""] * n,
+            "position": pa.array([0] * n, pa.int64()),
+        }, schema=SEC_SCHEMA)
+
+    def ann_rows(t: pa.Table) -> pa.Table:
+        tgt, citing, titles = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            if i % 3 != 1:
+                continue
+            ti = (i * 7) % 100
+            tgt.append("https://%d.example.org/d/%d" % (ti % 20, ti))
+            citing.append("https://%s.example.org/d/%d" % (s[3:], i))
+            titles.append("DOC %d" % i)
+        return pa.table({"target_url": pa.array(tgt, pa.string()),
+                         "citing_url": pa.array(citing, pa.string()),
+                         "citing_title": pa.array(titles, pa.string())})
+
+    return render_xhtml(
+        ds.map_batches(body_rows, batch_format="pyarrow"),
+        annotations_ds=ds.map_batches(ann_rows, batch_format="pyarrow"))
+
+
+def _xhtml_annotated_sql() -> str:
+    from ..sources.xhtml import _HEAD
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         'https://' || (doc_id % 20) || '.example.org/d/' || doc_id
+           AS url,
+         'DOC ' || doc_id AS title
+  FROM documents),
+cites AS (
+  SELECT (doc_id * 7) % 100 AS target_id, url AS citing_url,
+         title AS citing_title
+  FROM docs WHERE doc_id % 3 = 1),
+asides AS (
+  SELECT t.doc_id,
+         '  <aside class="annotations">' || chr(10) ||
+         string_agg('    <span about="' || t.url ||
+                    '" rel="dcterms:isReferencedBy" href="' ||
+                    citing_url || '" title="' || citing_title ||
+                    '"/>' || chr(10), '' ORDER BY citing_url) ||
+         '  </aside>' || chr(10) AS aside
+  FROM cites JOIN docs t ON t.doc_id = cites.target_id
+  GROUP BY t.doc_id, t.url)
+SELECT d.url,
+       {_sql_lit(_HEAD)}
+       || '<head><title>' || d.title || '</title></head>' || chr(10)
+       || '<body about="' || d.url || '" xml:lang="en">' || chr(10)
+       || coalesce(a.aside, '')
+       || '</body>' || chr(10) || '</html>' || chr(10) AS xhtml
+FROM docs d LEFT JOIN asides a USING (doc_id)
+"""
+
+
+XHTML_ANNOTATED_SQL = _xhtml_annotated_sql()
+
+
 def doc_repetition(sf_dir):
     """Gopher-style repetition metrics per doc (integer outputs:
     duplicate 2-/3-gram and top-word counts — stages/text_analysis.
@@ -2561,6 +2654,7 @@ QUERIES = {
     "profile_documents": (profile_documents, PROFILE_DOCS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
+    "xhtml_annotated": (xhtml_annotated, XHTML_ANNOTATED_SQL),
 }
 
 
