@@ -2500,6 +2500,70 @@ FROM docs d LEFT JOIN asides a USING (doc_id)
 XHTML_ANNOTATED_SQL = _xhtml_annotated_sql()
 
 
+def curation_pipeline(sf_dir):
+    """End-to-end curation DAG (pipelines/curation.curate): PII-redact
+    -> C4 quality gate -> exact dedup -> MinHash near-dup removal ->
+    deterministic split. The oracle chains the per-stage SQL oracles,
+    so the final (doc_id, split) survivor set is gated end to end."""
+    from .curation import curate
+
+    return curate(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _curation_sql() -> str:
+    from ..stages.pii import PII_PATTERNS
+
+    clean = "text"
+    for _, pat, token in PII_PATTERNS:
+        clean = "regexp_replace(%s, '%s', '%s', 'g')" % (
+            clean, pat.replace("'", "''"), token)
+    return f"""
+WITH RECURSIVE clean AS (
+  SELECT doc_id, {clean} AS text FROM documents),
+m AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) AS alpha_len
+  FROM clean),
+q AS (
+  SELECT doc_id, text FROM m
+  WHERE n_tokens >= 5 AND alpha_len >= 2.0 * n_tokens
+    AND alpha_len <= 12.0 * n_tokens),
+ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+qq AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM qq)),
+p AS (
+  SELECT a.doc_id AS ka, b.doc_id AS kb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        >= 0.5 * len(list_distinct(list_concat(a.sh, b.sh)))),
+e AS (SELECT ka AS a, kb AS b FROM p UNION SELECT kb, ka FROM p),
+reach(node, lbl) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node),
+canon AS (SELECT node AS doc_id, min(lbl) AS canonical
+          FROM reach GROUP BY node),
+kept AS (
+  SELECT qq.doc_id FROM qq LEFT JOIN canon USING (doc_id)
+  WHERE canonical IS NULL OR canonical = qq.doc_id)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS bucket
+      FROM kept)
+"""
+
+
+CURATION_SQL = _curation_sql()
+
+
 def doc_repetition(sf_dir):
     """Gopher-style repetition metrics per doc (integer outputs:
     duplicate 2-/3-gram and top-word counts — stages/text_analysis.
@@ -2655,6 +2719,7 @@ QUERIES = {
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
     "xhtml_annotated": (xhtml_annotated, XHTML_ANNOTATED_SQL),
+    "curation_pipeline": (curation_pipeline, CURATION_SQL),
 }
 
 
