@@ -1129,6 +1129,55 @@ WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
 """
 
 
+def priority_lineitems(sf_dir):
+    """Large×large hash-equi-join (TPC-H Q12 shape): lineitem ⋈ orders
+    on orderkey via the bucketed exchange join (``joins.bucket_join``
+    — NEITHER side broadcast, both sides shuffle once by key hash),
+    then per-batch partials merged over the 5 bounded priority keys.
+    Per-row integer cents before the join so only fixed-width columns
+    cross the exchange and sums are order-independent."""
+    from ..stages.joins import bucket_join
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["l_extendedprice"],
+                                     pa.scalar(100.0)),
+                         round_mode="half_towards_infinity")
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pc.cast(cents, pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice"])
+          .map_batches(to_cents, batch_format="pyarrow"))
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority"])
+    joined = bucket_join(li, od, left_on="l_orderkey",
+                         right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_lines=("cents", "size"), price_cents=("cents", "sum"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_lines=("n_lines", "sum"), price_cents=("price_cents", "sum"))
+        g["n_lines"] = g["n_lines"].astype("int64")
+        g["price_cents"] = g["price_cents"].astype("int64")
+        return g
+
+    return _merge_partials(
+        joined.map_batches(partial, batch_format="pandas"), merge)
+
+
+PRIORITY_LINEITEMS_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def revenue_by_nation(sf_dir):
     """hash join via broadcast small sides: orders ⋈ customer ⋈ nation
     (customer+nation are dimension tables → ray.put lookup dicts)."""
@@ -2716,6 +2765,7 @@ QUERIES = {
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
+    "priority_lineitems": (priority_lineitems, PRIORITY_LINEITEMS_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
