@@ -2722,6 +2722,73 @@ FROM b
 """
 
 
+def pack_token_chunks(sf_dir, budget: int = 2048):
+    """LLM-pretraining sequence packing: each source's documents are
+    concatenated in doc_id order and cut every ``budget`` whitespace
+    tokens; emits one (source, doc_id, chunk_id) row per fixed-size
+    training chunk a document overlaps (documents split across chunk
+    boundaries, GPT-style packing).
+
+    Distribution shape: token counting is a stateless map; only the
+    NARROW (source, doc_id, n_tokens) triples cross ONE exchange
+    bucketed by source; the prefix-sum + overlap explode is a
+    vectorized numpy pass per source group. Partitioning assumption
+    (documented per the custom-operator contract): packing order is
+    per-source by doc_id, so a source's counts must co-locate — at
+    100 TB a giant source would be sub-sharded by a coarse doc_id
+    range first, each range packed independently with offsets
+    rebased afterwards. Zero-token docs occupy the chunk at their
+    start offset."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        t = text_analysis.token_counts(t)
+        return t.select(["source", "doc_id", "ws_tokens"])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["ws_tokens"].to_numpy(dtype="int64")
+        end = np.cumsum(n)
+        start = end - n
+        first = start // budget
+        last = np.maximum(end - 1, start) // budget
+        reps = (last - first + 1).astype("int64")
+        chunk = np.repeat(first, reps) + (
+            np.arange(int(reps.sum()), dtype="int64")
+            - np.repeat(np.cumsum(reps) - reps, reps))
+        return pd.DataFrame({
+            "source": np.repeat(g["source"].to_numpy(), reps),
+            "doc_id": np.repeat(g["doc_id"].to_numpy(), reps),
+            "chunk_id": chunk,
+        })
+
+    return (ds.map_batches(tok, batch_format="pyarrow")
+            .groupby("source").map_groups(pack, batch_format="pandas"))
+
+
+PACK_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\\S+')) AS n
+  FROM documents),
+w AS (
+  SELECT doc_id, source, n,
+         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS start_off
+  FROM t),
+b AS (
+  SELECT doc_id, source,
+         CAST(start_off // 2048 AS BIGINT) AS first_chunk,
+         CAST(greatest(start_off + n - 1, start_off) // 2048 AS BIGINT)
+             AS last_chunk
+  FROM w)
+SELECT source, doc_id,
+       CAST(unnest(generate_series(first_chunk, last_chunk)) AS BIGINT)
+           AS chunk_id
+FROM b
+"""
+
+
 PROFILE_DOCS_SQL = "\nUNION ALL\n".join(
     "SELECT '%(c)s' AS col, count(*) AS n_rows,"
     " count(*) - count(%(c)s) AS n_null,"
@@ -2807,6 +2874,7 @@ QUERIES = {
     "profile_documents": (profile_documents, PROFILE_DOCS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
+    "pack_token_chunks": (pack_token_chunks, PACK_CHUNKS_SQL),
     "xhtml_annotated": (xhtml_annotated, XHTML_ANNOTATED_SQL),
     "curation_pipeline": (curation_pipeline, CURATION_SQL),
 }
