@@ -83,7 +83,10 @@ def run_bench() -> dict:
              ("embed_knn", Q.embed_knn),
              ("canonicalize_cc", Q.canonicalize_cc),
              ("minhash_neardup", Q.minhash_neardup),
-             ("revenue_by_nation", Q.revenue_by_nation)]
+             ("revenue_by_nation", Q.revenue_by_nation),
+             ("priority_lineitems", Q.priority_lineitems),
+             ("pack_token_chunks", Q.pack_token_chunks),
+             ("curation_pipeline", Q.curation_pipeline)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
