@@ -63,7 +63,13 @@ def curate(docs_ds, threshold: float = 0.5, min_tokens: int = 5,
     q = (docs_ds.map_batches(redact, batch_format="pyarrow")
          .map_batches(gate, batch_format="pyarrow"))
 
-    ex = exact_dedup(q, text_col="text", key_col="doc_id")
+    # ex is consumed THREE times (minhash bands, jaccard verify, the
+    # survivor anti-join); materialize executes the redact→gate→dedup
+    # chain once instead of per consumer (measured 7.7→4.9 s at
+    # sf0.1/32cpu). At 100 TB swap this for a parquet checkpoint via
+    # state/manifest.checkpointed_stage — same single-execution
+    # semantics, plus resume.
+    ex = exact_dedup(q, text_col="text", key_col="doc_id").materialize()
 
     labels = minhash_dedup(ex, text_col="text", key_col="doc_id",
                            threshold=threshold)
@@ -76,8 +82,11 @@ def curate(docs_ds, threshold: float = 0.5, min_tokens: int = 5,
             lambda df: df.loc[df["key"] != df["canonical_key"], ["key"]],
             batch_format="pandas")
 
-    kept = ex if rem_ds is None else membership_join(
-        ex, "doc_id", rem_ds, "key", mode="anti")
+    # only the key survives past near-dup removal — never ship text
+    # through the anti-join exchange
+    ids = ex.select_columns(["doc_id"])
+    kept = ids if rem_ds is None else membership_join(
+        ids, "doc_id", rem_ds, "key", mode="anti")
 
     out = hash_split(kept, key_col="doc_id").map_batches(
         lambda df: df[["doc_id", "split"]], batch_format="pandas")
