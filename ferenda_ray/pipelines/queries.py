@@ -494,6 +494,77 @@ SELECT doc_id, source FROM (
 """
 
 
+def mixture_sample(sf_dir, weights=None):
+    """Deterministic source-mixture sampling (Pile/Dolma-style data
+    mixing): given integer mixture weights w_s, pick per-source quotas
+    k_s = (M * w_s) // W with W = Σw and M = min_s (n_s * W) // w_s —
+    the largest total the corpus can serve at the target mixture
+    without oversampling any source (waterfill). Each source's k_s
+    docs are then selected by md5(doc_id) order: seedless, stable
+    across runs, engines and partitionings. All quota math is integer,
+    so the SQL oracle recomputes it bit-exactly.
+
+    Default weights derive from the synthetic source name
+    (1 + src_index % 4) purely so the testdata's uniform sources get a
+    NON-trivial mixture; real use passes ``weights={source: int}``.
+
+    Scale shape: one tiny per-source count groupby (sources ≪ docs)
+    feeds driver-side quota math; quotas broadcast in the UDF closure;
+    per-batch partial pick caps rows per (batch, source) at k_s ahead
+    of the single per-source exchange."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = (ds.groupby("source")
+              .aggregate(Count(alias_name="n_s")).to_pandas())
+    if weights is None:
+        weights = {s: 1 + int(s[3:]) % 4 for s in counts["source"]}
+    W = sum(weights.values())
+    M = min((int(n) * W) // weights[s]
+            for s, n in zip(counts["source"], counts["n_s"]))
+    quotas = {s: (M * w) // W for s, w in weights.items()}
+
+    def pick(df: pd.DataFrame, final: bool) -> pd.DataFrame:
+        if "h" not in df.columns:
+            df = df.assign(h=[hashlib.md5(str(i).encode()).hexdigest()
+                              for i in df["doc_id"]])
+        df = df.sort_values(["source", "h"], kind="mergesort")
+        cc = df.groupby("source", sort=False).cumcount()
+        lim = df["source"].map(quotas).fillna(0).astype("int64")
+        df = df[cc < lim]
+        return (df[["doc_id", "source"]].astype({"doc_id": "int64"})
+                if final else df)
+
+    def partial_pick(t: pa.Table) -> pd.DataFrame:
+        return pick(pd.DataFrame({"doc_id": t["doc_id"].to_pylist(),
+                                  "source": t["source"].to_pylist()}),
+                    final=False)
+
+    return (ds.map_batches(partial_pick, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(lambda g: pick(g, final=True),
+                        batch_format="pandas"))
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH w AS (
+  SELECT source, count(*) AS n_s,
+         1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS wt
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w),
+m AS (SELECT CAST(min((n_s * W) // wt) AS BIGINT) AS M FROM w, tot),
+q AS (SELECT source, CAST((M * wt) // W AS BIGINT) AS k FROM w, tot, m),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.k
+"""
+
+
 def source_token_quantiles(sf_dir):
     """EXACT per-source token-count quantiles (p50/p90) without ever
     shuffling raw per-doc values: token counts have a bounded small
@@ -2817,6 +2888,7 @@ QUERIES = {
     "top_sources": (top_sources, TOP_SOURCES_SQL),
     "top_docs_per_source": (top_docs_per_source, TOP_DOCS_PER_SOURCE_SQL),
     "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
+    "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "source_token_quantiles": (source_token_quantiles, SOURCE_QUANTILES_SQL),
     "cross_source_contamination": (cross_source_contamination,
                                    CONTAMINATION_SQL),
