@@ -35,7 +35,8 @@ import pyarrow as pa
 def curate(docs_ds, threshold: float = 0.5, min_tokens: int = 5,
            min_mean_token_len: float = 2.0,
            max_mean_token_len: float = 12.0,
-           out_dir: str | None = None):
+           out_dir: str | None = None,
+           driver_threshold: int = 5_000_000):
     """documents(doc_id, text, ...) -> Dataset/DataFrame of
     (doc_id, split) for every surviving document. With ``out_dir``,
     also writes one parquet directory per split (resumable: a rerun
@@ -72,7 +73,8 @@ def curate(docs_ds, threshold: float = 0.5, min_tokens: int = 5,
     ex = exact_dedup(q, text_col="text", key_col="doc_id").materialize()
 
     labels = minhash_dedup(ex, text_col="text", key_col="doc_id",
-                           threshold=threshold)
+                           threshold=threshold,
+                           driver_threshold=driver_threshold)
     if isinstance(labels, pd.DataFrame):
         rem = labels.loc[labels["key"] != labels["canonical_key"],
                          ["key"]]

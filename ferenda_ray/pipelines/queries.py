@@ -470,9 +470,10 @@ def sample_per_source(sf_dir, n: int = 5):
     def partial_pick(t: pa.Table) -> pd.DataFrame:
         ids = t["doc_id"].to_pylist()
         df = pd.DataFrame({
-            "doc_id": ids,
-            "source": t["source"].to_pylist(),
-            "h": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "source": pd.Series(t["source"].to_pylist(), dtype="object"),
+            "h": pd.Series([hashlib.md5(str(i).encode()).hexdigest()
+                            for i in ids], dtype="object"),
         })
         df = df.sort_values(["source", "h"], kind="mergesort")
         return df.groupby("source", sort=False).head(n)
@@ -521,26 +522,34 @@ def mixture_sample(sf_dir, weights=None):
               .aggregate(Count(alias_name="n_s")).to_pandas())
     if weights is None:
         weights = {s: 1 + int(s[3:]) % 4 for s in counts["source"]}
-    W = sum(weights.values())
-    M = min((int(n) * W) // weights[s]
-            for s, n in zip(counts["source"], counts["n_s"]))
-    quotas = {s: (M * w) // W for s, w in weights.items()}
+    # a source with weight 0 — or absent from the dict — is excluded
+    # from the mixture AND from the waterfill min (it can't bind M)
+    pos = {s: w for s, w in weights.items() if w > 0}
+    W = sum(pos.values())
+    present = [(s, int(n)) for s, n in zip(counts["source"], counts["n_s"])
+               if s in pos]
+    M = min((n * W) // pos[s] for s, n in present) if present else 0
+    quotas = {s: (M * w) // W for s, w in pos.items()}
 
     def pick(df: pd.DataFrame, final: bool) -> pd.DataFrame:
         if "h" not in df.columns:
-            df = df.assign(h=[hashlib.md5(str(i).encode()).hexdigest()
-                              for i in df["doc_id"]])
+            df = df.assign(h=pd.Series(
+                [hashlib.md5(str(i).encode()).hexdigest()
+                 for i in df["doc_id"]], index=df.index, dtype="object"))
         df = df.sort_values(["source", "h"], kind="mergesort")
         cc = df.groupby("source", sort=False).cumcount()
         lim = df["source"].map(quotas).fillna(0).astype("int64")
         df = df[cc < lim]
-        return (df[["doc_id", "source"]].astype({"doc_id": "int64"})
-                if final else df)
+        return (df[["doc_id", "source"]].astype(
+            {"doc_id": "int64", "source": "object"}) if final else df)
 
     def partial_pick(t: pa.Table) -> pd.DataFrame:
-        return pick(pd.DataFrame({"doc_id": t["doc_id"].to_pylist(),
-                                  "source": t["source"].to_pylist()}),
-                    final=False)
+        # typed construction: empty batches must carry the same block
+        # schema as full ones (CLAUDE.md one-schema-per-stage rule)
+        return pick(pd.DataFrame({
+            "doc_id": pd.Series(t["doc_id"].to_pylist(), dtype="int64"),
+            "source": pd.Series(t["source"].to_pylist(), dtype="object"),
+        }), final=False)
 
     return (ds.map_batches(partial_pick, batch_format="pyarrow")
             .groupby("source")
@@ -1632,26 +1641,56 @@ def minhash_neardup(sf_dir):
     return minhash_dedup(ds, threshold=0.5)
 
 
-MINHASH_SQL = """
-WITH RECURSIVE s AS (
+# --- shared oracle-SQL fragments (ONE copy of each recipe; the
+# minhash, ngram-jaccard, curation and split oracles compose these so
+# a change to the shingle grammar, Jaccard threshold, CC recursion or
+# split recipe edits exactly one string) --------------------------------
+
+def _shingle_cte(src: str) -> str:
+    """Word-trigram shingle set per doc over relation ``src`` — the
+    SQL mirror of stages/dedup's shingle_k=3 word shingles."""
+    return """
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(len(w)-2, 1)),
     i -> array_to_string(w[i:i+2], ' '))) AS sh
-  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents)
-), p AS (
-  SELECT a.doc_id AS ka, b.doc_id AS kb
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM %s)""" % src
+
+
+def _jaccard_pair_select(ka: str, kb: str) -> str:
+    """Self-join of shingle CTE ``s`` at trigram Jaccard >= 0.5."""
+    return """
+  SELECT a.doc_id AS %s, b.doc_id AS %s
   FROM s a JOIN s b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.sh, b.sh))
-        >= 0.5 * len(list_distinct(list_concat(a.sh, b.sh)))
-), e AS (
+        >= 0.5 * len(list_distinct(list_concat(a.sh, b.sh)))""" % (ka, kb)
+
+
+_CC_CTES = """e AS (
   SELECT ka AS a, kb AS b FROM p UNION SELECT kb, ka FROM p
 ), reach(node, lbl) AS (
   SELECT a, a FROM e
   UNION
   SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node
-)
+)"""
+
+
+def _split_select(src: str) -> str:
+    """hash_split's md5-bucket 80/10/10 assignment over ``src``."""
+    return """SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) %% 100 AS bucket
+      FROM %s)""" % src
+
+
+MINHASH_SQL = """
+WITH RECURSIVE s AS (%s
+), p AS (%s
+), %s
 SELECT node AS key, min(lbl) AS canonical_key FROM reach GROUP BY node
-"""
+""" % (_shingle_cte("documents"), _jaccard_pair_select("ka", "kb"), _CC_CTES)
 
 
 def ngram_jaccard(sf_dir):
@@ -1676,17 +1715,9 @@ def ngram_jaccard(sf_dir):
 
 
 NGRAM_JACCARD_SQL = """
-WITH s AS (
-  SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(w)-2, 1)),
-    i -> array_to_string(w[i:i+2], ' '))) AS sh
-  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents)
-)
-SELECT a.doc_id AS key_a, b.doc_id AS key_b
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))
-      >= 0.5 * len(list_distinct(list_concat(a.sh, b.sh)))
-"""
+WITH s AS (%s
+)%s
+""" % (_shingle_cte("documents"), _jaccard_pair_select("key_a", "key_b"))
 
 
 def simhash_pairs(sf_dir):
@@ -2690,33 +2721,15 @@ q AS (
     AND alpha_len <= 12.0 * n_tokens),
 ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
 qq AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
-s AS (
-  SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - 2, 1)),
-    i -> array_to_string(w[i:i+2], ' '))) AS sh
-  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM qq)),
-p AS (
-  SELECT a.doc_id AS ka, b.doc_id AS kb
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))
-        >= 0.5 * len(list_distinct(list_concat(a.sh, b.sh)))),
-e AS (SELECT ka AS a, kb AS b FROM p UNION SELECT kb, ka FROM p),
-reach(node, lbl) AS (
-  SELECT a, a FROM e
-  UNION
-  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node),
+s AS ({_shingle_cte("qq")}),
+p AS ({_jaccard_pair_select("ka", "kb")}),
+{_CC_CTES},
 canon AS (SELECT node AS doc_id, min(lbl) AS canonical
           FROM reach GROUP BY node),
 kept AS (
   SELECT qq.doc_id FROM qq LEFT JOIN canon USING (doc_id)
   WHERE canonical IS NULL OR canonical = qq.doc_id)
-SELECT doc_id,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-FROM (SELECT doc_id,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                  AS BIGINT) % 100 AS bucket
-      FROM kept)
+{_split_select("kept")}
 """
 
 
@@ -2780,17 +2793,7 @@ def split_assign(sf_dir):
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
 
 
-SPLIT_ASSIGN_SQL = """
-WITH b AS (
-  SELECT doc_id,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-              AS BIGINT) % 100 AS bucket
-  FROM documents)
-SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
-                    WHEN bucket < 90 THEN 'val'
-                    ELSE 'test' END AS split
-FROM b
-"""
+SPLIT_ASSIGN_SQL = _split_select("documents")
 
 
 def pack_token_chunks(sf_dir, budget: int = 2048):

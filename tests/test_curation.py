@@ -48,6 +48,17 @@ def test_curate_survivors_and_splits(planted_docs):
         assert split == _split_of(doc_id)
 
 
+def test_curate_forced_distributed_path(planted_docs):
+    """driver_threshold=0 forces the Dataset labels branch (distributed
+    CC clustering + Dataset-side near-dup filter + membership_join with
+    a Dataset key side) — output must equal the driver branch."""
+    base = curate(planted_docs, threshold=0.5).to_pandas()
+    dist = curate(planted_docs, threshold=0.5,
+                  driver_threshold=0).to_pandas()
+    assert (sorted(zip(base["doc_id"], base["split"]))
+            == sorted(zip(dist["doc_id"], dist["split"])))
+
+
 def test_curate_partitioned_write_is_rerunnable(planted_docs, tmp_path):
     import ray.data as rd
 
