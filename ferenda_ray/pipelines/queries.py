@@ -2877,6 +2877,153 @@ PROFILE_DOCS_SQL = "\nUNION ALL\n".join(
 # registry
 # ---------------------------------------------------------------------
 
+# --- multimodal: REAL decode paths driver-checked against SQL ---------
+# No media table exists in testdata, so payloads are synthesized as a
+# PURE doc_id-arithmetic function (the corpus convention), decoded by
+# the zero-dependency parsers in stages/multimodal under strict=True
+# (any parse failure raises — no silent fake fallback), and the
+# recovered features compared to the same arithmetic in SQL. The
+# perceptual hashes are exercised (decode must fully parse pixels) but
+# asserted in unit tests — bit-level ahash is not SQL-expressible.
+
+def _media_pool() -> tuple:
+    """Autoscaling actor-pool bounds for the decode stages, capped at
+    ncpu-2 like the linker pool (kg.py): a pool holding EVERY cpu
+    starves the downstream task stage — deadlock at small test
+    clusters, throughput cap at big ones."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return (2, max(2, ncpu - 2))
+
+
+def _media_table(ids, media_type: str, payloads) -> pa.Table:
+    from ..stages.multimodal import MEDIA_SCHEMA
+
+    return pa.table({
+        "media_id": pa.array([int(i) for i in ids], pa.int64()),
+        "url": pa.array(["%s://%d" % (media_type, i) for i in ids],
+                        pa.string()),
+        "media_type": pa.array([media_type] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta_json": pa.array(["{}"] * len(ids), pa.string()),
+    }, schema=MEDIA_SCHEMA)
+
+
+def media_image_features(sf_dir):
+    """P6 PPM payloads (w=8+id%5, h=8+id%3, deterministic pixels) →
+    DecodeImage actor pool (small batches, pyarrow end to end) →
+    recovered dimensions vs the synthesis arithmetic in SQL."""
+    from ..stages.multimodal import DecodeImage, decode_stage
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w, h = 8 + i % 5, 8 + i % 3
+            px = ((np.arange(w * h * 3) * 31 + i) % 256).astype(np.uint8)
+            payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+        return _media_table(ids, "image", payloads)
+
+    media = (_read(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(synth, batch_format="pyarrow"))
+    decoded = decode_stage(media, DecodeImage, concurrency=_media_pool(),
+                           batch_size=256, strict=True)
+    return decoded.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "decoded"]),
+        batch_format="pyarrow")
+
+
+MEDIA_IMAGE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 5 AS INTEGER) AS width,
+       CAST(8 + doc_id % 3 AS INTEGER) AS height,
+       TRUE AS decoded
+FROM documents
+"""
+
+
+def media_audio_features(sf_dir):
+    """PCM WAV payloads (16 kHz mono int16, n=1600+(id%7)*160 frames)
+    → ExtractAudioFeatures actor pool → recovered frame counts vs the
+    synthesis arithmetic in SQL."""
+    import io
+    import wave
+
+    from ..stages.multimodal import ExtractAudioFeatures, decode_stage
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            n = 1600 + (i % 7) * 160
+            samples = ((np.arange(n) * (3 + i % 11)) % 65536 - 32768) \
+                .astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(samples.tobytes())
+            payloads.append(buf.getvalue())
+        return _media_table(ids, "audio", payloads)
+
+    media = (_read(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(synth, batch_format="pyarrow"))
+    decoded = decode_stage(media, ExtractAudioFeatures,
+                           concurrency=_media_pool(),
+                           batch_size=256, strict=True)
+    return decoded.map_batches(
+        lambda t: t.select(["media_id", "n_samples", "decoded"]),
+        batch_format="pyarrow")
+
+
+MEDIA_AUDIO_SQL = """
+SELECT doc_id AS media_id,
+       CAST(1600 + (doc_id % 7) * 160 AS BIGINT) AS n_samples,
+       TRUE AS decoded
+FROM documents
+"""
+
+
+def media_video_frames(sf_dir):
+    """Concatenated-PPM video streams (1+id%4 frames of 8×8) →
+    SampleVideoFrames actor pool sampling every 2nd frame → sampled
+    frame indices vs generate_series arithmetic in SQL (flat-map
+    output: one row per sampled frame)."""
+    from ..stages.multimodal import SampleVideoFrames, decode_stage
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            frames = []
+            for f in range(1 + i % 4):
+                px = ((np.arange(8 * 8 * 3) * 7 + i + f) % 256) \
+                    .astype(np.uint8)
+                frames.append(b"P6\n8 8\n255\n" + px.tobytes())
+            payloads.append(b"".join(frames))
+        return _media_table(ids, "video", payloads)
+
+    media = (_read(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(synth, batch_format="pyarrow"))
+    decoded = decode_stage(media, SampleVideoFrames,
+                           concurrency=_media_pool(),
+                           batch_size=128, every_n=2, strict=True)
+    return decoded.map_batches(
+        lambda t: t.select(["media_id", "frame_idx"]),
+        batch_format="pyarrow")
+
+
+MEDIA_VIDEO_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, doc_id % 4, 2)) AS INTEGER)
+           AS frame_idx
+FROM documents
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -2892,6 +3039,9 @@ QUERIES = {
     "top_docs_per_source": (top_docs_per_source, TOP_DOCS_PER_SOURCE_SQL),
     "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
+    "media_image_features": (media_image_features, MEDIA_IMAGE_SQL),
+    "media_audio_features": (media_audio_features, MEDIA_AUDIO_SQL),
+    "media_video_frames": (media_video_frames, MEDIA_VIDEO_SQL),
     "source_token_quantiles": (source_token_quantiles, SOURCE_QUANTILES_SQL),
     "cross_source_contamination": (cross_source_contamination,
                                    CONTAMINATION_SQL),
