@@ -2587,6 +2587,64 @@ FROM grams GROUP BY gram HAVING count(*) >= 2
 """
 
 
+def scrub_passages(sf_dir):
+    """Exact-substring scrubbing (dedup.scrub_duplicated_passages):
+    every word position covered by a cross-doc-duplicated word-6-gram
+    is removed; output is the FULL cleaned corpus (doc_id,
+    clean_text). Shares dup_passages' planted marker so removal
+    provably triggers at every sf; the SQL oracle rebuilds each
+    cleaned text via the same gram-df / covered-position /
+    string_agg-by-position arithmetic."""
+    from ..stages.dedup import scrub_duplicated_passages
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [(txt or "")
+               + (" shared passage marker alpha beta gamma"
+                  if i % 10 == 0 else "")
+               for i, txt in zip(ids, texts)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    labeled = scrub_duplicated_passages(
+        ds.map_batches(plant, batch_format="pyarrow"), n=6)
+    return labeled.map_batches(
+        lambda df: df.rename(columns={"key": "doc_id"}),
+        batch_format="pandas")
+
+
+SCRUB_PASSAGES_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+                      THEN ' shared passage marker alpha beta gamma'
+                      ELSE '' END AS text
+  FROM documents),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i
+        FROM words),
+g AS (SELECT doc_id, i, array_to_string(w[i:i+5], ' ') AS gram FROM idx),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT g.doc_id,
+               unnest(generate_series(g.i, g.i + 5)) AS p
+        FROM g JOIN dup USING (gram)),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS j
+        FROM words),
+kept AS (
+  SELECT p.doc_id, p.j, p.w[p.j] AS word
+  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.j
+  WHERE c.p IS NULL)
+SELECT a.doc_id,
+       coalesce(string_agg(k.word, ' ' ORDER BY k.j), '') AS clean_text
+FROM aug a LEFT JOIN kept k USING (doc_id)
+GROUP BY a.doc_id
+"""
+
+
 def profile_documents(sf_dir):
     """Column profile of the documents table (stages/profiling.py):
     n_rows / n_null / exact n_distinct / min / max per column, with
@@ -3096,6 +3154,7 @@ QUERIES = {
     "embed_link_entities": (embed_link_entities, EMBED_LINK_SQL),
     "pii_scan": (pii_scan, PII_SCAN_SQL),
     "dup_passages": (dup_passages, DUP_PASSAGES_SQL),
+    "scrub_passages": (scrub_passages, SCRUB_PASSAGES_SQL),
     "profile_documents": (profile_documents, PROFILE_DOCS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),

@@ -790,3 +790,107 @@ def duplicated_passages(ds, n: int = 6, text_col: str = "text",
     return (ds.map_batches(grams, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(dups, batch_format="pandas"))
+
+
+def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
+                              key_col: str = "doc_id", min_docs: int = 2,
+                              num_buckets: int = 64):
+    """Exact-substring SCRUBBING — the removal counterpart of
+    :func:`duplicated_passages` (Lee et al. ACL'22 exact-substring
+    dedup at fixed word-n-gram grain): every word position covered by
+    an n-gram that occurs in >= ``min_docs`` DISTINCT documents is
+    dropped; returns (key, clean_text) for EVERY input doc, surviving
+    words joined by single spaces (whitespace is normalized by the
+    same ``split(" ")`` / SQL ``string_split(text, ' ')`` convention
+    as the detector).
+
+    Scale shape — two exchanges, text crosses only the second:
+
+    1. all n-gram OCCURRENCES (gram, key, start) hash-bucketed by
+       gram; the per-bucket nunique(key) filter emits only duplicated
+       grams' (key, start) pairs — narrow ints;
+    2. those pairs union the (key, text) docs into ONE key-hash-bucket
+       exchange; the per-bucket rebuild masks covered spans and joins
+       survivors — doc-local, vectorized mask per doc.
+
+    At 100 TB the gram exchange would carry a 64-bit gram hash
+    instead of the string (the detector's documented variant).
+    """
+
+    def occurrences(df: pd.DataFrame) -> pd.DataFrame:
+        keys, starts, grams_ = [], [], []
+        for k, txt in zip(df[key_col], df[text_col]):
+            words = (txt or "").split(" ")
+            for i in range(len(words) - n + 1):
+                grams_.append(" ".join(words[i:i + n]))
+                starts.append(i)
+                keys.append(k)
+        out = pd.DataFrame({
+            "gram": pd.Series(grams_, dtype="object"),
+            "key": pd.Series(keys, dtype="int64"),
+            "start": pd.Series(starts, dtype="int64"),
+        })
+        out["_bucket"] = _bucket_of(out["gram"], num_buckets)
+        return out
+
+    def covered(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                 "start": pd.Series(dtype="int64")})
+        nun = g.groupby("gram", sort=False)["key"].transform("nunique")
+        d = g[nun >= min_docs]
+        return pd.DataFrame({"key": d["key"].astype("int64"),
+                             "start": d["start"].astype("int64")})
+
+    cov = (ds.map_batches(occurrences, batch_format="pandas")
+           .groupby("_bucket").map_groups(covered, batch_format="pandas"))
+
+    def _key_bucket(s: pd.Series) -> np.ndarray:
+        h = s.to_numpy(dtype="int64").astype(np.uint64) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        return (h % np.uint64(num_buckets)).astype("int32")
+
+    def prep_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": df[key_col].astype("int64"),
+            "text": df[text_col].astype("object"),
+            "start": pd.Series(np.full(len(df), -1, dtype="int64")),
+        })
+        out["_b"] = _key_bucket(out["key"])
+        return out
+
+    def prep_cov(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": df["key"].astype("int64"),
+            "text": pd.Series([None] * len(df), dtype="object"),
+            "start": df["start"].astype("int64"),
+        })
+        out["_b"] = _key_bucket(out["key"])
+        return out
+
+    both = (ds.map_batches(prep_docs, batch_format="pandas")
+            .union(cov.map_batches(prep_cov, batch_format="pandas")))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["start"] < 0]
+        starts_by_key = (g[g["start"] >= 0]
+                         .groupby("key")["start"].apply(list).to_dict())
+        keys_out, texts_out = [], []
+        for k, txt in zip(docs["key"], docs["text"]):
+            words = (txt or "").split(" ")
+            starts = starts_by_key.get(k)
+            if starts:
+                mask = np.zeros(len(words), dtype=bool)
+                for i in starts:
+                    mask[i:i + n] = True
+                kept = [w for w, m in zip(words, mask) if not m]
+            else:
+                kept = words
+            keys_out.append(k)
+            texts_out.append(" ".join(kept))
+        return pd.DataFrame({
+            "key": pd.Series(keys_out, dtype="int64"),
+            "clean_text": pd.Series(texts_out, dtype="object"),
+        })
+
+    return both.groupby("_b").map_groups(rebuild, batch_format="pandas")
