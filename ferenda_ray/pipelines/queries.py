@@ -3082,6 +3082,129 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------
+# graph analytics over the citation graph (graphanalyze.py:31-68 runs
+# networkx pagerank/hits on a driver-collected edge list; here the
+# edges stay distributed and the integer recurrences are replicated
+# verbatim by unrolled SQL CTE chains — bit-exact, no float drift)
+# ---------------------------------------------------------------------
+
+_CITE_EDGES_SQL = f"""
+  SELECT {PAGE_URL_SQL} AS src,
+         'https://rfc.example.org/rfc/' || (100 + doc_id % 900) AS dst
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT {PAGE_URL_SQL},
+         'https://rfc.example.org/rfc/2616'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT {PAGE_URL_SQL},
+         'https://spec.example.org/s/' || (doc_id % 50)
+  FROM documents WHERE doc_id % 5 = 1
+"""
+
+_GRAPH_PRELUDE_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+"""
+
+
+def _kg_edges(sf_dir):
+    e = facets.citation_edges(_kg(sf_dir)["triples"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["source_url"], "dst": t["target_url"]})
+
+    return e.map_batches(rename, batch_format="pyarrow")
+
+
+PR_ITERS, PR_SCALE = 2, 10 ** 12
+
+
+def kg_pagerank(sf_dir):
+    """Integer PageRank over the real pipeline's citation edges
+    (fragment-stripped dcterms:references), 2 iterations — every
+    exchange bucketed, ranks materialized per round. SQL oracle
+    unrolls the identical floor-division recurrence."""
+    from ..stages import graph
+
+    return graph.pagerank(_kg_edges(sf_dir), iterations=PR_ITERS,
+                          scale=PR_SCALE)
+
+
+def _pagerank_sql(iterations: int, scale: int,
+                  dn: int = 85, dd: int = 100) -> str:
+    base = (scale * (dd - dn)) // dd
+    ctes = ["r0 AS (SELECT node, CAST(%d AS BIGINT) AS r FROM nodes)"
+            % scale]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            "r%d AS (SELECT n.node, CAST(%d + coalesce("
+            "sum((%d * p.r) // (%d * o.d)), 0) AS BIGINT) AS r "
+            "FROM nodes n "
+            "LEFT JOIN edges e ON e.dst = n.node "
+            "LEFT JOIN outdeg o ON o.src = e.src "
+            "LEFT JOIN r%d p ON p.node = e.src "
+            "GROUP BY n.node)" % (k, base, dn, dd, k - 1))
+    return "%s,\n%s\nSELECT node, r AS pr FROM r%d" % (
+        _GRAPH_PRELUDE_SQL, ",\n".join(ctes), iterations)
+
+
+KG_PAGERANK_SQL = _pagerank_sql(PR_ITERS, PR_SCALE)
+
+HITS_ITERS = 2
+
+
+def kg_hits(sf_dir):
+    """Integer HITS hub/authority over the citation edges (the
+    reference's second networkx link-analysis metric,
+    graphanalyze.py:33)."""
+    from ..stages import graph
+
+    return graph.hits(_kg_edges(sf_dir), iterations=HITS_ITERS)
+
+
+def _hits_sql(iterations: int) -> str:
+    ctes = ["h0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes)"]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            "a%d AS (SELECT n.node, CAST(coalesce(sum(h.v), 0) AS BIGINT)"
+            " AS v FROM nodes n "
+            "LEFT JOIN edges e ON e.dst = n.node "
+            "LEFT JOIN h%d h ON h.node = e.src GROUP BY n.node)"
+            % (k, k - 1))
+        ctes.append(
+            "h%d AS (SELECT n.node, CAST(coalesce(sum(a.v), 0) AS BIGINT)"
+            " AS v FROM nodes n "
+            "LEFT JOIN edges e ON e.src = n.node "
+            "LEFT JOIN a%d a ON a.node = e.dst GROUP BY n.node)"
+            % (k, k))
+    return ("%s,\n%s\nSELECT h.node, h.v AS hub, a.v AS auth "
+            "FROM h%d h JOIN a%d a ON a.node = h.node"
+            % (_GRAPH_PRELUDE_SQL, ",\n".join(ctes),
+               iterations, iterations))
+
+
+KG_HITS_SQL = _hits_sql(HITS_ITERS)
+
+
+def kg_degree_dist(sf_dir):
+    """In-degree distribution of the normalized citation graph
+    (graphanalyze.py:537-575 citegraph degree distributions)."""
+    from ..stages import graph
+
+    return graph.degree_distribution(_kg_edges(sf_dir), col="dst")
+
+
+KG_DEGREE_DIST_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL})
+SELECT d AS degree, count(*) AS n_nodes
+FROM (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+GROUP BY d
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -3125,6 +3248,9 @@ QUERIES = {
     "kg_identifiers": (kg_identifiers, KG_IDENTIFIERS_SQL),
     "kg_section_counts": (kg_section_counts, KG_SECTION_COUNTS_SQL),
     "kg_top_cited": (kg_top_cited, KG_TOP_CITED_SQL),
+    "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
+    "kg_hits": (kg_hits, KG_HITS_SQL),
+    "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),

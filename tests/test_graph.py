@@ -1,0 +1,95 @@
+"""graph.pagerank / hits / degree_distribution vs a pure-Python
+reference implementation of the same integer recurrences, on a small
+cyclic multigraph (duplicate edges + a self-loop that must be
+normalized away, graphanalyze.py:440-455 semantics)."""
+
+import pandas as pd
+import ray
+
+from ferenda_ray.stages import graph
+
+# cyclic graph with a duplicate edge and a self-loop
+EDGES = [
+    ("a", "b"), ("a", "b"), ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),          # cycle a→b→c→a
+    ("c", "c"),          # self-loop: dropped
+    ("d", "c"),
+    ("e", "a"), ("e", "b"), ("e", "c"),
+]
+CLEAN = sorted({(s, d) for s, d in EDGES if s != d})
+NODES = sorted({n for e in CLEAN for n in e})
+
+
+def _edges_ds():
+    return ray.data.from_pandas(
+        pd.DataFrame(EDGES, columns=["src", "dst"]))
+
+
+def _ref_pagerank(iterations, scale=10 ** 12, dn=85, dd=100):
+    base = (scale * (dd - dn)) // dd
+    out = {}
+    for s, _ in CLEAN:
+        out[s] = out.get(s, 0) + 1
+    r = {n: scale for n in NODES}
+    for _ in range(iterations):
+        nxt = {n: base for n in NODES}
+        for s, d in CLEAN:
+            nxt[d] += (dn * r[s]) // (dd * out[s])
+        r = nxt
+    return r
+
+
+def _ref_hits(iterations):
+    h = {n: 1 for n in NODES}
+    a = None
+    for _ in range(iterations):
+        a = {n: 0 for n in NODES}
+        for s, d in CLEAN:
+            a[d] += h[s]
+        h = {n: 0 for n in NODES}
+        for s, d in CLEAN:
+            h[s] += a[d]
+    return h, a
+
+
+def test_distinct_edges_normalizes(ray_session):
+    got = graph.distinct_edges(_edges_ds(), num_buckets=4).to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == CLEAN
+
+
+def test_pagerank_matches_reference(ray_session):
+    for iters in (1, 2, 3):
+        got = graph.pagerank(_edges_ds(), iterations=iters,
+                             num_buckets=4).to_pandas()
+        got = dict(zip(got["node"], got["pr"]))
+        assert got == _ref_pagerank(iters), "iteration %d" % iters
+
+
+def test_pagerank_cycle_converges_ordering(ray_session):
+    # c has the most in-edges (b, d, e, a→c) → highest rank
+    got = graph.pagerank(_edges_ds(), iterations=3,
+                         num_buckets=4).to_pandas()
+    top = got.sort_values("pr", ascending=False)["node"].iloc[0]
+    assert top == "c"
+
+
+def test_hits_matches_reference(ray_session):
+    for iters in (1, 2):
+        got = graph.hits(_edges_ds(), iterations=iters,
+                         num_buckets=4).to_pandas()
+        h, a = _ref_hits(iters)
+        assert dict(zip(got["node"], got["hub"])) == h
+        assert dict(zip(got["node"], got["auth"])) == a
+
+
+def test_degree_distribution(ray_session):
+    got = graph.degree_distribution(_edges_ds(), col="dst",
+                                    num_buckets=4).to_pandas()
+    indeg = {}
+    for _, d in CLEAN:
+        indeg[d] = indeg.get(d, 0) + 1
+    expected = {}
+    for v in indeg.values():
+        expected[v] = expected.get(v, 0) + 1
+    assert dict(zip(got["degree"], got["n_nodes"])) == expected
