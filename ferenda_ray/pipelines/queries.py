@@ -3205,6 +3205,54 @@ GROUP BY d
 """
 
 
+LM_K = 400  # < the corpus' 916 distinct bigrams → pruning + OOV real
+
+
+def doc_lm_score(sf_dir):
+    """CCNet-style LM quality score: train a pruned bigram model on
+    the documents table (distributed counts, top-K kept, prefix
+    totals over the FULL table), broadcast it, score every doc with
+    integer credits. The SQL oracle replicates the identical
+    floor-division arithmetic including the deterministic top-K
+    tie-break."""
+    from ..stages import lm
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm.lm_score(docs, k_bigrams=LM_K)
+
+
+DOC_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+),
+big AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+pref AS (SELECT w1, sum(c) AS cp FROM big GROUP BY w1),
+ranked AS (
+  SELECT w1, w2, c,
+         row_number() OVER (ORDER BY c DESC, w1 ASC, w2 ASC) AS rn
+  FROM big
+),
+kept AS (
+  SELECT r.w1, r.w2, CAST((r.c * 1000000) // p.cp AS BIGINT) AS credit
+  FROM ranked r JOIN pref p ON p.w1 = r.w1 WHERE r.rn <= %(k)d
+),
+np AS (SELECT doc_id, greatest(len(w) - 1, 1) AS np FROM toks),
+credits AS (
+  SELECT p.doc_id, coalesce(k.credit, 0) AS credit
+  FROM pairs p LEFT JOIN kept k ON k.w1 = p.w1 AND k.w2 = p.w2
+)
+SELECT n.doc_id,
+       CAST(coalesce(sum(c.credit), 0) // n.np AS BIGINT) AS lm_score
+FROM np n LEFT JOIN credits c ON c.doc_id = n.doc_id
+GROUP BY n.doc_id, n.np
+""" % {"k": LM_K}
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -3249,6 +3297,7 @@ QUERIES = {
     "kg_section_counts": (kg_section_counts, KG_SECTION_COUNTS_SQL),
     "kg_top_cited": (kg_top_cited, KG_TOP_CITED_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
+    "doc_lm_score": (doc_lm_score, DOC_LM_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),

@@ -1,0 +1,175 @@
+"""N-gram language-model quality scoring (CCNet-style, Wenzek et al.
+LREC 2020: score web documents by a reference LM's likelihood and use
+the score as a curation signal — public literature; the reference
+engine has no LM stage, this is part of the training-data surface the
+brief adds on top).
+
+Two-phase operator, both phases distributed:
+
+1. **train** — bigram counts over the corpus with per-batch partial
+   Counters (combiner) before ONE bucketed exchange keyed on the
+   bigram hash; the model is pruned to the global top-K bigrams
+   (deterministic ``count DESC, w1 ASC, w2 ASC`` order — every global
+   top-K row is in its bucket's top-K, so a per-bucket top-K followed
+   by one bounded merge is exact). Prefix totals ``C(w1)`` are
+   computed over the FULL bigram table (not just survivors), so
+   pruning only drops lookups, never skews probabilities.
+2. **score** — the pruned model (≤K entries, int credits) rides ONE
+   ``ray.put``; scoring is a stateless per-batch pass that never
+   shuffles text.
+
+INTEGER arithmetic end to end so a SQL oracle replicates scores
+bit-exactly:
+
+    credit(w1,w2) = (C(w1,w2) * scale) // C(w1)   if (w1,w2) kept
+                    0                              otherwise (OOV)
+    lm_score(doc) = Σ credit(pairs) // max(n_tokens - 1, 1)
+
+Higher = more in-distribution. Tokens = whitespace split (the same
+``\\S+`` convention as token_counts / the oracles).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .joins import _hash64
+
+__all__ = ["train_bigram_model", "LMScorer", "lm_score"]
+
+SCALE = 10 ** 6
+
+
+def _bigram_partials(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch combiner: Counter over all adjacent token pairs →
+    narrow (w1, w2, c) rows; the exchange never sees text."""
+    counts: Counter = Counter()
+    for text in batch[text_col].to_pylist():
+        toks = (text or "").split()
+        counts.update(zip(toks, toks[1:]))
+    if not counts:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    w1, w2 = zip(*counts.keys())
+    return pa.table({"w1": pa.array(w1, pa.string()),
+                     "w2": pa.array(w2, pa.string()),
+                     "c": pa.array(list(counts.values()), pa.int64())})
+
+
+def train_bigram_model(docs_ds, text_col: str = "text",
+                       k_bigrams: int = 50_000,
+                       num_buckets: int = 64) -> dict:
+    """Train the pruned bigram model. Returns a plain dict
+    ``{(w1, w2): credit}`` with ``credit = (c * SCALE) // C(w1)`` —
+    bounded at ``k_bigrams`` entries, ready for one ``ray.put``.
+
+    The driver touches only (a) the per-bucket top-K candidate rows
+    (≤ num_buckets * K) and (b) the ≤K surviving rows — never the
+    full vocabulary."""
+
+    partials = docs_ds.map_batches(
+        lambda t: _bigram_partials(t, text_col), batch_format="pyarrow")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["w1"].astype(str) + "\x1f" + df["w2"].astype(str)
+        df["_bucket"] = (_hash64(key)
+                         % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    # full bigram table, each (w1,w2) exactly once — materialized so
+    # the top-K pass and the prefix-total pass share one execution
+    big = (partials.map_batches(bucketize, batch_format="pandas")
+           .groupby("_bucket").map_groups(merge, batch_format="pandas")
+           ).materialize()
+
+    # prefix totals over the FULL table: partial per batch, merged on
+    # the driver only for the ≤K prefixes the kept bigrams need
+    def prefix_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("w1", as_index=False)["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "w1", "w2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k_bigrams)
+
+    kept = (big.map_batches(topk_part, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["c", "w1", "w2"],
+                         ascending=[False, True, True], kind="mergesort")
+            .head(k_bigrams))
+
+    prefixes = set(kept["w1"])
+    pref_parts = big.map_batches(prefix_part, batch_format="pandas")
+
+    def keep_needed(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["w1"].isin(prefixes)]
+
+    pref = (pref_parts.map_batches(keep_needed, batch_format="pandas")
+            .to_pandas().groupby("w1")["c"].sum())
+
+    return {
+        (w1, w2): int((c * SCALE) // int(pref[w1]))
+        for w1, w2, c in kept.itertuples(index=False)
+    }
+
+
+class LMScorer:
+    """Actor-pool scoring stage: resolves the broadcast model ref once
+    per actor in ``__init__``, then scores batches with dict lookups —
+    no shuffle, text never leaves the map task."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.model = (ray.get(model_ref)
+                      if not isinstance(model_ref, dict) else model_ref)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        model = self.model
+        ids = batch[self.id_col].to_pylist()
+        scores = []
+        for text in batch[self.text_col].to_pylist():
+            toks = (text or "").split()
+            total = 0
+            for pair in zip(toks, toks[1:]):
+                total += model.get(pair, 0)
+            scores.append(total // max(len(toks) - 1, 1))
+        return pa.table({self.id_col: pa.array(ids),
+                         "lm_score": pa.array(scores, pa.int64())})
+
+
+def lm_score(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+             k_bigrams: int = 50_000, num_buckets: int = 64,
+             concurrency: tuple | int | None = None):
+    """Train on ``docs_ds`` and score every document with the pruned
+    model (self-scoring is the CCNet in-distribution signal when no
+    external reference corpus is available; pass any other Dataset to
+    ``train_bigram_model`` to score against a reference corpus).
+    Returns Dataset(id_col, lm_score)."""
+    import ray
+
+    model = train_bigram_model(docs_ds, text_col, k_bigrams, num_buckets)
+    ref = ray.put(model)
+    return docs_ds.map_batches(
+        LMScorer,
+        fn_constructor_kwargs={"model_ref": ref, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or (2, 8),
+    )
