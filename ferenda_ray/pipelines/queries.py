@@ -174,26 +174,33 @@ FROM documents GROUP BY lang
 
 
 def doc_token_counts(sf_dir):
-    """token counting (whitespace) per lang — partial counts inside
-    map_batches, tiny groupby after."""
+    """token counting per lang, BOTH conventions (whitespace and the
+    BPE-ish \\w+|[^\\w\\s]+ regex — the same RE2-compatible pattern the
+    oracle runs) — partial counts inside map_batches, tiny groupby
+    after."""
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = text_analysis.token_counts(t)
-        df = t.select(["lang", "ws_tokens"]).to_pandas()
-        g = df.groupby("lang", as_index=False)["ws_tokens"].sum()
+        df = t.select(["lang", "ws_tokens", "bpeish_tokens"]).to_pandas()
+        g = df.groupby("lang", as_index=False)[
+            ["ws_tokens", "bpeish_tokens"]].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"sum(ws_tokens)": "total_tokens",
+                                  "sum(bpeish_tokens)": "bpeish_total"})
+
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("lang").sum("ws_tokens")
-            .map_batches(lambda df: df.rename(
-                columns={"sum(ws_tokens)": "total_tokens"}),
-                batch_format="pandas"))
+            .groupby("lang").sum(["ws_tokens", "bpeish_tokens"])
+            .map_batches(rename, batch_format="pandas"))
 
 
 DOC_TOKENS_SQL = """
 SELECT lang, cast(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
-         AS total_tokens
+         AS total_tokens,
+       cast(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')))
+            AS BIGINT) AS bpeish_total
 FROM documents GROUP BY lang
 """
 
