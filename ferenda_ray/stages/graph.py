@@ -74,7 +74,17 @@ def distinct_edges(edges_ds, src: str = "src", dst: str = "dst",
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates([src, dst])[[src, dst]]
 
-    return (edges_ds.map_batches(prep, batch_format="pandas")
+    # Coalesce to num_buckets blocks FIRST: every downstream exchange
+    # (this dedup, degrees, the per-iteration join/re-aggregation in
+    # pagerank/hits) has at most num_buckets-way key parallelism, so
+    # blocks beyond that only multiply sort/shuffle task count — an
+    # edge list inheriting hundreds of tiny upstream blocks made
+    # pagerank 20× slower (208 s → 8.8 s at sf0.1). num_buckets is
+    # therefore the SINGLE parallelism knob: size it so one bucket of
+    # (src,dst) pairs fits a worker (narrow columns — the repartition
+    # moves no payload).
+    return (edges_ds.repartition(num_buckets)
+            .map_batches(prep, batch_format="pandas")
             .groupby("_bucket").map_groups(uniq, batch_format="pandas"))
 
 
@@ -148,8 +158,12 @@ def _nodes(edges_ds, src: str, dst: str, num_buckets: int):
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["node"])[["node"]]
 
-    return (both.map_batches(_bucketize("node", num_buckets),
-                             batch_format="pandas")
+    # union doubles the block count; coalesce before the exchange
+    # (see distinct_edges — block growth, not data volume, was the
+    # dominant cost of these narrow-row shuffles)
+    return (both.repartition(num_buckets)
+            .map_batches(_bucketize("node", num_buckets),
+                         batch_format="pandas")
             .groupby("_bucket").map_groups(uniq, batch_format="pandas"))
 
 
@@ -216,7 +230,13 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
                 # zero row per node: nodes with no in-edges still get
                 # base, and the output keys every node every round
                 .union(nodes.map_batches(zero, batch_format="pandas")))
-        ranks = (cont.map_batches(part, batch_format="pandas")
+        # coalesce the join∪zero union before the re-aggregation:
+        # without it each iteration's state inherits the sum of its
+        # inputs' block counts and the narrow-row sorts drown in task
+        # scheduling (measured 1600 blocks / 3000 rows after 2 HITS
+        # rounds before this fix)
+        ranks = (cont.repartition(num_buckets)
+                 .map_batches(part, batch_format="pandas")
                  .map_batches(_bucketize("node", num_buckets),
                               batch_format="pandas")
                  .groupby("_bucket")
@@ -283,7 +303,11 @@ def hits(edges_ds, iterations: int = 2, num_buckets: int = 64,
                              right_on="node", num_buckets=num_buckets)
         cont = (joined.map_batches(sum_to(emit), batch_format="pandas")
                 .union(nodes.map_batches(zero, batch_format="pandas")))
-        return (cont.map_batches(part, batch_format="pandas")
+        # coalesce before the exchange — keeps per-half-step state at
+        # num_buckets blocks instead of compounding every round (same
+        # rationale as distinct_edges / the pagerank loop)
+        return (cont.repartition(num_buckets)
+                .map_batches(part, batch_format="pandas")
                 .map_batches(_bucketize("node", num_buckets),
                              batch_format="pandas")
                 .groupby("_bucket")
@@ -315,6 +339,7 @@ def hits(edges_ds, iterations: int = 2, num_buckets: int = 64,
         out["auth"] = out["auth"].astype("int64")
         return out
 
-    return (both.map_batches(_bucketize("node", num_buckets),
-                             batch_format="pandas")
+    return (both.repartition(num_buckets)
+            .map_batches(_bucketize("node", num_buckets),
+                         batch_format="pandas")
             .groupby("_bucket").map_groups(merge, batch_format="pandas"))
