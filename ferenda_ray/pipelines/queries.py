@@ -2652,6 +2652,103 @@ GROUP BY a.doc_id
 """
 
 
+# shared bench/train split for the decontamination pair: every
+# doc_id % 53 == 0 document is the held-out "benchmark suite"; the
+# planted dup_passages marker guarantees overlap at every sf (any
+# train doc with doc_id % 10 == 0 shares the marker 6-gram with any
+# bench doc with doc_id % 530 == 0), on top of the corpus' natural
+# small-vocabulary 6-gram collisions — the SQL recomputes all of it.
+_DECON_AUG = """
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+                      THEN ' shared passage marker alpha beta gamma'
+                      ELSE '' END AS text
+  FROM documents"""
+
+_DECON_GRAMS = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i
+        FROM words),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') AS gram
+      FROM idx),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+c AS (SELECT DISTINCT doc_id FROM g
+      WHERE doc_id % 53 <> 0
+        AND gram IN (SELECT gram FROM bench))"""
+
+
+def _decon_inputs(sf_dir):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [(txt or "")
+               + (" shared passage marker alpha beta gamma"
+                  if i % 10 == 0 else "")
+               for i, txt in zip(ids, texts)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+
+    def side(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            m = pa.array(ids % 53 == 0)
+            return t.filter(m if keep_bench else pc.invert(m))
+        return fn
+
+    return (aug.map_batches(side(False), batch_format="pyarrow"),
+            aug.map_batches(side(True), batch_format="pyarrow"))
+
+
+def doc_contamination(sf_dir):
+    """Benchmark-contamination flags (dedup.contamination_flags — the
+    GPT-3 / Pile n-gram decontamination recipe at word-6-gram grain):
+    1 for every training doc sharing >= 1 6-gram with the held-out
+    doc_id % 53 == 0 benchmark slice. Both grams exchanges are
+    narrow — text never crosses; the SQL oracle recomputes the full
+    flag table from the same grams."""
+    from ..stages.dedup import contamination_flags
+
+    train, bench = _decon_inputs(sf_dir)
+    flags = contamination_flags(train, bench, n=6)
+    return flags.map_batches(
+        lambda df: df.rename(columns={"key": "doc_id"}),
+        batch_format="pandas")
+
+
+DOC_CONTAMINATION_SQL = """
+WITH aug AS (%s),%s
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id FROM aug WHERE doc_id %% 53 <> 0) d
+LEFT JOIN c USING (doc_id)
+""" % (_DECON_AUG, _DECON_GRAMS)
+
+
+def doc_decontaminate(sf_dir):
+    """Removal counterpart (dedup.decontaminate): the surviving
+    training docs as (doc_id, text), text byte-exact vs the SQL
+    reconstruction — text crosses only the final key-bucketed hop."""
+    from ..stages.dedup import decontaminate
+
+    train, bench = _decon_inputs(sf_dir)
+    out = decontaminate(train, bench, n=6)
+    return out.map_batches(
+        lambda df: df.rename(columns={"key": "doc_id"}),
+        batch_format="pandas")
+
+
+DOC_DECONTAMINATE_SQL = """
+WITH aug AS (%s),%s
+SELECT doc_id, text FROM aug
+WHERE doc_id %% 53 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM c)
+""" % (_DECON_AUG, _DECON_GRAMS)
+
+
 def profile_documents(sf_dir):
     """Column profile of the documents table (stages/profiling.py):
     n_rows / n_null / exact n_distinct / min / max per column, with
@@ -3337,6 +3434,8 @@ QUERIES = {
     "pii_scan": (pii_scan, PII_SCAN_SQL),
     "dup_passages": (dup_passages, DUP_PASSAGES_SQL),
     "scrub_passages": (scrub_passages, SCRUB_PASSAGES_SQL),
+    "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
+    "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     "profile_documents": (profile_documents, PROFILE_DOCS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),

@@ -894,3 +894,162 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
         })
 
     return both.groupby("_b").map_groups(rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------
+
+def _contamination_hits(docs_ds, bench_ds, n: int,
+                        text_col: str, key_col: str, num_buckets: int):
+    """Contaminated-key detector shared by :func:`contamination_flags`
+    and :func:`decontaminate`: every training key sharing >= 1 word
+    n-gram with the bench side, as a (key) Dataset. A key matching in
+    several gram buckets appears once PER BUCKET — consumers treat the
+    output as a set. ONE gram-hash-bucketed exchange; text never
+    crosses (each side ships only its distinct grams — doc-local
+    combiner — plus the train key)."""
+
+    def grams_of(side: int, with_key: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            keys_out, grams_out = [], []
+            for k, txt in zip(df[key_col], df[text_col]):
+                words = (txt or "").split(" ")
+                seen = {" ".join(words[i:i + n])
+                        for i in range(len(words) - n + 1)}
+                keys_out.extend([int(k) if with_key else -1] * len(seen))
+                grams_out.extend(seen)
+            out = pd.DataFrame({
+                "gram": pd.Series(grams_out, dtype="object"),
+                "key": pd.Series(keys_out, dtype="int64"),
+                "side": pd.Series(np.full(len(grams_out), side,
+                                          dtype="int64")),
+            })
+            out["_bucket"] = _bucket_of(out["gram"], num_buckets)
+            return out
+        return fn
+
+    both = (docs_ds.map_batches(grams_of(0, True), batch_format="pandas")
+            .union(bench_ds.map_batches(grams_of(1, False),
+                                        batch_format="pandas")))
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"key": pd.Series(dtype="int64")})
+        bench = g.loc[g["side"] == 1, "gram"]
+        d = g[(g["side"] == 0) & g["gram"].isin(set(bench))]
+        return pd.DataFrame({"key": d["key"].unique().astype("int64")})
+
+    return (both.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(hits, batch_format="pandas"))
+
+
+def contamination_flags(docs_ds, bench_ds, n: int = 8,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        num_buckets: int = 64):
+    """Benchmark-decontamination detector: flag every training document
+    that shares at least one word n-gram with any document of a
+    held-out benchmark set (the GPT-3 / Pile 13-gram decontamination
+    recipe — Brown et al. 2020 appendix C; Gao et al. 2021 — at a
+    configurable n). Returns (key, contaminated ∈ {0,1}) for EVERY
+    input doc.
+
+    Scale shape — two narrow exchanges, text crosses neither:
+
+    1. :func:`_contamination_hits` (gram-bucketed overlap detection);
+    2. contaminated keys union the full doc key list into ONE
+       key-hash-bucketed exchange that materializes the 0/1 flag.
+
+    The bench side is NOT broadcast: a real benchmark suite is small,
+    but the same operator decontaminates split-vs-split (both sides
+    corpus-scale), so both travel the bucketed path. Tokenization is
+    the pinned ``split(" ")`` / SQL ``string_split(text, ' ')``
+    convention shared with :func:`duplicated_passages`.
+    """
+    contaminated = _contamination_hits(docs_ds, bench_ds, n,
+                                       text_col, key_col, num_buckets)
+
+    def _key_bucket(s: pd.Series) -> np.ndarray:
+        h = s.to_numpy(dtype="int64").astype(np.uint64) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        return (h % np.uint64(num_buckets)).astype("int32")
+
+    def all_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df[key_col].astype("int64"),
+                            "hit": np.zeros(len(df), dtype="int64")})
+        out["_b"] = _key_bucket(out["key"])
+        return out
+
+    def hit_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["key"].astype("int64"),
+                            "hit": np.ones(len(df), dtype="int64")})
+        out["_b"] = _key_bucket(out["key"])
+        return out
+
+    tagged = (docs_ds.map_batches(all_keys, batch_format="pandas")
+              .union(contaminated.map_batches(hit_keys,
+                                              batch_format="pandas")))
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key", as_index=False)["hit"].max()
+        return pd.DataFrame({"key": out["key"].astype("int64"),
+                             "contaminated": out["hit"].astype("int64")})
+
+    return (tagged.repartition(num_buckets)
+            .groupby("_b").map_groups(flag, batch_format="pandas"))
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 8,
+                  text_col: str = "text", key_col: str = "doc_id",
+                  num_buckets: int = 64):
+    """Removal counterpart of :func:`contamination_flags`: returns
+    (key, text) for every surviving (unflagged) training document.
+    EXACTLY two chained exchanges (the proven
+    scrub_duplicated_passages shape — narrow detection exchange, then
+    one key-bucketed union where text crosses once): the detector's
+    raw contaminated keys feed the drop set directly — their
+    per-gram-bucket duplicates are harmless to a set-drop, and
+    skipping the flag-table exchange keeps the DAG one union
+    shallower."""
+
+    hits = _contamination_hits(docs_ds, bench_ds, n,
+                               text_col, key_col, num_buckets)
+
+    def _key_bucket(s: pd.Series) -> np.ndarray:
+        h = s.to_numpy(dtype="int64").astype(np.uint64) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        return (h % np.uint64(num_buckets)).astype("int32")
+
+    def prep_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": df[key_col].astype("int64"),
+            "text": df[text_col].astype("object"),
+            "_drop": pd.Series(np.full(len(df), -1, dtype="int64")),
+        })
+        out["_b"] = _key_bucket(out["key"])
+        return out
+
+    def prep_hits(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": df["key"].astype("int64"),
+            # "" not None: an all-None object column Arrow-types as
+            # null and the union's blocks stop sharing one schema
+            "text": pd.Series([""] * len(df), dtype="object"),
+            "_drop": pd.Series(np.ones(len(df), dtype="int64")),
+        })
+        out["_b"] = _key_bucket(out["key"])
+        return out
+
+    both = (docs_ds.map_batches(prep_docs, batch_format="pandas")
+            .union(hits.map_batches(prep_hits, batch_format="pandas")))
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = set(g.loc[g["_drop"] == 1, "key"])
+        d = g[g["_drop"] == -1]
+        d = d[~d["key"].isin(dropped)]
+        return pd.DataFrame({"key": d["key"].astype("int64"),
+                             "text": d["text"].astype("object")})
+
+    return (both.repartition(num_buckets)
+            .groupby("_b").map_groups(keep, batch_format="pandas"))

@@ -434,3 +434,47 @@ def test_edit1_join_matches_brute_force(ray_session):
         if _ed_le1(na, nb))
     assert list(zip(got["key_a"], got["key_b"])) == expect
     assert len(expect) > 50  # the planted set is non-trivial
+
+
+def test_contamination_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import contamination_flags, decontaminate
+
+    # 20 train docs, 4 bench docs; overlap planted via shared trigrams
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    train_rows = []
+    for i in range(20):
+        txt = " ".join(words[(i + j) % len(words)] for j in range(6))
+        if i % 4 == 0:  # plant the bench passage
+            txt += " shared eval passage one two three"
+        train_rows.append({"doc_id": i, "text": txt})
+    bench_rows = [
+        {"doc_id": 100, "text": "shared eval passage one two three tail"},
+        {"doc_id": 101, "text": "completely different benchmark words here"},
+    ]
+    train = rd.from_pandas(pd.DataFrame(train_rows))
+    bench = rd.from_pandas(pd.DataFrame(bench_rows))
+
+    n = 6
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    bench_grams = set().union(*(grams(r["text"]) for r in bench_rows))
+    expect_cont = {r["doc_id"] for r in train_rows
+                   if grams(r["text"]) & bench_grams}
+    assert expect_cont  # the plant must trigger
+
+    flags = (contamination_flags(train, bench, n=n)
+             .to_pandas().sort_values("key").reset_index(drop=True))
+    assert len(flags) == len(train_rows)
+    got_cont = set(flags.loc[flags["contaminated"] == 1, "key"])
+    assert got_cont == expect_cont
+
+    surv = decontaminate(train, bench, n=n).to_pandas()
+    assert set(surv["key"]) == {r["doc_id"] for r in train_rows} - expect_cont
+    by_key = {r["doc_id"]: r["text"] for r in train_rows}
+    for k, t in zip(surv["key"], surv["text"]):
+        assert t == by_key[k]
