@@ -3357,6 +3357,51 @@ GROUP BY n.doc_id, n.np
 """ % {"k": LM_K}
 
 
+def doc_dsir_score(sf_dir):
+    """DSIR-style importance weighting (lm.dsir_score, Xie et al.
+    2023): hashed-unigram feature counts of the full corpus (source)
+    vs the doc_id % 31 == 0 slice (target-domain sample) produce an
+    integer weight per 2^16-bucket feature; every doc scores the sum
+    of its tokens' weights. Feature hashing bounds the broadcast model
+    by construction; the SQL oracle replicates the md5-prefix bucket,
+    the add-1 floor-division weights and the multiplicity sum
+    bit-exactly."""
+    from ..stages import lm
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tgt_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % 31 == 0))
+
+    target = docs.map_batches(tgt_side, batch_format="pyarrow")
+    return lm.dsir_score(docs, target)
+
+
+DOC_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 65536 AS b
+  FROM toks
+),
+src AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
+tgt AS (SELECT b, count(*) AS c
+        FROM feat WHERE doc_id % 31 = 0 GROUP BY b),
+wt AS (
+  SELECT s.b,
+         CAST(((coalesce(t.c, 0) + 1) * 1000000) // (s.c + 1)
+              AS BIGINT) AS w
+  FROM src s LEFT JOIN tgt t ON t.b = s.b
+)
+SELECT f.doc_id, CAST(sum(wt.w) AS BIGINT) AS dsir_score
+FROM feat f JOIN wt ON wt.b = f.b
+GROUP BY f.doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -3402,6 +3447,7 @@ QUERIES = {
     "kg_top_cited": (kg_top_cited, KG_TOP_CITED_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "doc_lm_score": (doc_lm_score, DOC_LM_SQL),
+    "doc_dsir_score": (doc_dsir_score, DOC_DSIR_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),

@@ -39,9 +39,139 @@ import pyarrow as pa
 
 from .joins import _hash64
 
-__all__ = ["train_bigram_model", "LMScorer", "lm_score"]
+__all__ = ["train_bigram_model", "LMScorer", "lm_score",
+           "hashed_feature_counts", "dsir_weights", "dsir_score"]
 
 SCALE = 10 ** 6
+
+# --- DSIR-style hashed-feature importance weighting -------------------
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling" — public literature: estimate importance weights from
+# hashed n-gram feature counts of a raw corpus vs a target-domain
+# sample, score every raw doc by its tokens' weights. Feature hashing
+# bounds the model at N_FEATURES buckets BY CONSTRUCTION, so the
+# weight table always fits one ray.put broadcast no matter the corpus
+# size — that bound is the whole point of the hashing trick.)
+#
+# INTEGER weights so a SQL oracle replicates scores bit-exactly:
+#     w(b)          = ((target_count(b) + 1) * SCALE)
+#                     // (source_count(b) + 1)        (add-1 smoothing)
+#     dsir_score(d) = Σ_{tokens t of d} w(bucket(t))  (multiplicity)
+# bucket(t) = int(md5(t)[:15 hex], 16) % N_FEATURES — the same
+# md5-prefix convention as transform.hash_split, SQL-replicable via
+# CAST('0x' || substr(md5(t), 1, 15) AS BIGINT). Tokens are the
+# pinned split(" ") / string_split(text, ' ') convention.
+
+N_FEATURES = 1 << 16
+
+
+def _md5_feature(words: np.ndarray) -> np.ndarray:
+    """unique word array → int64 feature bucket (md5-prefix mod)."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(w).encode("utf-8")).hexdigest()[:15], 16)
+         % N_FEATURES for w in words],
+        dtype=np.int64)
+
+
+def _batch_feature_codes(texts) -> np.ndarray:
+    """All token feature buckets of a batch (multiplicity kept);
+    md5 runs once per DISTINCT word via factorize."""
+    words: list = []
+    for t in texts:
+        words.extend((t or "").split(" "))
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+    return _md5_feature(uniq)[codes]
+
+
+def hashed_feature_counts(docs_ds, text_col: str = "text",
+                          num_buckets: int = 64):
+    """Distributed token-count over the hashed feature space:
+    Dataset(b, c) with one row per occupied bucket (≤ N_FEATURES rows
+    total by construction). Per-batch bincount combiner → ONE bucketed
+    merge exchange carrying narrow (b, c) rows."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        f = _batch_feature_codes(df[text_col])
+        c = np.bincount(f, minlength=N_FEATURES)
+        nz = np.nonzero(c)[0]
+        out = pd.DataFrame({"b": nz.astype("int64"),
+                            "c": c[nz].astype("int64")})
+        out["_bucket"] = (out["b"] % num_buckets).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("b", as_index=False)["c"].sum()
+        return pd.DataFrame({"b": out["b"].astype("int64"),
+                             "c": out["c"].astype("int64")})
+
+    return (docs_ds.map_batches(part, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+def dsir_weights(source_ds, target_ds, text_col: str = "text",
+                 num_buckets: int = 64) -> np.ndarray:
+    """(N_FEATURES,) int64 weight vector from the two corpora's hashed
+    feature counts. The driver touches only the two ≤N_FEATURES-row
+    count tables (bounded by construction — see module comment), never
+    a document."""
+    src = np.zeros(N_FEATURES, dtype=np.int64)
+    for row in hashed_feature_counts(source_ds, text_col,
+                                     num_buckets).iter_rows():
+        src[row["b"]] = row["c"]
+    tgt = np.zeros(N_FEATURES, dtype=np.int64)
+    for row in hashed_feature_counts(target_ds, text_col,
+                                     num_buckets).iter_rows():
+        tgt[row["b"]] = row["c"]
+    return ((tgt + 1) * SCALE) // (src + 1)
+
+
+class DSIRScorer:
+    """Actor-pool scoring stage: resolves the broadcast weight vector
+    once per actor, then scores batches with one vectorized gather —
+    no shuffle, text never leaves the map task."""
+
+    def __init__(self, weights_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.w = (ray.get(weights_ref)
+                  if not isinstance(weights_ref, np.ndarray)
+                  else weights_ref)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        scores = []
+        for t in batch[self.text_col].to_pylist():
+            f = _batch_feature_codes([t])
+            scores.append(int(self.w[f].sum()) if len(f) else 0)
+        return pa.table({self.id_col: pa.array(ids),
+                         "dsir_score": pa.array(scores, pa.int64())})
+
+
+def dsir_score(source_ds, target_ds, id_col: str = "doc_id",
+               text_col: str = "text", num_buckets: int = 64,
+               concurrency: tuple | int | None = None):
+    """Score every document of ``source_ds`` by its DSIR importance
+    weight against ``target_ds``'s feature distribution. Returns
+    Dataset(id_col, dsir_score). Two bounded count exchanges to train,
+    one broadcast, zero shuffles to score."""
+    import ray
+
+    w = dsir_weights(source_ds, target_ds, text_col, num_buckets)
+    ref = ray.put(w)
+    return source_ds.map_batches(
+        DSIRScorer,
+        fn_constructor_kwargs={"weights_ref": ref, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or (2, 8),
+    )
 
 
 def _bigram_partials(batch: pa.Table, text_col: str) -> pa.Table:

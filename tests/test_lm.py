@@ -53,3 +53,45 @@ def test_scores(ray_session):
     assert got[1] == (ab + 0 + 0) // 3          # bx, xy pruned → OOV
     assert got[2] == (ac + 0 + ac) // 3          # ca pruned
     assert got[3] == 0 and got[4] == 0
+
+
+def test_dsir_weights_and_score(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.stages.lm import (N_FEATURES, SCALE, dsir_score,
+                                       dsir_weights)
+
+    rows = [{"doc_id": i,
+             "text": " ".join(["alpha", "beta", "gamma", "delta"]
+                              [: (i % 4) + 1] * (i + 1))}
+            for i in range(12)]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    target = rd.from_pandas(pd.DataFrame([r for r in rows
+                                          if r["doc_id"] % 3 == 0]))
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % N_FEATURES
+
+    src_c = np.zeros(N_FEATURES, dtype=np.int64)
+    tgt_c = np.zeros(N_FEATURES, dtype=np.int64)
+    for r in rows:
+        for w in r["text"].split(" "):
+            src_c[bucket(w)] += 1
+            if r["doc_id"] % 3 == 0:
+                tgt_c[bucket(w)] += 1
+    expect_w = ((tgt_c + 1) * SCALE) // (src_c + 1)
+
+    got_w = dsir_weights(docs, target)
+    assert (got_w == expect_w).all()
+
+    got = (dsir_score(docs, target).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for r in rows:
+        expect = sum(int(expect_w[bucket(w)])
+                     for w in r["text"].split(" "))
+        assert int(got.loc[got["doc_id"] == r["doc_id"],
+                           "dsir_score"].iloc[0]) == expect
