@@ -86,7 +86,10 @@ def run_bench() -> dict:
              ("revenue_by_nation", Q.revenue_by_nation),
              ("priority_lineitems", Q.priority_lineitems),
              ("pack_token_chunks", Q.pack_token_chunks),
-             ("curation_pipeline", Q.curation_pipeline)]
+             ("curation_pipeline", Q.curation_pipeline),
+             ("doc_dsir_score", Q.doc_dsir_score),
+             ("doc_decontaminate", Q.doc_decontaminate),
+             ("kg_pagerank", Q.kg_pagerank)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
