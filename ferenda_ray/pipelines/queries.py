@@ -3357,6 +3357,73 @@ GROUP BY n.doc_id, n.np
 """ % {"k": LM_K}
 
 
+BPE_MERGES = 10
+
+
+def doc_bpe_tokens(sf_dir):
+    """Distributed BPE tokenizer training + encoding (stages/bpe,
+    Sennrich et al. 2016): one word-count exchange reduces the corpus
+    to its bounded (word, count) table, the merge loop runs on that
+    table, the merge list broadcasts once, and encoding is a
+    zero-shuffle per-actor-cached pass. Output = (doc_id,
+    n_bpe_tokens). The SQL oracle unrolls every merge round
+    (pair-count → deterministic argmax → delimited-string replace,
+    which equals greedy leftmost merge application) so training AND
+    encoding are recomputed bit-exactly."""
+    from ..stages.bpe import bpe_token_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_counts(docs, num_merges=BPE_MERGES)
+
+
+def _bpe_sql(k: int) -> str:
+    """Unrolled-CTE BPE oracle (the _pagerank_sql trick): each round
+    recomputes pair counts over the delimited symbol strings, picks
+    the (count DESC, a ASC, b ASC) argmax, and applies it via
+    non-overlapping leftmost replace — verified equal to the greedy
+    list merge. LEFT JOIN ON TRUE keeps the vocab when no pair
+    remains."""
+    ctes = ["""toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+v0 AS (
+  SELECT word, c,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||')
+             || '|' AS s
+  FROM wc
+)"""]
+    for i in range(1, k + 1):
+        ctes.append("""px%(i)d AS (
+  SELECT c, sy, unnest(generate_series(1, len(sy) - 1)) AS j
+  FROM (SELECT c, string_split(trim(s, '|'), '||') AS sy FROM v%(p)d)
+),
+p%(i)d AS (SELECT sy[j] AS a, sy[j + 1] AS b, sum(c) AS pc
+       FROM px%(i)d GROUP BY a, b),
+m%(i)d AS (SELECT a, b FROM p%(i)d
+       ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+v%(i)d AS (
+  SELECT v.word, v.c,
+         CASE WHEN m.a IS NULL THEN v.s
+              ELSE replace(v.s, '|' || m.a || '||' || m.b || '|',
+                                '|' || m.a || m.b || '|') END AS s
+  FROM v%(p)d v LEFT JOIN m%(i)d m ON TRUE
+)""" % {"i": i, "p": i - 1})
+    return """
+WITH %s,
+lens AS (SELECT word,
+                len(string_split(trim(s, '|'), '||')) AS n
+         FROM v%d)
+SELECT t.doc_id, CAST(sum(l.n) AS BIGINT) AS n_bpe_tokens
+FROM toks t JOIN lens l USING (word)
+GROUP BY t.doc_id
+""" % (",\n".join(ctes), k)
+
+
+DOC_BPE_SQL = _bpe_sql(BPE_MERGES)
+
+
 def doc_dsir_score(sf_dir):
     """DSIR-style importance weighting (lm.dsir_score, Xie et al.
     2023): hashed-unigram feature counts of the full corpus (source)
@@ -3448,6 +3515,7 @@ QUERIES = {
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "doc_lm_score": (doc_lm_score, DOC_LM_SQL),
     "doc_dsir_score": (doc_dsir_score, DOC_DSIR_SQL),
+    "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
