@@ -76,6 +76,28 @@ def run_bench() -> dict:
             read_pages(pages_dir),
             pages_slim=read_pages_slim(pages_dir)).count()
 
+    # scaling legs skip the query sweep: the efficiency ratio is
+    # computed on the flagship alone, and a 14-query sweep per leg
+    # only adds host-contention exposure to the measurement window
+    if os.environ.get("GRAFT_SWEEP", "1") == "0":
+        for _ in range(TRIALS):
+            t0 = time.time()
+            kg_run()
+            dt = time.time() - t0
+            if ("kg_pipeline" not in timings
+                    or dt < timings["kg_pipeline"]):
+                timings["kg_pipeline"] = round(dt, 3)
+        kg_sec = timings["kg_pipeline"]
+        result = {
+            "metric": "kg_pipeline_sec", "value": round(kg_sec, 3),
+            "unit": "sec", "queries": timings, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "pages": int(n_pages),
+            "triples": int(n_triples),
+            "triples_per_sec": round(n_triples / kg_sec, 1),
+        }
+        ray.shutdown()
+        return result
+
     SWEEP = [("kg_pipeline", lambda _sf: kg_run()),
              ("q1_pricing", Q.q1_pricing),
              ("doc_token_counts", Q.doc_token_counts),
@@ -122,7 +144,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SWEEP="0")
         cmd = [sys.executable, os.path.abspath(__file__)]
         # hard-cap PHYSICAL cores with taskset: ray.init(num_cpus=8)
         # only limits logical task slots — Arrow kernels, plasma and

@@ -3357,6 +3357,220 @@ GROUP BY n.doc_id, n.np
 """ % {"k": LM_K}
 
 
+# --- URL canonicalization / crawl-frontier dedup ----------------------
+# Messy URLs planted by pure doc_id arithmetic: every doc_id maps to
+# canonical target m = doc_id % 400 (so clones collide after
+# normalization), with uppercase authority, explicit :443, tracking
+# params, fragments and trailing slashes sprinkled by coprime moduli.
+# The trailing-slash plant is exclusive with the kept query param
+# (m % 4 != 0) so clones of one m always share ONE canonical form.
+
+
+def _messy_url(doc_id: int) -> str:
+    m = doc_id % 400
+    host = "WWW.Example.org" if doc_id % 2 == 0 else "www.example.org"
+    u = "https://" + host
+    if doc_id % 3 == 0:
+        u += ":443"
+    u += "/path/" + str(m)
+    if doc_id % 11 == 0 and m % 4 != 0:
+        u += "/"
+    params = []
+    if doc_id % 5 == 0:
+        params.append("utm_source=feed")
+    if m % 4 == 0:
+        params.append("page=" + str(m % 13))
+    if doc_id % 5 == 0:
+        params.append("gclid=" + str(doc_id % 9))
+    if params:
+        u += "?" + "&".join(params)
+    if doc_id % 7 == 0:
+        u += "#sec" + str(doc_id % 3)
+    return u
+
+
+_MESSY_URL_SQL = """
+  'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.org'
+                     ELSE 'www.example.org' END
+  || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+  || '/path/' || (doc_id % 400)
+  || CASE WHEN doc_id % 11 = 0 AND doc_id % 400 % 4 <> 0
+          THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 AND doc_id % 400 % 4 = 0
+          THEN '?utm_source=feed&page=' || (doc_id % 400 % 13)
+               || '&gclid=' || (doc_id % 9)
+          WHEN doc_id % 5 = 0
+          THEN '?utm_source=feed&gclid=' || (doc_id % 9)
+          WHEN doc_id % 400 % 4 = 0
+          THEN '?page=' || (doc_id % 400 % 13)
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 3)
+          ELSE '' END"""
+
+# the canonicalization chain as SQL — the IDENTICAL ordered rules (and
+# RE2-identical patterns) as functions/url.canonical_url
+_CANON_URL_SQL = r"""
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '') AS u1
+  FROM messy
+),
+auth AS (
+  SELECT doc_id, url, u1,
+         regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')
+           AS a
+  FROM canon
+),
+lowered AS (
+  SELECT doc_id, url,
+         lower(a) || substr(u1, len(a) + 1) AS u2
+  FROM auth
+),
+unport AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(u2, '^(http://[^/:?#]*):80($|[/?])',
+                          '\1\2'),
+           '^(https://[^/:?#]*):443($|[/?])', '\1\2') AS u3
+  FROM lowered
+),
+unq AS (
+  SELECT doc_id, url,
+         CASE WHEN strpos(u3, '?') = 0 THEN u3
+              ELSE substr(u3, 1, strpos(u3, '?') - 1)
+                   || CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+         END AS u4
+  FROM (SELECT doc_id, url, u3,
+               -- array_to_string of an EMPTY list is NULL in DuckDB
+               coalesce(array_to_string(list_filter(
+                 string_split(substr(u3, strpos(u3, '?') + 1), '&'),
+                 p -> NOT (p LIKE 'utm\_%' ESCAPE '\'
+                           OR p LIKE 'gclid=%'
+                           OR p LIKE 'fbclid=%')), '&'), '') AS kept
+        FROM unport)
+),
+final AS (
+  SELECT doc_id, url,
+         regexp_replace(u4, '/+$', '') AS canonical_url
+  FROM unq
+)"""
+
+
+def url_canonicalize(sf_dir):
+    """URL canonicalization (functions/url.canonical_url): fragment
+    drop, authority lowercasing, default-port strip, tracking-param
+    removal, trailing-slash strip — per-doc (doc_id, url,
+    canonical_url), the full normalizer output hash-checked against
+    the identical SQL rule chain. Pure zero-shuffle map."""
+    from ..functions.url import canonical_url
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = [int(i) for i in t["doc_id"].to_pylist()]
+        urls = [_messy_url(i) for i in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "canonical_url": pa.array([canonical_url(u) for u in urls],
+                                      pa.string()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+URL_CANON_SQL = """
+WITH messy AS (
+  SELECT doc_id, %s AS url FROM documents
+),%s
+SELECT doc_id, url, canonical_url FROM final
+""" % (_MESSY_URL_SQL, _CANON_URL_SQL)
+
+
+def url_frontier(sf_dir):
+    """Crawl-frontier dedup on the canonical URL: one row per
+    canonical target with its variant count and representative
+    (min doc_id) — the recrawl-scheduling counterpart of
+    latest_per_url, keyed on normalized identity instead of raw url.
+    Canonical-url-hash bucketed exchange carrying only (canonical,
+    doc_id) pairs."""
+    from ..stages.dedup import _bucket_of
+
+    ds = url_canonicalize(sf_dir)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("canonical_url", as_index=False).agg(
+            n_docs=("doc_id", "size"), first_doc=("doc_id", "min"))
+        out["_bucket"] = _bucket_of(out["canonical_url"], 64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("canonical_url", as_index=False).agg(
+            n_docs=("n_docs", "sum"), first_doc=("first_doc", "min"))
+        return pd.DataFrame({
+            "canonical_url": out["canonical_url"].astype("object"),
+            "n_docs": out["n_docs"].astype("int64"),
+            "first_doc": out["first_doc"].astype("int64"),
+        })
+
+    return (ds.map_batches(part, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+URL_FRONTIER_SQL = """
+WITH messy AS (
+  SELECT doc_id, %s AS url FROM documents
+),%s
+SELECT canonical_url, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM final GROUP BY canonical_url
+""" % (_MESSY_URL_SQL, _CANON_URL_SQL)
+
+
+def doc_winnow(sf_dir):
+    """Winnowing local fingerprints (dedup.winnow_fingerprints, the
+    MOSS algorithm, Schleimer et al. SIGMOD'03): word-5-gram hashes,
+    window w=4, per-window rightmost minimum, each selected
+    (position, hash) once. Doc-local zero-shuffle map; the SQL oracle
+    recomputes every fingerprint via the same md5-prefix gram hash and
+    a window-min + rightmost-argmax join."""
+    from ..stages.dedup import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_fingerprints(ds, k=5, w=4)
+    return out.map_batches(
+        lambda df: df.rename(columns={"key": "doc_id"}),
+        batch_format="pandas")
+
+
+DOC_WINNOW_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (SELECT doc_id, ws,
+             unnest(generate_series(1, len(ws) - 4)) AS i
+      FROM words),
+h AS (SELECT doc_id, i,
+             CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')),
+                                 1, 15) AS BIGINT) AS h
+      FROM g),
+n AS (SELECT doc_id, count(*) AS ng FROM h GROUP BY doc_id),
+starts AS (SELECT h.doc_id, h.i AS s
+           FROM h JOIN n USING (doc_id)
+           WHERE h.i <= greatest(n.ng - 3, 1)),
+wmin AS (SELECT s.doc_id, s.s, min(b.h) AS mh
+         FROM starts s JOIN h b
+           ON b.doc_id = s.doc_id AND b.i BETWEEN s.s AND s.s + 3
+         GROUP BY s.doc_id, s.s),
+sel AS (SELECT w.doc_id, max(b.i) AS pos, w.mh AS fp
+        FROM wmin w JOIN h b
+          ON b.doc_id = w.doc_id AND b.i BETWEEN w.s AND w.s + 3
+         AND b.h = w.mh
+        GROUP BY w.doc_id, w.s, w.mh)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
 BPE_MERGES = 10
 
 
@@ -3516,6 +3730,9 @@ QUERIES = {
     "doc_lm_score": (doc_lm_score, DOC_LM_SQL),
     "doc_dsir_score": (doc_dsir_score, DOC_DSIR_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
+    "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
+    "url_frontier": (url_frontier, URL_FRONTIER_SQL),
+    "doc_winnow": (doc_winnow, DOC_WINNOW_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),

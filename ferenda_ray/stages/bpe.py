@@ -43,6 +43,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .dedup import _bucket_of
+from .lm import _pool_size
 
 __all__ = ["word_counts", "train_bpe", "apply_merges", "BPEEncoder",
            "bpe_token_counts"]
@@ -184,5 +185,5 @@ def bpe_token_counts(docs_ds, num_merges: int = 12,
         fn_constructor_kwargs={"merges_ref": ref, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency or (2, 8),
+        concurrency=concurrency or _pool_size(),
     )

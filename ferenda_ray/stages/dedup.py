@@ -897,6 +897,70 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style local fingerprinting)
+# ---------------------------------------------------------------------
+
+def winnow_fingerprints(ds, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        key_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm; the LOCAL-fingerprint
+    counterpart of text_analysis.fingerprint's whole-doc hashes):
+    hash every word k-gram, slide a w-wide window over the hash
+    sequence, and in each window select the minimum hash — rightmost
+    occurrence on ties — recording each selected (position, hash)
+    once. Guarantees every shared substring of >= w+k-1 words yields a
+    shared fingerprint, with ~2/(w+1) density.
+
+    Doc-local, zero-shuffle map (fuses with the read); the window
+    minimum is one vectorized sliding_window_view pass per doc with
+    the rightmost-tie rule done by reversed argmin. Returns
+    Dataset(key, pos, fp) where pos is the 1-based k-gram start.
+
+    Gram hash = the md5-prefix convention (int(md5(gram)[:15hex],16))
+    so a SQL oracle recomputes every fingerprint exactly; a 100-TB
+    deployment would swap in shingle_hashes' vectorized rolling
+    polynomial (documented trade: SQL parity vs per-gram throughput).
+    Short docs (fewer than w grams) are one truncated window, per the
+    paper's convention.
+    """
+    import hashlib
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        keys_out, pos_out, fp_out = [], [], []
+        for key, txt in zip(df[key_col], df[text_col]):
+            words = (txt or "").split(" ")
+            n = len(words) - k + 1
+            if n < 1:
+                continue
+            grams = [" ".join(words[i:i + k]) for i in range(n)]
+            h = np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                 for g in grams], dtype=np.int64)
+            if n <= w:
+                # single truncated window: rightmost global min
+                mn = h.min()
+                pos = int(np.flatnonzero(h == mn)[-1])
+                sel = {(pos, int(mn))}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, w)
+                rev_arg = np.argmin(sw[:, ::-1], axis=1)
+                idx = np.arange(len(sw)) + (w - 1 - rev_arg)
+                sel = set(zip(idx.tolist(), h[idx].tolist()))
+            for p, fp in sorted(sel):
+                keys_out.append(key)
+                pos_out.append(p + 1)  # 1-based, matches SQL series
+                fp_out.append(fp)
+        return pd.DataFrame({
+            "key": pd.Series(keys_out, dtype="int64"),
+            "pos": pd.Series(pos_out, dtype="int64"),
+            "fp": pd.Series(fp_out, dtype="int64"),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
 # benchmark decontamination (train/eval n-gram overlap)
 # ---------------------------------------------------------------------
 

@@ -44,6 +44,16 @@ __all__ = ["train_bigram_model", "LMScorer", "lm_score",
 
 SCALE = 10 ** 6
 
+
+def _pool_size() -> tuple:
+    """Cluster-sized autoscaling actor-pool bounds (the kg.py linker
+    idiom — a fixed small cap starves a 32-CPU box when scoring is
+    the only running stage)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return (max(2, ncpu // 4), max(4, ncpu - 2))
+
 # --- DSIR-style hashed-feature importance weighting -------------------
 # (Xie et al. 2023, "Data Selection for Language Models via Importance
 # Resampling" — public literature: estimate importance weights from
@@ -170,7 +180,7 @@ def dsir_score(source_ds, target_ds, id_col: str = "doc_id",
         fn_constructor_kwargs={"weights_ref": ref, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency or (2, 8),
+        concurrency=concurrency or _pool_size(),
     )
 
 
@@ -301,5 +311,5 @@ def lm_score(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         fn_constructor_kwargs={"model_ref": ref, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency or (2, 8),
+        concurrency=concurrency or _pool_size(),
     )

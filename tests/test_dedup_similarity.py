@@ -478,3 +478,36 @@ def test_contamination_matches_brute_force(ray_session):
     by_key = {r["doc_id"]: r["text"] for r in train_rows}
     for k, t in zip(surv["key"], surv["text"]):
         assert t == by_key[k]
+
+
+def test_winnow_fingerprints(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import winnow_fingerprints
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        {"doc_id": 0, "text": "aa bb cc " + shared + " dd ee"},
+        {"doc_id": 1, "text": shared + " zz yy xx ww vv"},
+        {"doc_id": 2, "text": "totally different words in this doc"},
+        {"doc_id": 3, "text": "too short"},  # < k words: no grams
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = winnow_fingerprints(ds, k=5, w=4).to_pandas()
+
+    assert set(got["key"]) == {0, 1, 2}  # doc 3 emits nothing
+    # winnowing guarantee: a shared substring of >= w+k-1 = 8 words
+    # must produce at least one common fingerprint
+    f0 = set(got.loc[got["key"] == 0, "fp"])
+    f1 = set(got.loc[got["key"] == 1, "fp"])
+    f2 = set(got.loc[got["key"] == 2, "fp"])
+    assert f0 & f1
+    assert not (f0 & f2) and not (f1 & f2)
+    # density ~2/(w+1): far fewer fingerprints than grams
+    n_grams0 = len(rows[0]["text"].split(" ")) - 4
+    assert len(got[got["key"] == 0]) < n_grams0
+    # determinism
+    again = winnow_fingerprints(ds, k=5, w=4).to_pandas()
+    a = got.sort_values(["key", "pos"]).reset_index(drop=True)
+    b = again.sort_values(["key", "pos"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -80,3 +80,24 @@ def test_base27():
     assert base27encode(base27decode(12345)) == 12345
     assert base27decode(0) == " "
     assert base27decode(base27encode("abc")) == "abc"
+
+
+def test_canonical_url():
+    from ferenda_ray.functions.url import canonical_url as c
+
+    assert c("https://WWW.Ex.org/A/B") == "https://www.ex.org/A/B"
+    assert c("http://h.org:80/x") == "http://h.org/x"
+    assert c("https://h.org:443") == "https://h.org"
+    assert c("https://h.org:8443/x") == "https://h.org:8443/x"
+    assert c("http://h.org:443/x") == "http://h.org:443/x"  # wrong scheme
+    assert c("https://h.org/x#frag") == "https://h.org/x"
+    assert c("https://h.org/x?utm_source=a&id=3&gclid=z") == \
+        "https://h.org/x?id=3"
+    assert c("https://h.org/x?utm_source=a") == "https://h.org/x"
+    assert c("https://h.org/x/") == "https://h.org/x"
+    assert c("https://h.org/x///") == "https://h.org/x"
+    assert c("") == ""
+    # path/query case preserved; only authority lowercased
+    assert c("https://H.org/Path?Q=V") == "https://h.org/Path?Q=V"
+    # fragment removed before trailing-slash strip
+    assert c("https://h.org/x/#s") == "https://h.org/x"
