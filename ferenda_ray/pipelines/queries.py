@@ -1898,6 +1898,44 @@ SELECT {PAGE_URL_SQL} AS url FROM documents WHERE doc_id % 17 = 0
 """
 
 
+def crawl_delta_status(sf_dir):
+    """Recrawl change detection (composite.crawl_delta): two planted
+    crawls — crawl 1 omits doc_id % 13 == 0 and crawl 2 edits
+    doc_id % 9 == 0 — classified per url as new / changed / unchanged
+    from nothing but (url, ts, md5) on the exchange; the SQL oracle
+    recomputes the full status table from the planting arithmetic."""
+    from ..stages.composite import crawl_delta
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def two_crawls(t: pa.Table) -> pa.Table:
+        ids = [int(i) for i in t["doc_id"].to_pylist()]
+        texts = t["text"].to_pylist()
+        urls, tss, out = [], [], []
+        for i, txt in zip(ids, texts):
+            if i % 13 != 0:
+                urls.append("u%d" % i); tss.append(1)
+                out.append(txt or "")
+            urls.append("u%d" % i); tss.append(2)
+            out.append((txt or "")
+                       + (" changed" if i % 9 == 0 else ""))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "warc_ts": pa.array(tss, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    return crawl_delta(ds.map_batches(two_crawls,
+                                      batch_format="pyarrow"))
+
+
+CRAWL_DELTA_SQL = """
+SELECT 'u' || doc_id AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'new'
+            WHEN doc_id % 9 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM documents
+"""
+
+
 def composite_parse(sf_dir):
     """CompositeRepository fallback parse over pages with a planted
     non-HTML payload batch: count of docs per winning parser."""
@@ -3743,6 +3781,7 @@ QUERIES = {
     "kg_annotations": (kg_annotations, KG_ANNOTATIONS_SQL),
     "text_sections": (text_sections, TEXT_SECTIONS_SQL),
     "archived_versions": (archived_versions, ARCHIVED_SQL),
+    "crawl_delta_status": (crawl_delta_status, CRAWL_DELTA_SQL),
     "composite_parse": (composite_parse, COMPOSITE_SQL),
     "news_feeds_kg": (news_feeds_kg, NEWS_FEEDS_SQL),
     "salted_source_counts": (salted_source_counts, SALTED_SQL),

@@ -82,3 +82,54 @@ def archive_versions(pages, dup_threshold: int = 5_000_000):
         return t.filter(pa.array(mask, pa.bool_()))
 
     return pages.map_batches(keep_archived, batch_format="pyarrow")
+
+
+def crawl_delta(pages, url_col: str = "url", ts_col: str = "warc_ts",
+                text_col: str = "text", num_buckets: int = 64):
+    """Recrawl change detection — the incremental-processing
+    counterpart of ``download_if_needed``'s conditional-GET logic
+    (``ferenda/documentrepository.py`` download_if_needed only
+    re-parses when the fetched content differs): classify every URL's
+    LATEST crawl as ``new`` (single version), ``changed`` (text hash
+    differs from the previous version) or ``unchanged``. A delta-driven
+    pipeline feeds only new+changed into parse.
+
+    Scale shape: the map side reduces each page to (url, ts, md5) —
+    text/html never reach the exchange — then ONE url-hash-bucketed
+    exchange with a vectorized per-bucket sort + shift compare.
+    Returns Dataset(url, status).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _bucket_of
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "url": df[url_col].astype("object"),
+            "ts": df[ts_col].astype("int64"),
+            "h": [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                  for t in df[text_col]],
+        })
+        out["_bucket"] = _bucket_of(out["url"], num_buckets)
+        return out
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "ts"], kind="mergesort")
+        prev_url = g["url"].shift(1)
+        prev_h = g["h"].shift(1)
+        is_latest = g["url"] != g["url"].shift(-1)
+        first = g["url"] != prev_url
+        status = np.where(first, "new",
+                          np.where(g["h"] != prev_h, "changed",
+                                   "unchanged"))
+        m = is_latest.to_numpy()
+        return pd.DataFrame({
+            "url": pd.Series(g["url"].to_numpy()[m], dtype="object"),
+            "status": pd.Series(status[m], dtype="object"),
+        })
+
+    return (pages.map_batches(prep, batch_format="pandas")
+            .groupby("_bucket").map_groups(classify, batch_format="pandas"))

@@ -167,6 +167,17 @@ def _nodes(edges_ds, src: str, dst: str, num_buckets: int):
             .groupby("_bucket").map_groups(uniq, batch_format="pandas"))
 
 
+def _adapt_buckets(materialized_edges, num_buckets: int) -> int:
+    """Size the per-iteration exchange width to the graph: bucket
+    count is a pure work-partitioning knob (outputs are unions over
+    groups, so any value yields identical rows), and an iterative
+    algorithm pays the per-task fixed cost num_buckets × exchanges ×
+    iterations times. ~20k edges per bucket keeps small graphs cheap
+    while leaving the caller's cap for web-scale ones."""
+    n = materialized_edges.count()
+    return max(8, min(num_buckets, (n // 20_000) + 8))
+
+
 def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
              damping_num: int = 85, damping_den: int = 100,
              num_buckets: int = 64, src: str = "src", dst: str = "dst"):
@@ -187,6 +198,7 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
     base = (scale * (damping_den - damping_num)) // damping_den
 
     e = distinct_edges(edges_ds, src, dst, num_buckets).materialize()
+    num_buckets = _adapt_buckets(e, num_buckets)
     outdeg = degrees(e, src, num_buckets)
     # static per-edge table (src, dst, deg) — join once, reuse every
     # iteration (the reference recomputes nothing per networkx call
@@ -267,6 +279,7 @@ def hits(edges_ds, iterations: int = 2, num_buckets: int = 64,
     Dataset(node, hub, auth)."""
 
     e = distinct_edges(edges_ds, src, dst, num_buckets).materialize()
+    num_buckets = _adapt_buckets(e, num_buckets)
     nodes = _nodes(e, src, dst, num_buckets).materialize()
 
     def init(df: pd.DataFrame) -> pd.DataFrame:
