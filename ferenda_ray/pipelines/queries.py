@@ -1432,6 +1432,63 @@ def kg_triples(sf_dir):
     return _kg(sf_dir)["triples"]
 
 
+def kg_incremental(sf_dir):
+    """Incremental KG update — crawl-delta processing end to end: the
+    previous run covered every page EXCEPT doc_id % 13 == 0; the new
+    crawl delivers those, and ONLY they pass through the expensive
+    per-doc stages (parse → mention/link → remap → doc-local dedup).
+    The union of the previous run's triples with the delta's equals a
+    full recompute EXACTLY — by construction, not by luck: every
+    global stage is either config-broadcast (the sameAs canonical map
+    derives from authority config, never from the corpus) or
+    doc-local (exact dedup's no-exchange fast path, proof at
+    canonicalize.dedup_exact_triples), so per-doc outputs are
+    independent of which other docs share the run. The oracle is the
+    UNCHANGED full-corpus KG_TRIPLES_SQL."""
+    import ray as _ray
+
+    from .kg import sections_dataset
+    from ..stages.canonicalize import (dedup_exact_triples, remap_triples,
+                                       sameas_triples, union_find)
+    from ..stages.mentions import MentionLinker, mention_triples
+    from ..stages.triples import emit_meta_triples
+
+    def split(keep_delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.array([int(u.rsplit("/", 1)[1])
+                            for u in t["url"].to_pylist()])
+            m = pa.array(ids % 13 == 0)
+            return t.filter(m if keep_delta else pc.invert(m))
+        return fn
+
+    gaz_ref = _ray.put(corpus.gazetteer())
+    canon = union_find(corpus.sameas_edges())
+    canon_ref = _ray.put(canon)
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    conc = (max(2, ncpu // 4), max(4, ncpu - 2))
+
+    def per_doc_triples(which_delta: bool):
+        pages = (corpus.pages_dataset(sf_dir)
+                 .map_batches(split(which_delta), batch_format="pyarrow"))
+        slim = (corpus.pages_slim_dataset(sf_dir)
+                .map_batches(split(which_delta), batch_format="pyarrow"))
+        sections = sections_dataset(pages, pages_slim=slim)
+        meta = sections.map_batches(emit_meta_triples,
+                                    batch_format="pyarrow")
+        mentions = sections.map_batches(
+            MentionLinker, fn_constructor_kwargs={"gazetteer": gaz_ref},
+            concurrency=conc, batch_format="pyarrow")
+        refs = mentions.map_batches(mention_triples,
+                                    batch_format="pyarrow")
+        t = remap_triples(meta.union(refs), canon_ref)
+        return dedup_exact_triples(t, scope="doc_local")
+
+    prior = per_doc_triples(False)     # the cached previous run
+    delta = per_doc_triples(True)      # only the new crawl's docs
+    sameas = _ray.data.from_arrow(sameas_triples(canon))
+    return prior.union(delta).union(sameas)
+
+
 def kg_sections(sf_dir):
     res = _kg(sf_dir)["sections"]
     return res.map_batches(
@@ -3787,6 +3844,7 @@ QUERIES = {
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
     "xhtml_render": (xhtml_render, KG_XHTML_SQL),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
+    "kg_incremental": (kg_incremental, KG_TRIPLES_SQL),
     "kg_labels": (kg_labels, KG_LABELS_SQL),
     "kg_sections": (kg_sections, KG_SECTIONS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
