@@ -1792,6 +1792,50 @@ def simhash_pairs(sf_dir):
     return simhash_dedup_pairs(ds, max_hamming=3)
 
 
+def simhash_pairs_md5(sf_dir):
+    """Fully-oracled SimHash: same banding operator, md5-prefix word
+    hash family (dedup.simhash63_md5) so SQL recomputes every simhash
+    bit-vote, every Hamming distance (bit_count(xor)) and therefore
+    the complete pair set — pigeonhole-exact at max_hamming=3 with
+    n_tables=4. simhash_pairs (the C-siphash throughput family) keeps
+    its rows-only status + planted-recall sibling."""
+    from ..stages.dedup import simhash63_md5
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup_pairs(ds, max_hamming=3, hasher=simhash63_md5)
+
+
+SIMHASH_MD5_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents
+),
+hh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT)
+           & CAST(9223372036854775807 AS UBIGINT) AS h
+  FROM toks
+),
+bt AS (
+  SELECT doc_id, b,
+         sum(2 * CAST((h >> b) & 1 AS BIGINT) - 1) AS s
+  FROM hh, (SELECT unnest(generate_series(0, 62)) AS b) bits
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS BIGINT) AS sh
+  FROM bt GROUP BY doc_id
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(bit_count(xor(CAST(a.sh AS UBIGINT), CAST(b.sh AS UBIGINT)))
+            AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.sh AS UBIGINT), CAST(b.sh AS UBIGINT))) <= 3
+"""
+
+
 def simhash_planted_recall(sf_dir):
     """Planted-recall oracle for SimHash: exact text clones
     (doc_id % 10 == 0 → doc_id + CLONE_OFFSET) have Hamming distance 0
@@ -3852,6 +3896,7 @@ QUERIES = {
     "minhash_neardup": (minhash_neardup, MINHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pairs": (simhash_pairs, None),
+    "simhash_pairs_md5": (simhash_pairs_md5, SIMHASH_MD5_SQL),
     "simhash_planted_recall": (simhash_planted_recall, SIMHASH_PLANTED_SQL),
     "embedding_neardup": (embedding_neardup, EMBED_NEARDUP_SQL),
     # rows-only: ANN recall is approximate by design (brute-force

@@ -538,8 +538,39 @@ def simhash63(text: str) -> int:
 simhash64 = simhash63  # historical alias
 
 
+def simhash63_md5(text: str) -> int:
+    """SQL-replicable sibling of :func:`simhash63`: the word feature
+    hash is the low 63 bits of the md5-prefix integer
+    (``int(md5(w)[:16 hex], 16)`` — the transform.hash_split
+    convention), so a DuckDB oracle recomputes every simhash AND every
+    Hamming distance bit-exactly (bit_count(xor(a, b))). Word
+    multiplicity weights the bit votes, same as simhash63. md5 runs
+    once per DISTINCT word (factorize); prefer simhash63's C siphash
+    for pure-throughput paths."""
+    import hashlib
+
+    words = text.split()
+    if not words:
+        return 0
+    codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+    h = np.array(
+        [int(hashlib.md5(str(w).encode("utf-8")).hexdigest()[:16], 16)
+         for w in uniq], dtype=np.uint64)
+    h &= np.uint64((1 << 63) - 1)
+    counts = np.bincount(codes).astype(np.int64)
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(len(h), 8), axis=1,
+        bitorder="little")[:, :63]
+    acc = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+    val = np.uint64(0)
+    for j in range(63):
+        if acc[j] > 0:
+            val |= np.uint64(1) << np.uint64(j)
+    return int(val)
+
+
 def simhash_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
-                       n_tables: int = 4):
+                       n_tables: int = 4, hasher=simhash63):
     """Split the 63-bit simhash into ``n_tables`` sub-keys — docs
     within Hamming distance n_tables-1 share at least one
     (pigeonhole). Emits (table_id, sub_key, key, simhash)."""
@@ -547,7 +578,7 @@ def simhash_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         width = 63 // n_tables
         mask = (1 << width) - 1
-        hashes = np.array([simhash63(t or "") for t in df[text_col]],
+        hashes = np.array([hasher(t or "") for t in df[text_col]],
                           dtype=np.int64)
         tids = np.tile(np.arange(n_tables, dtype=np.int32), len(df))
         rep = np.repeat(hashes, n_tables)
@@ -566,9 +597,13 @@ def simhash_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
 
 def simhash_dedup_pairs(ds, text_col: str = "text", key_col: str = "doc_id",
                         max_hamming: int = 3, n_tables: int = 4,
-                        max_bucket: int = 64, num_buckets: int = 64):
-    """(key_a, key_b, hamming) pairs within the Hamming threshold."""
-    cand = simhash_candidates(ds, text_col, key_col, n_tables)
+                        max_bucket: int = 64, num_buckets: int = 64,
+                        hasher=simhash63):
+    """(key_a, key_b, hamming) pairs within the Hamming threshold.
+    Pigeonhole-EXACT for max_hamming <= n_tables - 1 (up to the
+    max_bucket skew cap): <= n_tables-1 differing bits can touch at
+    most n_tables-1 of the sub-keys, so some table still collides."""
+    cand = simhash_candidates(ds, text_col, key_col, n_tables, hasher)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
