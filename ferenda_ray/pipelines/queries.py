@@ -1621,6 +1621,58 @@ FROM documents
 """
 
 
+def kg_negative_samples(sf_dir):
+    """Corrupted-object negatives for KG-embedding training
+    (triples.negative_samples, the TransE recipe made deterministic):
+    K=2 negatives per dcterms:subject positive, drawn by md5 through a
+    two-level (md5-bucket, local-rank) entity address — no global
+    sort, only the per-bucket counts broadcast; negatives meet the
+    entity table in one bucketed exchange. SQL recomputes every draw
+    (window row_number per bucket ≡ the per-bucket rank)."""
+    from ..stages.triples import negative_samples
+
+    return negative_samples(_kg(sf_dir)["triples"], k_neg=2)
+
+
+KG_NEGATIVES_SQL = f"""
+WITH pos AS (
+  SELECT {PAGE_URL_SQL} || '#S2' AS subj,
+         CASE WHEN doc_id % 24 = 0 THEN 'https://hot.example.org/x/0'
+              ELSE 'https://kb.example.org/entity/E' || (doc_id % 24)
+         END AS obj
+  FROM documents
+),
+ent AS (SELECT DISTINCT obj AS entity FROM pos),
+eb AS (
+  SELECT entity,
+         CAST('0x' || substr(md5(entity), 1, 15) AS BIGINT) % 8 AS b,
+         row_number() OVER (
+           PARTITION BY CAST('0x' || substr(md5(entity), 1, 15)
+                             AS BIGINT) % 8
+           ORDER BY md5(entity), entity) - 1 AS r
+  FROM ent
+),
+cnt AS (SELECT b, count(*) AS c FROM eb GROUP BY b),
+need AS (
+  SELECT subj, obj, i,
+         CAST('0x' || substr(md5(subj || '|' || obj || '|' || i),
+                             1, 15) AS BIGINT) AS h
+  FROM pos, (SELECT unnest(generate_series(1, 2)) AS i) k
+),
+addr AS (
+  SELECT n.subj, n.obj, n.i, n.h % 8 AS b, (n.h // 8) % c.c AS r
+  FROM need n JOIN cnt c ON c.b = n.h % 8
+),
+sel AS (
+  SELECT a.subj, a.obj, e.entity AS neg_obj, a.i AS neg_ix
+  FROM addr a JOIN eb e ON e.b = a.b AND e.r = a.r
+)
+SELECT subj, 'dcterms:subject' AS pred, neg_obj,
+       CAST(neg_ix AS BIGINT) AS neg_ix
+FROM sel WHERE neg_obj <> obj
+"""
+
+
 def kg_keyword_concepts(sf_dir):
     """keyword-repo groupby over entity subjects: (concept, n_docs)."""
     kc = facets.keyword_concepts(_kg(sf_dir)["triples"])
@@ -3877,6 +3929,7 @@ QUERIES = {
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),
+    "kg_negative_samples": (kg_negative_samples, KG_NEGATIVES_SQL),
     "kg_skeleton": (kg_skeleton, KG_SKELETON_SQL),
     "kg_stats": (kg_stats, KG_STATS_SQL),
     "kg_annotations": (kg_annotations, KG_ANNOTATIONS_SQL),

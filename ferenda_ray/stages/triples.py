@@ -180,3 +180,121 @@ def validate_required_predicates(triples_ds, required=DEFAULT_REQUIRED,
                              "missing_pred": pd.Series(dtype="object")})
     return (pdf.sort_values(["url", "missing_pred"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------
+# negative sampling for KG-embedding training
+# ---------------------------------------------------------------------
+
+def negative_samples(triples_ds, pred: str = "dcterms:subject",
+                     k_neg: int = 2, num_entity_buckets: int = 8,
+                     num_buckets: int = 64):
+    """Corrupted-object negatives for KG-embedding training (TransE /
+    Bordes et al. 2013 recipe — public literature: for each positive
+    (s, p, o) draw K entities o' ≠ o uniformly from the entity set).
+    Deterministic and SQL-replicable: the "draw" is an md5 of
+    (s, o, i), so every negative is a pure function of the positive.
+
+    Scale design — NO global sort, NO driver-side entity list. The
+    entity set gets a two-level address instead of a global ordinal:
+    md5-bucket ``b`` (``num_entity_buckets`` of them) + local rank
+    ``r`` within the bucket (ordered by (md5(entity), entity)). Only
+    the per-bucket COUNTS (``num_entity_buckets`` ints — bounded by
+    construction) ride a broadcast; the draw picks ``b = h % B`` then
+    ``r = (h // B) % count[b]``, and the negatives meet the entity
+    table in ONE (b)-keyed bucketed exchange. Skew note: md5 buckets
+    are balanced in expectation; the address join is uniform by
+    construction.
+
+    Returns Dataset(subj, pred, neg_obj, neg_ix). Negatives equal to
+    the true object are dropped (both sides replicate the filter).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _h15(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    def positives(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["pred"], pred)).select(["subj", "obj"])
+
+    pos = triples_ds.map_batches(positives, batch_format="pyarrow")
+
+    # entity table with (b, r) addresses: distinct objs → md5-bucket →
+    # per-bucket dedup + rank in one exchange
+    def ent_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"entity": df["obj"].drop_duplicates()
+                            .astype("object")})
+        out["_bucket"] = [
+            _h15(e) % num_entity_buckets for e in out["entity"]]
+        return out
+
+    def ent_rank(g: pd.DataFrame) -> pd.DataFrame:
+        ents = sorted(set(g["entity"]),
+                      key=lambda e: (hashlib.md5(e.encode())
+                                     .hexdigest(), e))
+        return pd.DataFrame({
+            "b": pd.Series([int(g["_bucket"].iloc[0])] * len(ents),
+                           dtype="int64"),
+            "r": pd.Series(range(len(ents)), dtype="int64"),
+            "entity": pd.Series(ents, dtype="object"),
+        })
+
+    ent = (pos.map_batches(ent_part, batch_format="pandas")
+           .groupby("_bucket")
+           .map_groups(ent_rank, batch_format="pandas")).materialize()
+
+    counts = {int(row["b"]): 0 for row in ent.iter_rows()} or {}
+    for row in ent.iter_rows():
+        counts[int(row["b"])] = max(counts[int(row["b"])],
+                                    int(row["r"]) + 1)
+
+    def draws(df: pd.DataFrame) -> pd.DataFrame:
+        subjs, objs, bs, rs, ixs = [], [], [], [], []
+        for s, o in zip(df["subj"], df["obj"]):
+            for i in range(1, k_neg + 1):
+                h = _h15("%s|%s|%d" % (s, o, i))
+                b = h % num_entity_buckets
+                c = counts.get(b, 0)
+                if c == 0:
+                    continue
+                subjs.append(s); objs.append(o)
+                bs.append(b); rs.append((h // num_entity_buckets) % c)
+                ixs.append(i)
+        out = pd.DataFrame({
+            "subj": pd.Series(subjs, dtype="object"),
+            "obj": pd.Series(objs, dtype="object"),
+            "b": pd.Series(bs, dtype="int64"),
+            "r": pd.Series(rs, dtype="int64"),
+            "neg_ix": pd.Series(ixs, dtype="int64"),
+        })
+        return out
+
+    from .joins import bucket_join
+
+    need = pos.map_batches(draws, batch_format="pandas")
+
+    def key_ent(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_k"] = df["b"].astype(str) + "\x1f" + df["r"].astype(str)
+        return df
+
+    joined = bucket_join(
+        need.map_batches(key_ent, batch_format="pandas"),
+        ent.map_batches(key_ent, batch_format="pandas"),
+        left_on="_k", num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["entity"] != df["obj"]]
+        return pd.DataFrame({
+            "subj": d["subj"].to_numpy(dtype=object),
+            "pred": np.full(len(d), pred, dtype=object),
+            "neg_obj": d["entity"].to_numpy(dtype=object),
+            "neg_ix": d["neg_ix"].to_numpy(dtype="int64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
