@@ -3428,6 +3428,62 @@ def kg_pagerank(sf_dir):
                           scale=PR_SCALE)
 
 
+WALK_LEN = 3
+
+
+def kg_random_walks(sf_dir):
+    """Deterministic DeepWalk corpus over the citation graph
+    (graph.random_walks): one walk per node, 3 hops, hop k from node
+    v = neighbor rank md5(start|k|v) % outdeg(v) in md5-ranked
+    neighbor order; walks stop at sinks. The graph is SYMMETRIZED
+    first (edges ∪ reversed — the DeepWalk undirected convention;
+    the raw citation graph is bipartite page→target, so directed
+    walks die after one hop). The ranked-neighbor table is one
+    exchange, each hop one bucketed join with per-hop materialization
+    (the pagerank loop discipline). SQL replays every hop with
+    per-src row_number windows."""
+    from ..stages import graph
+
+    e = _kg_edges(sf_dir)
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    sym = e.union(e.map_batches(rev, batch_format="pyarrow"))
+    return graph.random_walks(sym, length=WALK_LEN)
+
+
+def _walks_sql(length: int) -> str:
+    hop = """
+w%(k)d AS (
+  SELECT w.start, rk.dst AS node
+  FROM w%(p)d w JOIN rk ON rk.src = w.node
+   AND rk.r = CAST('0x' || substr(
+         md5(w.start || '|%(k)d|' || w.node), 1, 15) AS BIGINT)
+       %% rk.deg
+)"""
+    ctes = ["""sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY md5(dst), dst) - 1 AS r,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM sym
+),
+w0 AS (SELECT node AS start, node FROM nodes)"""]
+    for k in range(1, length + 1):
+        ctes.append(hop % {"k": k, "p": k - 1})
+    selects = ["SELECT start, CAST(%d AS BIGINT) AS step, node FROM w%d"
+               % (k, k) for k in range(length + 1)]
+    return "%s,\n%s\n%s" % (_GRAPH_PRELUDE_SQL, ",".join(ctes),
+                            "\nUNION ALL\n".join(selects))
+
+
+KG_WALKS_SQL = _walks_sql(WALK_LEN)
+
+
 def _pagerank_sql(iterations: int, scale: int,
                   dn: int = 85, dd: int = 100) -> str:
     base = (scale * (dd - dn)) // dd
@@ -3926,6 +3982,7 @@ QUERIES = {
     "doc_winnow": (doc_winnow, DOC_WINNOW_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
+    "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),

@@ -41,7 +41,7 @@ import pyarrow as pa
 from .joins import _hash64, bucket_join
 
 __all__ = ["distinct_edges", "degrees", "degree_distribution",
-           "pagerank", "hits"]
+           "pagerank", "hits", "random_walks"]
 
 
 def _bucketize(col: str, num_buckets: int):
@@ -356,3 +356,107 @@ def hits(edges_ds, iterations: int = 2, num_buckets: int = 64,
             .map_batches(_bucketize("node", num_buckets),
                          batch_format="pandas")
             .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+def random_walks(edges_ds, length: int = 4, num_buckets: int = 64,
+                 src: str = "src", dst: str = "dst"):
+    """DeepWalk-style walk corpus (Perozzi et al. KDD 2014 — public:
+    truncated random walks as sentences for skip-gram training), made
+    DETERMINISTIC so a SQL oracle replays every hop: from every node,
+    one walk of ``length`` hops where hop k from node v picks
+    neighbor rank ``md5(start|k|v) % outdeg(v)`` among v's neighbors
+    ranked by (md5(dst), dst). Walks stop early at sinks.
+
+    Scale shape: the ranked-neighbor table (src, r, dst, deg) is ONE
+    exchange over the deduped edge list (per-src local rank — no
+    global ordinal); each hop is one (src ⋈ frontier) bucketed join,
+    state materialized per hop exactly like the pagerank loop. Only
+    (start, step, node) rows ever move. Returns
+    Dataset(start, step, node) with step 0 = the start node itself.
+    """
+    import hashlib
+
+    e = distinct_edges(edges_ds, src, dst, num_buckets).materialize()
+    num_buckets = _adapt_buckets(e, num_buckets)
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[src, dst]].copy()
+        df["_bucket"] = (_hash64(df[src])
+                         % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s, grp in g.groupby(src, sort=False):
+            ds_ = sorted(set(grp[dst]),
+                         key=lambda d: (hashlib.md5(str(d).encode())
+                                        .hexdigest(), d))
+            outs.append(pd.DataFrame({
+                "src": pd.Series([s] * len(ds_), dtype="object"),
+                "r": pd.Series(range(len(ds_)), dtype="int64"),
+                "dst": pd.Series(ds_, dtype="object"),
+                "deg": pd.Series([len(ds_)] * len(ds_), dtype="int64"),
+            }))
+        if not outs:
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "r": pd.Series(dtype="int64"),
+                                 "dst": pd.Series(dtype="object"),
+                                 "deg": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    ranked = (e.map_batches(rank_part, batch_format="pandas")
+              .groupby("_bucket")
+              .map_groups(rank_group, batch_format="pandas")).materialize()
+
+    nodes = _nodes(e, src, dst, num_buckets).materialize()
+
+    def start_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "start": df["node"].astype("object"),
+            "node": df["node"].astype("object"),
+        })
+
+    frontier = nodes.map_batches(start_rows, batch_format="pandas")
+    out_steps = [frontier.map_batches(
+        lambda df: pd.DataFrame({
+            "start": df["start"], "node": df["node"],
+            "step": np.zeros(len(df), np.int64)}),
+        batch_format="pandas")]
+
+    from .joins import bucket_join
+
+    for k in range(1, length + 1):
+
+        def pick(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+            rs = [int(hashlib.md5(("%s|%d|%s" % (s, _k, v))
+                                  .encode()).hexdigest()[:15], 16)
+                  for s, v in zip(df["start"], df["node"])]
+            out = pd.DataFrame({
+                "start": df["start"].to_numpy(dtype=object),
+                "node": df["node"].to_numpy(dtype=object),
+                "_h": pd.Series(rs, dtype="int64"),
+            })
+            return out
+
+        hashed = frontier.map_batches(pick, batch_format="pandas")
+        joined = bucket_join(hashed, ranked, left_on="node",
+                             right_on="src", num_buckets=num_buckets)
+
+        def step_to(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+            d = df[df["r"] == df["_h"] % df["deg"]]
+            return pd.DataFrame({
+                "start": d["start"].to_numpy(dtype=object),
+                "node": d["dst"].to_numpy(dtype=object),
+                "step": np.full(len(d), _k, dtype="int64"),
+            })
+
+        stepped = (joined.map_batches(step_to, batch_format="pandas")
+                   .materialize())
+        out_steps.append(stepped)
+        frontier = stepped.map_batches(
+            lambda df: df[["start", "node"]], batch_format="pandas")
+
+    walks = out_steps[0]
+    for s_ in out_steps[1:]:
+        walks = walks.union(s_)
+    return walks.repartition(num_buckets)

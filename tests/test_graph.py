@@ -93,3 +93,46 @@ def test_degree_distribution(ray_session):
     for v in indeg.values():
         expected[v] = expected.get(v, 0) + 1
     assert dict(zip(got["degree"], got["n_nodes"])) == expected
+
+
+def test_random_walks_deterministic_and_valid(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.stages.graph import random_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("c", "d"), ("d", "a")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = random_walks(ds, length=3).to_pandas()
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    ranked = {s: sorted(ds_, key=lambda d: (hashlib.md5(d.encode())
+                                            .hexdigest(), d))
+              for s, ds_ in adj.items()}
+
+    walks = {}
+    for _, r in got.iterrows():
+        walks.setdefault(r["start"], {})[int(r["step"])] = r["node"]
+    assert set(walks) == {"a", "b", "c", "d"}
+    for start, steps in walks.items():
+        assert steps[0] == start
+        node = start
+        for k in range(1, 4):
+            nbrs = ranked.get(node)
+            if not nbrs:
+                assert k not in steps
+                break
+            h = int(hashlib.md5(("%s|%d|%s" % (start, k, node))
+                                .encode()).hexdigest()[:15], 16)
+            node = nbrs[h % len(nbrs)]
+            assert steps[k] == node
+
+    again = random_walks(ds, length=3).to_pandas()
+    key = ["start", "step", "node"]
+    assert (got[key].sort_values(key).reset_index(drop=True)
+            .equals(again[key].sort_values(key).reset_index(drop=True)))
