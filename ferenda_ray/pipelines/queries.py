@@ -2860,7 +2860,11 @@ _DECON_GRAMS = """
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
 idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i
         FROM words),
-g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') AS gram
+-- the operator exchanges md5-prefix gram hashes, not gram strings;
+-- the oracle computes the identical hash so parity is exact
+g AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(array_to_string(w[i:i+5], ' ')),
+                                 1, 15) AS BIGINT) AS gram
       FROM idx),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
 c AS (SELECT DISTINCT doc_id FROM g

@@ -1009,6 +1009,14 @@ def _contamination_hits(docs_ds, bench_ds, n: int,
     crosses (each side ships only its distinct grams — doc-local
     combiner — plus the train key)."""
 
+    # the exchange carries the md5-prefix int64 of each gram, never
+    # the gram string — ~8 bytes/gram instead of n words. The oracle
+    # stays exact because SQL computes the IDENTICAL hash on both
+    # sides of its join (a shared collision flags the same pair in
+    # both engines; at 60 bits over a benchmark-sized gram set the
+    # collision odds are negligible AND parity-neutral).
+    import hashlib
+
     def grams_of(side: int, with_key: bool):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             keys_out, grams_out = [], []
@@ -1018,13 +1026,17 @@ def _contamination_hits(docs_ds, bench_ds, n: int,
                         for i in range(len(words) - n + 1)}
                 keys_out.extend([int(k) if with_key else -1] * len(seen))
                 grams_out.extend(seen)
+            gh = np.array(
+                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                 for g in grams_out], dtype=np.int64)
             out = pd.DataFrame({
-                "gram": pd.Series(grams_out, dtype="object"),
+                "gram": pd.Series(gh, dtype="int64"),
                 "key": pd.Series(keys_out, dtype="int64"),
                 "side": pd.Series(np.full(len(grams_out), side,
                                           dtype="int64")),
             })
-            out["_bucket"] = _bucket_of(out["gram"], num_buckets)
+            out["_bucket"] = ((gh.view(np.uint64))
+                              % np.uint64(num_buckets)).astype("int32")
             return out
         return fn
 
