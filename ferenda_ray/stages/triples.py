@@ -248,10 +248,19 @@ def negative_samples(triples_ds, pred: str = "dcterms:subject",
            .groupby("_bucket")
            .map_groups(ent_rank, batch_format="pandas")).materialize()
 
-    counts = {int(row["b"]): 0 for row in ent.iter_rows()} or {}
-    for row in ent.iter_rows():
-        counts[int(row["b"])] = max(counts[int(row["b"])],
-                                    int(row["r"]) + 1)
+    # per-bucket entity counts: distributed partials, driver merges
+    # only num_entity_buckets rows (bounded by construction — never
+    # stream the entity table itself to the driver)
+    def cnt_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("b", as_index=False)["r"].max()
+        return pd.DataFrame({"b": out["b"].astype("int64"),
+                             "m": out["r"].astype("int64")})
+
+    counts: dict = {}
+    for row in (ent.map_batches(cnt_part, batch_format="pandas")
+                .to_pandas().itertuples(index=False)):
+        counts[int(row.b)] = max(counts.get(int(row.b), -1), int(row.m))
+    counts = {b: m + 1 for b, m in counts.items()}
 
     def draws(df: pd.DataFrame) -> pd.DataFrame:
         subjs, objs, bs, rs, ixs = [], [], [], [], []
