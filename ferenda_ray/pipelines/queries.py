@@ -1673,6 +1673,74 @@ FROM sel WHERE neg_obj <> obj
 """
 
 
+def kg_entity_cooccurrence(sf_dir):
+    """Entity co-occurrence counts with the source host as the
+    context window (the skip-gram-statistics shape — count pairs
+    sharing a context, the input to PMI / embedding training):
+    (entity_a < entity_b, n_contexts). Per-context distinct combiner
+    → in-context pair explode (bounded: contexts hold few distinct
+    entities after dedup) → pair-hash bucketed count; entity strings
+    cross the exchange once per (context, pair)."""
+    from ..stages.dedup import _bucket_of
+
+    t = _kg(sf_dir)["triples"]
+
+    def ctx_entity(tb: pa.Table) -> pd.DataFrame:
+        f = tb.filter(pc.equal(tb["pred"], "dcterms:subject"))
+        hosts = [s.split("//", 1)[1].split("/", 1)[0]
+                 for s in f["subj"].to_pylist()]
+        out = pd.DataFrame({"ctx": pd.Series(hosts, dtype="object"),
+                            "entity": f["obj"].to_pylist()})
+        out = out.drop_duplicates()
+        out["_bucket"] = _bucket_of(out["ctx"], 64)
+        return out
+
+    def ctx_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["ctx", "entity"])[["ctx", "entity"]]
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in df.groupby("ctx", sort=False):
+            ents = sorted(set(grp["entity"]))
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    a_out.append(ents[i]); b_out.append(ents[j])
+        out = pd.DataFrame({
+            "entity_a": pd.Series(a_out, dtype="object"),
+            "entity_b": pd.Series(b_out, dtype="object"),
+        })
+        out["_bucket"] = _bucket_of(
+            out["entity_a"] + "\x1f" + out["entity_b"], 64)
+        return out
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["entity_a", "entity_b"], as_index=False)
+               .size().rename(columns={"size": "n_contexts"}))
+        out["n_contexts"] = out["n_contexts"].astype("int64")
+        return out
+
+    ce = (t.map_batches(ctx_entity, batch_format="pyarrow")
+          .groupby("_bucket").map_groups(ctx_dedup,
+                                         batch_format="pandas"))
+    return (ce.map_batches(pairs, batch_format="pandas")
+            .groupby("_bucket").map_groups(count, batch_format="pandas"))
+
+
+KG_COOC_SQL = """
+WITH ce AS (
+  SELECT DISTINCT substr(source, 4) || '.example.org' AS ctx,
+         CASE WHEN doc_id % 24 = 0 THEN 'https://hot.example.org/x/0'
+              ELSE 'https://kb.example.org/entity/E' || (doc_id % 24)
+         END AS entity
+  FROM documents
+)
+SELECT a.entity AS entity_a, b.entity AS entity_b,
+       count(*) AS n_contexts
+FROM ce a JOIN ce b ON a.ctx = b.ctx AND a.entity < b.entity
+GROUP BY a.entity, b.entity
+"""
+
+
 def kg_keyword_concepts(sf_dir):
     """keyword-repo groupby over entity subjects: (concept, n_docs)."""
     kc = facets.keyword_concepts(_kg(sf_dir)["triples"])
@@ -3991,6 +4059,7 @@ QUERIES = {
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),
     "kg_negative_samples": (kg_negative_samples, KG_NEGATIVES_SQL),
+    "kg_entity_cooccurrence": (kg_entity_cooccurrence, KG_COOC_SQL),
     "kg_skeleton": (kg_skeleton, KG_SKELETON_SQL),
     "kg_stats": (kg_stats, KG_STATS_SQL),
     "kg_annotations": (kg_annotations, KG_ANNOTATIONS_SQL),
