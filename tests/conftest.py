@@ -26,4 +26,8 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def sf_smoke():
-    return SF_SMOKE
+    # override to dress-rehearse the driver gate at its sf:
+    #   GRAFT_PARITY_SF=/root/testdata/sf0.01 pytest tests/test_query_oracle_parity.py
+    import os
+
+    return os.environ.get("GRAFT_PARITY_SF", SF_SMOKE)

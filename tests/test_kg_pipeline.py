@@ -73,3 +73,47 @@ def test_entity_links_canonicalized(result):
     # every linked entity must be a component representative
     for obj in subj_links["obj"]:
         assert canon.get(obj, obj) == obj, "non-canonical entity %s" % obj
+
+
+def test_negative_samples_deterministic(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.stages.triples import negative_samples
+
+    ents = ["e%d" % i for i in range(7)]
+    rows = [{"subj": "s%d" % i, "pred": "dcterms:subject",
+             "obj": ents[i % 7]} for i in range(30)]
+    rows.append({"subj": "s0", "pred": "other:pred", "obj": "ignored"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    got = negative_samples(ds, k_neg=2).to_pandas()
+    assert set(got["pred"]) == {"dcterms:subject"}
+    assert set(got["neg_obj"]) <= set(ents)  # never the ignored pred's obj
+    # no negative equals its positive's true object
+    true_obj = {r["subj"]: r["obj"] for r in rows[:-1]}
+    for s, o in zip(got["subj"], got["neg_obj"]):
+        assert o != true_obj[s]
+    # every draw is the md5 address resolved over the ranked entities
+    B = 8
+    by_b = {}
+    for e in ents:
+        b = int(hashlib.md5(e.encode()).hexdigest()[:15], 16) % B
+        by_b.setdefault(b, []).append(e)
+    for b in by_b:
+        by_b[b].sort(key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e))
+    expect = set()
+    for r in rows[:-1]:
+        for i in (1, 2):
+            h = int(hashlib.md5(("%s|%s|%d" % (r["subj"], r["obj"], i))
+                                .encode()).hexdigest()[:15], 16)
+            bucket = by_b.get(h % B)
+            if not bucket:
+                continue
+            neg = bucket[(h // B) % len(bucket)]
+            if neg != r["obj"]:
+                expect.add((r["subj"], neg, i))
+    assert set(zip(got["subj"], got["neg_obj"],
+                   got["neg_ix"])) == expect
