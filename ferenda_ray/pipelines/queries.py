@@ -1195,6 +1195,53 @@ FROM events GROUP BY event_type
 """
 
 
+def events_props_agg(sf_dir):
+    """Semi-structured extraction + aggregation: the events table's
+    ``props`` column is a JSON payload (schema-on-read, the
+    Common-Crawl metadata shape); parse it INSIDE map_batches (one
+    json.loads per row, stdlib — no shuffle touches the raw JSON),
+    project the typed field, then a two-phase integer aggregate per
+    event_type. SQL oracle extracts the same field with
+    json_extract."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pd.DataFrame:
+        import json
+
+        ks = [int(json.loads(p or "{}").get("k", 0))
+              for p in t["props"].to_pylist()]
+        out = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "k": pd.Series(ks, dtype="int64"),
+        })
+        # local combiner: one partial row per (batch, type)
+        return out.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [int(g["n"].sum())],
+            "sum_k": [int(g["sum_k"].sum())],
+            "max_k": [int(g["max_k"].max())],
+        })
+
+    return (ds.map_batches(extract, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge,
+                                              batch_format="pandas"))
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def anti_join_empty_orders(sf_dir, force_bloom: bool = False):
     """skeleton-repo anti-join (objects minus subjects shape,
     skeleton.py:111-120): orders with no lineitems — broadcast the
@@ -4031,6 +4078,7 @@ QUERIES = {
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
     "events_type_stats": (events_type_stats, EVENTS_TYPE_SQL),
+    "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
