@@ -1195,6 +1195,62 @@ FROM events GROUP BY event_type
 """
 
 
+def brand_revenue(sf_dir):
+    """TPC-H Q9-flavored profit rollup exercising the part dimension:
+    lineitem ⋈ part on partkey (NEITHER side broadcast — the part
+    table is the mid-size dimension that outgrows a ray.put dict long
+    before lineitem does, so both travel joins.bucket_join), revenue
+    in per-row-rounded integer cents (the q1 discipline) aggregated
+    per p_brand with a per-batch combiner before one tiny grouped
+    merge. Reads prune to 3 + 2 columns."""
+    from ..stages.joins import bucket_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        c = pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "cents": pc.cast(c, pa.int64())})
+
+    joined = bucket_join(li.map_batches(cents, batch_format="pyarrow"),
+                         part, left_on="l_partkey",
+                         right_on="p_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_items=("cents", "size"))
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("p_brand", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_items=("n_items", "sum"))
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    return _merge_partials(
+        joined.map_batches(partial, batch_format="pandas"), merge)
+
+
+BRAND_REVENUE_SQL = """
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
 def events_props_agg(sf_dir):
     """Semi-structured extraction + aggregation: the events table's
     ``props`` column is a JSON payload (schema-on-read, the
@@ -4079,6 +4135,7 @@ QUERIES = {
     "user_event_pivot": (user_event_pivot, USER_PIVOT_SQL),
     "events_type_stats": (events_type_stats, EVENTS_TYPE_SQL),
     "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
+    "brand_revenue": (brand_revenue, BRAND_REVENUE_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
