@@ -1251,6 +1251,85 @@ GROUP BY p.p_brand
 """
 
 
+def segment_order_revenue(sf_dir):
+    """TPC-H Q3-shaped 3-table pipeline: BUILDING-segment customers ⋈
+    pre-1998 orders ⋈ lineitem, revenue per order in integer cents.
+    Join strategy by side size: the FILTERED customer key set gates
+    orders via joins.membership_join (semi mode — broadcast set under
+    the threshold, Bloom-prefilter + exact recheck above it, so the
+    same code survives 10^9 customers); orders⋈lineitem is the
+    large×large leg (bucket_join, neither side broadcast); filters
+    applied AT THE READ side before any exchange. Top-level rollup is
+    per o_orderkey — merged by the combiner-then-merge discipline."""
+    from ..stages.joins import bucket_join, membership_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return f.select(["c_custkey"])
+
+    building = cust.map_batches(keys_only, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        dates = t["o_orderdate"].to_numpy()
+        m = pa.array(dates < np.datetime64("1998-01-01"))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = membership_join(
+        orders.map_batches(date_filter, batch_format="pyarrow"),
+        "o_custkey", building, keys_col="c_custkey",
+        mode="semi").select_columns(["o_orderkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        c = pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pc.cast(c, pa.int64())})
+
+    joined = bucket_join(
+        li.map_batches(cents, batch_format="pyarrow"),
+        orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("cents", "sum"))
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        return g.rename(columns={"l_orderkey": "o_orderkey"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(
+        joined.map_batches(partial, batch_format="pandas"), merge)
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < DATE '1998-01-01'
+GROUP BY l.l_orderkey
+"""
+
+
 def events_props_agg(sf_dir):
     """Semi-structured extraction + aggregation: the events table's
     ``props`` column is a JSON payload (schema-on-read, the
@@ -4136,6 +4215,7 @@ QUERIES = {
     "events_type_stats": (events_type_stats, EVENTS_TYPE_SQL),
     "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
     "brand_revenue": (brand_revenue, BRAND_REVENUE_SQL),
+    "segment_order_revenue": (segment_order_revenue, SEGMENT_REVENUE_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
