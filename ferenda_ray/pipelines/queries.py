@@ -2059,6 +2059,55 @@ SELECT node AS key, min(lbl) AS canonical_key FROM reach GROUP BY node
 """ % (_shingle_cte("documents"), _jaccard_pair_select("ka", "kb"), _CC_CTES)
 
 
+def neardup_representatives(sf_dir):
+    """Quality-based representative per near-dup cluster
+    (dedup.cluster_representatives — the production "keep the best
+    copy" policy): argmax n_chars per minhash cluster, ties to min
+    key; unclustered docs represent themselves. Two narrow bucketed
+    exchanges (canonical attach, then per-cluster argmax with a
+    partial-argmax combiner). The oracle composes the shared
+    minhash-closure fragments with a window argmax."""
+    from ..stages.dedup import cluster_representatives
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "n_chars"])
+    import ray as _ray
+
+    clusters = minhash_dedup(
+        docs.map_batches(lambda t: t.select(["doc_id", "text"]),
+                         batch_format="pyarrow"),
+        threshold=0.5)
+    if isinstance(clusters, pd.DataFrame):  # driver union-find path
+        clusters = _ray.data.from_pandas(clusters)
+    return cluster_representatives(
+        clusters,
+        docs.map_batches(lambda t: t.select(["doc_id", "n_chars"]),
+                         batch_format="pyarrow"),
+        score_col="n_chars")
+
+
+NEARDUP_REPS_SQL = """
+WITH RECURSIVE s AS (%s
+), p AS (%s
+), %s,
+m AS (SELECT node AS key, min(lbl) AS canonical_key
+      FROM reach GROUP BY node),
+alld AS (
+  SELECT d.doc_id AS key, d.n_chars AS score,
+         coalesce(m.canonical_key, d.doc_id) AS canon
+  FROM documents d LEFT JOIN m ON m.key = d.doc_id),
+sel AS (SELECT canon, key,
+               row_number() OVER (PARTITION BY canon
+                                  ORDER BY score DESC, key ASC) AS rn,
+               count(*) OVER (PARTITION BY canon) AS n
+        FROM alld)
+SELECT canon AS canonical_key, key AS rep_key,
+       CAST(n AS BIGINT) AS n_members
+FROM sel WHERE rn = 1
+""" % (_shingle_cte("documents"), _jaccard_pair_select("ka", "kb"),
+       _CC_CTES)
+
+
 def ngram_jaccard(sf_dir):
     """EXACT n-gram Jaccard similarity self-join (prefix-filtered
     AllPairs — no LSH approximation), the deterministic sibling of
@@ -4265,6 +4314,8 @@ QUERIES = {
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pairs": (simhash_pairs, None),
     "simhash_pairs_md5": (simhash_pairs_md5, SIMHASH_MD5_SQL),
+    "neardup_representatives": (neardup_representatives,
+                                NEARDUP_REPS_SQL),
     "simhash_planted_recall": (simhash_planted_recall, SIMHASH_PLANTED_SQL),
     "embedding_neardup": (embedding_neardup, EMBED_NEARDUP_SQL),
     # rows-only: ANN recall is approximate by design (brute-force

@@ -1164,3 +1164,100 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
 
     return (both.repartition(num_buckets)
             .groupby("_b").map_groups(keep, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------
+# near-dup cluster representative selection
+# ---------------------------------------------------------------------
+
+def cluster_representatives(clusters_ds, docs_ds, score_col: str,
+                            key_col: str = "doc_id",
+                            num_buckets: int = 64):
+    """Pick ONE representative per near-dup cluster by quality instead
+    of by min key — the production curation policy ("keep the best
+    copy", e.g. the longest / highest-quality doc, rather than the
+    arbitrary id-min): argmax of ``score_col`` per canonical cluster,
+    ties to the smallest key. ``clusters_ds`` is minhash_dedup's
+    (key, canonical_key) map; docs NOT in any cluster represent
+    themselves.
+
+    Scale shape: docs union the cluster map in ONE key-hash-bucketed
+    exchange (attach canonical to each doc — a doc missing from the
+    map is its own cluster), then the per-cluster argmax runs as a
+    second canonical-bucketed exchange with a per-batch partial argmax
+    combiner. Only (key, canonical, score) rows move. Returns
+    Dataset(canonical_key, rep_key, n_members).
+    """
+
+    def _kb(s: pd.Series) -> np.ndarray:
+        h = s.to_numpy(dtype="int64").astype(np.uint64) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        return (h % np.uint64(num_buckets)).astype("int32")
+
+    def prep_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": df[key_col].astype("int64"),
+            "score": df[score_col].astype("int64"),
+            "canon": pd.Series(np.full(len(df), -1, dtype="int64")),
+        })
+        out["_b"] = _kb(out["key"])
+        return out
+
+    def prep_clusters(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": df["key"].astype("int64"),
+            "score": pd.Series(np.full(len(df), -1, dtype="int64")),
+            "canon": df["canonical_key"].astype("int64"),
+        })
+        out["_b"] = _kb(out["key"])
+        return out
+
+    both = (docs_ds.map_batches(prep_docs, batch_format="pandas")
+            .union(clusters_ds.map_batches(prep_clusters,
+                                           batch_format="pandas")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        canon = dict(zip(g.loc[g["score"] < 0, "key"],
+                         g.loc[g["score"] < 0, "canon"]))
+        d = g[g["score"] >= 0]
+        keys = d["key"].to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            "canon": pd.Series([canon.get(k, k) for k in keys],
+                               dtype="int64"),
+            "key": keys,
+            "score": d["score"].to_numpy(dtype="int64"),
+        })
+        out["_b2"] = _kb(out["canon"])
+        return out
+
+    def argmax_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["canon", "score", "key"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+        best = d.drop_duplicates("canon")
+        n = df.groupby("canon").size()
+        return pd.DataFrame({
+            "canon": best["canon"].to_numpy(dtype="int64"),
+            "key": best["key"].to_numpy(dtype="int64"),
+            "score": best["score"].to_numpy(dtype="int64"),
+            "n": n.loc[best["canon"]].to_numpy(dtype="int64"),
+            "_b2": best["_b2"].to_numpy(dtype="int32"),
+        })
+
+    def argmax_merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["canon", "score", "key"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        best = d.drop_duplicates("canon")
+        n = g.groupby("canon")["n"].sum()
+        return pd.DataFrame({
+            "canonical_key": best["canon"].to_numpy(dtype="int64"),
+            "rep_key": best["key"].to_numpy(dtype="int64"),
+            "n_members": n.loc[best["canon"]].to_numpy(dtype="int64"),
+        })
+
+    return (both.repartition(num_buckets)
+            .groupby("_b").map_groups(attach, batch_format="pandas")
+            .map_batches(argmax_part, batch_format="pandas")
+            .groupby("_b2").map_groups(argmax_merge,
+                                       batch_format="pandas"))
