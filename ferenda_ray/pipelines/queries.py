@@ -1330,6 +1330,94 @@ GROUP BY l.l_orderkey
 """
 
 
+def doc_rank_in_source(sf_dir):
+    """Distributed window ranking: row_number() per source partition,
+    ordered by (n_chars DESC, doc_id ASC) — the full-ranking
+    counterpart of top_docs_per_source's top-k. ONE source-hash
+    bucketed exchange; the rank is a vectorized per-bucket groupby
+    cumcount. SQL window oracle."""
+    from ..stages.dedup import _bucket_of
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df["source"], 64)
+        return df
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "n_chars", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "source": g["source"].astype("object"),
+            "rnk": (g.groupby("source").cumcount() + 1).astype("int64"),
+        })
+        return out
+
+    return (ds.map_batches(prep, batch_format="pandas")
+            .groupby("_bucket").map_groups(rank, batch_format="pandas"))
+
+
+DOC_RANK_SQL = """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id ASC) AS rnk
+FROM documents
+"""
+
+
+def orders_running_total(sf_dir):
+    """Distributed prefix aggregate: per-customer running total of
+    order value (integer cents, per-row half-away-from-zero rounding)
+    in (o_orderdate, o_orderkey) order — the cumulative-window shape
+    (sum OVER ... ROWS UNBOUNDED PRECEDING). ONE custkey-bucketed
+    exchange; the cumsum is one vectorized groupby pass per bucket."""
+    from ..stages.dedup import _bucket_of
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        c = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        df = pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_numpy(),
+            "o_custkey": t["o_custkey"].to_numpy(),
+            "o_orderdate": t["o_orderdate"].to_numpy(),
+            "cents": pc.cast(c, pa.int64()).to_numpy(),
+        })
+        df["_bucket"] = _bucket_of(df["o_custkey"], 64)
+        return df
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "running_cents": g.groupby("o_custkey")["cents"].cumsum()
+            .astype("int64"),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(cum, batch_format="pandas"))
+
+
+ORDERS_RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_cents
+FROM orders
+"""
+
+
 def events_props_agg(sf_dir):
     """Semi-structured extraction + aggregation: the events table's
     ``props`` column is a JSON payload (schema-on-read, the
@@ -4265,6 +4353,8 @@ QUERIES = {
     "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
     "brand_revenue": (brand_revenue, BRAND_REVENUE_SQL),
     "segment_order_revenue": (segment_order_revenue, SEGMENT_REVENUE_SQL),
+    "doc_rank_in_source": (doc_rank_in_source, DOC_RANK_SQL),
+    "orders_running_total": (orders_running_total, ORDERS_RUNNING_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
