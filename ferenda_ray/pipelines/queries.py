@@ -1418,6 +1418,126 @@ FROM orders
 """
 
 
+def orders_rollup(sf_dir):
+    """GROUPING-SETS rollup (year × priority → year → grand total) in
+    ONE pass: the finest-grain cells are a bounded partial aggregate
+    (years × 5 priorities), so every coarser level is derived from the
+    merged cells locally — zero extra passes over the data, zero extra
+    exchanges. Sentinels (-1 / 'ALL') stand in for SQL's rolled-up
+    NULLs so the column types stay concrete."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        df = pd.DataFrame({
+            "o_year": pc.year(t["o_orderdate"]).to_numpy().astype("int64"),
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "cents": pc.cast(c, pa.int64()).to_numpy(),
+        })
+        g = df.groupby(["o_year", "o_orderpriority"], as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["o_year", "o_orderpriority"]
+        fine = df.groupby(keys, as_index=False)[
+            ["revenue_cents", "n_orders"]].sum()
+        by_year = fine.groupby("o_year", as_index=False)[
+            ["revenue_cents", "n_orders"]].sum()
+        by_year["o_orderpriority"] = "ALL"
+        total = pd.DataFrame({
+            "o_year": [-1], "o_orderpriority": ["ALL"],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        })
+        out = pd.concat([fine, by_year[fine.columns], total[fine.columns]],
+                        ignore_index=True)
+        out["o_year"] = out["o_year"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(y, -1) AS o_year,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY ROLLUP(y, o_orderpriority)
+"""
+
+
+def lineitem_corr_components(sf_dir):
+    """Exact distributed bivariate statistics: the five raw moments of
+    (quantity, discount%) per returnflag as INTEGER sums, plus the
+    integer covariance / variance numerators (n·Σxy − Σx·Σy etc.) that
+    determine Pearson's r without any float accumulation. One bounded
+    partial per batch, one vectorized merge — the numerically-stable
+    way to compute correlations over 100 TB (float second moments lose
+    digits; integer moments are exact and associative)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        d = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy()
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "q": q, "d": d, "qq": q * q, "dd": d * d,
+                           "qd": q * d})
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("q", "size"), sum_q=("q", "sum"), sum_d=("d", "sum"),
+            sum_qq=("qq", "sum"), sum_dd=("dd", "sum"),
+            sum_qd=("qd", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        for c in ("n", "sum_q", "sum_d", "sum_qq", "sum_dd", "sum_qd"):
+            g[c] = g[c].astype("int64")
+        g["cov_num"] = g["n"] * g["sum_qd"] - g["sum_q"] * g["sum_d"]
+        g["var_q_num"] = g["n"] * g["sum_qq"] - g["sum_q"] ** 2
+        g["var_d_num"] = g["n"] * g["sum_dd"] - g["sum_d"] ** 2
+        return g
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+LINEITEM_CORR_SQL = """
+WITH x AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(q) AS BIGINT) AS sum_q,
+         CAST(sum(d) AS BIGINT) AS sum_d,
+         CAST(sum(q * q) AS BIGINT) AS sum_qq,
+         CAST(sum(d * d) AS BIGINT) AS sum_dd,
+         CAST(sum(q * d) AS BIGINT) AS sum_qd
+  FROM x GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sum_q, sum_d, sum_qq, sum_dd, sum_qd,
+       n * sum_qd - sum_q * sum_d AS cov_num,
+       n * sum_qq - sum_q * sum_q AS var_q_num,
+       n * sum_dd - sum_d * sum_d AS var_d_num
+FROM m
+"""
+
+
 def events_props_agg(sf_dir):
     """Semi-structured extraction + aggregation: the events table's
     ``props`` column is a JSON payload (schema-on-read, the
@@ -4355,6 +4475,9 @@ QUERIES = {
     "segment_order_revenue": (segment_order_revenue, SEGMENT_REVENUE_SQL),
     "doc_rank_in_source": (doc_rank_in_source, DOC_RANK_SQL),
     "orders_running_total": (orders_running_total, ORDERS_RUNNING_SQL),
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "lineitem_corr_components": (lineitem_corr_components,
+                                 LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
