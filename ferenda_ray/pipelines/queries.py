@@ -3600,6 +3600,35 @@ kept AS (
 CURATION_SQL = _curation_sql()
 
 
+def doc_chunks(sf_dir):
+    """Overlapping word-window chunking (64 words every 48 — the RAG /
+    embedding-input prep step): doc-local explode fused with the
+    pruned read, zero shuffles. The SQL oracle recomputes every chunk
+    byte-exactly via regexp word extraction + list_slice +
+    array_to_string."""
+    from ..stages.text_analysis import chunk_windows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(chunk_windows, batch_format="pyarrow")
+
+
+DOC_CHUNKS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM documents
+), s AS (
+  SELECT doc_id, words,
+         UNNEST(range(0, greatest(len(words) - 16, 1), 48)) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start / 48 AS BIGINT) AS chunk_id,
+       CAST(least(start + 64, len(words)) - start AS BIGINT) AS n_words,
+       array_to_string(list_slice(words, start + 1, start + 64), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 def doc_repetition(sf_dir):
     """Gopher-style repetition metrics per doc (integer outputs:
     duplicate 2-/3-gram and top-word counts — stages/text_analysis.
@@ -4543,6 +4572,7 @@ QUERIES = {
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     "profile_documents": (profile_documents, PROFILE_DOCS_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "split_assign": (split_assign, SPLIT_ASSIGN_SQL),
     "pack_token_chunks": (pack_token_chunks, PACK_CHUNKS_SQL),
     "xhtml_annotated": (xhtml_annotated, XHTML_ANNOTATED_SQL),

@@ -161,6 +161,39 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("fp_roll", pa.array(rolls, pa.int64())))
 
 
+# --- overlapping window chunking (RAG / context-window prep) ------------
+
+def chunk_windows(batch: pa.Table, text_col: str = "text",
+                  key_col: str = "doc_id", size: int = 64,
+                  stride: int = 48) -> pa.Table:
+    """Split each document into overlapping word windows (``size``
+    words every ``stride`` — the RAG / embedding-input chunking
+    recipe). Doc-local explode: fuses with the read, nothing shuffles,
+    and output chunks are independent rows ready for downstream
+    embedding / packing stages. Start positions are
+    range(0, max(n_words - overlap, 1), stride) so the tail is always
+    covered exactly once and no chunk is a subset of its predecessor.
+    Tokenization pinned to whitespace split (== regexp '\\S+'), chunk
+    text re-joined with single spaces — both SQL-recomputable."""
+    overlap = size - stride
+    keys, cids, nw, texts = [], [], [], []
+    for key, txt in zip(batch[key_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+        words = (txt or "").split()
+        n = len(words)
+        for s in range(0, max(n - overlap, 1), stride):
+            keys.append(key)
+            cids.append(s // stride)
+            nw.append(min(s + size, n) - s)
+            texts.append(" ".join(words[s:s + size]))
+    return pa.table({
+        key_col: pa.array(keys, batch[key_col].type),
+        "chunk_id": pa.array(cids, pa.int64()),
+        "n_words": pa.array(nw, pa.int64()),
+        "chunk_text": pa.array(texts, pa.string()),
+    })
+
+
 # --- repetition metrics (Gopher-style quality rules) --------------------
 
 def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
