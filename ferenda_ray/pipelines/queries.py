@@ -4096,6 +4096,41 @@ GROUP BY d
 """
 
 
+def kg_cocite_triangles(sf_dir):
+    """Per-node triangle counts of the CO-CITATION graph (targets
+    a<b<c pairwise co-cited — bibliometric coupling; the raw citation
+    graph is bipartite page→target so it has no triangles itself).
+    Pair building is src-bucketed with a deterministic hub cap,
+    triangle enumeration is a wedge join + closing-edge semi-join over
+    the materialized pair list (stages/graph.cocitation_pairs /
+    triangle_counts)."""
+    from ..stages import graph
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir))
+    return graph.triangle_counts(pairs)
+
+
+KG_TRIANGLES_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+pairs AS (
+  SELECT DISTINCT e1.dst AS a, e2.dst AS b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+),
+tri AS (
+  SELECT p1.a, p1.b, p2.b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.a = p1.b
+  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
+"""
+
+
 LM_K = 400  # < the corpus' 916 distinct bigrams → pruning + OOV real
 
 
@@ -4530,6 +4565,7 @@ QUERIES = {
     "doc_winnow": (doc_winnow, DOC_WINNOW_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
+    "kg_cocite_triangles": (kg_cocite_triangles, KG_TRIANGLES_SQL),
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),

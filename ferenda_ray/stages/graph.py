@@ -41,6 +41,7 @@ import pyarrow as pa
 from .joins import _hash64, bucket_join
 
 __all__ = ["distinct_edges", "degrees", "degree_distribution",
+           "cocitation_pairs", "triangle_counts",
            "pagerank", "hits", "random_walks"]
 
 
@@ -136,6 +137,106 @@ def degree_distribution(edges_ds, col: str = "dst",
 
     return (deg.map_batches(part, batch_format="pandas")
             .map_batches(_bucketize("degree", num_buckets),
+                         batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+def cocitation_pairs(edges_ds, src: str = "src", dst: str = "dst",
+                     num_buckets: int = 64, max_targets: int = 64):
+    """Distinct co-citation pairs (a < b cited by the same ``src``) —
+    the bibliometric coupling graph over a directed citation edge
+    list. Two bucketed exchanges: (1) hash(src) co-locates each page's
+    targets (vectorized per-bucket self-merge — never one Ray group
+    per page), (2) hash(a,b) deduplicates the pair set. ``max_targets``
+    caps the quadratic explode of hub pages deterministically (the
+    lexicographically-smallest targets win — same discipline as
+    lsh_candidate_pairs' max_bucket); the synthetic corpus tops out at
+    3 targets/page so the cap never binds in the oracle-checked
+    domain."""
+
+    def per_src_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates([src, dst])
+             .sort_values([src, dst], kind="mergesort")
+             .groupby(src).head(max_targets))
+        m = g.merge(g, on=src)
+        m = m[m[dst + "_x"] < m[dst + "_y"]]
+        out = pd.DataFrame({"a": m[dst + "_x"], "b": m[dst + "_y"]})
+        return out.drop_duplicates()
+
+    raw = (edges_ds.repartition(num_buckets)
+           .map_batches(_bucketize(src, num_buckets),
+                        batch_format="pandas")
+           .groupby("_bucket").map_groups(per_src_pairs,
+                                          batch_format="pandas"))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["a", "b"]).copy()
+        key = df["a"].astype(str) + "\x1f" + df["b"].astype(str)
+        df["_bucket"] = (_hash64(key)
+                         % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (raw.map_batches(prep, batch_format="pandas")
+            .groupby("_bucket").map_groups(uniq, batch_format="pandas"))
+
+
+def triangle_counts(pairs_ds, num_buckets: int = 64):
+    """Per-node triangle participation counts over an undirected
+    (a < b) pair list — the classic two-step distributed triangle
+    enumeration: wedge join (pairs ⋈ pairs on the middle vertex,
+    ordering a < b < c makes each triangle appear exactly once) then
+    a closing-edge semi-join. The pair list is materialized once — it
+    is consumed three times (both wedge sides + the membership side)
+    and keeping it lazy would chain a third exchange onto a
+    union-of-exchanges lineage (the Ray 2.49 DAG shape documented in
+    CLAUDE.md). membership_join broadcasts the closing-edge set under
+    its threshold and switches to Bloom + exact recheck above it, so
+    the shape survives edge lists that don't fit the driver."""
+    from .joins import membership_join
+
+    pairs = pairs_ds.materialize()
+
+    # wedge (a,b,c): left (a,b) ⋈ right (b,c) on the middle vertex
+    wedges = bucket_join(pairs, pairs, left_on="b", right_on="a",
+                         num_buckets=num_buckets, suffix="_r")
+
+    def wedge_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = pc.binary_join_element_wise(
+            pc.cast(t["a"], pa.string()), pc.cast(t["b_r"], pa.string()),
+            "\x1f")
+        return t.append_column("_key", key)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = pc.binary_join_element_wise(
+            pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()),
+            "\x1f")
+        return pa.table({"_key": key})
+
+    tri = membership_join(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"), "_key",
+        pairs.map_batches(pair_key, batch_format="pyarrow"), "_key",
+        mode="semi", num_buckets=num_buckets)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["a"], df["b"], df["b_r"]],
+                          ignore_index=True)
+        out = nodes.value_counts().rename_axis("node").reset_index(
+            name="n_triangles")
+        out["n_triangles"] = out["n_triangles"].astype("int64")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["n_triangles"].sum()
+        out["n_triangles"] = out["n_triangles"].astype("int64")
+        return out
+
+    return (tri.map_batches(part, batch_format="pandas")
+            .map_batches(_bucketize("node", num_buckets),
                          batch_format="pandas")
             .groupby("_bucket").map_groups(merge, batch_format="pandas"))
 

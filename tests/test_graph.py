@@ -136,3 +136,33 @@ def test_random_walks_deterministic_and_valid(ray_session):
     key = ["start", "step", "node"]
     assert (got[key].sort_values(key).reset_index(drop=True)
             .equals(again[key].sort_values(key).reset_index(drop=True)))
+
+
+def test_cocitation_pairs_and_triangles(ray_session):
+    # pages p1/p2/p3 co-cite targets so that {x,y,z} closes a triangle
+    # via three different pages, and {x,w} is a pair in no triangle
+    edges = [
+        ("p1", "x"), ("p1", "y"),
+        ("p2", "y"), ("p2", "z"),
+        ("p3", "x"), ("p3", "z"),
+        ("p4", "x"), ("p4", "w"),
+        ("p5", "x"), ("p5", "y"),   # duplicate pair (x,y): deduped
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    pairs = graph.cocitation_pairs(ds).to_pandas()
+    got_pairs = sorted(map(tuple, pairs[["a", "b"]].values))
+    assert got_pairs == [("w", "x"), ("x", "y"), ("x", "z"), ("y", "z")]
+
+    tri = graph.triangle_counts(graph.cocitation_pairs(ds)).to_pandas()
+    got = dict(zip(tri["node"], tri["n_triangles"]))
+    assert got == {"x": 1, "y": 1, "z": 1}
+
+
+def test_cocitation_hub_cap_deterministic(ray_session):
+    # a hub page citing 5 targets with max_targets=3 keeps only the
+    # 3 lexicographically-smallest targets' pairs
+    edges = [("hub", t) for t in ["e", "d", "c", "b", "a"]]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    pairs = graph.cocitation_pairs(ds, max_targets=3).to_pandas()
+    got = sorted(map(tuple, pairs[["a", "b"]].values))
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
