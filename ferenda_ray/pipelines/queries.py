@@ -1748,6 +1748,154 @@ FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
+EMB_K, EMB_ITERS, EMB_SCALE = 8, 2, 1000
+SEMDEDUP_OFFSET = 10_000_000
+SEMDEDUP_THR = (9025, 10000)  # τ=0.95 → τ² as an exact integer ratio
+
+
+def embed_kmeans(sf_dir):
+    """Distributed integer k-means (Lloyd's, k=8, 2 iterations) over
+    the embeddings table — stages/clustering.kmeans_int: quantized
+    int64 vectors, map-side assignment against broadcast centroids,
+    bounded (cluster, count, sumvec) partials per pass. Output =
+    per-cluster size + exact integer inertia. The SQL oracle unrolls
+    both Lloyd iterations (list_inner_product distances are exact:
+    every intermediate stays < 2⁵³)."""
+    from ..stages import clustering
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qds = clustering.quantize_vectors(ds, scale=EMB_SCALE).materialize()
+    ids, cmat = clustering.kmeans_int(qds, k=EMB_K, iterations=EMB_ITERS)
+    ads = clustering.assign_clusters(qds, ids, cmat)
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cluster": t["cluster"].to_numpy(),
+                           "dist": t["dist"].to_numpy()})
+        g = df.groupby("cluster", as_index=False).agg(
+            n=("dist", "size"), inertia=("dist", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster", as_index=False)[["n", "inertia"]].sum()
+        for c in ("cluster", "n", "inertia"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return _merge_partials(
+        ads.map_batches(part, batch_format="pyarrow"), merge)
+
+
+def _kmeans_ctes(k: int, iterations: int, scale: int,
+                 base: str) -> tuple[str, int]:
+    """Shared CTE chain replaying kmeans_int bit-exactly. ``base`` is
+    the SQL for the quantized vector table b(vec_id, v). Returns
+    (ctes, final_assignment_index)."""
+    ctes = [
+        "q0 AS (SELECT vec_id, list_transform(embedding,"
+        " x -> FLOOR(CAST(x AS DOUBLE) * %d)) AS v FROM embeddings)" % scale,
+        "b AS (%s)" % base,
+        "n AS (SELECT vec_id, v,"
+        " CAST(list_inner_product(v, v) AS BIGINT) AS nn FROM b)",
+        "c0 AS (SELECT vec_id AS c, v, nn FROM n WHERE vec_id < %d)" % k,
+    ]
+    for i in range(1, iterations + 2):
+        ctes.append(
+            "d%d AS (SELECT n.vec_id, c.c, n.nn + c.nn"
+            " - 2 * CAST(list_inner_product(n.v, c.v) AS BIGINT) AS dist"
+            " FROM n, c%d c)" % (i, i - 1))
+        ctes.append(
+            "a%d AS (SELECT vec_id, c, dist FROM"
+            " (SELECT vec_id, c, dist, row_number() OVER"
+            " (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d%d)"
+            " WHERE rn = 1)" % (i, i))
+        if i <= iterations:
+            ctes.append(
+                "u%d AS (SELECT a.c, UNNEST(range(1, len(n.v) + 1)) AS dim,"
+                " UNNEST(n.v) AS val FROM a%d a"
+                " JOIN n ON n.vec_id = a.vec_id)" % (i, i))
+            ctes.append(
+                "m%d AS (SELECT c, dim, FLOOR(SUM(val) / COUNT(*)) AS val"
+                " FROM u%d GROUP BY c, dim)" % (i, i))
+            ctes.append(
+                "c%dl AS (SELECT c, list(val ORDER BY dim) AS v"
+                " FROM m%d GROUP BY c)" % (i, i))
+            ctes.append(
+                "c%d AS (SELECT c, v,"
+                " CAST(list_inner_product(v, v) AS BIGINT) AS nn"
+                " FROM c%dl)" % (i, i))
+    return ",\n".join(ctes), iterations + 1
+
+
+_KM_CTES, _KM_FINAL = _kmeans_ctes(
+    EMB_K, EMB_ITERS, EMB_SCALE, "SELECT vec_id, v FROM q0")
+
+EMBED_KMEANS_SQL = """
+WITH %s
+SELECT c AS cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
+FROM a%d GROUP BY c
+""" % (_KM_CTES, _KM_FINAL)
+
+
+def semantic_dedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    flag within-cluster near-identical vectors (cos ≥ 0.95 via the
+    exact cross-multiplied integer predicate; the smaller key is
+    kept). Clones are PLANTED in integer space (vec_id%%10 → clone at
+    +10⁷ with dim-0 + 1) so the expected duplicates exist and the SQL
+    oracle derives the clone vectors from the originals exactly
+    (floor(x)+1 == floor(x+1))."""
+    from ..stages import clustering
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        from ..stages.clustering import _qmatrix, _qv_column
+
+        keys = t["vec_id"].to_numpy()
+        qmat = _qmatrix(t["qv"])
+        mask = keys % 10 == 0
+        clones = qmat[mask].copy()
+        if len(clones):
+            clones[:, 0] += 1
+        return pa.table({
+            "vec_id": pa.array(
+                np.concatenate([keys, keys[mask] + SEMDEDUP_OFFSET]),
+                pa.int64()),
+            "qv": _qv_column(np.concatenate([qmat, clones])),
+        })
+
+    qds = (clustering.quantize_vectors(ds, scale=EMB_SCALE)
+           .map_batches(plant, batch_format="pyarrow").materialize())
+    ids, cmat = clustering.kmeans_int(qds, k=EMB_K, iterations=EMB_ITERS)
+    ads = clustering.assign_clusters(qds, ids, cmat, carry_qv=True)
+    return clustering.semdedup_flags(ads, thr_num=SEMDEDUP_THR[0],
+                                     thr_den=SEMDEDUP_THR[1])
+
+
+_SD_CTES, _SD_FINAL = _kmeans_ctes(
+    EMB_K, EMB_ITERS, EMB_SCALE,
+    "SELECT vec_id, v FROM q0 UNION ALL "
+    "SELECT vec_id + %d, list_concat([v[1] + 1], list_slice(v, 2, len(v)))"
+    " FROM q0 WHERE vec_id %% 10 = 0" % SEMDEDUP_OFFSET)
+
+SEMANTIC_DEDUP_SQL = """
+WITH %s,
+p AS (
+  SELECT y.vec_id AS kb,
+         CAST(list_inner_product(nx.v, ny.v) AS BIGINT) AS dot,
+         nx.nn AS na, ny.nn AS nb
+  FROM a%d x JOIN a%d y ON x.c = y.c AND x.vec_id < y.vec_id
+  JOIN n nx ON nx.vec_id = x.vec_id
+  JOIN n ny ON ny.vec_id = y.vec_id
+),
+dup AS (SELECT DISTINCT kb FROM p
+        WHERE dot > 0 AND dot * dot * %d >= %d * na * nb)
+SELECT n.vec_id, (dup.kb IS NULL) AS kept
+FROM n LEFT JOIN dup ON dup.kb = n.vec_id
+""" % (_SD_CTES, _SD_FINAL, _SD_FINAL,
+       SEMDEDUP_THR[1], SEMDEDUP_THR[0])
+
+
 def canonicalize_cc(sf_dir):
     """distributed connected components over a chain graph derived from
     embeddings labels (edges = consecutive vec_ids within a label) —
@@ -4550,6 +4698,8 @@ QUERIES = {
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
+    "embed_kmeans": (embed_kmeans, EMBED_KMEANS_SQL),
+    "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "canonicalize_cc": (canonicalize_cc, CANON_CC_SQL),
     "canonicalize_cc_star": (canonicalize_cc_star, CANON_CC_SQL),
     "kg_titles": (kg_titles, KG_TITLES_SQL),
