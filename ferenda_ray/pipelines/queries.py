@@ -1836,6 +1836,49 @@ FROM a%d GROUP BY c
 """ % (_KM_CTES, _KM_FINAL)
 
 
+def topic_shards(sf_dir):
+    """Topic sharding — the 'partition the corpus by embedding
+    cluster' curation step (cluster-balanced training shards): k-means
+    cluster each embedding, bucket-hash-join the cluster ids to the
+    documents table (neither side broadcast), count docs per
+    (cluster, source). The count is a bounded two-phase aggregate
+    (k × sources cells)."""
+    from ..stages import clustering
+    from ..stages.joins import bucket_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qds = clustering.quantize_vectors(emb, scale=EMB_SCALE).materialize()
+    ids, cmat = clustering.kmeans_int(qds, k=EMB_K, iterations=EMB_ITERS)
+    ads = clustering.assign_clusters(qds, ids, cmat).map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"], "cluster": t["cluster"]}),
+        batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    joined = bucket_join(docs, ads, left_on="doc_id")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cluster", "source"]).size().reset_index(
+            name="n_docs")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cluster", "source"], as_index=False)[
+            "n_docs"].sum()
+        g["cluster"] = g["cluster"].astype("int64")
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    return _merge_partials(
+        joined.map_batches(part, batch_format="pandas"), merge)
+
+
+TOPIC_SHARDS_SQL = """
+WITH %s
+SELECT a.c AS cluster, d.source, count(*) AS n_docs
+FROM a%d a JOIN documents d ON d.doc_id = a.vec_id
+GROUP BY a.c, d.source
+""" % (_KM_CTES, _KM_FINAL)
+
+
 def semantic_dedup(sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
     flag within-cluster near-identical vectors (cos ≥ 0.95 via the
@@ -4700,6 +4743,7 @@ QUERIES = {
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
     "embed_kmeans": (embed_kmeans, EMBED_KMEANS_SQL),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "topic_shards": (topic_shards, TOPIC_SHARDS_SQL),
     "canonicalize_cc": (canonicalize_cc, CANON_CC_SQL),
     "canonicalize_cc_star": (canonicalize_cc_star, CANON_CC_SQL),
     "kg_titles": (kg_titles, KG_TITLES_SQL),
