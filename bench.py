@@ -111,7 +111,11 @@ def run_bench() -> dict:
              ("curation_pipeline", Q.curation_pipeline),
              ("doc_dsir_score", Q.doc_dsir_score),
              ("doc_decontaminate", Q.doc_decontaminate),
-             ("kg_pagerank", Q.kg_pagerank)]
+             ("kg_pagerank", Q.kg_pagerank),
+             ("embed_kmeans", Q.embed_kmeans),
+             ("semantic_dedup", Q.semantic_dedup),
+             ("kg_cocite_triangles", Q.kg_cocite_triangles),
+             ("doc_chunks", Q.doc_chunks)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
