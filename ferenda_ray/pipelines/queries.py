@@ -829,6 +829,93 @@ FROM g GROUP BY row_id, col_id
 """
 
 
+def user_hll_by_type(sf_dir):
+    """Per-GROUP mergeable distinct-count sketch: HyperLogLog register
+    state per event_type (the 'distinct users per segment' question a
+    100-TB log answers without an exact-distinct exchange). Scale
+    shape: each batch reduces to ≤ types × 2^HLL_P (event_type,
+    bucket, max_rank) rows; registers merge by max
+    (associative/commutative), and the merged key space is bounded
+    (types × 256), so the final merge is one vectorized block
+    (_merge_partials). Same shared md5-derived hash as
+    hll_user_registers, so the SQL oracle recomputes every register
+    EXACTLY; the float estimator on top is unit tested in test_hll."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[["event_type", "user_id"]].drop_duplicates()
+        uids = pd.unique(pairs["user_id"])
+        b, r = _hll_rank_cols(uids)  # hash once per unique id
+        hmap = pd.DataFrame({"user_id": uids,
+                             "bucket": pd.Series(b, dtype="int64"),
+                             "max_rank": pd.Series(r, dtype="int64")})
+        out = pairs.merge(hmap, on="user_id")[
+            ["event_type", "bucket", "max_rank"]]
+        return out.groupby(["event_type", "bucket"],
+                           as_index=False)["max_rank"].max()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "bucket"],
+                       as_index=False)["max_rank"].max()
+        g["bucket"] = g["bucket"].astype("int64")
+        g["max_rank"] = g["max_rank"].astype("int64")
+        return g
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pandas"), merge)
+
+
+USER_HLL_BY_TYPE_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events),
+r AS (SELECT event_type, hv % 256 AS bucket, hv // 256 AS rem FROM h)
+SELECT event_type, bucket,
+       max(CASE WHEN rem = 0 THEN 53
+                ELSE 52 - length(printf('%b', rem)) + 1 END) AS max_rank
+FROM r GROUP BY event_type, bucket
+"""
+
+
+HH_CAP = 4000  # φ = 1/4000 of all trigram occurrences
+
+
+def heavy_hitter_grams(sf_dir):
+    """EXACT heavy-hitter trigrams (count·cap > N) via the two-phase
+    pigeonhole / Misra–Gries pattern (stages/transform.heavy_hitters):
+    phase 1 never shuffles the gram space — per-block partial counts,
+    < cap candidates per block by construction; phase 2 exact-counts
+    only the broadcast candidate set and applies the exact global
+    filter. A plain groupby alternative moves every distinct gram
+    (16k here, billions on a real crawl) through an exchange; this
+    moves |candidates|. Result is bit-identical to the SQL HAVING."""
+    from ..stages.transform import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t["text"].to_pylist():
+            ws = (txt or "").split(" ")
+            out.extend("%s %s %s" % (ws[i], ws[i + 1], ws[i + 2])
+                       for i in range(len(ws) - 2))
+        return pa.table({"gram": pa.array(out, pa.string())})
+
+    return heavy_hitters(ds.map_batches(grams, batch_format="pyarrow"),
+                         "gram", cap=HH_CAP)
+
+
+HH_GRAMS_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+t AS (SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+      FROM w, unnest(range(1, len(ws) - 1)) AS r(i))
+SELECT gram, count(*) AS cnt FROM t GROUP BY gram
+HAVING count(*) * %d > (SELECT count(*) FROM t)
+""" % HH_CAP
+
+
 def name_edit1_pairs(sf_dir):
     """Edit-distance-1 similarity self-join over customer names —
     EXACT, via FastSS deletion-neighborhood signatures
@@ -1876,6 +1963,72 @@ WITH %s
 SELECT a.c AS cluster, d.source, count(*) AS n_docs
 FROM a%d a JOIN documents d ON d.doc_id = a.vec_id
 GROUP BY a.c, d.source
+""" % (_KM_CTES, _KM_FINAL)
+
+
+def cluster_pseudo_labels(sf_dir):
+    """Cluster-majority auto-labeling (pseudo-labeling / weak
+    supervision for training-data curation): k-means the embedding
+    space, take each cluster's majority gold label (ties → smallest
+    label), stamp it on every member. Scale shape: the (cluster,
+    label) vote is a BOUNDED k × L two-phase partial aggregate; the
+    k-row majority map is a driver pull the size of the centroid set,
+    broadcast back map-side — per-vector rows never shuffle after the
+    one label bucket-join."""
+    import ray
+
+    from ..stages import clustering
+    from ..stages.joins import bucket_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qds = clustering.quantize_vectors(emb, scale=EMB_SCALE).materialize()
+    ids, cmat = clustering.kmeans_int(qds, k=EMB_K, iterations=EMB_ITERS)
+    ads = clustering.assign_clusters(qds, ids, cmat).map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"],
+                            "cluster": t["cluster"]}),
+        batch_format="pyarrow")
+    labels = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    joined = bucket_join(labels, ads, left_on="vec_id").materialize()
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cluster", "label"]).size().reset_index(name="n")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cluster", "label"], as_index=False)["n"].sum()
+        return g
+
+    votes = _merge_partials(
+        joined.map_batches(part, batch_format="pandas"),
+        merge).take_all()  # ≤ k × L rows — bounded like the centroids
+    best: dict[int, int] = {}
+    for r in sorted(votes, key=lambda r: (r["cluster"], -r["n"],
+                                          r["label"])):
+        best.setdefault(int(r["cluster"]), int(r["label"]))
+    ref = ray.put(best)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        out = df[["vec_id", "cluster"]].copy()
+        out["cluster"] = out["cluster"].astype("int64")
+        out["pseudo_label"] = (
+            out["cluster"].map(m).astype("int64"))
+        return out
+
+    return joined.map_batches(attach, batch_format="pandas")
+
+
+CLUSTER_PSEUDO_SQL = """
+WITH %s,
+lab AS (SELECT a.vec_id, a.c, e.label FROM a%d a
+        JOIN embeddings e ON e.vec_id = a.vec_id),
+cnt AS (SELECT c, label, count(*) AS n FROM lab GROUP BY c, label),
+maj AS (SELECT c, label AS pseudo_label FROM
+        (SELECT c, label, row_number() OVER
+         (PARTITION BY c ORDER BY n DESC, label) AS rn FROM cnt)
+        WHERE rn = 1)
+SELECT l.vec_id, l.c AS cluster, m.pseudo_label
+FROM lab l JOIN maj m ON m.c = l.c
 """ % (_KM_CTES, _KM_FINAL)
 
 
@@ -4718,7 +4871,9 @@ QUERIES = {
     "cross_source_contamination": (cross_source_contamination,
                                    CONTAMINATION_SQL),
     "hll_user_registers": (hll_user_registers, HLL_REGISTERS_SQL),
+    "user_hll_by_type": (user_hll_by_type, USER_HLL_BY_TYPE_SQL),
     "cm_user_counts": (cm_user_counts, CM_COUNTS_SQL),
+    "heavy_hitter_grams": (heavy_hitter_grams, HH_GRAMS_SQL),
     "name_edit1_pairs": (name_edit1_pairs, NAME_EDIT1_SQL),
     "doc_tfidf_terms": (doc_tfidf_terms, DOC_TFIDF_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
@@ -4744,6 +4899,7 @@ QUERIES = {
     "embed_kmeans": (embed_kmeans, EMBED_KMEANS_SQL),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "topic_shards": (topic_shards, TOPIC_SHARDS_SQL),
+    "cluster_pseudo_labels": (cluster_pseudo_labels, CLUSTER_PSEUDO_SQL),
     "canonicalize_cc": (canonicalize_cc, CANON_CC_SQL),
     "canonicalize_cc_star": (canonicalize_cc_star, CANON_CC_SQL),
     "kg_titles": (kg_titles, KG_TITLES_SQL),

@@ -115,6 +115,67 @@ def salted_counts(ds, key_col: str, salt_n: int = 8):
     )
 
 
+def heavy_hitters(keys_ds, key_col: str, cap: int):
+    """EXACT φ-heavy hitters (φ = 1/cap): every key whose global count
+    satisfies cnt·cap > N, without ever shuffling the full key space
+    (Misra–Gries '82 pigeonhole, in the mergeable-summaries form of
+    Agarwal et al. PODS'12).
+
+    Phase 1 — the only touch of the raw keys: per-block partial counts
+    (key, cnt, n_batch), materialized (NARROW rows, spillable);
+    N = Σcnt needs no second scan. Candidates = keys with
+    cnt·cap > n_batch in ≥1 block. Pigeonhole guarantee: a key with
+    global cnt·cap > N must exceed the per-block threshold somewhere
+    (summing the per-block inequalities otherwise contradicts the
+    global one), so the candidate set is COMPLETE; each block emits
+    < cap of them, and the pruning bites once block rows ≫ cap
+    (batch_size=None → one batch per block). The candidate pull to
+    the driver is bounded by min(vocab, blocks·cap) — the same driver
+    contract as kmeans_int's k·d centroid pull.
+
+    Phase 2 — exact counts restricted to the broadcast candidate set:
+    the exchange carries |candidates| rows, never the key space; the
+    final exact filter cnt·cap > N removes every false positive. The
+    result is bit-identical to the full groupby (a SQL HAVING clause),
+    at a fraction of its shuffle volume."""
+    import numpy as np
+    import ray
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key_col].value_counts()
+        out = pd.DataFrame({key_col: vc.index.astype(str),
+                            "cnt": vc.to_numpy().astype("int64")})
+        out["n_batch"] = np.int64(len(df))
+        return out
+
+    partials = keys_ds.map_batches(
+        part, batch_format="pandas", batch_size=None).materialize()
+    n_total = int(partials.sum("cnt") or 0)
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df["cnt"] * cap > df["n_batch"]]
+        return hit[[key_col]].drop_duplicates()
+
+    cand_rows = partials.map_batches(cand, batch_format="pandas").take_all()
+    ref = ray.put({r[key_col] for r in cand_rows})
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(ref)
+        hit = df[df[key_col].isin(keep)]
+        return hit.groupby(key_col, as_index=False)["cnt"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype("int64")
+        g = g[g["cnt"] * cap > n_total]
+        return g.sort_values(["cnt", key_col],
+                             ascending=[False, True]).reset_index(drop=True)
+
+    return (partials.map_batches(exact, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
 def sample_corpus(ds, frac: float, seed: int = 42):
     """Deterministic fractional sample."""
     return ds.random_sample(frac, seed=seed)
