@@ -342,6 +342,49 @@ GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
 """
 
 
+def snapshot_dedup(sf_dir):
+    """Cross-snapshot (incremental-crawl) exact dedup: drop every
+    new-snapshot document whose CONTENT hash already exists in the
+    previous snapshot — the 'only process what the last crawl didn't
+    have' step of a rolling 100-TB ingest. Snapshots are doc_id
+    arithmetic (old = doc_id%2==0, new = doc_id%3==0; their overlap
+    doc_id%6==0 carries byte-identical text). The anti-join runs
+    through joins.membership_join with force_bloom=True, so the
+    ORACLED path here is the scale path — Bloom prefilter plus exact
+    hash-partitioned recheck of the maybe-member rows — not the
+    small-side broadcast shortcut."""
+    import hashlib
+
+    from ..stages.joins import membership_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def snapshot(mod: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            t = t.filter(pa.array(ids % mod == 0))
+            h = [hashlib.md5((x or "").encode()).hexdigest()
+                 for x in t["text"].to_pylist()]
+            return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                             "h": pa.array(h, pa.string())})
+        return fn
+
+    old = docs.map_batches(snapshot(2), batch_format="pyarrow")
+    new = docs.map_batches(snapshot(3), batch_format="pyarrow")
+    kept = membership_join(new, "h", old.select_columns(["h"]), "h",
+                           mode="anti", force_bloom=True)
+    return kept.select_columns(["doc_id", "source"])
+
+
+SNAPSHOT_DEDUP_SQL = """
+WITH old AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+new AS (SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % 3 = 0)
+SELECT n.doc_id, n.source FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.h)
+"""
+
+
 def toc_firstletter(sf_dir):
     """toc_pagesets semantics over documents: firstletter of the
     derived title (first 3 words uppercased — same rule as the page
@@ -637,6 +680,48 @@ SELECT source, max(n) AS n_docs,
        max(CASE WHEN rn = 1 + (9 * (n - 1)) // 10 THEN v END) AS p90_tokens
 FROM r GROUP BY source
 """
+
+
+def quantile_band_docs(sf_dir):
+    """Data-driven length gate: keep documents whose token count sits
+    inside their OWN source's [p50, p90] band (the per-domain
+    adaptive version of C4/Gopher's fixed length bounds). Scale
+    shape: the exact per-source quantiles come from the histogram
+    combiner (source_token_quantiles — the exchange moves (source,
+    value, count) histograms, never per-doc values); the band table
+    is one row per source — a bounded driver pull broadcast back via
+    ray.put — and the gate itself is a zero-shuffle map-side
+    filter."""
+    import ray
+
+    bands = {r["source"]: (r["p50_tokens"], r["p90_tokens"])
+             for r in source_token_quantiles(sf_dir).take_all()}
+    ref = ray.put(bands)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = text_analysis.token_counts(t)
+        b = ray.get(ref)
+        srcs = t["source"].to_pylist()
+        toks = t["ws_tokens"].to_numpy()
+        keep = [s in b and b[s][0] <= v <= b[s][1]
+                for s, v in zip(srcs, toks)]
+        t = t.filter(pa.array(keep))
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "ws_tokens": t["ws_tokens"]})
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+QUANTILE_BAND_SQL = """
+WITH q AS (%s)
+SELECT d.doc_id, d.source,
+       len(regexp_extract_all(d.text, '\\S+')) AS ws_tokens
+FROM documents d JOIN q ON q.source = d.source
+WHERE len(regexp_extract_all(d.text, '\\S+'))
+      BETWEEN q.p50_tokens AND q.p90_tokens
+""" % SOURCE_QUANTILES_SQL
 
 
 def cross_source_contamination(sf_dir):
@@ -1137,6 +1222,62 @@ SELECT user_id, cast(session_no AS BIGINT) AS session_no,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
 FROM s GROUP BY user_id, session_no
+"""
+
+
+def events_funnel(sf_dir):
+    """Ordered conversion-funnel stage per user (view → click →
+    purchase, each step strictly after the previous one's FIRST
+    occurrence) — sequence-pattern matching, the windowing family's
+    third shape next to sessions and as-of. All events of a user
+    co-locate in one hash bucket; inside the bucket every step is
+    vectorized across users at once (filter + groupby-min + map),
+    never a per-user loop. Output: (user_id, funnel_stage 0-3)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g[g["event_type"] == "view"]
+              .groupby("user_id")["ts"].min())
+        g = g.assign(_t1=g["user_id"].map(t1))
+        t2 = (g[(g["event_type"] == "click") & (g["ts"] > g["_t1"])]
+              .groupby("user_id")["ts"].min())
+        g = g.assign(_t2=g["user_id"].map(t2))
+        t3 = (g[(g["event_type"] == "purchase") & (g["ts"] > g["_t2"])]
+              .groupby("user_id")["ts"].min())
+        users = pd.Index(g["user_id"].unique(), name="user_id")
+        stage = (users.isin(t1.index).astype("int64")
+                 + users.isin(t2.index)
+                 + users.isin(t3.index))
+        return pd.DataFrame({"user_id": users.to_numpy(),
+                             "funnel_stage": stage})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(funnel, batch_format="pandas"))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
 """
 
 
@@ -4858,6 +4999,8 @@ QUERIES = {
     "doc_quality_filter": (doc_quality_filter, DOC_QUALITY_FILTER_SQL),
     "fulltext_search": (fulltext_search, FULLTEXT_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_DEDUP_SQL),
+    "snapshot_dedup": (snapshot_dedup, SNAPSHOT_DEDUP_SQL),
+    "quantile_band_docs": (quantile_band_docs, QUANTILE_BAND_SQL),
     "toc_firstletter": (toc_firstletter, TOC_SQL),
     "meta_triples_docs": (meta_triples_docs, META_TRIPLES_SQL),
     "top_sources": (top_sources, TOP_SOURCES_SQL),
@@ -4889,6 +5032,7 @@ QUERIES = {
     "lineitem_corr_components": (lineitem_corr_components,
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),

@@ -117,9 +117,19 @@ def _exact_membership_filter(rows_ds, key_col: str, keys_ds, keys_col: str,
         return out.drop(columns=["_bucket", "_is_key"])
 
     out = tagged.groupby("_bucket").map_groups(decide, batch_format="pandas")
-    # normalize back to arrow blocks — callers union this with
-    # arrow-block datasets (mixed block types break downstream builders)
-    return out.map_batches(lambda t: t, batch_format="pyarrow")
+    # normalize back to arrow blocks with the ORIGINAL dtypes —
+    # callers union this with arrow-block datasets (mixed block types
+    # break downstream builders), and the pandas decide() pass upcasts
+    # int columns to float64 (the tagged key rows carry nulls in every
+    # non-key column), which must not leak into the result schema
+    target = pa.schema(col_types)
+
+    def restore(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return target.empty_table()
+        return t.select(target.names).cast(target)
+
+    return out.map_batches(restore, batch_format="pyarrow")
 
 
 def membership_join(rows_ds, key_col: str, keys_ds, keys_col: str | None = None,
