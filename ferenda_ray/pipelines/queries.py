@@ -724,6 +724,72 @@ WHERE len(regexp_extract_all(d.text, '\\S+'))
 """ % SOURCE_QUANTILES_SQL
 
 
+CHI2_MICRO = 10 ** 6
+
+
+def source_term_divergence(sf_dir):
+    """Domain-shift detector: per-source χ² divergence of the unigram
+    term distribution against the whole corpus (the 'is this domain's
+    vocabulary drifting from the mixture' quality signal). EXACT
+    integer arithmetic end to end: each χ² term is
+    ((o·N − n_s·n_w)² · 10⁶) // (N · n_s · n_w) — a single rational
+    floored once, computed in Python bigints here and HUGEINT in the
+    oracle, so no float crosses the engine boundary. Scale shape: the
+    exchange carries (source, term, count) partials — bounded by
+    sources × vocabulary — merged in one vectorized block; zero cells
+    (a source never using a term) are filled in at the merge, as χ²
+    requires."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(w=df["text"].str.split(" "))
+              .explode("w")[["source", "w"]])
+        g = ex.groupby(["source", "w"]).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "w"], as_index=False)["cnt"].sum()
+        ns = g.groupby("source")["cnt"].sum().to_dict()
+        nw = g.groupby("w")["cnt"].sum().to_dict()
+        obs = {(s, w): int(c) for s, w, c in
+               zip(g["source"], g["w"], g["cnt"])}
+        n = int(g["cnt"].sum())
+        rows = []
+        for s in sorted(ns):
+            chi2 = 0
+            for w in sorted(nw):
+                o = obs.get((s, w), 0)
+                d = (o * n - int(ns[s]) * int(nw[w]))
+                chi2 += (d * d * CHI2_MICRO) // (n * int(ns[s]) * int(nw[w]))
+            rows.append((s, chi2))
+        return pd.DataFrame({"source": [r[0] for r in rows],
+                             "chi2_micro": pd.Series(
+                                 [r[1] for r in rows], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pandas"), merge)
+
+
+SOURCE_CHI2_SQL = """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+o AS (SELECT source, w, count(*) AS o FROM t GROUP BY source, w),
+ns AS (SELECT source, count(*) AS n_s FROM t GROUP BY source),
+nw AS (SELECT w, count(*) AS n_w FROM t GROUP BY w),
+tot AS (SELECT count(*) AS n FROM t),
+cells AS (SELECT ns.source, nw.w, ns.n_s, nw.n_w, COALESCE(o.o, 0) AS o
+          FROM ns CROSS JOIN nw
+          LEFT JOIN o ON o.source = ns.source AND o.w = nw.w)
+SELECT source,
+       CAST(sum((CAST(o AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_w)
+                * (CAST(o AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_w)
+                * %d // (CAST(n AS HUGEINT) * n_s * n_w)) AS BIGINT)
+           AS chi2_micro
+FROM cells, tot GROUP BY source
+""" % CHI2_MICRO
+
+
 def cross_source_contamination(sf_dir):
     """Benchmark-contamination / cross-split-leakage detector: every
     document whose exact text also appears under a DIFFERENT source.
@@ -2171,6 +2237,171 @@ maj AS (SELECT c, label AS pseudo_label FROM
 SELECT l.vec_id, l.c AS cluster, m.pseudo_label
 FROM lab l JOIN maj m ON m.c = l.c
 """ % (_KM_CTES, _KM_FINAL)
+
+
+PCA_ITERS = 2
+PCA_NORM = 1000  # per-iteration max-abs renormalization target
+
+
+def embed_pca_power(sf_dir):
+    """Distributed EXACT-integer PCA (top principal direction of the
+    uncentered second-moment matrix, power iteration): each batch
+    reduces to the d×d partial Gram matrix qmatᵀ·qmat — the exchange
+    carries d² = 4096 int64 cells regardless of row count, the
+    canonical 'distributed linear algebra as a bounded partial
+    aggregate' shape. The merged matrix is a driver pull the size of
+    the centroid set (same contract as kmeans_int); the p=2 power
+    iterations renormalize by max-abs to %d with TRUNCATING division
+    (DuckDB's `//`), so every intermediate is an int64 the SQL oracle
+    replays bit-exactly. Output: (dim, component) — the unnormalized
+    top eigenvector direction."""
+    from ..stages import clustering
+    from ..stages.clustering import _qmatrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qds = clustering.quantize_vectors(ds, scale=EMB_SCALE)
+
+    def cov_part(t: pa.Table) -> pa.Table:
+        qmat = _qmatrix(t["qv"])
+        if len(qmat) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        c = qmat.T @ qmat  # int64; |cells| ≤ rows·scale² ≪ 2⁶³
+        d = c.shape[0]
+        return pa.table({
+            "i": pa.array(np.repeat(np.arange(1, d + 1), d), pa.int64()),
+            "j": pa.array(np.tile(np.arange(1, d + 1), d), pa.int64()),
+            "s": pa.array(c.reshape(-1), pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["i", "j"], as_index=False)["s"].sum()
+        for c in ("i", "j", "s"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    cells = _merge_partials(
+        qds.map_batches(cov_part, batch_format="pyarrow"), merge).take_all()
+    d = max(r["i"] for r in cells)
+    cov = np.zeros((d, d), np.int64)
+    for r in cells:
+        cov[r["i"] - 1, r["j"] - 1] = r["s"]
+
+    v = np.ones(d, np.int64)
+    for _ in range(PCA_ITERS):
+        w = cov @ v
+        m = np.abs(w).max()
+        # DuckDB // truncates toward zero; mirror it exactly
+        v = (np.sign(w) * ((np.abs(w) * PCA_NORM) // m)).astype(np.int64)
+
+    return pa.table({"dim": pa.array(np.arange(1, d + 1), pa.int64()),
+                     "component": pa.array(v, pa.int64())})
+
+
+def _pca_sql(iters: int, scale: int, norm: int, dim: int) -> str:
+    ctes = [
+        "q0 AS (SELECT vec_id, list_transform(embedding,"
+        " x -> FLOOR(CAST(x AS DOUBLE) * %d)) AS v FROM embeddings)" % scale,
+        "u AS (SELECT vec_id, UNNEST(range(1, %d)) AS i, UNNEST(v) AS x"
+        " FROM q0)" % (dim + 1),
+        "cov AS (SELECT a.i AS i, b.i AS j,"
+        " CAST(SUM(CAST(a.x AS BIGINT) * b.x) AS BIGINT) AS s"
+        " FROM u a JOIN u b USING (vec_id) GROUP BY a.i, b.i)",
+        "r0 AS (SELECT DISTINCT i, CAST(1 AS BIGINT) AS v FROM cov)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            "w%d AS (SELECT c.i, CAST(SUM(c.s * r.v) AS BIGINT) AS w"
+            " FROM cov c JOIN r%d r ON r.i = c.j GROUP BY c.i)" % (k, k - 1))
+        ctes.append("m%d AS (SELECT MAX(ABS(w)) AS m FROM w%d)" % (k, k))
+        ctes.append(
+            "r%d AS (SELECT i, (w * %d) // m AS v FROM w%d, m%d)"
+            % (k, norm, k, k))
+    return ("WITH %s\nSELECT i AS dim, CAST(v AS BIGINT) AS component"
+            " FROM r%d" % (",\n".join(ctes), iters))
+
+
+EMBED_PCA_SQL = _pca_sql(PCA_ITERS, EMB_SCALE, PCA_NORM, 64)
+
+
+PROTO_DQ = 1 << 12  # distance-quantization step for the median:
+# unit-norm embeddings × EMB_SCALE=1000 put ‖a−c‖² in [0, ~4·10⁶],
+# so //2¹² gives a bounded ~10³-bucket histogram domain
+
+
+def prototype_prune(sf_dir):
+    """SSL-prototypes data pruning (Sorscher et al., 'Beyond neural
+    scaling laws', 2022): drop the EASY half of each cluster — the
+    examples closest to their prototype (centroid) — and keep the
+    informative far half. The per-cluster median distance is read off
+    a bounded (cluster, dist//2¹²) histogram (same cumulative-pick
+    convention as source_token_quantiles), broadcast back, and the
+    prune itself is a zero-shuffle map-side filter; distances are the
+    exact integer k-means distances, so the SQL oracle replays the
+    whole decision."""
+    import ray
+
+    from ..stages import clustering
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qds = clustering.quantize_vectors(ds, scale=EMB_SCALE).materialize()
+    ids, cmat = clustering.kmeans_int(qds, k=EMB_K, iterations=EMB_ITERS)
+    ads = clustering.assign_clusters(qds, ids, cmat).map_batches(
+        lambda t: pa.table({
+            "vec_id": t["vec_id"], "cluster": t["cluster"],
+            "dist_bucket": pc.divide(t["dist"], PROTO_DQ)}),
+        batch_format="pyarrow").materialize()
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cluster", "dist_bucket"]).size()
+             .reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cluster", "dist_bucket"],
+                          as_index=False)["cnt"].sum()
+
+    rows = _merge_partials(
+        ads.map_batches(hist, batch_format="pandas"), merge).take_all()
+    med: dict[int, int] = {}
+    by_c: dict[int, list] = {}
+    for r in rows:
+        by_c.setdefault(int(r["cluster"]), []).append(
+            (int(r["dist_bucket"]), int(r["cnt"])))
+    for c, h in by_c.items():
+        h.sort()
+        n = sum(cnt for _, cnt in h)
+        idx0, cum = (n - 1) // 2, 0
+        for db, cnt in h:
+            cum += cnt
+            if cum > idx0:
+                med[c] = db
+                break
+    ref = ray.put(med)
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        cl = t["cluster"].to_numpy()
+        db = t["dist_bucket"].to_numpy()
+        thr = np.array([m[int(c)] for c in cl], np.int64)
+        return t.filter(pa.array(db > thr))
+
+    return ads.map_batches(prune, batch_format="pyarrow")
+
+
+PROTO_PRUNE_SQL = """
+WITH %s,
+pb AS (SELECT vec_id, c, dist // %d AS db FROM a%d),
+pr AS (SELECT c, db,
+              row_number() OVER (PARTITION BY c ORDER BY db, vec_id) AS rn,
+              count(*) OVER (PARTITION BY c) AS n
+       FROM pb),
+pmed AS (SELECT c, max(CASE WHEN rn = 1 + (n - 1) // 2 THEN db END) AS mdb
+         FROM pr GROUP BY c)
+SELECT pb.vec_id, pb.c AS cluster, pb.db AS dist_bucket
+FROM pb JOIN pmed ON pmed.c = pb.c WHERE pb.db > pmed.mdb
+""" % (_KM_CTES, PROTO_DQ, _KM_FINAL)
 
 
 def semantic_dedup(sf_dir):
@@ -5013,6 +5244,7 @@ QUERIES = {
     "source_token_quantiles": (source_token_quantiles, SOURCE_QUANTILES_SQL),
     "cross_source_contamination": (cross_source_contamination,
                                    CONTAMINATION_SQL),
+    "source_term_divergence": (source_term_divergence, SOURCE_CHI2_SQL),
     "hll_user_registers": (hll_user_registers, HLL_REGISTERS_SQL),
     "user_hll_by_type": (user_hll_by_type, USER_HLL_BY_TYPE_SQL),
     "cm_user_counts": (cm_user_counts, CM_COUNTS_SQL),
@@ -5044,6 +5276,8 @@ QUERIES = {
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "topic_shards": (topic_shards, TOPIC_SHARDS_SQL),
     "cluster_pseudo_labels": (cluster_pseudo_labels, CLUSTER_PSEUDO_SQL),
+    "embed_pca_power": (embed_pca_power, EMBED_PCA_SQL),
+    "prototype_prune": (prototype_prune, PROTO_PRUNE_SQL),
     "canonicalize_cc": (canonicalize_cc, CANON_CC_SQL),
     "canonicalize_cc_star": (canonicalize_cc_star, CANON_CC_SQL),
     "kg_titles": (kg_titles, KG_TITLES_SQL),
