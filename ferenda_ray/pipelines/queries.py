@@ -4740,6 +4740,64 @@ w0 AS (SELECT node AS start, node FROM nodes)"""]
 KG_WALKS_SQL = _walks_sql(WALK_LEN)
 
 
+BFS_DEPTH = 3
+
+
+def kg_bfs_depth(sf_dir):
+    """Multi-source BFS distance (≤ 3 hops) from a deterministic seed
+    set — nodes whose md5 starts with '0', a 1/16 'trusted pages'
+    sample — over the SYMMETRIZED citation graph (the TrustRank /
+    seed-propagation shape: how far is every page from a trusted
+    core). graph.bfs_depth: per hop one bucketed frontier⋈edges join +
+    one bucketed distinct, labeled-set anti-join via membership_join,
+    per-hop materialization. The SQL oracle expands each hop as a
+    NOT-IN-all-previous-levels frontier CTE."""
+    import hashlib
+
+    from ..stages import graph
+
+    e = _kg_edges(sf_dir)
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    sym = e.union(e.map_batches(rev, batch_format="pyarrow"))
+
+    def seed_nodes(t: pa.Table) -> pd.DataFrame:
+        nodes = set(t["src"].to_pylist()) | set(t["dst"].to_pylist())
+        sel = sorted(n for n in nodes
+                     if hashlib.md5(n.encode()).hexdigest()[0] == "0")
+        return pd.DataFrame({"node": pd.Series(sel, dtype="object")})
+
+    seeds = sym.map_batches(seed_nodes, batch_format="pyarrow")
+    return graph.bfs_depth(sym, seeds, max_depth=BFS_DEPTH)
+
+
+def _bfs_sql(max_depth: int) -> str:
+    ctes = [
+        "edges0 AS (%s)" % _CITE_EDGES_SQL,
+        "edges AS (SELECT src, dst FROM edges0"
+        " UNION SELECT dst, src FROM edges0)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "f0 AS (SELECT node FROM nodes WHERE substr(md5(node), 1, 1)"
+        " = '0')",
+    ]
+    sel = ["SELECT node, CAST(0 AS BIGINT) AS depth FROM f0"]
+    for k in range(1, max_depth + 1):
+        excl = " AND ".join(
+            "e.dst NOT IN (SELECT node FROM f%d)" % p for p in range(k))
+        ctes.append(
+            "f%d AS (SELECT DISTINCT e.dst AS node FROM edges e"
+            " JOIN f%d ON f%d.node = e.src WHERE %s)"
+            % (k, k - 1, k - 1, excl))
+        sel.append("SELECT node, CAST(%d AS BIGINT) FROM f%d" % (k, k))
+    return "WITH %s\n%s" % (",\n".join(ctes), "\nUNION ALL ".join(sel))
+
+
+KG_BFS_SQL = _bfs_sql(BFS_DEPTH)
+
+
 def _pagerank_sql(iterations: int, scale: int,
                   dn: int = 85, dd: int = 100) -> str:
     base = (scale * (dd - dn)) // dd
@@ -5295,6 +5353,7 @@ QUERIES = {
     "kg_degree_dist": (kg_degree_dist, KG_DEGREE_DIST_SQL),
     "kg_cocite_triangles": (kg_cocite_triangles, KG_TRIANGLES_SQL),
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
+    "kg_bfs_depth": (kg_bfs_depth, KG_BFS_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),

@@ -42,7 +42,7 @@ from .joins import _hash64, bucket_join
 
 __all__ = ["distinct_edges", "degrees", "degree_distribution",
            "cocitation_pairs", "triangle_counts",
-           "pagerank", "hits", "random_walks"]
+           "pagerank", "hits", "random_walks", "bfs_depth"]
 
 
 def _bucketize(col: str, num_buckets: int):
@@ -561,3 +561,61 @@ def random_walks(edges_ds, length: int = 4, num_buckets: int = 64,
     for s_ in out_steps[1:]:
         walks = walks.union(s_)
     return walks.repartition(num_buckets)
+
+
+def bfs_depth(edges_ds, seeds_ds, max_depth: int = 3,
+              num_buckets: int = 64, src: str = "src", dst: str = "dst"):
+    """Multi-source BFS levels from a seed set — the seed-propagation
+    shape (TrustRank's 'distance from trusted pages', crawl-depth
+    tiers, link-spam radius). Per hop: ONE bucketed frontier⋈edges
+    join and ONE bucketed distinct of the discovered neighbors; the
+    already-labeled anti-join runs through joins.membership_join
+    (broadcast set below its threshold, Bloom + exact recheck above —
+    both exact). Frontier and labeled set are materialized per hop
+    (the pagerank loop discipline: O(1) lineage depth, and no operator
+    ever chains more than two exchanges — the documented Ray 2.49
+    nested-exchange hazard). Returns Dataset(node, depth 0..max_depth)
+    for REACHED nodes only; unreached nodes are absent."""
+    from .joins import bucket_join, membership_join
+
+    e = distinct_edges(edges_ds, src, dst, num_buckets).materialize()
+    num_buckets = _adapt_buckets(e, num_buckets)
+
+    def level(depth: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["node"]].copy()
+            out["depth"] = np.int64(depth)
+            return out
+        return fn
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["node"])[["node"]]
+
+    def distinct_nodes(ds):
+        return (ds.repartition(num_buckets)
+                .map_batches(_bucketize("node", num_buckets),
+                             batch_format="pandas")
+                .groupby("_bucket").map_groups(uniq, batch_format="pandas"))
+
+    frontier = distinct_nodes(seeds_ds).materialize()
+    levels = [frontier.map_batches(level(0), batch_format="pandas")]
+    labeled = frontier
+    for k in range(1, max_depth + 1):
+        hop = bucket_join(e, frontier, left_on=src, right_on="node",
+                          num_buckets=num_buckets)
+        nbrs = hop.map_batches(
+            lambda df: pd.DataFrame({"node": df[dst]}),
+            batch_format="pandas")
+        fresh = distinct_nodes(
+            membership_join(nbrs, "node", labeled, "node", mode="anti")
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        levels.append(fresh.map_batches(level(k), batch_format="pandas"))
+        frontier = fresh
+        labeled = labeled.union(fresh).materialize()
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
