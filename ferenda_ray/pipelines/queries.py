@@ -1347,6 +1347,63 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def events_retention(sf_dir):
+    """Weekly cohort retention matrix: cohort = the ISO-epoch week of
+    a user's FIRST event; a cell (cohort_week, week_offset) counts the
+    users from that cohort active offset weeks later — the classic
+    growth-analytics triangle. Scale shape: per-batch distinct
+    (user, week) pairs (combiner), ONE user-bucketed exchange where
+    each user's cohort and offsets are computed vectorized across all
+    users in the bucket, then the bounded (weeks × weeks) cell counts
+    merge in a single block. Week arithmetic is integer days-since-
+    epoch // 7 — identical in pandas and DuckDB."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "wk": days // 7})
+        out = out.drop_duplicates()
+        out["_bucket"] = (out["user_id"] % 64).astype("int32")
+        return out
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        cohort = g.groupby("user_id")["wk"].min()
+        co = g["user_id"].map(cohort)
+        out = pd.DataFrame({"cohort_week": co.astype("int64"),
+                            "week_offset": (g["wk"] - co).astype("int64")})
+        cnt = (out.groupby(["cohort_week", "week_offset"]).size()
+               .reset_index(name="n_users"))
+        cnt["n_users"] = cnt["n_users"].astype("int64")
+        return cnt
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort_week", "week_offset"],
+                       as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return _merge_partials(
+        (ds.map_batches(pairs, batch_format="pandas")
+         .groupby("_bucket").map_groups(cells, batch_format="pandas")),
+        merge)
+
+
+EVENTS_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events),
+coh AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week, uw.wk - c.cohort AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN coh c USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 def events_asof_click_view(sf_dir):
     """as-of join (Ray Data has no native one — composed per the
     brief): each click event picks the most recent view event of the
@@ -4798,6 +4855,35 @@ def _bfs_sql(max_depth: int) -> str:
 KG_BFS_SQL = _bfs_sql(BFS_DEPTH)
 
 
+JACC_N, JACC_D = 1, 10
+
+
+def kg_mirror_candidates(sf_dir):
+    """Mirror-site detection by in-link neighborhood overlap
+    (graph.neighbor_jaccard): target pairs co-cited enough that
+    Jaccard(in-links) ≥ 1/10, decided by the exact integer
+    cross-multiplication — the 'two URLs are probably the same
+    resource' signal used to fold mirrors before counting citations.
+    Pair counts and in-degrees are bounded combiner aggregates;
+    everything that crosses an exchange is (str, int64) rows."""
+    from ..stages import graph
+
+    return graph.neighbor_jaccard(_kg_edges(sf_dir), jn=JACC_N, jd=JACC_D)
+
+
+KG_MIRROR_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+pairs AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS inter
+          FROM edges e1 JOIN edges e2
+               ON e1.src = e2.src AND e1.dst < e2.dst
+          GROUP BY a, b),
+ind AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+SELECT p.a, p.b, p.inter, ia.d + ib.d - p.inter AS union_n
+FROM pairs p JOIN ind ia ON ia.dst = p.a JOIN ind ib ON ib.dst = p.b
+WHERE p.inter * {JACC_D} >= (ia.d + ib.d - p.inter) * {JACC_N}
+"""
+
+
 def _pagerank_sql(iterations: int, scale: int,
                   dn: int = 85, dd: int = 100) -> str:
     base = (scale * (dd - dn)) // dd
@@ -5323,6 +5409,7 @@ QUERIES = {
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
@@ -5354,6 +5441,7 @@ QUERIES = {
     "kg_cocite_triangles": (kg_cocite_triangles, KG_TRIANGLES_SQL),
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_bfs_depth": (kg_bfs_depth, KG_BFS_SQL),
+    "kg_mirror_candidates": (kg_mirror_candidates, KG_MIRROR_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),

