@@ -1957,6 +1957,148 @@ WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
 """
 
 
+def q13_custdist(sf_dir):
+    """TPC-H Q13 shape — customer distribution by (urgent-)order
+    count, INCLUDING the zero-order customers a plain inner join
+    loses: per-custkey counts are a combiner + one bucketed merge;
+    the zero side is customers anti-joined (joins.membership_join —
+    broadcast under threshold, Bloom + exact recheck above) against
+    the counted key set; the final (c_count, custdist) histogram has
+    bounded cardinality and merges in one block."""
+    from ..stages.joins import membership_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                .select(["o_custkey"]))
+
+    urgent_orders = orders.map_batches(urgent, batch_format="pyarrow")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey").size().reset_index(name="c_count")
+        g["c_count"] = g["c_count"].astype("int64")
+        g["_bucket"] = (g["o_custkey"] % 64).astype("int32")
+        return g
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False)["c_count"].sum()
+        out["c_count"] = out["c_count"].astype("int64")
+        return out
+
+    counts = (urgent_orders.map_batches(part, batch_format="pandas")
+              .groupby("_bucket").map_groups(merge_counts,
+                                             batch_format="pandas"))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    zeros = membership_join(
+        cust, "c_custkey",
+        counts.map_batches(lambda df: df[["o_custkey"]],
+                           batch_format="pandas"),
+        "o_custkey", mode="anti")
+
+    def hist_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count").size().reset_index(name="custdist")
+        g["custdist"] = g["custdist"].astype("int64")
+        return g
+
+    def hist_zero(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": pd.Series([0] * min(1, t.num_rows), dtype="int64"),
+            "custdist": pd.Series([t.num_rows] * min(1, t.num_rows),
+                                  dtype="int64")})
+
+    def merge_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count", as_index=False)["custdist"].sum()
+        for c in ("c_count", "custdist"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    partials = (counts.map_batches(hist_counts, batch_format="pandas")
+                .union(zeros.map_batches(hist_zero,
+                                         batch_format="pyarrow")))
+    return _merge_partials(partials, merge_hist)
+
+
+Q13_CUSTDIST_SQL = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+       ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+Q15_START, Q15_END = "1995-01-01", "1995-04-01"
+
+
+def q15_top_supplier(sf_dir):
+    """TPC-H Q15 shape — the top supplier(s) by revenue in a fixed
+    3-month shipdate window, ties kept (the HAVING revenue = MAX
+    semantics). Revenue partials are integer cents combined per batch;
+    the per-supplier merge, the global max, and the tie filter all
+    happen in ONE coalesced block (suppliers are a bounded dimension);
+    supplier names attach via a broadcast dict — the lineitem table
+    never shuffles."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    lo = np.datetime64(Q15_START)
+    hi = np.datetime64(Q15_END)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        sd = df["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        df = df[m]
+        cents = np.round(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0).astype("int64")
+        out = pd.DataFrame({"l_suppkey": df["l_suppkey"],
+                            "rev": cents})
+        return out.groupby("l_suppkey", as_index=False)["rev"].sum()
+
+    names_ref = ray.put({
+        int(r["s_suppkey"]): r["s_name"]
+        for r in _read(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_name"]).take_all()})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        g = df.groupby("l_suppkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype("int64")
+        top = g[g["rev"] == g["rev"].max()].copy()
+        names = _ray.get(names_ref)
+        top["s_name"] = top["l_suppkey"].map(names)
+        top["l_suppkey"] = top["l_suppkey"].astype("int64")
+        return (top.rename(columns={"l_suppkey": "s_suppkey",
+                                    "rev": "total_revenue_cents"})
+                [["s_suppkey", "s_name", "total_revenue_cents"]])
+
+    return _merge_partials(
+        li.map_batches(part, batch_format="pyarrow"), merge)
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '%s' AND l_shipdate < DATE '%s'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+""" % (Q15_START, Q15_END)
+
+
 def priority_lineitems(sf_dir):
     """Large×large hash-equi-join (TPC-H Q12 shape): lineitem ⋈ orders
     on orderkey via the bucketed exchange join (``joins.bucket_join``
@@ -5414,6 +5556,8 @@ QUERIES = {
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
     "priority_lineitems": (priority_lineitems, PRIORITY_LINEITEMS_SQL),
+    "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
