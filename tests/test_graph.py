@@ -166,3 +166,69 @@ def test_cocitation_hub_cap_deterministic(ray_session):
     pairs = graph.cocitation_pairs(ds, max_targets=3).to_pandas()
     got = sorted(map(tuple, pairs[["a", "b"]].values))
     assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_bfs_depth_matches_reference(ray_session):
+    import collections
+
+    seeds = ["a"]
+    # brute-force BFS over the normalized graph
+    adj = collections.defaultdict(set)
+    for s, d in CLEAN:
+        adj[s].add(d)
+    expected = {"a": 0}
+    frontier = {"a"}
+    for k in (1, 2, 3):
+        nxt = {d for f in frontier for d in adj[f]} - set(expected)
+        for n_ in nxt:
+            expected[n_] = k
+        frontier = nxt
+    seeds_ds = ray.data.from_pandas(pd.DataFrame({"node": seeds}))
+    got = graph.bfs_depth(_edges_ds(), seeds_ds, max_depth=3,
+                          num_buckets=4).to_pandas()
+    assert dict(zip(got["node"], got["depth"])) == expected
+    assert len(got) == len(expected)  # no duplicate labels
+
+
+def test_bfs_seed_dedup_and_unreached(ray_session):
+    # duplicated seeds collapse; nodes unreachable from the seed set
+    # are absent from the output
+    seeds_ds = ray.data.from_pandas(
+        pd.DataFrame({"node": ["d", "d", "d"]}))
+    got = graph.bfs_depth(_edges_ds(), seeds_ds, max_depth=3,
+                          num_buckets=4).to_pandas()
+    m = dict(zip(got["node"], got["depth"]))
+    # d → c → a → b; e has no in-edges from this component
+    assert m == {"d": 0, "c": 1, "a": 2, "b": 3}
+    assert "e" not in m
+
+
+def test_cocitation_counts_and_jaccard(ray_session):
+    import collections
+    import itertools
+
+    # brute force over the normalized graph
+    by_src = collections.defaultdict(set)
+    for s, d in CLEAN:
+        by_src[s].add(d)
+    inter = collections.Counter()
+    for _, tgts in by_src.items():
+        for a, b in itertools.combinations(sorted(tgts), 2):
+            inter[(a, b)] += 1
+    indeg = collections.Counter(d for _, d in CLEAN)
+
+    got = graph.cocitation_counts(
+        graph.distinct_edges(_edges_ds(), num_buckets=4),
+        num_buckets=4).to_pandas()
+    assert {(a, b): c for a, b, c in
+            got[["a", "b", "inter"]].values.tolist()} == dict(inter)
+
+    expected = {}
+    for (a, b), i in inter.items():
+        un = indeg[a] + indeg[b] - i
+        if i * 2 >= un:  # jaccard ≥ 1/2
+            expected[(a, b)] = (i, un)
+    jac = graph.neighbor_jaccard(_edges_ds(), jn=1, jd=2,
+                                 num_buckets=4).to_pandas()
+    assert {(a, b): (i, u) for a, b, i, u in
+            jac[["a", "b", "inter", "union_n"]].values.tolist()} == expected
