@@ -1391,6 +1391,53 @@ def events_retention(sf_dir):
         merge)
 
 
+def events_markov_transitions(sf_dir):
+    """Event-type transition matrix (Markov bigrams over each user's
+    time-ordered stream — the behavioral statistic sequence models
+    train on). All events of a user co-locate in one hash bucket; the
+    transition scan is ONE vectorized shift over the bucket sorted by
+    (user, ts, event_id) — never a per-user loop; the (from, to)
+    counts are bounded by types² and merge in a single block."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].shift() == g["user_id"]
+        out = pd.DataFrame({"from_type": g["event_type"].shift()[same],
+                            "to_type": g["event_type"][same]})
+        cnt = (out.groupby(["from_type", "to_type"]).size()
+               .reset_index(name="n"))
+        cnt["n"] = cnt["n"].astype("int64")
+        return cnt
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return _merge_partials(
+        (ds.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_bucket").map_groups(trans, batch_format="pandas")),
+        merge)
+
+
+EVENTS_MARKOV_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
 EVENTS_RETENTION_SQL = """
 WITH uw AS (
   SELECT DISTINCT user_id,
@@ -5280,6 +5327,48 @@ final AS (
 )"""
 
 
+BLOCKED_HOSTS = ("3.example.org", "7.example.org", "13.example.org")
+_HOST_RE = "^[a-z]+://([^/:?#]*)"
+
+
+def crawl_blocklist(sf_dir):
+    """Domain blocklist gate — the first filter of every crawl
+    curation recipe (C4 / RefinedWeb banned-domain lists): page URLs
+    derived from the corpus arithmetic, host extracted with the SAME
+    compiled authority pattern the oracle runs, blocked hosts dropped
+    map-side against a broadcast frozenset. Zero shuffle; survivors
+    keep (doc_id, url)."""
+    import re
+
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    ref = ray.put(frozenset(BLOCKED_HOSTS))
+    host_re = re.compile(_HOST_RE)
+
+    def gate(t: pa.Table) -> pa.Table:
+        blocked = ray.get(ref)
+        ids = t["doc_id"].to_pylist()
+        urls = ["https://%s.example.org/d/%d" % (s[3:], i)
+                for s, i in zip(t["source"].to_pylist(), ids)]
+        keep = [host_re.match(u).group(1) not in blocked for u in urls]
+        return pa.table({
+            "doc_id": pa.array([i for i, k in zip(ids, keep) if k],
+                               pa.int64()),
+            "url": pa.array([u for u, k in zip(urls, keep) if k],
+                            pa.string())})
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+CRAWL_BLOCKLIST_SQL = f"""
+WITH u AS (SELECT doc_id, {PAGE_URL_SQL} AS url FROM documents)
+SELECT doc_id, url FROM u
+WHERE regexp_extract(url, '{_HOST_RE}', 1) NOT IN
+      ('3.example.org', '7.example.org', '13.example.org')
+"""
+
+
 def url_canonicalize(sf_dir):
     """URL canonicalization (functions/url.canonical_url): fragment
     drop, authority lowercasing, default-port strip, tracking-param
@@ -5552,6 +5641,8 @@ QUERIES = {
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
+    "events_markov_transitions": (events_markov_transitions,
+                                  EVENTS_MARKOV_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
@@ -5578,6 +5669,7 @@ QUERIES = {
     "doc_dsir_score": (doc_dsir_score, DOC_DSIR_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
+    "crawl_blocklist": (crawl_blocklist, CRAWL_BLOCKLIST_SQL),
     "url_frontier": (url_frontier, URL_FRONTIER_SQL),
     "doc_winnow": (doc_winnow, DOC_WINNOW_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
