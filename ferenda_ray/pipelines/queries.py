@@ -4799,6 +4799,66 @@ FROM documents
 """
 
 
+MEDIA_DUP_PATTERNS = 25
+
+
+def media_phash_dupes(sf_dir):
+    """Image dedup by PERCEPTUAL hash over really-decoded pixels — the
+    multimodal counterpart of exact text dedup: payloads are planted
+    as doc_id %% 25 pattern clones, decoded by the DecodeImage actor
+    pool (strict=True: the zero-dependency P6 decoder, no fakes),
+    average-hashed, and grouped by the hash; each duplicate group
+    keeps its min media_id. The oracle derives the groups purely from
+    the planting arithmetic, so the pipeline matches ONLY if the real
+    decode → downsample → average-hash round-trip is deterministic
+    and collision-free across the 25 planted patterns. Group counts
+    are bounded (≤ 25 phash keys), merged in one block."""
+    from ..stages.multimodal import DecodeImage, decode_stage
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            p = i % MEDIA_DUP_PATTERNS
+            w, h = 8 + p % 5, 8 + p % 3
+            # per-pattern stride (spatial frequency) + phase keeps the
+            # 25 thresholded 8×8 structures phash-distinct
+            px = ((np.arange(w * h * 3) * (17 + 13 * p) + p)
+                  % 256).astype(np.uint8)
+            payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+        return _media_table(ids, "image", payloads)
+
+    media = (_read(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(synth, batch_format="pyarrow"))
+    decoded = decode_stage(media, DecodeImage, concurrency=_media_pool(),
+                           batch_size=256, strict=True)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["media_id", "phash"]).to_pandas()
+        g = df.groupby("phash", as_index=False).agg(
+            rep_media_id=("media_id", "min"),
+            n_copies=("media_id", "size"))
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("phash", as_index=False).agg(
+            rep_media_id=("rep_media_id", "min"),
+            n_copies=("n_copies", "sum"))
+        out = g[["rep_media_id", "n_copies"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(
+        decoded.map_batches(part, batch_format="pyarrow"), merge)
+
+
+MEDIA_PHASH_SQL = """
+SELECT min(doc_id) AS rep_media_id, count(*) AS n_copies
+FROM documents GROUP BY doc_id %% 25
+""".replace("%%", "%")
+
+
 def media_audio_features(sf_dir):
     """PCM WAV payloads (16 kHz mono int16, n=1600+(id%7)*160 frames)
     → ExtractAudioFeatures actor pool → recovered frame counts vs the
@@ -5614,6 +5674,7 @@ QUERIES = {
     "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "media_image_features": (media_image_features, MEDIA_IMAGE_SQL),
+    "media_phash_dupes": (media_phash_dupes, MEDIA_PHASH_SQL),
     "media_audio_features": (media_audio_features, MEDIA_AUDIO_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_SQL),
     "source_token_quantiles": (source_token_quantiles, SOURCE_QUANTILES_SQL),
