@@ -59,11 +59,16 @@ def test_distinct_edges_normalizes(ray_session):
 
 
 def test_pagerank_matches_reference(ray_session):
-    for iters in (1, 2, 3):
-        got = graph.pagerank(_edges_ds(), iterations=iters,
-                             num_buckets=4).to_pandas()
-        got = dict(zip(got["node"], got["pr"]))
-        assert got == _ref_pagerank(iters), "iteration %d" % iters
+    # both execution widths: the adaptive single-task path (default)
+    # and the distributed exchange path (small_graph_edges=0)
+    for small in (10 ** 6, 0):
+        for iters in (1, 2, 3):
+            got = graph.pagerank(_edges_ds(), iterations=iters,
+                                 num_buckets=4,
+                                 small_graph_edges=small).to_pandas()
+            got = dict(zip(got["node"], got["pr"]))
+            assert got == _ref_pagerank(iters), \
+                "iteration %d small=%d" % (iters, small)
 
 
 def test_pagerank_cycle_converges_ordering(ray_session):
@@ -75,12 +80,14 @@ def test_pagerank_cycle_converges_ordering(ray_session):
 
 
 def test_hits_matches_reference(ray_session):
-    for iters in (1, 2):
-        got = graph.hits(_edges_ds(), iterations=iters,
-                         num_buckets=4).to_pandas()
-        h, a = _ref_hits(iters)
-        assert dict(zip(got["node"], got["hub"])) == h
-        assert dict(zip(got["node"], got["auth"])) == a
+    for small in (10 ** 6, 0):
+        for iters in (1, 2):
+            got = graph.hits(_edges_ds(), iterations=iters,
+                             num_buckets=4,
+                             small_graph_edges=small).to_pandas()
+            h, a = _ref_hits(iters)
+            assert dict(zip(got["node"], got["hub"])) == h
+            assert dict(zip(got["node"], got["auth"])) == a
 
 
 def test_degree_distribution(ray_session):
