@@ -143,7 +143,8 @@ def degree_distribution(edges_ds, col: str = "dst",
 
 
 def cocitation_pairs(edges_ds, src: str = "src", dst: str = "dst",
-                     num_buckets: int = 64, max_targets: int = 64):
+                     num_buckets: int = 64, max_targets: int = 64,
+                     small_graph_edges: int | None = None):
     """Distinct co-citation pairs (a < b cited by the same ``src``) —
     the bibliometric coupling graph over a directed citation edge
     list. Two bucketed exchanges: (1) hash(src) co-locates each page's
@@ -153,7 +154,11 @@ def cocitation_pairs(edges_ds, src: str = "src", dst: str = "dst",
     lexicographically-smallest targets win — same discipline as
     lsh_candidate_pairs' max_bucket); the synthetic corpus tops out at
     3 targets/page so the cap never binds in the oracle-checked
-    domain."""
+    domain. ``small_graph_edges`` (defaults to the module-level
+    SMALL_GRAPH_EDGES) switches to the width-1 single-task path when
+    the raw edge list fits one block — same rationale as pagerank."""
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
 
     def per_src_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop_duplicates([src, dst])
@@ -164,7 +169,15 @@ def cocitation_pairs(edges_ds, src: str = "src", dst: str = "dst",
         out = pd.DataFrame({"a": m[dst + "_x"], "b": m[dst + "_y"]})
         return out.drop_duplicates()
 
-    raw = (edges_ds.repartition(num_buckets)
+    mat = edges_ds.materialize()
+    if mat.count() <= small_graph_edges:
+        # width-1: the whole edge list in one task — per_src_pairs is
+        # already a whole-frame computation (merge keyed on src), and
+        # its trailing drop_duplicates is the global pair dedup here
+        return mat.repartition(1).map_batches(
+            per_src_pairs, batch_format="pandas", batch_size=None)
+
+    raw = (mat.repartition(num_buckets)
            .map_batches(_bucketize(src, num_buckets),
                         batch_format="pandas")
            .groupby("_bucket").map_groups(per_src_pairs,
@@ -184,7 +197,22 @@ def cocitation_pairs(edges_ds, src: str = "src", dst: str = "dst",
             .groupby("_bucket").map_groups(uniq, batch_format="pandas"))
 
 
-def triangle_counts(pairs_ds, num_buckets: int = 64):
+def _solo_triangles(p: pd.DataFrame) -> pd.DataFrame:
+    """One-block wedge + close: identical enumeration (a < b < c,
+    each triangle once), vectorized pandas merges."""
+    p = p[["a", "b"]]
+    w = p.merge(p, left_on="b", right_on="a", suffixes=("", "_r"))
+    t = w.merge(p, left_on=["a", "b_r"], right_on=["a", "b"],
+                suffixes=("", "_c"))
+    nodes = pd.concat([t["a"], t["b"], t["b_r"]], ignore_index=True)
+    out = (nodes.value_counts().rename_axis("node")
+           .reset_index(name="n_triangles"))
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out
+
+
+def triangle_counts(pairs_ds, num_buckets: int = 64,
+                    small_graph_pairs: int | None = None):
     """Per-node triangle participation counts over an undirected
     (a < b) pair list — the classic two-step distributed triangle
     enumeration: wedge join (pairs ⋈ pairs on the middle vertex,
@@ -198,7 +226,14 @@ def triangle_counts(pairs_ds, num_buckets: int = 64):
     the shape survives edge lists that don't fit the driver."""
     from .joins import membership_join
 
+    if small_graph_pairs is None:
+        small_graph_pairs = SMALL_GRAPH_EDGES
+
     pairs = pairs_ds.materialize()
+    if pairs.count() <= small_graph_pairs:
+        # width-1 single-task path (same rationale as pagerank)
+        return pairs.repartition(1).map_batches(
+            _solo_triangles, batch_format="pandas", batch_size=None)
 
     # wedge (a,b,c): left (a,b) ⋈ right (b,c) on the middle vertex
     wedges = bucket_join(pairs, pairs, left_on="b", right_on="a",

@@ -156,13 +156,18 @@ def test_cocitation_pairs_and_triangles(ray_session):
         ("p5", "x"), ("p5", "y"),   # duplicate pair (x,y): deduped
     ]
     ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
-    pairs = graph.cocitation_pairs(ds).to_pandas()
-    got_pairs = sorted(map(tuple, pairs[["a", "b"]].values))
-    assert got_pairs == [("w", "x"), ("x", "y"), ("x", "z"), ("y", "z")]
+    for small in (10 ** 6, 0):  # width-1 AND distributed paths
+        pairs = graph.cocitation_pairs(
+            ds, small_graph_edges=small).to_pandas()
+        got_pairs = sorted(map(tuple, pairs[["a", "b"]].values))
+        assert got_pairs == [("w", "x"), ("x", "y"), ("x", "z"),
+                             ("y", "z")], small
 
-    tri = graph.triangle_counts(graph.cocitation_pairs(ds)).to_pandas()
-    got = dict(zip(tri["node"], tri["n_triangles"]))
-    assert got == {"x": 1, "y": 1, "z": 1}
+        tri = graph.triangle_counts(
+            graph.cocitation_pairs(ds, small_graph_edges=small),
+            small_graph_pairs=small).to_pandas()
+        got = dict(zip(tri["node"], tri["n_triangles"]))
+        assert got == {"x": 1, "y": 1, "z": 1}, small
 
 
 def test_cocitation_hub_cap_deterministic(ray_session):
