@@ -680,8 +680,33 @@ def random_walks(edges_ds, length: int = 4, num_buckets: int = 64,
     return walks.repartition(num_buckets)
 
 
+def _solo_bfs(g: pd.DataFrame, seed_list, max_depth: int,
+              src: str, dst: str) -> pd.DataFrame:
+    """One-block multi-source BFS — identical level semantics."""
+    g = g[g[src] != g[dst]].drop_duplicates([src, dst])
+    adj: dict = {}
+    for s, d in zip(g[src].to_numpy(), g[dst].to_numpy()):
+        adj.setdefault(s, []).append(d)
+    # every seed is labeled depth 0, graph-present or not — identical
+    # to the distributed path's distinct_nodes(seeds) frontier
+    depth = {n: 0 for n in seed_list}
+    frontier = set(depth)
+    for k in range(1, max_depth + 1):
+        nxt = {d for f in frontier for d in adj.get(f, ())} - set(depth)
+        for n in nxt:
+            depth[n] = k
+        frontier = nxt
+        if not frontier:
+            break
+    items = sorted(depth.items())
+    return pd.DataFrame({
+        "node": pd.Series([n for n, _ in items], dtype="object"),
+        "depth": pd.Series([d for _, d in items], dtype="int64")})
+
+
 def bfs_depth(edges_ds, seeds_ds, max_depth: int = 3,
-              num_buckets: int = 64, src: str = "src", dst: str = "dst"):
+              num_buckets: int = 64, src: str = "src", dst: str = "dst",
+              small_graph_edges: int | None = None):
     """Multi-source BFS levels from a seed set — the seed-propagation
     shape (TrustRank's 'distance from trusted pages', crawl-depth
     tiers, link-spam radius). Per hop: ONE bucketed frontier⋈edges
@@ -692,10 +717,28 @@ def bfs_depth(edges_ds, seeds_ds, max_depth: int = 3,
     (the pagerank loop discipline: O(1) lineage depth, and no operator
     ever chains more than two exchanges — the documented Ray 2.49
     nested-exchange hazard). Returns Dataset(node, depth 0..max_depth)
-    for REACHED nodes only; unreached nodes are absent."""
+    for REACHED nodes only; unreached nodes are absent. Small graphs
+    take the width-1 single-task path (same rationale as pagerank;
+    ``small_graph_edges=0`` forces distributed)."""
     from .joins import bucket_join, membership_join
 
-    e = distinct_edges(edges_ds, src, dst, num_buckets).materialize()
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
+
+    raw = edges_ds.materialize()
+    if raw.count() <= small_graph_edges:
+        # the seed set is ≤ the node set of a one-block graph — a
+        # bounded pull, like the centroid contract
+        seed_list = sorted({r["node"] for r in
+                            seeds_ds.select_columns(["node"]).take_all()})
+
+        def solo(g: pd.DataFrame) -> pd.DataFrame:
+            return _solo_bfs(g, seed_list, max_depth, src, dst)
+
+        return raw.repartition(1).map_batches(
+            solo, batch_format="pandas", batch_size=None)
+
+    e = distinct_edges(raw, src, dst, num_buckets).materialize()
     num_buckets = _adapt_buckets(e, num_buckets)
 
     def level(depth: int):

@@ -196,10 +196,12 @@ def test_bfs_depth_matches_reference(ray_session):
             expected[n_] = k
         frontier = nxt
     seeds_ds = ray.data.from_pandas(pd.DataFrame({"node": seeds}))
-    got = graph.bfs_depth(_edges_ds(), seeds_ds, max_depth=3,
-                          num_buckets=4).to_pandas()
-    assert dict(zip(got["node"], got["depth"])) == expected
-    assert len(got) == len(expected)  # no duplicate labels
+    for small in (10 ** 6, 0):  # width-1 AND distributed paths
+        got = graph.bfs_depth(_edges_ds(), seeds_ds, max_depth=3,
+                              num_buckets=4,
+                              small_graph_edges=small).to_pandas()
+        assert dict(zip(got["node"], got["depth"])) == expected, small
+        assert len(got) == len(expected)  # no duplicate labels
 
 
 def test_bfs_seed_dedup_and_unreached(ray_session):
