@@ -5104,6 +5104,46 @@ def _bfs_sql(max_depth: int) -> str:
 KG_BFS_SQL = _bfs_sql(BFS_DEPTH)
 
 
+def kg_cocite_communities(sf_dir):
+    """Community detection as connected components of the CO-CITATION
+    graph (targets co-cited by any page form one topical community —
+    the simplest web-graph clustering step). Reuses the hash-to-min CC
+    machinery (canonicalize.connected_components_distributed) on a
+    SECOND graph shape; the oracle computes true reachability closure
+    with a recursive CTE (min reachable node == component id on a
+    symmetrized graph), so this is the one CC query whose oracle does
+    NOT come from planted construction."""
+    from ..stages import graph
+    from ..stages.canonicalize import connected_components_distributed
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir))
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"uri_a": t["a"], "uri_b": t["b"]})
+
+    labels = connected_components_distributed(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"],
+                                 "component": df["label"]}),
+        batch_format="pandas")
+
+
+KG_COCITE_CC_SQL = f"""
+WITH RECURSIVE edges AS ({_CITE_EDGES_SQL}),
+pairs AS (SELECT DISTINCT e1.dst AS a, e2.dst AS b
+          FROM edges e1 JOIN edges e2
+            ON e1.src = e2.src AND e1.dst < e2.dst),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nds AS (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nds
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
+
+
 JACC_N, JACC_D = 1, 10
 
 
@@ -5739,6 +5779,7 @@ QUERIES = {
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_bfs_depth": (kg_bfs_depth, KG_BFS_SQL),
     "kg_mirror_candidates": (kg_mirror_candidates, KG_MIRROR_SQL),
+    "kg_cocite_communities": (kg_cocite_communities, KG_COCITE_CC_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),
     "kg_keyword_concepts": (kg_keyword_concepts, KG_KEYWORD_SQL),
