@@ -2853,6 +2853,88 @@ def kg_mentions(sf_dir):
     return _kg(sf_dir)["mentions"]
 
 
+_KWIC_WINDOW = 30
+
+
+def kg_mention_contexts(sf_dir):
+    """KWIC snippet extraction: ±30 chars of section text around every
+    linked mention — the reference's fulltext-index fragment /
+    highlight surface (fulltextindex.py search-result snippets) as a
+    distributed join. Shape: mentions ⋈ sections on section_uri via a
+    hash-bucketed exchange (neither side broadcast — at crawl scale
+    both are O(corpus)), then a vectorized per-row slice. The join key
+    is doc-local (section_uri embeds the url), so bucketing co-locates
+    each document's mentions with its own text and nothing else."""
+    from ..stages.joins import bucket_join
+
+    res = _kg(sf_dir)
+    mentions = res["mentions"].map_batches(
+        lambda t: t.select(["url", "section_uri", "surface", "start",
+                            "end", "linked_uri"]),
+        batch_format="pyarrow")
+    secs = res["sections"].map_batches(
+        lambda t: (t.filter(pc.is_null(t["error"]))
+                   if "error" in t.column_names else t).select(
+                       ["section_uri", "text"]),
+        batch_format="pyarrow")
+    joined = bucket_join(mentions, secs, left_on="section_uri")
+    w = _KWIC_WINDOW
+
+    def ctx(df: pd.DataFrame) -> pd.DataFrame:
+        starts = df["start"].to_numpy()
+        ends = df["end"].to_numpy()
+        texts = df["text"].tolist()
+        df = df.drop(columns=["text"])
+        df["ctx_before"] = [t[max(0, s - w):s]
+                            for s, t in zip(starts, texts)]
+        df["ctx_after"] = [t[e:e + w] for e, t in zip(ends, texts)]
+        return df
+
+    return joined.map_batches(ctx, batch_format="pandas")
+
+
+def phrase_search(sf_dir):
+    """Positional phrase query (quoted-phrase search over the fulltext
+    surface, fulltextindex.py:395-683 query shape): documents whose
+    whitespace token stream contains 'window' immediately followed by
+    'join', scored by occurrence count — adjacency checked doc-locally
+    (zero shuffle), global top-20 with a deterministic doc_id
+    tie-break."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        oid, osc = [], []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            c = sum(1 for a, b in zip(toks, toks[1:])
+                    if a == "window" and b == "join")
+            if c:
+                oid.append(i)
+                osc.append(c)
+        return pa.table({"doc_id": pa.array(oid, pa.int64()),
+                         "n_hits": pa.array(osc, pa.int64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["n_hits", "doc_id"], descending=[True, False])
+            .limit(20))
+
+
+PHRASE_SEARCH_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+           FROM documents),
+u AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+      FROM t),
+hits AS (SELECT a.doc_id, count(*) AS n_hits
+         FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         WHERE a.tok = 'window' AND b.tok = 'join'
+         GROUP BY a.doc_id)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
+ORDER BY n_hits DESC, doc_id ASC LIMIT 20
+"""
+
+
 def kg_titles(sf_dir):
     """doc-title triples from the REAL parse pipeline vs SQL recomputing
     the synthesizer's title rule — an end-to-end cross-check of
@@ -3928,6 +4010,50 @@ KG_LABELS_SQL = (
     % KG_TRIPLES_SQL)
 
 
+# single-copy SQL fragments shared by the mentions / xhtml / KWIC
+# oracles (repo convention: every arithmetic recipe lives exactly once)
+_LABELS_VALS = ",\n".join(
+    "(%d, '%s')" % (i, lbl.replace("'", "''"))
+    for i, lbl in enumerate(corpus.ENTITY_LABELS))
+_ENT_SURFACE_SQL = (
+    "CASE idx WHEN 0 THEN label WHEN 1 THEN label || ' System' "
+    "ELSE substr(label, 1, length(label) - 1) || 'x' END")
+
+
+def _sec_text_sql(s: int) -> str:
+    """SQL reconstruction of corpus section-``s`` paragraph TEXT
+    (corpus.plan_document body arithmetic): base cycled words plus the
+    citation / entity / pre-block / list fragments appended in render
+    order. Evaluated against the ``ent`` CTE shape (needs doc_id plus
+    e/label/idx from the entity-labels join when s == 2)."""
+    parts = [_cyc_sql(7 * s, 8)]
+    if s == 1:
+        parts.append(
+            "(CASE WHEN doc_id % 3 = 0 THEN ' as defined in RFC ' || "
+            "(100 + doc_id % 900) ELSE '' END)")
+        parts.append(
+            "(CASE WHEN doc_id % 7 = 0 THEN "
+            "' see section 2.2 of [RFC 2616] for details' ELSE '' END)")
+        parts.append(
+            "(CASE WHEN doc_id % 5 = 1 THEN "
+            "' published at https://spec.example.org/s/' || (doc_id % 50)"
+            " || ' today' ELSE '' END)")
+    if s == 2:
+        parts.append("' the ' || %s || ' project ships'" % _ENT_SURFACE_SQL)
+    if s == 1:
+        parts.append(
+            "(CASE WHEN doc_id % 5 = 0 THEN ' raw   text' || chr(10) || "
+            "'  line' || doc_id || '()' || chr(10) || 'end' ELSE '' END)")
+    # <ul> lands in the LAST section (s == n_sec = 2 + doc_id % 3,
+    # so only s ∈ {2,3,4} can be last — never s=1)
+    if s >= 2:
+        parts.append(
+            "(CASE WHEN doc_id %% 4 = 1 AND doc_id %% 3 = %d THEN ' ' || %s"
+            " || ' ' || %s ELSE '' END)" % (s - 2, _cyc_sql(17, 2),
+                                            _cyc_sql(19, 2)))
+    return " || ".join(parts)
+
+
 def _kg_mentions_sql() -> str:
     b1 = _cyc_sql(7, 8)    # section 1 paragraph base (s=1 → start 7·1)
     b2 = _cyc_sql(14, 8)   # section 2 paragraph base
@@ -3937,11 +4063,8 @@ def _kg_mentions_sql() -> str:
                "length(CAST(100 + doc_id % 900 AS VARCHAR)) ELSE 0 END)")
     sec_len = ("(CASE WHEN doc_id %% 7 = 0 THEN %d ELSE 0 END)"
                % len(secrfc_full))
-    labels_vals = ",\n".join(
-        "(%d, '%s')" % (i, lbl.replace("'", "''"))
-        for i, lbl in enumerate(corpus.ENTITY_LABELS))
-    ent_surface = ("CASE idx WHEN 0 THEN label WHEN 1 THEN label || ' System' "
-                   "ELSE substr(label, 1, length(label) - 1) || 'x' END")
+    labels_vals = _LABELS_VALS
+    ent_surface = _ENT_SURFACE_SQL
     return f"""
 WITH d AS ({_D_CTE}),
 b AS (SELECT d.*, length({b1}) AS l1, length({b2}) AS l2 FROM d),
@@ -4014,41 +4137,12 @@ def _kg_xhtml_sql() -> str:
     (with the arithmetic-derived section TEXTS) string_agg'd in
     position order inside the head/body envelope — byte-identical to
     sources/xhtml.render_document over the flagship sections."""
-    labels_vals = ",\n".join(
-        "(%d, '%s')" % (i, lbl.replace("'", "''"))
-        for i, lbl in enumerate(corpus.ENTITY_LABELS))
-    ent_surface = ("CASE idx WHEN 0 THEN label WHEN 1 THEN label || ' System' "
-                   "ELSE substr(label, 1, length(label) - 1) || 'x' END")
+    labels_vals = _LABELS_VALS
 
     def cyc(start, count):
         return _cyc_sql(start, count)
 
-    def sec_text(s: int) -> str:
-        parts = [cyc(7 * s, 8)]
-        if s == 1:
-            parts.append(
-                "(CASE WHEN doc_id % 3 = 0 THEN ' as defined in RFC ' || "
-                "(100 + doc_id % 900) ELSE '' END)")
-            parts.append(
-                "(CASE WHEN doc_id % 7 = 0 THEN "
-                "' see section 2.2 of [RFC 2616] for details' ELSE '' END)")
-            parts.append(
-                "(CASE WHEN doc_id % 5 = 1 THEN "
-                "' published at https://spec.example.org/s/' || (doc_id % 50)"
-                " || ' today' ELSE '' END)")
-        if s == 2:
-            parts.append("' the ' || %s || ' project ships'" % ent_surface)
-        if s == 1:
-            parts.append(
-                "(CASE WHEN doc_id % 5 = 0 THEN ' raw   text' || chr(10) || "
-                "'  line' || doc_id || '()' || chr(10) || 'end' ELSE '' END)")
-        # <ul> lands in the LAST section (s == n_sec = 2 + doc_id % 3,
-        # so only s ∈ {2,3,4} can be last — never s=1)
-        if s >= 2:
-            parts.append(
-                "(CASE WHEN doc_id %% 4 = 1 AND doc_id %% 3 = %d THEN ' ' || %s"
-                " || ' ' || %s ELSE '' END)" % (s - 2, cyc(17, 2), cyc(19, 2)))
-        return " || ".join(parts)
+    sec_text = _sec_text_sql
 
     def div(su, kind_lit, ordinal, title, parent, text):
         pieces = [
@@ -4123,6 +4217,37 @@ FROM docs0 LEFT JOIN divs ON docs0.url = divs.url
 
 
 KG_XHTML_SQL = _kg_xhtml_sql()
+
+
+def _kg_kwic_sql() -> str:
+    """Mention contexts recomputed in SQL: the mentions oracle joined
+    to the arithmetic-reconstructed S1/S2 section texts, windows via
+    1-based substr with the same clamping as the Python slice."""
+    w = _KWIC_WINDOW
+    return f"""
+WITH m AS ({KG_MENTIONS_SQL}),
+d AS ({_D_CTE}),
+ent AS (
+  SELECT d.*, e, label, (doc_id // 24) % 3 AS idx
+  FROM d JOIN (VALUES {_LABELS_VALS}) labels(e, label) ON e = doc_id % 24
+),
+stext AS (
+  SELECT url, url || '#S1' AS section_uri, {_sec_text_sql(1)} AS stext
+  FROM ent
+  UNION ALL
+  SELECT url, url || '#S2' AS section_uri, {_sec_text_sql(2)} AS stext
+  FROM ent
+)
+SELECT m.url, m.section_uri, m.surface, m."start", m."end", m.linked_uri,
+       substr(stext, greatest(1, m."start" - {w} + 1),
+              m."start" - greatest(0, m."start" - {w})) AS ctx_before,
+       substr(stext, m."end" + 1, {w}) AS ctx_after
+FROM m JOIN stext
+  ON m.url = stext.url AND m.section_uri = stext.section_uri
+"""
+
+
+KG_KWIC_SQL = _kg_kwic_sql()
 
 
 # ---------------------------------------------------------------------
@@ -5800,6 +5925,8 @@ QUERIES = {
     "kg_labels": (kg_labels, KG_LABELS_SQL),
     "kg_sections": (kg_sections, KG_SECTIONS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
+    "kg_mention_contexts": (kg_mention_contexts, KG_KWIC_SQL),
+    "phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "toc_pages_kg": (toc_pages_kg, TOC_PAGES_SQL),
     "minhash_neardup": (minhash_neardup, MINHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
