@@ -68,6 +68,26 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
                         override_num_blocks=num_blocks))
 
 
+def _exchange_buckets(sf_dir: str, table: str = "documents") -> int:
+    """Adaptive exchange width for bucketed-shuffle operators driven by
+    one input table — the same judgment as ``_read``'s fan-out and
+    ``graph._adapt_buckets``: bucket count is a pure work-partitioning
+    knob (every bucketed op unions over groups, so ANY value yields
+    identical rows), and each groupby exchange pays ~10-15 ms of fixed
+    scheduling cost per output partition. Sizing by input bytes keeps
+    small inputs at 8 partitions (measured: doc_decontaminate's two
+    64-wide exchanges spent ~4 s of wall on a 0.6 MB table) while
+    web-scale inputs ride the 64 cap — at 100 TB callers pass an
+    explicit width instead."""
+    import os
+
+    path = "%s/%s.parquet" % (sf_dir.rstrip("/"), table)
+    try:
+        return min(64, max(8, os.path.getsize(path) >> 20))
+    except OSError:
+        return 64
+
+
 def _merge_partials(partials_ds, merge_fn):
     """Final merge for BOUNDED-cardinality partial aggregates.
 
@@ -4359,7 +4379,8 @@ def dup_passages(sf_dir):
                          "text": pa.array(out, pa.string())})
 
     return duplicated_passages(
-        ds.map_batches(plant, batch_format="pyarrow"), n=6)
+        ds.map_batches(plant, batch_format="pyarrow"), n=6,
+        num_buckets=_exchange_buckets(sf_dir))
 
 
 DUP_PASSAGES_SQL = """
@@ -4402,7 +4423,8 @@ def scrub_passages(sf_dir):
                          "text": pa.array(out, pa.string())})
 
     labeled = scrub_duplicated_passages(
-        ds.map_batches(plant, batch_format="pyarrow"), n=6)
+        ds.map_batches(plant, batch_format="pyarrow"), n=6,
+        num_buckets=_exchange_buckets(sf_dir))
     return labeled.map_batches(
         lambda df: df.rename(columns={"key": "doc_id"}),
         batch_format="pandas")
@@ -4502,7 +4524,8 @@ def doc_contamination(sf_dir):
     from ..stages.dedup import contamination_flags
 
     train, bench = _decon_inputs(sf_dir)
-    flags = contamination_flags(train, bench, n=6)
+    flags = contamination_flags(train, bench, n=6,
+                                num_buckets=_exchange_buckets(sf_dir))
     return flags.map_batches(
         lambda df: df.rename(columns={"key": "doc_id"}),
         batch_format="pandas")
@@ -4524,7 +4547,8 @@ def doc_decontaminate(sf_dir):
     from ..stages.dedup import decontaminate
 
     train, bench = _decon_inputs(sf_dir)
-    out = decontaminate(train, bench, n=6)
+    out = decontaminate(train, bench, n=6,
+                        num_buckets=_exchange_buckets(sf_dir))
     return out.map_batches(
         lambda df: df.rename(columns={"key": "doc_id"}),
         batch_format="pandas")

@@ -827,6 +827,30 @@ def duplicated_passages(ds, n: int = 6, text_col: str = "text",
             .map_groups(dups, batch_format="pandas"))
 
 
+def _restore_int64(g: pd.DataFrame, cols) -> pd.DataFrame:
+    """Undo a float64 upcast at group entry. Ray's sort exchange can
+    concatenate a typed pandas block with an EMPTY default-float
+    frame (phantom blocks emitted for empty sort partitions bypass
+    upstream UDFs — see the RefBundle schema note in CLAUDE.md);
+    ``pd.concat`` then upcasts every int64 column of the whole group
+    to float64. Observed only when a ``map_groups`` OUTPUT feeds a
+    second exchange (the two-chained-exchange family). The cast back
+    is exact for values < 2^53 — doc keys and word offsets here — and
+    asserts rather than corrupt beyond that."""
+    if len(g) == 0:
+        return g
+    fix = {}
+    for c in cols:
+        if str(g[c].dtype) != "int64":
+            v = g[c].to_numpy()
+            assert not np.isnan(v).any() and np.abs(v).max() < 2 ** 53, (
+                "int64 column %r upcast with un-restorable values "
+                "(dtypes=%s) — an upstream prep fn is index-misaligned?"
+                % (c, dict(g.dtypes)))
+            fix[c] = "int64"
+    return g.astype(fix) if fix else g
+
+
 def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
                               key_col: str = "doc_id", min_docs: int = 2,
                               num_buckets: int = 64):
@@ -886,6 +910,10 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
         return (h % np.uint64(num_buckets)).astype("int32")
 
     def prep_docs(df: pd.DataFrame) -> pd.DataFrame:
+        # batches sliced out of large blocks carry a NON-zero-based
+        # index; mixing df-indexed columns with fresh positional
+        # Series in one constructor would index-align into NaN rows
+        df = df.reset_index(drop=True)
         out = pd.DataFrame({
             "key": df[key_col].astype("int64"),
             "text": df[text_col].astype("object"),
@@ -895,6 +923,7 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
         return out
 
     def prep_cov(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # see prep_docs
         out = pd.DataFrame({
             "key": df["key"].astype("int64"),
             "text": pd.Series([None] * len(df), dtype="object"),
@@ -907,6 +936,7 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
             .union(cov.map_batches(prep_cov, batch_format="pandas")))
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = _restore_int64(g, ("key", "start"))
         docs = g[g["start"] < 0]
         starts_by_key = (g[g["start"] >= 0]
                          .groupby("key")["start"].apply(list).to_dict())
@@ -1103,6 +1133,7 @@ def contamination_flags(docs_ds, bench_ds, n: int = 8,
                                               batch_format="pandas")))
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = _restore_int64(g, ("key", "hit"))
         out = g.groupby("key", as_index=False)["hit"].max()
         return pd.DataFrame({"key": out["key"].astype("int64"),
                              "contaminated": out["hit"].astype("int64")})
@@ -1133,6 +1164,8 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
         return (h % np.uint64(num_buckets)).astype("int32")
 
     def prep_docs(df: pd.DataFrame) -> pd.DataFrame:
+        # reset: sliced batches are not zero-based (scrub prep_docs)
+        df = df.reset_index(drop=True)
         out = pd.DataFrame({
             "key": df[key_col].astype("int64"),
             "text": df[text_col].astype("object"),
@@ -1142,6 +1175,7 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
         return out
 
     def prep_hits(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # see scrub prep_docs
         out = pd.DataFrame({
             "key": df["key"].astype("int64"),
             # "" not None: an all-None object column Arrow-types as
@@ -1156,6 +1190,7 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
             .union(hits.map_batches(prep_hits, batch_format="pandas")))
 
     def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = _restore_int64(g, ("key", "_drop"))
         dropped = set(g.loc[g["_drop"] == 1, "key"])
         d = g[g["_drop"] == -1]
         d = d[~d["key"].isin(dropped)]
@@ -1195,6 +1230,7 @@ def cluster_representatives(clusters_ds, docs_ds, score_col: str,
         return (h % np.uint64(num_buckets)).astype("int32")
 
     def prep_docs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # see scrub prep_docs
         out = pd.DataFrame({
             "key": df[key_col].astype("int64"),
             "score": df[score_col].astype("int64"),
@@ -1204,6 +1240,7 @@ def cluster_representatives(clusters_ds, docs_ds, score_col: str,
         return out
 
     def prep_clusters(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # see scrub prep_docs
         out = pd.DataFrame({
             "key": df["key"].astype("int64"),
             "score": pd.Series(np.full(len(df), -1, dtype="int64")),
