@@ -5253,6 +5253,51 @@ def _bfs_sql(max_depth: int) -> str:
 KG_BFS_SQL = _bfs_sql(BFS_DEPTH)
 
 
+KCORE_K, KCORE_ROUNDS = 2, 4
+
+
+def kg_kcore(sf_dir):
+    """k-core of the symmetrized citation graph (graph.kcore, k=2,
+    4 peel rounds — ≥ the corpus' true peel depth, so the output is
+    the exact 2-core): the classic dense-subgraph curation step (thin
+    link neighborhoods peel away; spam/mirror analysis keeps the
+    core). Per round two bucketed semi-joins + one combiner-first
+    degree exchange, materialized per round; the SQL oracle unrolls
+    the identical peel recurrence."""
+    from ..stages import graph
+
+    return graph.kcore(_kg_edges(sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    ctes = [
+        "edges0 AS (%s)" % _CITE_EDGES_SQL,
+        "edges AS (SELECT src, dst FROM (SELECT src, dst FROM edges0"
+        " UNION SELECT dst, src FROM edges0) WHERE src <> dst)",
+    ]
+    prev = None
+    for r in range(rounds):
+        if prev is None:
+            e_r = "edges"
+        else:
+            ctes.append(
+                "e%d AS (SELECT e.src, e.dst FROM edges e"
+                " JOIN %s a ON a.node = e.src"
+                " JOIN %s b ON b.node = e.dst)" % (r, prev, prev))
+            e_r = "e%d" % r
+        ctes.append("d%d AS (SELECT src AS node, count(*) AS deg"
+                    " FROM %s GROUP BY src)" % (r, e_r))
+        ctes.append("a%d AS (SELECT node FROM d%d WHERE deg >= %d)"
+                    % (r, r, k))
+        prev = "a%d" % r
+    return ("WITH %s\nSELECT node, CAST(deg AS BIGINT) AS deg"
+            " FROM d%d WHERE deg >= %d"
+            % (",\n".join(ctes), rounds - 1, k))
+
+
+KG_KCORE_SQL = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+
+
 def kg_cocite_communities(sf_dir):
     """Community detection as connected components of the CO-CITATION
     graph (targets co-cited by any page form one topical community —
@@ -5927,6 +5972,7 @@ QUERIES = {
     "kg_cocite_triangles": (kg_cocite_triangles, KG_TRIANGLES_SQL),
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_bfs_depth": (kg_bfs_depth, KG_BFS_SQL),
+    "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_mirror_candidates": (kg_mirror_candidates, KG_MIRROR_SQL),
     "kg_cocite_communities": (kg_cocite_communities, KG_COCITE_CC_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),

@@ -42,7 +42,7 @@ from .joins import _hash64, bucket_join
 
 __all__ = ["distinct_edges", "degrees", "degree_distribution",
            "cocitation_pairs", "triangle_counts",
-           "pagerank", "hits", "random_walks", "bfs_depth",
+           "pagerank", "hits", "random_walks", "bfs_depth", "kcore",
            "cocitation_counts", "neighbor_jaccard"]
 
 
@@ -857,3 +857,95 @@ def neighbor_jaccard(edges_ds, jn: int = 1, jd: int = 2,
         return out.reset_index(drop=True)
 
     return j2.map_batches(final, batch_format="pandas")
+
+
+def _solo_kcore(g: pd.DataFrame, k: int, rounds: int,
+                src: str, dst: str) -> pd.DataFrame:
+    """The identical peel recurrence, vectorized over one block."""
+    nodes, si, di = _graph_index(g, src, dst)
+    if len(nodes) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="object"),
+                             "deg": pd.Series([], dtype="int64")})
+    # symmetrize in index space; dedup undirected duplicates
+    s2 = np.concatenate([si, di])
+    d2 = np.concatenate([di, si])
+    key = np.unique(s2 * np.int64(len(nodes)) + d2)
+    s2 = key // len(nodes)
+    d2 = key % len(nodes)
+    alive = np.ones(len(nodes), dtype=bool)
+    deg = np.bincount(s2, minlength=len(nodes)).astype(np.int64)
+    for _ in range(rounds):
+        live = alive[s2] & alive[d2]
+        deg = np.bincount(s2[live], minlength=len(nodes)).astype(np.int64)
+        alive &= deg >= k
+    return pd.DataFrame({"node": nodes[alive], "deg": deg[alive]})
+
+
+def kcore(edges_ds, k: int = 2, rounds: int = 4, num_buckets: int = 64,
+          src: str = "src", dst: str = "dst",
+          small_graph_edges: int | None = None):
+    """k-core decomposition by iterative peeling over the UNDIRECTED
+    (symmetrized, deduplicated, self-loop-free) graph — the classic
+    web-graph curation/spam-analysis operator (a page in a thin link
+    neighborhood peels away; dense cores survive). Each round
+    recomputes degrees over the survivor-induced subgraph and drops
+    nodes below ``k``. Peeling is monotone and idempotent at the
+    fixpoint, so a FIXED ``rounds`` count (the bfs_depth discipline)
+    keeps the SQL oracle an exact unrolled replay; with ``rounds`` ≥
+    the true peel depth the result IS the exact k-core.
+
+    Returns (node, deg) for nodes surviving round ``rounds``, with
+    ``deg`` the node's degree among the previous round's survivors
+    (at the fixpoint: its k-core degree).
+
+    Scale shape: per round, two hash-bucketed semi-joins restrict the
+    symmetric edge list to live endpoints and one combiner-first
+    degree exchange recounts — each round is materialized so no
+    operator chains more than two exchanges (the documented Ray 2.49
+    DAG hazard) and lineage stays O(1) deep. Small graphs take the
+    width-1 single-task path (``small_graph_edges=0`` forces the
+    distributed one, as in pagerank)."""
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
+    assert k >= 1 and rounds >= 1
+
+    raw = edges_ds.materialize()
+    if raw.count() <= small_graph_edges:
+        def solo(g: pd.DataFrame) -> pd.DataFrame:
+            return _solo_kcore(g, k, rounds, src, dst)
+
+        return raw.repartition(1).map_batches(
+            solo, batch_format="pandas", batch_size=None)
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({src: df[dst].to_numpy(),
+                             dst: df[src].to_numpy()})
+
+    sym = distinct_edges(
+        raw.union(raw.map_batches(rev, batch_format="pandas")),
+        src, dst, num_buckets).materialize()
+    nb = _adapt_buckets(sym, num_buckets)
+
+    deg = degrees(sym, src, nb).materialize()
+    alive = None
+    for r in range(rounds):
+        if r:
+            e1 = bucket_join(sym, alive, left_on=src, right_on="node",
+                             num_buckets=nb).materialize()
+            e2 = bucket_join(e1, alive, left_on=dst, right_on="node",
+                             num_buckets=nb).materialize()
+            deg = degrees(e2, src, nb).materialize()
+
+        def survivors(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["deg"] >= k]
+            return pd.DataFrame({"node": d[src].to_numpy()})
+
+        alive = deg.map_batches(survivors,
+                                batch_format="pandas").materialize()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["deg"] >= k]
+        return pd.DataFrame({"node": d[src].to_numpy(),
+                             "deg": d["deg"].to_numpy(dtype="int64")})
+
+    return deg.map_batches(final, batch_format="pandas")

@@ -246,3 +246,35 @@ def test_cocitation_counts_and_jaccard(ray_session):
                                  num_buckets=4).to_pandas()
     assert {(a, b): (i, u) for a, b, i, u in
             jac[["a", "b", "inter", "union_n"]].values.tolist()} == expected
+
+
+def _ref_kcore(k, rounds):
+    # symmetrized, deduplicated, self-loop-free peel
+    und = sorted({(s, d) for s, d in CLEAN} | {(d, s) for s, d in CLEAN})
+    alive = set(NODES)
+    deg = {}
+    for _ in range(rounds):
+        deg = {n: 0 for n in alive}
+        for s, d in und:
+            if s in alive and d in alive:
+                deg[s] += 1
+        alive = {n for n in alive if deg[n] >= k}
+    return {n: deg[n] for n in alive}
+
+
+def test_kcore_matches_reference(ray_session):
+    for k in (1, 2, 3):
+        expected = _ref_kcore(k, rounds=4)
+        for small in (10 ** 6, 0):  # width-1 AND distributed paths
+            got = graph.kcore(_edges_ds(), k=k, rounds=4, num_buckets=4,
+                              small_graph_edges=small).to_pandas()
+            assert dict(zip(got["node"], got["deg"])) == expected, (k, small)
+            assert len(got) == len(expected)
+
+
+def test_kcore_fixpoint_idempotent(ray_session):
+    # extra rounds past the peel depth are no-ops
+    a = graph.kcore(_edges_ds(), k=2, rounds=4, num_buckets=4).to_pandas()
+    b = graph.kcore(_edges_ds(), k=2, rounds=7, num_buckets=4).to_pandas()
+    assert (a.sort_values("node").reset_index(drop=True)
+            .equals(b.sort_values("node").reset_index(drop=True)))
