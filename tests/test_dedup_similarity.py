@@ -511,3 +511,65 @@ def test_winnow_fingerprints(ray_session):
     a = got.sort_values(["key", "pos"]).reset_index(drop=True)
     b = again.sort_values(["key", "pos"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_scrub_and_decontaminate_sliced_batches(ray_session):
+    """Regression: batches sliced out of a block larger than the
+    1024-row batch size carry a NON-zero-based index; the exchange
+    prep fns used to index-align fresh positional Series against it,
+    exploding into NaN rows / float64 upcast (crash in scrub's
+    rebuild, silent drift elsewhere). One 3,000-row block forces the
+    slicing path; outputs must match brute force exactly."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import (contamination_flags,
+                                          decontaminate,
+                                          scrub_duplicated_passages)
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota".split()
+    n_docs, n = 3000, 6
+    rows = []
+    for i in range(n_docs):
+        txt = " ".join(words[(i * 3 + j) % len(words)] for j in range(8))
+        if i % 10 == 0:  # cross-doc duplicated passage
+            txt += " shared passage marker one two three"
+        rows.append({"doc_id": i, "text": txt})
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(1)
+
+    def grams_of(t):
+        w = t.split(" ")
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    # brute-force scrub reference
+    from collections import Counter, defaultdict
+    df_count = Counter()
+    for r in rows:
+        for g in set(grams_of(r["text"])):
+            df_count[g] += 1
+    expect_clean = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        covered = set()
+        for i, g in enumerate(grams_of(r["text"])):
+            if df_count[g] >= 2:
+                covered.update(range(i, i + n))
+        expect_clean[r["doc_id"]] = " ".join(
+            t for j, t in enumerate(w) if j not in covered)
+
+    got = (scrub_duplicated_passages(docs, n=n, num_buckets=8)
+           .to_pandas())
+    assert len(got) == n_docs
+    assert got["key"].dtype == np.int64
+    for k, t in zip(got["key"], got["clean_text"]):
+        assert t == expect_clean[k], k
+
+    # decontaminate against a bench slice, same forced-slicing shape
+    bench = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 10 ** 6, "text": "shared passage marker one two three"}]))
+    cont_expect = {r["doc_id"] for r in rows
+                   if set(grams_of(r["text"]))
+                   & set(grams_of("shared passage marker one two three"))}
+    surv = decontaminate(docs, bench, n=n, num_buckets=8).to_pandas()
+    assert set(surv["key"]) == {r["doc_id"] for r in rows} - cont_expect
+    flags = contamination_flags(docs, bench, n=n, num_buckets=8).to_pandas()
+    assert set(flags.loc[flags["contaminated"] == 1, "key"]) == cont_expect
