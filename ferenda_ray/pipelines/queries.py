@@ -3622,6 +3622,67 @@ SELECT {PAGE_URL_SQL} AS url FROM documents WHERE doc_id % 17 = 0
 """
 
 
+def crawl_version_intervals(sf_dir):
+    """SCD2 validity intervals over the crawl archive — the
+    warehouse slowly-changing-dimension form of the reference's
+    archived-versions surface (documentstore.py archive(): every
+    superseded version remains addressable): one row per (url,
+    snapshot) with [valid_from_us, valid_to_us), valid_to_us = the
+    next snapshot's timestamp, -1 sentinel for the live version
+    (int64 microseconds on both engines — no datetime unit drift
+    across the oracle boundary). ONE url-hash-bucketed exchange over
+    the slim (url, ts) projection; per bucket the LEAD is a single
+    vectorized shift over the (url, ts)-sorted block masked at url
+    boundaries."""
+    pages = corpus.pages_slim_dataset(sf_dir)
+    nb = _exchange_buckets(sf_dir)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "url": t["url"].to_pandas().astype("object"),
+            "ts_us": pc.cast(t["warc_ts"], pa.int64()).to_pandas(),
+        })
+        from ..stages.dedup import _bucket_of
+        df["_b"] = _bucket_of(df["url"], nb)
+        return df
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["url", "ts_us"], kind="mergesort")
+             .reset_index(drop=True))
+        nxt = g["ts_us"].shift(-1)
+        same = g["url"].shift(-1) == g["url"]
+        # exact: µs timestamps ≈ 1.7e15 < 2^53, float round-trip safe
+        valid_to = np.where(same, nxt, -1).astype("int64")
+        rank = (g.groupby("url").cumcount() + 1).astype("int64")
+        return pd.DataFrame({
+            "url": g["url"],
+            "version_rank": rank,
+            "valid_from_us": g["ts_us"].astype("int64"),
+            "valid_to_us": valid_to,
+        })
+
+    return (pages.map_batches(prep, batch_format="pyarrow")
+            .groupby("_b").map_groups(intervals, batch_format="pandas"))
+
+
+CRAWL_INTERVALS_SQL = f"""
+WITH v AS (
+  SELECT {PAGE_URL_SQL} AS url,
+         {corpus.EPOCH_US} + doc_id * 37000000
+           - CASE WHEN k = 1 THEN 86400000000 ELSE 0 END AS ts_us
+  FROM documents, (VALUES (0), (1)) t(k)
+  WHERE k = 0 OR doc_id % 17 = 0
+)
+SELECT url,
+       row_number() OVER (PARTITION BY url ORDER BY ts_us)
+         AS version_rank,
+       ts_us AS valid_from_us,
+       coalesce(lead(ts_us) OVER (PARTITION BY url ORDER BY ts_us), -1)
+         AS valid_to_us
+FROM v
+"""
+
+
 def crawl_delta_status(sf_dir):
     """Recrawl change detection (composite.crawl_delta): two planted
     crawls — crawl 1 omits doc_id % 13 == 0 and crawl 2 edits
@@ -5986,6 +6047,8 @@ QUERIES = {
     "text_sections": (text_sections, TEXT_SECTIONS_SQL),
     "archived_versions": (archived_versions, ARCHIVED_SQL),
     "crawl_delta_status": (crawl_delta_status, CRAWL_DELTA_SQL),
+    "crawl_version_intervals": (crawl_version_intervals,
+                                CRAWL_INTERVALS_SQL),
     "composite_parse": (composite_parse, COMPOSITE_SQL),
     "news_feeds_kg": (news_feeds_kg, NEWS_FEEDS_SQL),
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
