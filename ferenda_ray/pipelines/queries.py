@@ -5951,6 +5951,88 @@ GROUP BY f.doc_id
 """
 
 
+# 16 marker tokens: at the corpus' tiny 34-word vocabulary the
+# within-class projection spread is ~260k (each doc's common words
+# ride the same noisy weight vector), so the planted curated-register
+# phrase must contribute >> that — 16 tokens separates the classes
+# completely (oracle-measured acc 1.000 at sf0.001)
+_CURATED_MARK = ("curated register marker corpus quality gold standard seal curated register marker corpus quality gold standard seal")
+
+
+def doc_quality_classifier(sf_dir):
+    """Trained quality classifier (lm.centroid_quality — the GPT-3
+    data-curation recipe, Brown et al. 2020 appendix A: a linear
+    classifier on hashed bag-of-words features separating 'curated'
+    from raw text). The doc_id % 3 == 0 slice is labeled +1 AND given
+    a curated-register marker phrase (the same planted-signal
+    discipline as scrub/decontaminate), so the learned direction
+    genuinely separates the classes; training is the exact-integer
+    Rocchio / nearest-centroid rule — ONE bounded (<= 4097-row)
+    class-sum exchange, the driver forms cross-multiplied centroid
+    weights + midpoint threshold in arbitrary-precision ints (the
+    bounded-centroid contract), and scoring is a broadcast
+    zero-shuffle actor pool. The SQL oracle (HUGEINT arithmetic)
+    replays the augmentation, the training sums and every score/pred
+    bit-exactly."""
+    from ..stages import lm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_label(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        pos = ids % 3 == 0
+        lab = np.where(pos, 1, -1).astype("int64")
+        texts = [(txt or "") + (" " + _CURATED_MARK if p else "")
+                 for p, txt in zip(pos, t["text"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(texts, pa.string()),
+                         "label": pa.array(lab, pa.int64())})
+
+    labeled = ds.map_batches(with_label, batch_format="pyarrow")
+    return lm.centroid_quality(labeled,
+                               num_buckets=_exchange_buckets(sf_dir))
+
+
+def _centroid_sql(d: int) -> str:
+    """HUGEINT replay of lm.train_centroid_classifier +
+    CentroidScorer: class-sum counts, cross-multiplied centroid
+    weights w_f = N*S+_f - P*S-_f, midpoint threshold
+    2*P*N*proj >= N*A + P*B."""
+    return """
+WITH aug AS (SELECT doc_id, text ||
+  CASE WHEN doc_id %% 3 = 0 THEN ' curated register marker corpus quality gold standard seal curated register marker corpus quality gold standard seal'
+  ELSE '' END AS text FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug),
+x AS (SELECT doc_id,
+  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) %% %d AS b,
+  count(*) AS c FROM toks GROUP BY doc_id, b),
+lab AS (SELECT doc_id,
+  CASE WHEN doc_id %% 3 = 0 THEN 1 ELSE -1 END AS l FROM documents),
+cls AS (SELECT b,
+  sum(CASE WHEN l = 1 THEN c ELSE 0 END) AS sp,
+  sum(CASE WHEN l = -1 THEN c ELSE 0 END) AS sn
+  FROM x JOIN lab USING (doc_id) GROUP BY b),
+pn AS (SELECT sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS p,
+  sum(CASE WHEN l = -1 THEN 1 ELSE 0 END) AS n FROM lab),
+w AS (SELECT b,
+  CAST(pn.n AS HUGEINT) * sp - CAST(pn.p AS HUGEINT) * sn AS wv
+  FROM cls, pn),
+ab AS (SELECT sum(CAST(cls.sp AS HUGEINT) * w.wv) AS a,
+  sum(CAST(cls.sn AS HUGEINT) * w.wv) AS bsum
+  FROM cls JOIN w USING (b)),
+proj AS (SELECT x.doc_id, sum(CAST(x.c AS HUGEINT) * w.wv) AS pr
+  FROM x JOIN w USING (b) GROUP BY x.doc_id)
+SELECT proj.doc_id, CAST(pr AS BIGINT) AS score,
+  CAST(CASE WHEN 2 * CAST(pn.p AS HUGEINT) * pn.n * pr
+    >= CAST(pn.n AS HUGEINT) * ab.a + CAST(pn.p AS HUGEINT) * ab.bsum
+  THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM proj, pn, ab
+""" % (d)
+
+
+DOC_QUALITY_CLASSIFIER_SQL = _centroid_sql(4096)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -6023,6 +6105,8 @@ QUERIES = {
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "doc_lm_score": (doc_lm_score, DOC_LM_SQL),
     "doc_dsir_score": (doc_dsir_score, DOC_DSIR_SQL),
+    "doc_quality_classifier": (doc_quality_classifier,
+                               DOC_QUALITY_CLASSIFIER_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
     "crawl_blocklist": (crawl_blocklist, CRAWL_BLOCKLIST_SQL),

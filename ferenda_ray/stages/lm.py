@@ -40,7 +40,9 @@ import pyarrow as pa
 from .joins import _hash64
 
 __all__ = ["train_bigram_model", "LMScorer", "lm_score",
-           "hashed_feature_counts", "dsir_weights", "dsir_score"]
+           "hashed_feature_counts", "dsir_weights", "dsir_score",
+           "train_centroid_classifier", "CentroidScorer",
+           "centroid_quality"]
 
 SCALE = 10 ** 6
 
@@ -310,6 +312,143 @@ def lm_score(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         LMScorer,
         fn_constructor_kwargs={"model_ref": ref, "id_col": id_col,
                                "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or _pool_size(),
+    )
+
+
+# --- trained quality classifier (exact-integer nearest centroid) -------
+# The GPT-3 data-curation recipe trains a linear quality classifier on
+# hashed bag-of-words features (Brown et al. 2020, appendix A: a
+# classifier over hashed features separating curated from raw text;
+# fastText's linear classifier is the same shape). Here the linear
+# model is the Rocchio / nearest-centroid rule in EXACT integers —
+# cross-multiplied class centroids, midpoint threshold — so a SQL
+# oracle (HUGEINT arithmetic) replays training and scoring
+# bit-exactly:
+#
+#   w_f    = N·S⁺_f − P·S⁻_f          (∝ C⁺ − C⁻, scale P·N)
+#   proj_i = Σ_f x_if · w_f
+#   pred_i = +1  iff  2·P·N·proj_i ≥ N·A + P·B
+#            (A = Σ_f S⁺_f w_f, B = Σ_f S⁻_f w_f — the centroid
+#             projections' midpoint, cross-multiplied)
+#
+# Training is ONE bounded exchange: per-batch class-sum bincounts →
+# ≤ d merged (b, s_pos, s_neg) rows + one (P, N) row; the driver
+# pulls ≤ d+1 rows (the bounded-centroid contract), forms w and the
+# threshold in arbitrary-precision Python ints, and broadcasts.
+# Scoring is a zero-shuffle actor pool. Magnitude bound: |w_f| ≤
+# N_docs · S_f, so int64 projections are safe to ~10^12 token
+# occurrences per feature bucket; the threshold comparison runs in
+# Python ints (never wraps) and the SQL twin in HUGEINT.
+
+PERC_D = 4096
+
+
+def _perc_codes(text: str, d: int) -> np.ndarray:
+    toks = (text or "").split(" ")
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+    import hashlib
+
+    u = np.array(
+        [int(hashlib.md5(str(w).encode("utf-8")).hexdigest()[:15], 16) % d
+         for w in uniq], dtype=np.int64)
+    return u[codes]
+
+
+def train_centroid_classifier(docs_ds, label_col: str = "label",
+                              text_col: str = "text", d: int = PERC_D,
+                              num_buckets: int = 64):
+    """Train the integer nearest-centroid model. Returns
+    (w: np.int64[d], thr_lhs_mult: int, thr_rhs: int) with the
+    decision rule ``thr_lhs_mult * proj >= thr_rhs``."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        sp = np.zeros(d, dtype=np.int64)
+        sn = np.zeros(d, dtype=np.int64)
+        p = n = 0
+        for t, lab in zip(df[text_col], df[label_col]):
+            cnt = np.bincount(_perc_codes(t, d), minlength=d)
+            if int(lab) == 1:
+                sp += cnt
+                p += 1
+            else:
+                sn += cnt
+                n += 1
+        nz = np.nonzero(sp | sn)[0]
+        out = pd.DataFrame({"b": nz.astype("int64"),
+                            "sp": sp[nz].astype("int64"),
+                            "sn": sn[nz].astype("int64")})
+        # b = -1 carries the class-size partial through the same merge
+        out = pd.concat([out, pd.DataFrame(
+            {"b": [-1], "sp": [p], "sn": [n]})], ignore_index=True)
+        out["_bucket"] = (out["b"] % num_buckets).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("b", as_index=False)[["sp", "sn"]].sum()
+        return out.astype({"b": "int64", "sp": "int64", "sn": "int64"})
+
+    rows = (docs_ds.map_batches(part, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas")
+            .to_pandas())  # <= d+1 rows by construction
+    sizes = rows[rows["b"] < 0]
+    p, n = int(sizes["sp"].sum()), int(sizes["sn"].sum())
+    assert p > 0 and n > 0, "both classes must be non-empty"
+    feat = rows[rows["b"] >= 0]
+    w = np.zeros(d, dtype=np.int64)
+    a_sum = b_sum = 0
+    for b, sp, sn in zip(feat["b"], feat["sp"], feat["sn"]):
+        wv = n * int(sp) - p * int(sn)  # python ints: never wraps
+        w[int(b)] = wv
+        a_sum += int(sp) * wv
+        b_sum += int(sn) * wv
+    return w, 2 * p * n, n * a_sum + p * b_sum
+
+
+class CentroidScorer:
+    """Actor-pool scorer: broadcast model read once per actor."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text", d: int = PERC_D):
+        import ray
+
+        self.w, self.lhs_mult, self.rhs = (
+            ray.get(model_ref) if not isinstance(model_ref, tuple)
+            else model_ref)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.d = d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        scores, preds = [], []
+        for t in batch[self.text_col].to_pylist():
+            cnt = np.bincount(_perc_codes(t, self.d), minlength=self.d)
+            sc = int(self.w @ cnt)
+            scores.append(sc)
+            preds.append(1 if self.lhs_mult * sc >= self.rhs else -1)
+        return pa.table({self.id_col: pa.array(ids),
+                         "score": pa.array(scores, pa.int64()),
+                         "pred": pa.array(preds, pa.int64())})
+
+
+def centroid_quality(docs_ds, id_col: str = "doc_id",
+                     label_col: str = "label", text_col: str = "text",
+                     d: int = PERC_D, num_buckets: int = 64,
+                     concurrency: tuple | int | None = None):
+    """Train on (text, label), then score EVERY doc under the model:
+    Dataset(id, score, pred). One bounded exchange to train, one
+    broadcast, zero shuffles to score."""
+    import ray
+
+    model = train_centroid_classifier(docs_ds, label_col, text_col, d,
+                                      num_buckets)
+    ref = ray.put(model)
+    return docs_ds.map_batches(
+        CentroidScorer,
+        fn_constructor_kwargs={"model_ref": ref, "id_col": id_col,
+                               "text_col": text_col, "d": d},
         batch_format="pyarrow",
         concurrency=concurrency or _pool_size(),
     )
