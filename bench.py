@@ -115,7 +115,10 @@ def run_bench() -> dict:
              ("embed_kmeans", Q.embed_kmeans),
              ("semantic_dedup", Q.semantic_dedup),
              ("kg_cocite_triangles", Q.kg_cocite_triangles),
-             ("doc_chunks", Q.doc_chunks)]
+             ("doc_chunks", Q.doc_chunks),
+             ("kg_kcore", Q.kg_kcore),
+             ("doc_quality_classifier", Q.doc_quality_classifier),
+             ("kg_mention_contexts", Q.kg_mention_contexts)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

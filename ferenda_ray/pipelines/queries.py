@@ -2897,7 +2897,8 @@ def kg_mention_contexts(sf_dir):
                    if "error" in t.column_names else t).select(
                        ["section_uri", "text"]),
         batch_format="pyarrow")
-    joined = bucket_join(mentions, secs, left_on="section_uri")
+    joined = bucket_join(mentions, secs, left_on="section_uri",
+                         num_buckets=_exchange_buckets(sf_dir))
     w = _KWIC_WINDOW
 
     def ctx(df: pd.DataFrame) -> pd.DataFrame:
