@@ -5952,6 +5952,63 @@ GROUP BY f.doc_id
 """
 
 
+def orders_skyline(sf_dir):
+    """Distributed skyline (Pareto front) over orders, maximizing
+    (total price, order date) — the classic multi-criteria preference
+    operator (Börzsönyi et al. ICDE'01 "The Skyline Operator";
+    preference-query family). Scale shape: every batch computes its
+    LOCAL front — a lossless combiner, since a globally non-dominated
+    row is non-dominated in any subset containing it — and the fronts
+    coalesce into ONE bounded merge block where the same sweep runs
+    again (idempotent). The merge input is |batches| × local-front
+    rows (front size is O(log n) expected under independent dims),
+    never the table. Integer cents (q1 rounding discipline) + int64 µs
+    dates so the NOT EXISTS dominance SQL matches bit-exactly."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _front(df: pd.DataFrame) -> pd.DataFrame:
+        # 2-D max/max sweep: sort by (cents desc, date desc); within an
+        # equal-cents group only max-date rows can survive (a higher
+        # date strictly dominates at equal cents), and the group
+        # survives iff its max date exceeds every strictly-richer
+        # group's max (running cummax of previous group maxima)
+        df = (df.sort_values(["cents", "date_us"], ascending=False,
+                             kind="mergesort").reset_index(drop=True))
+        g = df.drop_duplicates("cents")[["cents", "date_us"]]
+        best_above = g["date_us"].cummax().shift(1, fill_value=-1)
+        alive = set(g.loc[g["date_us"].to_numpy()
+                          > best_above.to_numpy(), "cents"])
+        gmax = df.groupby("cents")["date_us"].transform("max")
+        keep = (df["date_us"] == gmax) & df["cents"].isin(alive)
+        return df[keep].reset_index(drop=True)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
+        df = pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_pandas(),
+            "cents": cents.to_pandas(),
+            "date_us": pc.cast(t["o_orderdate"], pa.int64()).to_pandas(),
+        })
+        return _front(df)
+
+    partials = ds.map_batches(prep, batch_format="pyarrow")
+    return _merge_partials(partials, _front)
+
+
+ORDERS_SKYLINE_SQL = """
+WITH o AS (SELECT o_orderkey,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        epoch_us(o_orderdate) AS date_us FROM orders)
+SELECT o_orderkey, cents, date_us FROM o a
+WHERE NOT EXISTS (SELECT 1 FROM o b
+  WHERE b.cents >= a.cents AND b.date_us >= a.date_us
+    AND (b.cents > a.cents OR b.date_us > a.date_us))
+"""
+
+
 # 16 marker tokens: at the corpus' tiny 34-word vocabulary the
 # within-class projection spread is ~260k (each doc's common words
 # ride the same noisy weight vector), so the planted curated-register
@@ -6075,6 +6132,7 @@ QUERIES = {
     "doc_rank_in_source": (doc_rank_in_source, DOC_RANK_SQL),
     "orders_running_total": (orders_running_total, ORDERS_RUNNING_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "orders_skyline": (orders_skyline, ORDERS_SKYLINE_SQL),
     "lineitem_corr_components": (lineitem_corr_components,
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
