@@ -318,6 +318,153 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+def bm25_search(sf_dir):
+    """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi) over the
+    documents table — the scoring upgrade over ``fulltext_search``'s
+    raw term-frequency rank (fulltextindex.py:395-683 SELECT shape).
+
+    Scale shape: TWO streaming passes. Pass 1 reduces the corpus to
+    FOUR integers (N docs, Σdl, df per query term) via per-batch
+    partials and one bounded merge row — the only exchange. Pass 2 is
+    a zero-shuffle map-side scorer with the four constants closed
+    over (broadcast-by-closure; at 100 TB the constants ride the task
+    spec), then a global sort+limit of the tiny qualifying set.
+
+    Exactness discipline: k1=6/5 and b=3/4 are kept RATIONAL — the
+    per-term fraction tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) is
+    cross-multiplied by 10·Σdl into pure integers:
+    22·tf·S / (10·tf·S + 3·S + 9·dl·N), S=Σdl. The idf is the RSJ
+    odds (N−df+½)/(df+½) in fixed-point micro-units — the classic
+    idf's pre-log argument, a per-term monotone transform kept
+    integer so the oracle replays every floor division bit-exactly
+    (swap in ln() where cross-term calibration matters more than
+    exact replay). OR semantics; (score desc, doc_id) top 20."""
+    terms = ("merge", "join")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        n, s = len(texts), 0
+        df = [0] * len(terms)
+        for txt in texts:
+            toks = (txt or "").split()
+            s += len(toks)
+            for j, term in enumerate(terms):
+                if term in toks:
+                    df[j] += 1
+        row = {"n": [n], "s": [s]}
+        row.update({"df%d" % j: [df[j]] for j in range(len(terms))})
+        return pd.DataFrame(row)
+
+    merged = _merge_partials(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        lambda g: g.sum().to_frame().T).take(1)[0]
+    N, S = int(merged["n"]), int(merged["s"])
+    idf = [((2 * N - 2 * int(merged["df%d" % j]) + 1) * 1_000_000)
+           // (2 * int(merged["df%d" % j]) + 1) for j in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id, out_score = [], []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            dl = len(toks)
+            sc = 0
+            for j, term in enumerate(terms):
+                tf = toks.count(term)
+                if tf:
+                    sc += (idf[j] * (22 * tf * S)) \
+                        // (10 * tf * S + 3 * S + 9 * dl * N)
+            if sc > 0:
+                out_id.append(i)
+                out_score.append(sc)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_score, pa.int64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "doc_id"], descending=[True, False]).limit(20))
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+d AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, t -> t = 'merge')) AS tf1,
+         len(list_filter(w, t -> t = 'join'))  AS tf2
+  FROM toks
+),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(dl) AS HUGEINT) AS s,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df2
+  FROM d
+),
+idf AS (
+  SELECT ((2 * n - 2 * df1 + 1) * 1000000) // (2 * df1 + 1) AS idf1,
+         ((2 * n - 2 * df2 + 1) * 1000000) // (2 * df2 + 1) AS idf2,
+         n, s
+  FROM g
+)
+SELECT d.doc_id, CAST(
+    CASE WHEN tf1 > 0 THEN (idf1 * (22 * tf1 * s))
+         // (10 * tf1 * s + 3 * s + 9 * dl * n) ELSE 0 END
+  + CASE WHEN tf2 > 0 THEN (idf2 * (22 * tf2 * s))
+         // (10 * tf2 * s + 3 * s + 9 * dl * n) ELSE 0 END
+  AS BIGINT) AS score
+FROM d, idf
+WHERE tf1 > 0 OR tf2 > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+BOTTOMK = 32
+
+
+def user_bottomk_sample(sf_dir, k: int = BOTTOMK):
+    """Bottom-k (KMV) sketch over distinct events.user_id: the k
+    minimum md5 hashes of the distinct keys — simultaneously a
+    UNIFORM k-sample of users (hash order is independent of the data)
+    and the K-Minimum-Values distinct-count estimator
+    (Bar-Yossef et al. RANDOM'02: D ≈ (k−1)/h_(k)).
+
+    Scale shape: each batch reduces to its local bottom-k over its
+    distinct keys (bounded combiner — k rows out per batch no matter
+    the input), and the partials coalesce into ONE tiny merge block
+    that dedups and re-takes the bottom k; the exchange moves k·blocks
+    hashes, never the key column. Both engines share md5 hex exactly,
+    and fixed-width lowercase hex compares lexicographically as the
+    integer hash, so the SQL oracle is a direct ORDER BY replay."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.unique(df["user_id"])
+        out = pd.DataFrame({
+            "user_id": pd.Series(ids, dtype="int64"),
+            "h": [hashlib.md5(str(int(u)).encode()).hexdigest()
+                  for u in ids]})
+        return (out.drop_duplicates("h")
+                .sort_values("h", kind="mergesort").head(k))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("h").sort_values("h", kind="mergesort")
+        return g.head(k).reset_index(drop=True)
+
+    return _merge_partials(ds.map_batches(partial, batch_format="pandas"),
+                           merge)
+
+
+USER_BOTTOMK_SQL = """
+SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+FROM (SELECT DISTINCT user_id FROM events)
+ORDER BY h ASC LIMIT %d
+""" % BOTTOMK
+
+
 def doc_fingerprint(sf_dir):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -6099,6 +6246,8 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),
     "doc_quality_filter": (doc_quality_filter, DOC_QUALITY_FILTER_SQL),
     "fulltext_search": (fulltext_search, FULLTEXT_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
+    "user_bottomk_sample": (user_bottomk_sample, USER_BOTTOMK_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_DEDUP_SQL),
     "snapshot_dedup": (snapshot_dedup, SNAPSHOT_DEDUP_SQL),
     "quantile_band_docs": (quantile_band_docs, QUANTILE_BAND_SQL),
