@@ -118,7 +118,8 @@ def run_bench() -> dict:
              ("doc_chunks", Q.doc_chunks),
              ("kg_kcore", Q.kg_kcore),
              ("doc_quality_classifier", Q.doc_quality_classifier),
-             ("kg_mention_contexts", Q.kg_mention_contexts)]
+             ("kg_mention_contexts", Q.kg_mention_contexts),
+             ("bm25_search", Q.bm25_search)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
