@@ -119,7 +119,9 @@ def run_bench() -> dict:
              ("kg_kcore", Q.kg_kcore),
              ("doc_quality_classifier", Q.doc_quality_classifier),
              ("kg_mention_contexts", Q.kg_mention_contexts),
-             ("bm25_search", Q.bm25_search)]
+             ("bm25_search", Q.bm25_search),
+             ("collocation_pmi", Q.collocation_pmi),
+             ("mmr_search", Q.mmr_search)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -1234,6 +1234,135 @@ HAVING count(*) * %d > (SELECT count(*) FROM t)
 """ % HH_CAP
 
 
+PMI_MINC, PMI_SCALE, PMI_TOPN = 3, 1000, 20
+
+
+def collocation_pmi(sf_dir):
+    """Top-N collocations by pointwise mutual information over
+    whitespace bigrams (Church & Hanks, CL'90): lift(x,y) =
+    P(xy) / (P(x)·P(y)) = cxy·N / (cx·cy), kept as the EXACT integer
+    floor(cxy · N · PMI_SCALE / (cx · cy)) so ranking needs no float
+    log (log is monotone — ordering by lift IS ordering by PMI).
+
+    Scale shape: ONE pass over text emits per-batch PARTIAL counts
+    for unigrams and bigrams together (a Counter combiner — the
+    exchange moves batch-vocabulary rows, never tokens; the two gram
+    kinds share one namespace because unigrams never contain a space
+    and bigrams always do); one hash groupby sums; the count table is
+    materialized once (the checkpointed vocabulary — modest even at
+    web scale); bigrams below PMI_MINC are dropped BEFORE any join;
+    the survivors pick up their member-term counts via two bucketed
+    hash joins (stages/joins.bucket_join — no broadcast of the
+    unigram vocabulary); scoring is vectorized map-side and only
+    per-batch top-PMI_TOPN partials reach the final bounded merge.
+    N (total tokens) is a single bounded aggregate. int64 is safe at
+    test scale (cxy·N·SCALE < 2⁶³); a 100-TB run would widen the
+    score to Python ints / HUGEINT in the same merge.
+    Reference parity: new-design text-analysis operator alongside
+    heavy_hitter_grams / doc_tfidf_terms."""
+    from collections import Counter
+
+    from ..stages.joins import bucket_join
+
+    width = _exchange_buckets(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            ws = (txt or "").split(" ")
+            cnt.update(ws)
+            cnt.update("%s %s" % (ws[i], ws[i + 1])
+                       for i in range(len(ws) - 1))
+        return pa.table({"gram": pa.array(list(cnt.keys()), pa.string()),
+                         "n": pa.array(list(cnt.values()), pa.int64())})
+
+    counts = (ds.map_batches(gram_partials, batch_format="pyarrow")
+              .groupby("gram").sum("n")
+              .map_batches(lambda df: df.rename(columns={"sum(n)": "cnt"}),
+                           batch_format="pandas")
+              .materialize())
+
+    def _is_bigram(t: pa.Table, want: bool) -> pa.Table:
+        has_space = pc.not_equal(pc.find_substring(t["gram"], " "), -1)
+        return t.filter(has_space if want else pc.invert(has_space))
+
+    n_tokens = int(
+        counts.map_batches(lambda t: _is_bigram(t, False),
+                           batch_format="pyarrow").sum("cnt"))
+
+    big = counts.map_batches(
+        lambda t: (lambda f: pa.table({
+            "gram": f["gram"],
+            "x": pc.list_element(pc.split_pattern(f["gram"], " "), 0),
+            "y": pc.list_element(pc.split_pattern(f["gram"], " "), 1),
+            "cxy": f["cnt"]}))(
+                _is_bigram(t, True).filter(
+                    pc.greater_equal(_is_bigram(t, True)["cnt"],
+                                     PMI_MINC))),
+        batch_format="pyarrow")
+
+    def _uni_as(key: str, cname: str):
+        return counts.map_batches(
+            lambda t, k=key, c=cname: (lambda u: pa.table(
+                {k: u["gram"], c: u["cnt"]}))(_is_bigram(t, False)),
+            batch_format="pyarrow")
+
+    j = bucket_join(big, _uni_as("x", "cx"), left_on="x",
+                    num_buckets=width)
+    j = bucket_join(j, _uni_as("y", "cy"), left_on="y",
+                    num_buckets=width)
+
+    def score_topn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"gram": pd.Series(dtype="object"),
+                                 "cxy": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="int64")})
+        cxy = df["cxy"].to_numpy(np.int64)
+        cx = df["cx"].to_numpy(np.int64)
+        cy = df["cy"].to_numpy(np.int64)
+        score = cxy * np.int64(n_tokens) * np.int64(PMI_SCALE) // (cx * cy)
+        out = pd.DataFrame({
+            "gram": df["gram"].to_numpy(),
+            "cxy": pd.Series(cxy, dtype="int64"),
+            "score": pd.Series(score, dtype="int64")})
+        out = out.sort_values(["score", "gram"], ascending=[False, True],
+                              kind="mergesort")
+        return out.head(PMI_TOPN).reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["score", "gram"], ascending=[False, True],
+                             kind="mergesort")
+              .head(PMI_TOPN).reset_index(drop=True))
+        df["rank"] = pd.Series(range(1, len(df) + 1), dtype="int64")
+        df["cxy"] = df["cxy"].astype("int64")
+        df["score"] = df["score"].astype("int64")
+        return df[["rank", "gram", "cxy", "score"]]
+
+    return _merge_partials(
+        j.map_batches(score_topn, batch_format="pandas"), final)
+
+
+COLLOCATION_PMI_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+u AS (SELECT ws[i] AS term FROM w, unnest(range(1, len(ws) + 1)) AS r(i)),
+uc AS (SELECT term, count(*) AS c FROM u GROUP BY term),
+n AS (SELECT count(*) AS n FROM u),
+bg AS (SELECT ws[i] AS x, ws[i + 1] AS y
+       FROM w, unnest(range(1, len(ws))) AS r(i)),
+bc AS (SELECT x, y, count(*) AS cxy FROM bg GROUP BY x, y
+       HAVING count(*) >= %d),
+sc AS (SELECT bc.x || ' ' || bc.y AS gram, bc.cxy,
+              CAST(bc.cxy * n.n * %d // (ux.c * uy.c) AS BIGINT) AS score
+       FROM bc CROSS JOIN n
+       JOIN uc ux ON ux.term = bc.x
+       JOIN uc uy ON uy.term = bc.y)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, gram) AS BIGINT) AS rank,
+       gram, CAST(cxy AS BIGINT) AS cxy, score
+FROM sc ORDER BY score DESC, gram LIMIT %d
+""" % (PMI_MINC, PMI_SCALE, PMI_TOPN)
+
+
 def name_edit1_pairs(sf_dir):
     """Edit-distance-1 similarity self-join over customer names —
     EXACT, via FastSS deletion-neighborhood signatures
@@ -2458,6 +2587,115 @@ FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
 EMB_K, EMB_ITERS, EMB_SCALE = 8, 2, 1000
 SEMDEDUP_OFFSET = 10_000_000
 SEMDEDUP_THR = (9025, 10000)  # τ=0.95 → τ² as an exact integer ratio
+
+MMR_POOL, MMR_K = 50, 5
+MMR_LAM = (7, 10)  # λ = 7/10 relevance weight, cross-multiplied
+
+
+def mmr_search(sf_dir):
+    """Maximal Marginal Relevance diversified top-k retrieval
+    (Carbonell & Goldstein, SIGIR'98): greedily pick MMR_K results
+    that balance closeness to the query (vec_id = 0's embedding)
+    against redundancy with the already-selected set —
+    argmax over candidates of  λ·(−d²(q,c)) + (1−λ)·min_{s∈S} d²(c,s),
+    i.e. score = (den−num)·min_sel_dist − num·query_dist with
+    λ = num/den kept as the exact integer cross-multiplication.
+
+    Scale shape: relevance distances are exact integer squared-L2
+    computed MAP-SIDE against the broadcast quantized query vector
+    (zero shuffle); each batch emits only its partial top-MMR_POOL
+    rows, so the single merge block holds blocks × MMR_POOL rows and
+    the O(MMR_POOL · MMR_K) greedy runs once there. Integer
+    fixed-point throughout (clustering.quantize_vectors, scale 1000)
+    so the SQL oracle replays every greedy step bit-exactly.
+    Reference parity: the reranking counterpart of fulltextindex
+    query()'s relevance-ordered hits (fulltextindex.py:159-170) —
+    diversification is a new-design training-data/RAG operator."""
+    from ..stages import clustering
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrow = (ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+        batch_format="pyarrow").to_pandas())
+    qv = np.floor(np.asarray(list(qrow["embedding"])[0], dtype=np.float64)
+                  * EMB_SCALE).astype(np.int64)
+    qds = clustering.quantize_vectors(ds, scale=EMB_SCALE)
+    num, den = MMR_LAM
+
+    def part(t: pa.Table) -> pa.Table:
+        m = clustering._qmatrix(t["qv"])
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        keep = ids != 0
+        m, ids = m[keep], ids[keep]
+        diff = m - qv[None, :]
+        qd = np.einsum("ij,ij->i", diff, diff)
+        order = np.lexsort((ids, qd))[:MMR_POOL]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "qd": pa.array(qd[order], pa.int64()),
+                         "qv": clustering._qv_column(m[order])})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["qd", "vec_id"], kind="mergesort")
+              .head(MMR_POOL).reset_index(drop=True))
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in df["qv"]])
+        ids = df["vec_id"].to_numpy(np.int64)
+        qd = df["qd"].to_numpy(np.int64)
+        sel = [0]  # first pick = nearest to the query (ties: vec_id)
+        while len(sel) < min(MMR_K, len(df)):
+            rem = np.setdiff1d(np.arange(len(df)), sel)
+            d = ((mat[rem][:, None, :] - mat[sel][None, :, :]) ** 2
+                 ).sum(axis=2).min(axis=1)
+            score = (den - num) * d - num * qd[rem]
+            best = rem[np.lexsort((ids[rem], -score))[0]]
+            sel.append(int(best))
+        return pd.DataFrame({
+            "rank": pd.Series(range(len(sel)), dtype="int64"),
+            "vec_id": pd.Series(ids[sel], dtype="int64"),
+            "qd": pd.Series(qd[sel], dtype="int64")})
+
+    return _merge_partials(qds.map_batches(part, batch_format="pyarrow"),
+                           merge)
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy replay of mmr_search (same discipline as
+    _kmeans_ctes): candidate pool by (qd, vec_id), then MMR_K − 1
+    steps of min-distance-to-selected + cross-multiplied argmax."""
+    num, den = MMR_LAM
+    li = "CAST(list_inner_product(%s, %s) AS BIGINT)"
+    dist = ("(" + li % ("c.v", "c.v") + " + " + li % ("s.v", "s.v")
+            + " - 2 * " + li % ("c.v", "s.v") + ")")
+    ctes = [
+        "b AS (SELECT vec_id, list_transform(embedding,"
+        " x -> FLOOR(CAST(x AS DOUBLE) * %d)) AS v FROM embeddings)" % EMB_SCALE,
+        "q AS (SELECT v AS qv FROM b WHERE vec_id = 0)",
+        "d AS (SELECT vec_id, v, " + li % ("v", "v") + " + "
+        + li % ("qv", "qv") + " - 2 * " + li % ("v", "qv")
+        + " AS qd FROM b, q WHERE vec_id <> 0)",
+        "cand AS (SELECT * FROM d ORDER BY qd, vec_id LIMIT %d)" % MMR_POOL,
+        "p0 AS (SELECT vec_id, v, qd FROM cand ORDER BY qd, vec_id LIMIT 1)",
+        "sel0 AS (SELECT vec_id, v FROM p0)",
+    ]
+    for i in range(1, MMR_K):
+        ctes.append(
+            "m%d AS (SELECT c.vec_id, min(%s) AS md FROM cand c, sel%d s"
+            " WHERE c.vec_id NOT IN (SELECT vec_id FROM sel%d)"
+            " GROUP BY c.vec_id)" % (i, dist, i - 1, i - 1))
+        ctes.append(
+            "p%d AS (SELECT c.vec_id, c.v, c.qd FROM cand c"
+            " JOIN m%d m ON m.vec_id = c.vec_id"
+            " ORDER BY (%d * m.md - %d * c.qd) DESC, c.vec_id LIMIT 1)"
+            % (i, i, den - num, num))
+        ctes.append(
+            "sel%d AS (SELECT * FROM sel%d"
+            " UNION ALL SELECT vec_id, v FROM p%d)" % (i, i - 1, i))
+    picks = " UNION ALL ".join(
+        "SELECT CAST(%d AS BIGINT) AS rank, vec_id, CAST(qd AS BIGINT)"
+        " AS qd FROM p%d" % (i, i) for i in range(MMR_K))
+    return "WITH " + ",\n".join(ctes) + "\n" + picks
+
+
+MMR_SQL = _mmr_sql()
 
 
 def embed_kmeans(sf_dir):
@@ -6247,6 +6485,8 @@ QUERIES = {
     "doc_quality_filter": (doc_quality_filter, DOC_QUALITY_FILTER_SQL),
     "fulltext_search": (fulltext_search, FULLTEXT_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
+    "collocation_pmi": (collocation_pmi, COLLOCATION_PMI_SQL),
+    "mmr_search": (mmr_search, MMR_SQL),
     "user_bottomk_sample": (user_bottomk_sample, USER_BOTTOMK_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_DEDUP_SQL),
     "snapshot_dedup": (snapshot_dedup, SNAPSHOT_DEDUP_SQL),
