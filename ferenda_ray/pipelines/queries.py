@@ -4477,6 +4477,108 @@ KG_LABELS_SQL = (
     % KG_TRIPLES_SQL)
 
 
+# rdfs:subClassOf edges (class, superclass) — declarative engine
+# config, the same altitude as uris.URISpace / mentions grammar
+# registries. Must be acyclic (a class hierarchy).
+TYPE_ONTOLOGY = (
+    ("bibo:Document", "bibo:BibliographicResource"),
+    ("bibo:DocumentPart", "bibo:BibliographicResource"),
+    ("bibo:BibliographicResource", "foaf:Document"),
+    ("foaf:Document", "owl:Thing"),
+)
+
+
+def _subclass_closure(edges) -> dict:
+    """Transitive closure of the class DAG: class → sorted tuple of
+    ALL superclasses. Runs where the ontology lives — it is
+    authority-sized (dozens..thousands of classes), never
+    corpus-sized."""
+    parents: dict = {}
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+    clo: dict = {}
+
+    def expand(c):
+        if c in clo:
+            return clo[c]
+        out = set()
+        for p in parents.get(c, ()):
+            out.add(p)
+            out |= expand(p)
+        clo[c] = out
+        return out
+
+    for c in list(parents):
+        expand(c)
+    return {c: tuple(sorted(v)) for c, v in clo.items()}
+
+
+def kg_type_inference(sf_dir):
+    """RDFS subClassOf entailment (rules rdfs9 + rdfs11) over the
+    flagship triples — the reference's ontology surface (ontologies /
+    commondata graphs loaded once per repo process,
+    documentrepository.py ontologies property; here the hierarchy is
+    the declarative TYPE_ONTOLOGY config). Output = the full entailed
+    type set: DISTINCT (subj, obj) over asserted rdf:type triples ∪
+    every superclass of the asserted class.
+
+    Scale shape: the closure is computed once on the tiny config and
+    broadcast inside the map fn (classes are authority-sized);
+    entailment is a ZERO-SHUFFLE map-side expansion. Dedup is
+    batch-local and that is exact here because each subject carries
+    exactly ONE asserted rdf:type row (one row per subject ⇒ all of a
+    subject's entailed rows are emitted together); a KG with multiple
+    asserted types per subject would chain
+    canonicalize.dedup_exact_triples (doc-local fast path still
+    applies — entailment never changes the subject)."""
+    clo = _subclass_closure(TYPE_ONTOLOGY)
+
+    def entail(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["pred"], "rdf:type"))
+        subs = t["subj"].to_pylist()
+        objs = t["obj"].to_pylist()
+        out_s, out_o, seen = [], [], set()
+        for s, o in zip(subs, objs):
+            for x in (o, *clo.get(o, ())):
+                if (s, x) not in seen:
+                    seen.add((s, x))
+                    out_s.append(s)
+                    out_o.append(x)
+        return pa.table({"subj": pa.array(out_s, pa.string()),
+                         "obj": pa.array(out_o, pa.string())})
+
+    return _kg(sf_dir)["triples"].map_batches(
+        entail, batch_format="pyarrow")
+
+
+def _type_inference_sql() -> str:
+    """Closure unrolled to the config DAG's depth bound (|edges| path
+    extensions always suffice) — the repo's unrolled-replay
+    discipline; recursion is unnecessary because the ontology is a
+    compile-time constant, not data."""
+    vals = ", ".join("('%s', '%s')" % e for e in TYPE_ONTOLOGY)
+    depth = len(TYPE_ONTOLOGY)
+    ctes = ["onto(c, p) AS (SELECT * FROM (VALUES %s) v(c, p))" % vals,
+            "clo0 AS (SELECT c, p FROM onto)"]
+    for i in range(1, depth):
+        ctes.append(
+            "clo%d AS (SELECT c, p FROM clo%d UNION"
+            " SELECT a.c, b.p FROM clo%d a JOIN onto b ON a.p = b.c)"
+            % (i, i - 1, i - 1))
+    return """
+WITH %s,
+t AS (%s),
+a AS (SELECT subj, obj FROM t WHERE pred = 'rdf:type')
+SELECT DISTINCT subj, obj FROM (
+  SELECT subj, obj FROM a
+  UNION ALL
+  SELECT a.subj, clo.p AS obj FROM a JOIN clo%d clo ON clo.c = a.obj)
+""" % (",\n".join(ctes), KG_TRIPLES_SQL, depth - 1)
+
+
+KG_TYPE_INFERENCE_SQL = _type_inference_sql()
+
+
 # single-copy SQL fragments shared by the mentions / xhtml / KWIC
 # oracles (repo convention: every arithmetic recipe lives exactly once)
 _LABELS_VALS = ",\n".join(
@@ -6586,6 +6688,7 @@ QUERIES = {
     "salted_source_counts": (salted_source_counts, SALTED_SQL),
     "xhtml_render": (xhtml_render, KG_XHTML_SQL),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
+    "kg_type_inference": (kg_type_inference, KG_TYPE_INFERENCE_SQL),
     "kg_incremental": (kg_incremental, KG_TRIPLES_SQL),
     "kg_labels": (kg_labels, KG_LABELS_SQL),
     "kg_sections": (kg_sections, KG_SECTIONS_SQL),
