@@ -4510,7 +4510,7 @@ def _subclass_closure(edges) -> dict:
 
     for c in list(parents):
         expand(c)
-    return {c: tuple(sorted(v)) for c, v in clo.items()}
+    return {c: tuple(sorted(v)) for c, v in clo.items() if v}
 
 
 def kg_type_inference(sf_dir):
