@@ -1747,6 +1747,71 @@ GROUP BY cohort_week, week_offset
 """
 
 
+def events_cumulative_users(sf_dir):
+    """Per-feature adoption curves: cumulative distinct users per
+    (event_type, epoch day) — for each feature and day, how many
+    distinct users have used that feature on or before that day.
+    Running count-distinct is computed by FIRST-SEEN factoring:
+    cumulative distinct ≡ cumulative sum of first-seen counts, so no
+    unbounded distinct state ever exists — per-batch
+    min-day-per-(type, user) combiner, ONE user-bucketed exchange
+    computing each (type, user)'s global first day vectorized per
+    bucket, bounded (≤ types × days) first-seen counts per bucket,
+    single-block merge with an exact per-type integer cumulative sum.
+    Day arithmetic is days-since-epoch (the events_retention
+    convention at day grain, identical in pandas and DuckDB)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def firstday_partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "user_id": df["user_id"].to_numpy(),
+                            "d": days})
+        out = out.groupby(["event_type", "user_id"],
+                          as_index=False)["d"].min()
+        out["_bucket"] = (out["user_id"] % 64).astype("int32")
+        return out
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby(["event_type", "user_id"],
+                          as_index=False)["d"].min()
+        c = (first.groupby(["event_type", "d"], as_index=False)
+             .agg(n_new=("user_id", "size")))
+        c["d"] = c["d"].astype("int64")
+        c["n_new"] = c["n_new"].astype("int64")
+        return c
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "d"], as_index=False)["n_new"]
+             .sum().sort_values(["event_type", "d"])
+             .reset_index(drop=True))
+        g["d"] = g["d"].astype("int64")
+        g["n_new"] = g["n_new"].astype("int64")
+        g["cum_users"] = (g.groupby("event_type")["n_new"].cumsum()
+                          .astype("int64"))
+        return g
+
+    partials = (ds.map_batches(firstday_partial, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(bucket_counts, batch_format="pandas"))
+    return _merge_partials(partials, merge)
+
+
+EVENTS_CUMULATIVE_SQL = """
+WITH uw AS (
+  SELECT event_type, user_id,
+         min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d
+  FROM events GROUP BY event_type, user_id),
+c AS (SELECT event_type, d, count(*) AS n_new FROM uw
+      GROUP BY event_type, d)
+SELECT event_type, d, n_new,
+       CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY d)
+            AS BIGINT) AS cum_users
+FROM c ORDER BY event_type, d
+"""
+
+
 def events_asof_click_view(sf_dir):
     """as-of join (Ray Data has no native one — composed per the
     brief): each click event picks the most recent view event of the
@@ -6629,6 +6694,8 @@ QUERIES = {
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
+    "events_cumulative_users": (events_cumulative_users,
+                                EVENTS_CUMULATIVE_SQL),
     "events_markov_transitions": (events_markov_transitions,
                                   EVENTS_MARKOV_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
