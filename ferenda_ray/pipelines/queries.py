@@ -318,17 +318,18 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
-def bm25_search(sf_dir):
-    """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi) over the
-    documents table — the scoring upgrade over ``fulltext_search``'s
-    raw term-frequency rank (fulltextindex.py:395-683 SELECT shape).
+def _bm25_scored(sf_dir):
+    """Shared BM25 scorer (the single copy of the Okapi arithmetic,
+    consumed by ``bm25_search`` and the RRF hybrid's lexical leg):
+    returns the UNSORTED zero-shuffle scored dataset
+    (doc_id, score > 0) for the fixed two-term query.
 
     Scale shape: TWO streaming passes. Pass 1 reduces the corpus to
     FOUR integers (N docs, Σdl, df per query term) via per-batch
     partials and one bounded merge row — the only exchange. Pass 2 is
     a zero-shuffle map-side scorer with the four constants closed
     over (broadcast-by-closure; at 100 TB the constants ride the task
-    spec), then a global sort+limit of the tiny qualifying set.
+    spec).
 
     Exactness discipline: k1=6/5 and b=3/4 are kept RATIONAL — the
     per-term fraction tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) is
@@ -338,7 +339,7 @@ def bm25_search(sf_dir):
     idf's pre-log argument, a per-term monotone transform kept
     integer so the oracle replays every floor division bit-exactly
     (swap in ln() where cross-term calibration matters more than
-    exact replay). OR semantics; (score desc, doc_id) top 20."""
+    exact replay). OR semantics."""
     terms = ("merge", "join")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -382,12 +383,23 @@ def bm25_search(sf_dir):
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "score": pa.array(out_score, pa.int64())})
 
-    return (ds.map_batches(score, batch_format="pyarrow")
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_search(sf_dir):
+    """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi) over the
+    documents table — the scoring upgrade over ``fulltext_search``'s
+    raw term-frequency rank (fulltextindex.py:395-683 SELECT shape).
+    Arithmetic and scale shape live in ``_bm25_scored``; this entry
+    adds the global (score desc, doc_id) top-20 of the tiny
+    qualifying set."""
+    return (_bm25_scored(sf_dir)
             .sort(["score", "doc_id"], descending=[True, False]).limit(20))
 
 
-BM25_SQL = """
-WITH toks AS (
+# the CTE chain replaying _bm25_scored bit-exactly — the single SQL
+# copy, shared by BM25_SQL and RRF_HYBRID_SQL
+_BM25_CTES = """toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
 ),
 d AS (
@@ -407,17 +419,156 @@ idf AS (
          ((2 * n - 2 * df2 + 1) * 1000000) // (2 * df2 + 1) AS idf2,
          n, s
   FROM g
-)
-SELECT d.doc_id, CAST(
-    CASE WHEN tf1 > 0 THEN (idf1 * (22 * tf1 * s))
-         // (10 * tf1 * s + 3 * s + 9 * dl * n) ELSE 0 END
-  + CASE WHEN tf2 > 0 THEN (idf2 * (22 * tf2 * s))
-         // (10 * tf2 * s + 3 * s + 9 * dl * n) ELSE 0 END
-  AS BIGINT) AS score
-FROM d, idf
-WHERE tf1 > 0 OR tf2 > 0
+),
+lexall AS (
+  SELECT d.doc_id, CAST(
+      CASE WHEN tf1 > 0 THEN (idf1 * (22 * tf1 * s))
+           // (10 * tf1 * s + 3 * s + 9 * dl * n) ELSE 0 END
+    + CASE WHEN tf2 > 0 THEN (idf2 * (22 * tf2 * s))
+           // (10 * tf2 * s + 3 * s + 9 * dl * n) ELSE 0 END
+    AS BIGINT) AS score
+  FROM d, idf
+  WHERE tf1 > 0 OR tf2 > 0
+)"""
+
+BM25_SQL = """
+WITH %s
+SELECT doc_id, score FROM lexall
 ORDER BY score DESC, doc_id ASC LIMIT 20
-"""
+""" % _BM25_CTES
+
+
+RRF_KK, RRF_POOL, RRF_TOP = 60, 50, 10
+RRF_UNIT = 10 ** 12  # fixed-point 1/(k+rank) unit — exact in int64
+# embedding quantization family (shared with kmeans / semantic dedup /
+# MMR below — defined here because RRF_HYBRID_SQL bakes the scale in
+# at module-build time)
+EMB_K, EMB_ITERS, EMB_SCALE = 8, 2, 1000
+
+
+def rrf_hybrid_search(sf_dir):
+    """Hybrid retrieval fused by Reciprocal Rank Fusion (Cormack,
+    Clarke & Büttcher, SIGIR'09): the lexical leg is the shared BM25
+    scorer (``_bm25_scored``, documents table) and the semantic leg
+    is exact-integer squared-L2 against vec_id 0's quantized
+    embedding (embeddings table, doc_id ≡ vec_id); each leg
+    contributes floor(10¹²/(60 + rank)) for its 1-based rank within
+    its top-``RRF_POOL``, absent legs contribute 0, and the fused
+    top-``RRF_TOP`` is ordered (rrf desc, doc_id asc).
+
+    Scale shape: BOTH legs are zero-shuffle map passes emitting only
+    per-batch partial top-pool rows tagged by leg (lexical keeps
+    (score desc, doc_id) candidates, semantic keeps (dist asc,
+    vec_id) candidates against the broadcast quantized query), so the
+    union holds ≤ 2·blocks·pool rows and the global rank assignment +
+    fusion runs once in a single bounded merge block — the classic
+    partial-top-k shape of ``mmr_search``/``top_cited``. RRF itself
+    is rank-only (no score calibration across legs), which is why the
+    floor-division fixed point replays bit-exactly in the SQL oracle:
+    ranks are integers, units are integers, ties break on doc_id in
+    both engines. Reference parity: fulltextindex.py:159-170 returns
+    relevance-ordered hits from ONE index; fusing a lexical and an
+    embedding index is the modern RAG/retrieval upgrade of that
+    surface, new-design per the brief."""
+    from ..stages import clustering
+
+    lex = _bm25_scored(sf_dir)
+
+    def lex_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        sc = t["score"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -sc))[:RRF_POOL]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "kind": pa.array(np.zeros(len(order), np.int64()), pa.int64()),
+            "val": pa.array(sc[order], pa.int64())})
+
+    eds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrow = (eds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+        batch_format="pyarrow").to_pandas())
+    qv = np.floor(np.asarray(list(qrow["embedding"])[0], dtype=np.float64)
+                  * EMB_SCALE).astype(np.int64)
+    qds = clustering.quantize_vectors(eds, scale=EMB_SCALE)
+
+    def sem_part(t: pa.Table) -> pa.Table:
+        m = clustering._qmatrix(t["qv"])
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        keep = ids != 0
+        m, ids = m[keep], ids[keep]
+        diff = m - qv[None, :]
+        qd = np.einsum("ij,ij->i", diff, diff)
+        order = np.lexsort((ids, qd))[:RRF_POOL]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "kind": pa.array(np.ones(len(order), np.int64()), pa.int64()),
+            "val": pa.array(qd[order], pa.int64())})
+
+    parts = (lex.map_batches(lex_part, batch_format="pyarrow")
+             .union(qds.map_batches(sem_part, batch_format="pyarrow")))
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        lexd = (df[df["kind"] == 0]
+                .sort_values(["val", "doc_id"], ascending=[False, True])
+                .head(RRF_POOL))
+        semd = (df[df["kind"] == 1]
+                .sort_values(["val", "doc_id"], ascending=[True, True])
+                .head(RRF_POOL))
+        score: dict = {}
+        lex_rank: dict = {}
+        sem_rank: dict = {}
+        for r, d in enumerate(lexd["doc_id"].tolist(), 1):
+            lex_rank[d] = r
+            score[d] = score.get(d, 0) + RRF_UNIT // (RRF_KK + r)
+        for r, d in enumerate(semd["doc_id"].tolist(), 1):
+            sem_rank[d] = r
+            score[d] = score.get(d, 0) + RRF_UNIT // (RRF_KK + r)
+        top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP]
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top],
+             "lex_rank": [lex_rank.get(d, 0) for d, _ in top],
+             "sem_rank": [sem_rank.get(d, 0) for d, _ in top],
+             "rrf": [s for _, s in top]}).astype("int64")
+
+    return _merge_partials(parts, fuse)
+
+
+RRF_HYBRID_SQL = """
+WITH %s,
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER
+           (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+  FROM lexall QUALIFY r <= %d
+),
+qe AS (SELECT list_transform(embedding,
+         x -> FLOOR(CAST(x AS DOUBLE) * %d)) AS v
+       FROM embeddings WHERE vec_id = 0),
+bv AS (SELECT vec_id, list_transform(embedding,
+         x -> FLOOR(CAST(x AS DOUBLE) * %d)) AS v
+       FROM embeddings WHERE vec_id <> 0),
+sd AS (SELECT vec_id,
+         CAST(list_inner_product(bv.v, bv.v)
+              + list_inner_product(qe.v, qe.v)
+              - 2 * list_inner_product(bv.v, qe.v) AS BIGINT) AS dist
+       FROM bv, qe),
+sem AS (
+  SELECT vec_id AS doc_id, CAST(row_number() OVER
+           (ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS r
+  FROM sd QUALIFY r <= %d
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         COALESCE(lex.r, 0) AS lex_rank,
+         COALESCE(sem.r, 0) AS sem_rank,
+         COALESCE(%d // (%d + lex.r), 0)
+           + COALESCE(%d // (%d + sem.r), 0) AS rrf
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank, CAST(rrf AS BIGINT) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT %d
+""" % (_BM25_CTES, RRF_POOL, EMB_SCALE, EMB_SCALE, RRF_POOL,
+       RRF_UNIT, RRF_KK, RRF_UNIT, RRF_KK, RRF_TOP)
 
 
 BOTTOMK = 32
@@ -2649,7 +2800,6 @@ FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
-EMB_K, EMB_ITERS, EMB_SCALE = 8, 2, 1000
 SEMDEDUP_OFFSET = 10_000_000
 SEMDEDUP_THR = (9025, 10000)  # τ=0.95 → τ² as an exact integer ratio
 
@@ -6652,6 +6802,7 @@ QUERIES = {
     "doc_quality_filter": (doc_quality_filter, DOC_QUALITY_FILTER_SQL),
     "fulltext_search": (fulltext_search, FULLTEXT_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
+    "rrf_hybrid_search": (rrf_hybrid_search, RRF_HYBRID_SQL),
     "collocation_pmi": (collocation_pmi, COLLOCATION_PMI_SQL),
     "mmr_search": (mmr_search, MMR_SQL),
     "user_bottomk_sample": (user_bottomk_sample, USER_BOTTOMK_SQL),
