@@ -4794,6 +4794,88 @@ SELECT DISTINCT subj, obj FROM (
 KG_TYPE_INFERENCE_SQL = _type_inference_sql()
 
 
+# declarative rdfs:domain / rdfs:range ontology for the predicates the
+# flagship KG emits (pred, domain class or '', range class or '') —
+# the property-axiom half of the reference's ontologies surface
+# (documentrepository.py ontologies property; TYPE_ONTOLOGY above is
+# the class-axiom half). Literal-valued predicates declare no range.
+PRED_ONTOLOGY = (
+    ("dcterms:isPartOf", "bibo:DocumentPart", "bibo:Document"),
+    ("dcterms:references", "bibo:DocumentPart", "foaf:Document"),
+    ("dcterms:subject", "bibo:DocumentPart", "skos:Concept"),
+    ("prov:wasGeneratedBy", "prov:Entity", "prov:Activity"),
+)
+
+
+def kg_domain_range_inference(sf_dir):
+    """RDFS domain/range entailment (rules rdfs2 + rdfs3) over the
+    flagship triples: (s p o) ∧ (p rdfs:domain C) ⊢ (s rdf:type C);
+    (s p o) ∧ (p rdfs:range C) ⊢ (o rdf:type C) — the property-axiom
+    complement of ``kg_type_inference``'s subClassOf closure. Output =
+    DISTINCT (subj, obj) inferred type assertions (asserted rdf:type
+    rows are NOT echoed — this is the delta a materialized-inference
+    store would add).
+
+    Scale shape: the axiom table is authority-sized and rides the
+    task spec (broadcast-by-closure); entailment is a zero-shuffle
+    map-side emission with batch-local dedup. Unlike subClassOf
+    inference, the SAME entailed row here can be produced from
+    DIFFERENT batches (a section subject gains bibo:DocumentPart from
+    dcterms:isPartOf in the meta-triples branch and again from
+    dcterms:references in the mentions branch), so a global distinct
+    is required: ONE subject-hash-bucketed exchange with a vectorized
+    drop_duplicates per bucket — the dedup_exact_triples shape
+    (canonicalize.py:372) on a two-column projection."""
+    dom = {p: d for p, d, _ in PRED_ONTOLOGY if d}
+    rng = {p: r for p, _, r in PRED_ONTOLOGY if r}
+    buckets = _exchange_buckets(sf_dir)
+
+    def entail(df: pd.DataFrame) -> pd.DataFrame:
+        preds = df["pred"].to_numpy()
+        subs = df["subj"].to_numpy()
+        objs = df["obj"].to_numpy()
+        out_s: list = []
+        out_o: list = []
+        for p, s, o in zip(preds, subs, objs):
+            d = dom.get(p)
+            if d is not None:
+                out_s.append(s)
+                out_o.append(d)
+            r = rng.get(p)
+            if r is not None:
+                out_s.append(o)
+                out_o.append(r)
+        out = pd.DataFrame({"subj": out_s, "obj": out_o}).drop_duplicates()
+        h = pd.util.hash_pandas_object(out["subj"], index=False).values
+        return out.assign(_bucket=(h % np.uint64(buckets)).astype("int32"))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return (g[["subj", "obj"]].drop_duplicates()
+                .reset_index(drop=True))
+
+    return (_kg(sf_dir)["triples"]
+            .map_batches(entail, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(distinct, batch_format="pandas"))
+
+
+def _domain_range_sql() -> str:
+    vals = ", ".join("('%s', '%s', '%s')" % e for e in PRED_ONTOLOGY)
+    return """
+WITH onto(pr, dom, rng) AS (SELECT * FROM (VALUES %s) v(pr, dom, rng)),
+t AS (%s)
+SELECT DISTINCT subj, obj FROM (
+  SELECT t.subj, o.dom AS obj FROM t JOIN onto o
+    ON o.pr = t.pred AND o.dom <> ''
+  UNION ALL
+  SELECT t.obj AS subj, o.rng AS obj FROM t JOIN onto o
+    ON o.pr = t.pred AND o.rng <> '')
+""" % (vals, KG_TRIPLES_SQL)
+
+
+KG_DOMAIN_RANGE_SQL = _domain_range_sql()
+
+
 # single-copy SQL fragments shared by the mentions / xhtml / KWIC
 # oracles (repo convention: every arithmetic recipe lives exactly once)
 _LABELS_VALS = ",\n".join(
@@ -6907,6 +6989,8 @@ QUERIES = {
     "xhtml_render": (xhtml_render, KG_XHTML_SQL),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
     "kg_type_inference": (kg_type_inference, KG_TYPE_INFERENCE_SQL),
+    "kg_domain_range_inference": (kg_domain_range_inference,
+                                  KG_DOMAIN_RANGE_SQL),
     "kg_incremental": (kg_incremental, KG_TRIPLES_SQL),
     "kg_labels": (kg_labels, KG_LABELS_SQL),
     "kg_sections": (kg_sections, KG_SECTIONS_SQL),
