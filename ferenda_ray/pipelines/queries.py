@@ -1963,6 +1963,68 @@ FROM c ORDER BY event_type, d
 """
 
 
+def events_trending_window(sf_dir):
+    """Sliding-window trend detection: for each event_type, the
+    3-day sliding window (RANGE semantics — gap days count as zero,
+    the window is [d−2, d] in day VALUES, not in rows) with the
+    highest event count; ties take the earliest window end. The
+    burst-detection complement of ``events_windows``' tumbling
+    aggregate — the shape a feed/monitoring surface runs over an
+    append-only stream.
+
+    Scale shape: per-batch partial (event_type, day) counts bound the
+    partials at types × days rows regardless of input size, and the
+    sliding window + argmax runs vectorized once in the single merge
+    block (prefix sums + searchsorted per type — no per-day Python
+    loop); no exchange ever carries raw events. Day arithmetic is
+    days-since-epoch, identical in pandas and DuckDB."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "d": days})
+        return out.groupby(["event_type", "d"], as_index=False).agg(
+            n=("d", "size"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["event_type", "d"], as_index=False)["n"].sum()
+             .sort_values(["event_type", "d"]).reset_index(drop=True))
+        rows = []
+        for et, g in c.groupby("event_type", sort=True):
+            days = g["d"].to_numpy()
+            cum = np.concatenate(([0], np.cumsum(g["n"].to_numpy())))
+            lo = np.searchsorted(days, days - 2, side="left")
+            w = cum[1:] - cum[lo]
+            best = np.lexsort((days, -w))[0]
+            rows.append((et, int(days[best]), int(w[best])))
+        return pd.DataFrame(rows, columns=["event_type", "d", "w_count"]) \
+            .astype({"d": "int64", "w_count": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pandas"), merge)
+
+
+EVENTS_TRENDING_SQL = """
+WITH c AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events GROUP BY event_type, d),
+w AS (
+  SELECT event_type, CAST(d AS BIGINT) AS d,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS w_count
+  FROM c)
+SELECT event_type, d, w_count FROM w
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY w_count DESC, d ASC) = 1
+ORDER BY event_type
+"""
+
+
 def events_asof_click_view(sf_dir):
     """as-of join (Ray Data has no native one — composed per the
     brief): each click event picks the most recent view event of the
@@ -6929,6 +6991,8 @@ QUERIES = {
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "events_cumulative_users": (events_cumulative_users,
                                 EVENTS_CUMULATIVE_SQL),
+    "events_trending_window": (events_trending_window,
+                               EVENTS_TRENDING_SQL),
     "events_markov_transitions": (events_markov_transitions,
                                   EVENTS_MARKOV_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
