@@ -6295,6 +6295,55 @@ def _pagerank_sql(iterations: int, scale: int,
 
 KG_PAGERANK_SQL = _pagerank_sql(PR_ITERS, PR_SCALE)
 
+
+def _trust_seed(node: str) -> bool:
+    """The deterministic 1/16 'trusted core' shared with
+    kg_bfs_depth: nodes whose md5 hex starts with '0'. A pure
+    function of the node string — seed membership never needs a
+    broadcast table."""
+    import hashlib
+
+    return hashlib.md5(node.encode()).hexdigest()[0] == "0"
+
+
+def kg_trustrank(sf_dir):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) over
+    the citation graph: personalized PageRank whose teleport set is
+    the deterministic trusted core (md5-prefix seeds, the same set
+    kg_bfs_depth measures hop distance from) — trust mass flows only
+    out of seeds, so spam/orphan regions score 0 while kg_pagerank
+    gives every node base mass. Same integer floor-division
+    recurrence, exchanges and adaptive width as graph.pagerank
+    (seed_fn branch); the SQL oracle unrolls it with the seed CASE
+    on both r0 and the per-round base term."""
+    from ..stages import graph
+
+    return graph.pagerank(_kg_edges(sf_dir), iterations=PR_ITERS,
+                          scale=PR_SCALE, seed_fn=_trust_seed)
+
+
+def _trustrank_sql(iterations: int, scale: int,
+                   dn: int = 85, dd: int = 100) -> str:
+    base = (scale * (dd - dn)) // dd
+    seed = "substr(md5(%s), 1, 1) = '0'"
+    ctes = ["r0 AS (SELECT node, CAST(CASE WHEN %s THEN %d ELSE 0 END"
+            " AS BIGINT) AS r FROM nodes)" % (seed % "node", scale)]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            "r%d AS (SELECT n.node, CAST("
+            "CASE WHEN %s THEN %d ELSE 0 END + coalesce("
+            "sum((%d * p.r) // (%d * o.d)), 0) AS BIGINT) AS r "
+            "FROM nodes n "
+            "LEFT JOIN edges e ON e.dst = n.node "
+            "LEFT JOIN outdeg o ON o.src = e.src "
+            "LEFT JOIN r%d p ON p.node = e.src "
+            "GROUP BY n.node)" % (k, seed % "n.node", base, dn, dd, k - 1))
+    return "%s,\n%s\nSELECT node, r AS pr FROM r%d" % (
+        _GRAPH_PRELUDE_SQL, ",\n".join(ctes), iterations)
+
+
+KG_TRUSTRANK_SQL = _trustrank_sql(PR_ITERS, PR_SCALE)
+
 HITS_ITERS = 2
 
 
@@ -7017,6 +7066,7 @@ QUERIES = {
     "kg_section_counts": (kg_section_counts, KG_SECTION_COUNTS_SQL),
     "kg_top_cited": (kg_top_cited, KG_TOP_CITED_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
+    "kg_trustrank": (kg_trustrank, KG_TRUSTRANK_SQL),
     "doc_lm_score": (doc_lm_score, DOC_LM_SQL),
     "doc_dsir_score": (doc_dsir_score, DOC_DSIR_SQL),
     "doc_quality_classifier": (doc_quality_classifier,

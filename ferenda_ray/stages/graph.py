@@ -337,7 +337,8 @@ def _graph_index(g: pd.DataFrame, src: str, dst: str):
     return nodes, si, di
 
 
-def _solo_pagerank(g, iterations, scale, dn, dd, src, dst):
+def _solo_pagerank(g, iterations, scale, dn, dd, src, dst,
+                   seed_fn=None):
     """The identical integer recurrence, vectorized over one block."""
     base = (scale * (dd - dn)) // dd
     nodes, si, di = _graph_index(g, src, dst)
@@ -345,10 +346,15 @@ def _solo_pagerank(g, iterations, scale, dn, dd, src, dst):
         return pd.DataFrame({"node": pd.Series([], dtype="object"),
                              "pr": pd.Series([], dtype="int64")})
     deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
-    r = np.full(len(nodes), scale, np.int64)
+    if seed_fn is None:
+        mask = np.ones(len(nodes), bool)
+    else:
+        mask = np.fromiter((bool(seed_fn(n)) for n in nodes),
+                           bool, len(nodes))
+    r = np.where(mask, np.int64(scale), np.int64(0))
     for _ in range(iterations):
         contrib = (dn * r[si]) // (dd * deg[si])
-        nxt = np.full(len(nodes), base, np.int64)
+        nxt = np.where(mask, np.int64(base), np.int64(0))
         np.add.at(nxt, di, contrib)
         r = nxt
     return pd.DataFrame({"node": nodes, "pr": r})
@@ -357,7 +363,8 @@ def _solo_pagerank(g, iterations, scale, dn, dd, src, dst):
 def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
              damping_num: int = 85, damping_den: int = 100,
              num_buckets: int = 64, src: str = "src", dst: str = "dst",
-             small_graph_edges: int = SMALL_GRAPH_EDGES):
+             small_graph_edges: int = SMALL_GRAPH_EDGES,
+             seed_fn=None):
     """Unnormalized integer PageRank (graphanalyze.py:32 semantics,
     distributed). Recurrence, replicated verbatim by the SQL oracle:
 
@@ -378,14 +385,27 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
     exchanges over a graph that fits a block is pure fixed cost. Pass
     ``small_graph_edges=0`` to force the distributed path (the tests
     exercising it do).
+
+    PERSONALIZATION: ``seed_fn`` (node → bool, a pure function of the
+    node string so membership needs no broadcast table) restricts the
+    teleport set — r0 and the per-round base term apply only to seed
+    nodes, zero elsewhere. That is personalized PageRank / TrustRank
+    (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) with the same
+    unnormalized-integer discipline; ``seed_fn=None`` keeps the
+    uniform recurrence above.
     """
     base = (scale * (damping_den - damping_num)) // damping_den
+
+    def _seed_mask(node_series: pd.Series) -> np.ndarray:
+        return node_series.map(lambda n: bool(seed_fn(n))) \
+            .to_numpy(dtype=bool)
 
     raw = edges_ds.materialize()
     if raw.count() <= small_graph_edges:
         def solo(g: pd.DataFrame) -> pd.DataFrame:
             return _solo_pagerank(g, iterations, scale, damping_num,
-                                  damping_den, src, dst)
+                                  damping_den, src, dst,
+                                  seed_fn=seed_fn)
         return raw.repartition(1).map_batches(
             solo, batch_format="pandas", batch_size=None)
 
@@ -401,7 +421,11 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
 
     def init(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["node"]].copy()
-        df["r"] = np.int64(scale)
+        if seed_fn is None:
+            df["r"] = np.int64(scale)
+        else:
+            df["r"] = np.where(_seed_mask(df["node"]),
+                               np.int64(scale), np.int64(0))
         return df
 
     def zero(df: pd.DataFrame) -> pd.DataFrame:
@@ -423,8 +447,13 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
 
     def total(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("node", as_index=False)["c"].sum()
+        if seed_fn is None:
+            b = base
+        else:
+            b = np.where(_seed_mask(out["node"]),
+                         np.int64(base), np.int64(0))
         return pd.DataFrame({"node": out["node"],
-                             "r": (base + out["c"]).astype("int64")})
+                             "r": (b + out["c"]).astype("int64")})
 
     ranks = nodes.map_batches(init, batch_format="pandas")
     for _ in range(iterations):

@@ -71,6 +71,37 @@ def test_pagerank_matches_reference(ray_session):
                 "iteration %d small=%d" % (iters, small)
 
 
+def _ref_ppr(iterations, seeds, scale=10 ** 12, dn=85, dd=100):
+    base = (scale * (dd - dn)) // dd
+    out = {}
+    for s, _ in CLEAN:
+        out[s] = out.get(s, 0) + 1
+    r = {n: (scale if n in seeds else 0) for n in NODES}
+    for _ in range(iterations):
+        nxt = {n: (base if n in seeds else 0) for n in NODES}
+        for s, d in CLEAN:
+            nxt[d] += (dn * r[s]) // (dd * out[s])
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_reference(ray_session):
+    # teleport restricted to {a, d}: trust mass reaches b/c through
+    # edges only; node e (no in-edges, not a seed) must score 0
+    seeds = {"a", "d"}
+    for small in (10 ** 6, 0):
+        for iters in (1, 2, 3):
+            got = graph.pagerank(_edges_ds(), iterations=iters,
+                                 num_buckets=4,
+                                 small_graph_edges=small,
+                                 seed_fn=lambda n: n in seeds
+                                 ).to_pandas()
+            got = dict(zip(got["node"], got["pr"]))
+            assert got == _ref_ppr(iters, seeds), \
+                "iteration %d small=%d" % (iters, small)
+            assert got["e"] == 0
+
+
 def test_pagerank_cycle_converges_ordering(ray_session):
     # c has the most in-edges (b, d, e, a→c) → highest rank
     got = graph.pagerank(_edges_ds(), iterations=3,
