@@ -2769,6 +2769,124 @@ GROUP BY o_orderpriority
 """
 
 
+Q3_CUT = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_shipping(sf_dir):
+    """TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈
+    lineitem, unshipped-revenue top 10 — THREE-way join with an
+    unbounded group key (per-order), the step up from
+    ``priority_lineitems``' bounded-key Q12 shape.
+
+    Scale shape: the dimension leg (BUILDING customers) broadcasts as
+    a key set via ray.put (at 10⁹ customers swap in joins.bloom_keys
+    / bucket_join — same contract as skeleton_entities); the
+    large×large leg is ONE orderkey-hash-bucketed exchange carrying
+    BOTH sides tagged (filtered lineitem rows enter as per-batch
+    partial cents sums, filtered orders as (key, date, priority)
+    rows), so each bucket holds every surviving row of its orderkeys
+    and can finalize revenue, join, and take its LOCAL top 10 —
+    valid because an order's complete revenue lives in exactly one
+    bucket. Partial top-10s coalesce into the single bounded merge
+    block. Per-row integer cents before the exchange (the q1_pricing
+    rounding discipline) keep sums order-independent and the oracle
+    bit-exact."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT,
+                        "c_custkey"].tolist())
+    ref = ray.put(keys)
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    cut = pd.Timestamp(Q3_CUT)
+    COLS = ["okey", "cents", "o_orderdate", "o_orderpriority",
+            "_bucket", "_side"]
+
+    def _bucketed(p: pd.DataFrame, side: int) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        p["_side"] = np.int8(side)
+        return p[COLS]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "cents": cents.to_numpy()})
+        p = df.groupby("okey", as_index=False)["cents"].sum()
+        p["cents"] = p["cents"].astype("int64")
+        p["o_orderdate"] = pd.NaT
+        p["o_orderpriority"] = None
+        return _bucketed(p, 0)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        keys_ = ray.get(ref)
+        df = t.to_pandas()
+        m = ((df["o_orderdate"].to_numpy() < np.datetime64(cut))
+             & df["o_custkey"].isin(keys_).to_numpy())
+        df = df[m]
+        p = pd.DataFrame({
+            "okey": df["o_orderkey"].to_numpy(),
+            "cents": np.zeros(int(m.sum()), np.int64),
+            "o_orderdate": df["o_orderdate"].to_numpy(),
+            "o_orderpriority": df["o_orderpriority"].to_numpy()})
+        return _bucketed(p, 1)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0]
+        od_ = g[g["_side"] == 1]
+        rev = li_.groupby("okey", as_index=False)["cents"].sum()
+        j = (od_[["okey", "o_orderdate", "o_orderpriority"]]
+             .merge(rev, on="okey", how="inner")
+             .sort_values(["cents", "o_orderdate", "okey"],
+                          ascending=[False, True, True]).head(10))
+        return pd.DataFrame({
+            "o_orderkey": j["okey"].to_numpy().astype("int64"),
+            "o_orderdate": j["o_orderdate"].to_numpy(),
+            "o_orderpriority": j["o_orderpriority"].to_numpy(),
+            "revenue_cents": j["cents"].to_numpy().astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_orderpriority"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_topk, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        j = df.sort_values(["revenue_cents", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True]).head(10)
+        return j.reset_index(drop=True)
+
+    return _merge_partials(per_bucket, final)
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '%s'
+  AND o_orderdate < TIMESTAMP '%s'
+  AND l_shipdate > TIMESTAMP '%s'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+""" % (Q3_SEGMENT, Q3_CUT, Q3_CUT)
+
+
 def revenue_by_nation(sf_dir):
     """hash join via broadcast small sides: orders ⋈ customer ⋈ nation
     (customer+nation are dimension tables → ray.put lookup dicts)."""
@@ -7048,6 +7166,7 @@ QUERIES = {
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
     "priority_lineitems": (priority_lineitems, PRIORITY_LINEITEMS_SQL),
+    "q3_shipping": (q3_shipping, Q3_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
