@@ -2769,6 +2769,70 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_cube(sf_dir):
+    """Full CUBE over (o_orderstatus, o_orderpriority) — grouping
+    sets / OLAP rollup lattice in one pass: all four levels
+    ((s,p), (s,·), (·,p), (·,·)) with 'ALL' as the rolled-up marker.
+
+    Scale shape: per-batch partials aggregate ONLY the finest cell
+    (status × priority — the bounded lattice bottom); every coarser
+    level is derived from the finest inside the single bounded merge
+    block, so the cube costs exactly what the finest groupby costs —
+    no per-level passes, no exchange beyond the partial coalesce.
+    Integer cents keep sums engine-exact."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority",
+                        "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        df = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].to_pandas(),
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "cents": cents.to_pandas()})
+        return df.groupby(["o_orderstatus", "o_orderpriority"],
+                          as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {"n_orders": ("n_orders", "sum"),
+               "revenue_cents": ("revenue_cents", "sum")}
+        fin = df.groupby(["o_orderstatus", "o_orderpriority"],
+                         as_index=False).agg(**agg)
+        by_s = fin.groupby("o_orderstatus", as_index=False).agg(**agg)
+        by_s["o_orderpriority"] = "ALL"
+        by_p = fin.groupby("o_orderpriority", as_index=False).agg(**agg)
+        by_p["o_orderstatus"] = "ALL"
+        tot = pd.DataFrame({"o_orderstatus": ["ALL"],
+                            "o_orderpriority": ["ALL"],
+                            "n_orders": [fin["n_orders"].sum()],
+                            "revenue_cents": [fin["revenue_cents"].sum()]})
+        cols = ["o_orderstatus", "o_orderpriority", "n_orders",
+                "revenue_cents"]
+        out = pd.concat([fin[cols], by_s[cols], by_p[cols], tot[cols]],
+                        ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 Q3_CUT = "1998-06-01"
 Q3_SEGMENT = "BUILDING"
 
@@ -7167,6 +7231,7 @@ QUERIES = {
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
     "priority_lineitems": (priority_lineitems, PRIORITY_LINEITEMS_SQL),
     "q3_shipping": (q3_shipping, Q3_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
