@@ -6343,6 +6343,75 @@ def _bfs_sql(max_depth: int) -> str:
 KG_BFS_SQL = _bfs_sql(BFS_DEPTH)
 
 
+LP_ITERS = 2
+
+
+def kg_label_propagation(sf_dir):
+    """Semi-supervised node classification by label propagation
+    (graph.label_propagation) over the symmetrized citation graph:
+    the deterministic trusted core (md5-prefix '0', the
+    kg_bfs_depth/kg_trustrank seed set) carries clamped ground-truth
+    labels hex(md5[1]) % 3, and two synchronous majority rounds
+    spread them to the unlabeled region (count desc, label asc tie
+    break; unlabeled when no labeled in-neighbor). The SQL oracle
+    unrolls each round as count → row_number argmax → clamp-union
+    CTEs."""
+    import hashlib
+
+    from ..stages import graph
+
+    e = _kg_edges(sf_dir)
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    sym = e.union(e.map_batches(rev, batch_format="pyarrow"))
+
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
+        nodes = set(t["src"].to_pylist()) | set(t["dst"].to_pylist())
+        sel = sorted(n for n in nodes
+                     if hashlib.md5(n.encode()).hexdigest()[0] == "0")
+        labs = [int(hashlib.md5(n.encode()).hexdigest()[1], 16) % 3
+                for n in sel]
+        return pd.DataFrame({"node": pd.Series(sel, dtype="object"),
+                             "label": pd.Series(labs, dtype="int64")})
+
+    seeds = sym.map_batches(seed_rows, batch_format="pyarrow")
+    return graph.label_propagation(sym, seeds, iterations=LP_ITERS)
+
+
+def _labelprop_sql(iterations: int) -> str:
+    ctes = [
+        "edges0 AS (%s)" % _CITE_EDGES_SQL,
+        "edges AS (SELECT src, dst FROM edges0"
+        " UNION SELECT dst, src FROM edges0)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "l0 AS (SELECT node, CAST('0x' || substr(md5(node), 2, 1)"
+        " AS BIGINT) % 3 AS label FROM nodes"
+        " WHERE substr(md5(node), 1, 1) = '0')",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            "c%d AS (SELECT e.dst AS node, p.label, count(*) AS c"
+            " FROM edges e JOIN l%d p ON p.node = e.src"
+            " GROUP BY e.dst, p.label)" % (k, k - 1))
+        ctes.append(
+            "p%d AS (SELECT node, label FROM"
+            " (SELECT node, label, row_number() OVER (PARTITION BY node"
+            " ORDER BY c DESC, label ASC) AS rn FROM c%d) WHERE rn = 1)"
+            % (k, k))
+        ctes.append(
+            "l%d AS (SELECT node, label FROM l0 UNION ALL"
+            " SELECT node, label FROM p%d"
+            " WHERE node NOT IN (SELECT node FROM l0))" % (k, k))
+    return "WITH %s\nSELECT node, CAST(label AS BIGINT) AS label FROM l%d" \
+        % (",\n".join(ctes), iterations)
+
+
+KG_LABELPROP_SQL = _labelprop_sql(LP_ITERS)
+
+
 KCORE_K, KCORE_ROUNDS = 2, 4
 
 
@@ -7265,6 +7334,7 @@ QUERIES = {
     "kg_cocite_triangles": (kg_cocite_triangles, KG_TRIANGLES_SQL),
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_bfs_depth": (kg_bfs_depth, KG_BFS_SQL),
+    "kg_label_propagation": (kg_label_propagation, KG_LABELPROP_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_mirror_candidates": (kg_mirror_candidates, KG_MIRROR_SQL),
     "kg_cocite_communities": (kg_cocite_communities, KG_COCITE_CC_SQL),

@@ -483,6 +483,130 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
     return ranks.map_batches(final, batch_format="pandas")
 
 
+def _solo_labelprop(g, seed_pairs, iterations, src, dst):
+    """The identical synchronous majority-update, vectorized over one
+    block. ``seed_pairs`` is the bounded (node, label) seed list."""
+    seed_map = dict(seed_pairs)
+    nodes, si, di = _graph_index(g, src, dst)
+    labels_sorted = sorted(set(seed_map.values()))
+    lab_idx = {v: i for i, v in enumerate(labels_sorted)}
+    L = len(labels_sorted)
+    idx = {n: i for i, n in enumerate(nodes)}
+    clamp = np.full(len(nodes), -1, np.int64)
+    for n, v in seed_map.items():
+        if n in idx:
+            clamp[idx[n]] = lab_idx[v]
+    cur = clamp.copy()
+    for _ in range(iterations):
+        lm = cur[si] >= 0
+        counts = np.zeros((len(nodes), L), np.int64)
+        np.add.at(counts, (di[lm], cur[si][lm]), 1)
+        has = counts.sum(axis=1) > 0
+        # argmax picks the FIRST max → smallest label index on ties
+        nxt = np.where(has, np.argmax(counts, axis=1), -1)
+        cur = np.where(clamp >= 0, clamp, nxt).astype(np.int64)
+    mask = cur >= 0
+    out_n = list(nodes[mask])
+    out_l = [labels_sorted[i] for i in cur[mask]]
+    # graph-absent seeds are still labeled (the bfs_depth convention)
+    for n, v in sorted(seed_map.items()):
+        if n not in idx:
+            out_n.append(n)
+            out_l.append(v)
+    return pd.DataFrame({"node": pd.Series(out_n, dtype="object"),
+                         "label": pd.Series(out_l, dtype="int64")})
+
+
+def label_propagation(edges_ds, seeds_ds, iterations: int = 2,
+                      num_buckets: int = 64, src: str = "src",
+                      dst: str = "dst",
+                      small_graph_edges: int | None = None):
+    """Semi-supervised label propagation (Zhu & Ghahramani CMU-TR'02
+    hard-clamp variant / Raghavan et al. PRE'07 LPA, synchronous):
+    ``seeds_ds`` carries (node, label int64) ground-truth rows that
+    stay CLAMPED; each round every non-seed node takes the majority
+    label among its in-neighbors labeled in the PREVIOUS round
+    (tie-break: count desc, label asc), and nodes with no labeled
+    in-neighbor are unlabeled that round (pure memoryless update —
+    the recurrence the SQL oracle unrolls). Symmetrize the edge list
+    first for the undirected convention. Returns Dataset(node, label)
+    for labeled nodes only; graph-absent seeds are emitted with their
+    seed label (the bfs_depth convention).
+
+    Scale shape per round: ONE bucketed labels⋈edges join on src and
+    ONE dst-bucketed majority vote (count per (node, label) then the
+    deterministic argmax inside the bucket — exact because a node's
+    votes all hash to its bucket); seed clamping is a
+    membership_join anti pass (broadcast set below threshold, Bloom +
+    exact recheck above) + union, materialized per round (the
+    pagerank loop discipline: O(1) lineage, ≤ 2 chained exchanges).
+    Small graphs take the width-1 single-task path
+    (``small_graph_edges=0`` forces distributed)."""
+    from .joins import bucket_join, membership_join
+
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
+
+    raw = edges_ds.materialize()
+    if raw.count() <= small_graph_edges:
+        seed_pairs = sorted(
+            (r["node"], int(r["label"]))
+            for r in seeds_ds.select_columns(["node", "label"])
+            .take_all())
+
+        def solo(g: pd.DataFrame) -> pd.DataFrame:
+            return _solo_labelprop(g, seed_pairs, iterations, src, dst)
+
+        return raw.repartition(1).map_batches(
+            solo, batch_format="pandas", batch_size=None)
+
+    e = distinct_edges(raw, src, dst, num_buckets).materialize()
+    num_buckets = _adapt_buckets(e, num_buckets)
+
+    def _uniq_seed(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["node"])[["node", "label"]]
+        out = out.reset_index(drop=True)
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    # seed rows may repeat per producing batch (the kg seed scan
+    # emits per edge block) — dedup once by node hash
+    seeds = (seeds_ds.map_batches(_bucketize("node", num_buckets),
+                                  batch_format="pandas")
+             .groupby("_bucket")
+             .map_groups(_uniq_seed, batch_format="pandas")
+             ).materialize()
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["node", "label"], as_index=False)
+             .agg(c=("label", "size"))
+             .sort_values(["node", "c", "label"],
+                          ascending=[True, False, True],
+                          kind="mergesort"))
+        out = c.drop_duplicates(["node"])[["node", "label"]]
+        out = out.reset_index(drop=True)
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    labels = seeds
+    for _ in range(iterations):
+        hop = bucket_join(e, labels, left_on=src, right_on="node",
+                          num_buckets=num_buckets)
+        votes = hop.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df[dst].to_numpy(),
+                 "label": df["label"].to_numpy()}),
+            batch_format="pandas")
+        prop = (votes.map_batches(_bucketize("node", num_buckets),
+                                  batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(vote, batch_format="pandas"))
+        nonseed = membership_join(prop, "node", seeds, "node",
+                                  mode="anti", num_buckets=num_buckets)
+        labels = seeds.union(nonseed).materialize()
+    return labels
+
+
 def _solo_hits(g, iterations, src, dst):
     """The identical HITS recurrence, vectorized over one block."""
     nodes, si, di = _graph_index(g, src, dst)

@@ -102,6 +102,38 @@ def test_personalized_pagerank_matches_reference(ray_session):
             assert got["e"] == 0
 
 
+def _ref_labelprop(iterations, seed_map):
+    cur = dict(seed_map)
+    for _ in range(iterations):
+        votes = {}
+        for s, d in CLEAN:
+            if s in cur:
+                votes.setdefault(d, {})
+                votes[d][cur[s]] = votes[d].get(cur[s], 0) + 1
+        nxt = {}
+        for n, vs in votes.items():
+            nxt[n] = sorted(vs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        nxt.update(seed_map)  # clamp
+        cur = nxt
+    return cur
+
+
+def test_label_propagation_matches_reference(ray_session):
+    seed_map = {"a": 1, "d": 0, "zzz-absent": 2}
+    seeds = ray.data.from_pandas(pd.DataFrame(
+        {"node": list(seed_map), "label": list(seed_map.values())}))
+    for small in (10 ** 6, 0):
+        for iters in (1, 2, 3):
+            got = graph.label_propagation(
+                _edges_ds(), seeds, iterations=iters, num_buckets=4,
+                small_graph_edges=small).to_pandas()
+            got = dict(zip(got["node"], got["label"]))
+            ref = _ref_labelprop(iters, seed_map)
+            # the graph-absent seed is emitted with its seed label
+            assert got == ref, "iteration %d small=%d" % (iters, small)
+            assert got["zzz-absent"] == 2
+
+
 def test_pagerank_cycle_converges_ordering(ray_session):
     # c has the most in-edges (b, d, e, a→c) → highest rank
     got = graph.pagerank(_edges_ds(), iterations=3,
