@@ -121,7 +121,11 @@ def run_bench() -> dict:
              ("kg_mention_contexts", Q.kg_mention_contexts),
              ("bm25_search", Q.bm25_search),
              ("collocation_pmi", Q.collocation_pmi),
-             ("mmr_search", Q.mmr_search)]
+             ("mmr_search", Q.mmr_search),
+             ("rrf_hybrid_search", Q.rrf_hybrid_search),
+             ("q3_shipping", Q.q3_shipping),
+             ("kg_trustrank", Q.kg_trustrank),
+             ("kg_label_propagation", Q.kg_label_propagation)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

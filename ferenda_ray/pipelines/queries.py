@@ -1533,6 +1533,58 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def er_customer_clusters(sf_dir):
+    """End-to-end entity resolution (the Fellegi-Sunter pipeline
+    shape: blocking → pairwise match → clustering → canonical id)
+    over customer names, composing three already-oracled stages into
+    one lazy DAG: FastSS deletion-1 blocking with O(len) verify
+    (EXACT edit-distance-1 match, ``dedup.edit1_join_pairs``) →
+    hash-to-min distributed CC over the match graph
+    (``canonicalize.connected_components_distributed``) → canonical
+    id = min custkey per cluster. Output (c_custkey, canon_key) for
+    every clustered (non-singleton) customer. Keys ride the CC
+    machinery zero-padded to fixed width so lexicographic min ==
+    numeric min; the oracle recomputes TRUE reachability closure
+    over the brute-force levenshtein pair graph with a recursive
+    CTE (the kg_cocite_communities discipline — no planted
+    construction)."""
+    from ..stages.canonicalize import connected_components_distributed
+    from ..stages.dedup import edit1_join_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    pairs = edit1_join_pairs(ds, text_col="c_name", key_col="c_custkey")
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        a = pc.utf8_lpad(pc.cast(t["key_a"], pa.string()), 12, "0")
+        b = pc.utf8_lpad(pc.cast(t["key_b"], pa.string()), 12, "0")
+        return pa.table({"uri_a": a, "uri_b": b})
+
+    labels = connected_components_distributed(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+    return labels.map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["node"].astype("int64"),
+            "canon_key": df["label"].astype("int64")}),
+        batch_format="pandas")
+
+
+ER_CLUSTERS_SQL = """
+WITH RECURSIVE pr AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+nds AS (SELECT u AS node FROM sym UNION SELECT v FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nds
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node)
+SELECT CAST(node AS BIGINT) AS c_custkey,
+       CAST(min(lab) AS BIGINT) AS canon_key
+FROM reach GROUP BY node
+"""
+
+
 def doc_tfidf_terms(sf_dir, k: int = 3):
     """Per-document top-k TF-IDF keyword extraction in two linear
     passes: (1) document frequencies — per-batch (term, n-docs-
@@ -1961,6 +2013,75 @@ SELECT event_type, d, n_new,
             AS BIGINT) AS cum_users
 FROM c ORDER BY event_type, d
 """
+
+
+DECAY_CAP = 62  # 2^-63 of an int64 milli-unit is identically 0
+
+
+def events_decayed_user_score(sf_dir):
+    """Recency-weighted per-user engagement score with exponential
+    day-grain decay: score(u) = Σ_e milli(value) >> age_days(e) —
+    weight 2^(−age) realized as an arithmetic right shift so decay is
+    EXACT integer floor arithmetic (no float exp crosses the oracle
+    boundary), ages measured back from the corpus' max event day
+    (data-derived ⇒ deterministic) and capped at 62 where an int64
+    milli-unit is already 0. The sample-reweighting shape a
+    freshness-weighted training-data mixer runs.
+
+    Scale shape: pass 1 reduces the corpus to ONE integer (max day)
+    via bounded partials; pass 2 computes each event's term map-side
+    (zero shuffle, the reference day rides the task spec) with
+    per-batch partial sums per user, then ONE user-bucketed exchange
+    finalizes — raw events never cross an exchange."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def maxday(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        return pd.DataFrame({"d": [int(days.max())]})
+
+    ref_day = int(_merge_partials(
+        ds.map_batches(maxday, batch_format="pandas"),
+        lambda g: pd.DataFrame({"d": [int(g["d"].max())]})
+    ).take(1)[0]["d"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        age = np.minimum(ref_day - days, DECAY_CAP)
+        # half-up at milli precision == SQL round() for positive values
+        vm = np.floor(df["value"].to_numpy() * 1000.0 + 0.5) \
+            .astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "s": vm >> age})
+        p = out.groupby("user_id", as_index=False)["s"].sum()
+        p["_bucket"] = (p["user_id"] % 64).astype("int32")
+        return p
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)["s"].sum()
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "decayed_milli": out["s"].astype("int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(merge, batch_format="pandas"))
+
+
+EVENTS_DECAYED_SQL = """
+WITH ref AS (
+  SELECT max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+    AS rd FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+         LEAST(rd - datediff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+               %d) AS age
+  FROM events, ref)
+SELECT user_id, CAST(sum(vm >> age) AS BIGINT) AS decayed_milli
+FROM e GROUP BY user_id
+""" % DECAY_CAP
 
 
 def events_trending_window(sf_dir):
@@ -7272,6 +7393,7 @@ QUERIES = {
     "cm_user_counts": (cm_user_counts, CM_COUNTS_SQL),
     "heavy_hitter_grams": (heavy_hitter_grams, HH_GRAMS_SQL),
     "name_edit1_pairs": (name_edit1_pairs, NAME_EDIT1_SQL),
+    "er_customer_clusters": (er_customer_clusters, ER_CLUSTERS_SQL),
     "doc_tfidf_terms": (doc_tfidf_terms, DOC_TFIDF_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
@@ -7293,6 +7415,8 @@ QUERIES = {
                                 EVENTS_CUMULATIVE_SQL),
     "events_trending_window": (events_trending_window,
                                EVENTS_TRENDING_SQL),
+    "events_decayed_user_score": (events_decayed_user_score,
+                                  EVENTS_DECAYED_SQL),
     "events_markov_transitions": (events_markov_transitions,
                                   EVENTS_MARKOV_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
