@@ -863,6 +863,62 @@ SELECT doc_id, source FROM (
 """
 
 
+WPS_K = 32
+
+
+def doc_weighted_sample(sf_dir, k: int = WPS_K):
+    """Deterministic WEIGHTED priority sample (the Efraimidis &
+    Spirakis IPL'06 one-pass shape): k docs with minimum priority =
+    (hash · 10⁶) // weight, weight = n_chars — heavier docs draw
+    proportionally smaller priorities, so inclusion probability grows
+    with weight (the exponential-race form min hᵢ/wᵢ; the
+    floor-division integer surrogate replaces u^(1/w) so both engines
+    replay the SAME sample — the md5-as-randomness convention of
+    ``sample_per_source``/``user_bottomk_sample``). The hash keeps 10
+    hex digits (2⁴⁰) so the scaled numerator stays well inside int64;
+    ties break on doc_id.
+
+    Scale shape: per-batch bounded partial bottom-k (≤ k rows leave
+    each batch regardless of size), one tiny single-block merge — the
+    KMV discipline; no exchange ever carries the corpus."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        ws = t["n_chars"].to_pylist()
+        rows = []
+        for i, w in zip(ids, ws):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:10], 16)
+            w = max(int(w), 1)
+            rows.append((i, w, (h * 1_000_000) // w))
+        df = pd.DataFrame(rows, columns=["doc_id", "n_chars", "prio"])
+        return (df.sort_values(["prio", "doc_id"]).head(k)
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64",
+                         "prio": "int64"}))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["prio", "doc_id"]).head(k)
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64",
+                         "prio": "int64"}))
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"), merge)
+
+
+DOC_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, GREATEST(n_chars, 1) AS n_chars,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+                 AS BIGINT) * 1000000 // GREATEST(n_chars, 1)
+            AS BIGINT) AS prio
+FROM documents
+ORDER BY prio ASC, doc_id ASC LIMIT %d
+""" % WPS_K
+
+
 def mixture_sample(sf_dir, weights=None):
     """Deterministic source-mixture sampling (Pile/Dolma-style data
     mixing): given integer mixture weights w_s, pick per-source quotas
@@ -1788,6 +1844,93 @@ SELECT user_id, cast(session_no AS BIGINT) AS session_no,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
 FROM s GROUP BY user_id, session_no
 """
+
+
+PATHS_TOPN = 5
+
+
+def events_session_paths(sf_dir):
+    """Clickstream path mining: the top-5 most frequent 3-step
+    event-type paths WITHIN a session (the events_sessions 30-min-gap
+    convention, same (ts, event_id) ordering) — the sequential-pattern
+    complement of the funnel's fixed pattern.
+
+    Scale shape: one user-bucketed exchange co-locates each user's
+    events; inside the bucket the session split (groupby.diff) and
+    the trigram shift are vectorized across all users at once, and
+    the bucket emits only its bounded ≤ types³ path counts; the
+    single merge block sums and takes the global top-5 (count desc,
+    path asc). The SQL oracle replays sessionization with the shared
+    lag/sum window recipe and trigrams as two rank self-joins."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    GAP = pd.Timedelta(minutes=30)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = g.groupby("user_id")["ts"].diff()
+        sid = (d.isna() | (d > GAP)).cumsum().to_numpy()
+        et = g["event_type"].to_numpy()
+        ok = (sid[:-2] == sid[1:-1]) & (sid[1:-1] == sid[2:]) \
+            if len(et) >= 3 else np.zeros(0, bool)
+        a, b, c = et[:-2][ok], et[1:-1][ok], et[2:][ok]
+        path = pd.Series([f"{x}>{y}>{z}" for x, y, z in zip(a, b, c)],
+                         dtype="object")
+        out = (pd.DataFrame({"path": path})
+               .groupby("path", as_index=False).agg(n=("path", "size")))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("path", as_index=False)["n"].sum()
+               .sort_values(["n", "path"], ascending=[False, True],
+                            kind="mergesort")
+               .head(PATHS_TOPN).reset_index(drop=True))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (ds.map_batches(add_bucket, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(paths, batch_format="pandas"))
+    return _merge_partials(partials, final)
+
+
+EVENTS_SESSION_PATHS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS sid
+  FROM o),
+r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM s),
+tri AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+           AS path
+  FROM r a
+  JOIN r b ON b.user_id = a.user_id AND b.sid = a.sid
+          AND b.rn = a.rn + 1
+  JOIN r c ON c.user_id = a.user_id AND c.sid = a.sid
+          AND c.rn = a.rn + 2)
+SELECT path, count(*) AS n FROM tri
+GROUP BY path ORDER BY n DESC, path ASC LIMIT %d
+""" % PATHS_TOPN
 
 
 def events_funnel(sf_dir):
@@ -6427,7 +6570,9 @@ def kg_bfs_depth(sf_dir):
     def rev(t: pa.Table) -> pa.Table:
         return pa.table({"src": t["dst"], "dst": t["src"]})
 
-    sym = e.union(e.map_batches(rev, batch_format="pyarrow"))
+    # materialize once: seed scan + per-hop joins share the edge list
+    sym = e.union(e.map_batches(rev, batch_format="pyarrow")) \
+        .materialize()
 
     def seed_nodes(t: pa.Table) -> pd.DataFrame:
         nodes = set(t["src"].to_pylist()) | set(t["dst"].to_pylist())
@@ -6486,7 +6631,11 @@ def kg_label_propagation(sf_dir):
     def rev(t: pa.Table) -> pa.Table:
         return pa.table({"src": t["dst"], "dst": t["src"]})
 
-    sym = e.union(e.map_batches(rev, batch_format="pyarrow"))
+    # materialize once: both the seed scan and the propagation rounds
+    # consume the edge list (without this the parse→edges lineage
+    # executes twice)
+    sym = e.union(e.map_batches(rev, batch_format="pyarrow")) \
+        .materialize()
 
     def seed_rows(t: pa.Table) -> pd.DataFrame:
         nodes = set(t["src"].to_pylist()) | set(t["dst"].to_pylist())
@@ -7394,6 +7543,7 @@ QUERIES = {
     "heavy_hitter_grams": (heavy_hitter_grams, HH_GRAMS_SQL),
     "name_edit1_pairs": (name_edit1_pairs, NAME_EDIT1_SQL),
     "er_customer_clusters": (er_customer_clusters, ER_CLUSTERS_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
     "doc_tfidf_terms": (doc_tfidf_terms, DOC_TFIDF_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
@@ -7409,6 +7559,8 @@ QUERIES = {
     "lineitem_corr_components": (lineitem_corr_components,
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_session_paths": (events_session_paths,
+                             EVENTS_SESSION_PATHS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention": (events_retention, EVENTS_RETENTION_SQL),
     "events_cumulative_users": (events_cumulative_users,
