@@ -3033,6 +3033,131 @@ GROUP BY o_orderpriority
 """
 
 
+Q5_REGION, Q5_LO, Q5_HI = "ASIA", "1997-01-01", "1998-01-01"
+
+
+def q5_local_suppliers(sf_dir):
+    """TPC-H Q5 shape (local supplier volume): customer ⋈ orders ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ region — the deepest star join,
+    revenue per nation where the supplier is in the CUSTOMER's
+    nation, region-filtered. Exercises every dimension table.
+
+    Scale shape: region→nation→(customer, supplier) are the star's
+    dimension arms — region/nation/supplier broadcast as dicts;
+    customer broadcasts its custkey→nationkey map (at 10⁹ customers
+    this arm flips to joins.bucket_join, the q3_shipping contract).
+    The fact-side large×large leg is ONE orderkey-bucketed exchange
+    carrying both sides tagged: filtered orders enter as
+    (okey, customer-nation), lineitem as per-batch partial
+    (okey, suppkey) cents sums; each bucket joins, applies the
+    supplier-nation == customer-nation filter via the broadcast
+    supplier dict, and pre-aggregates to its bounded ≤ nations
+    revenue partials; one single-block merge finishes. Integer cents
+    per row before the exchange (q1 rounding discipline)."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]
+                ).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    asia = set(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(asia)]
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(n2name)]
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    ref = ray.put((c2n, s2n, n2name))
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    lo, hi = np.datetime64(Q5_LO), np.datetime64(Q5_HI)
+    COLS = ["okey", "suppkey", "cents", "c_nat", "_bucket", "_side"]
+
+    def _bucketed(p: pd.DataFrame, side: int) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        p["_side"] = np.int8(side)
+        return p[COLS]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "suppkey": t["l_suppkey"].to_numpy(),
+                           "cents": cents.to_numpy()})
+        p = df.groupby(["okey", "suppkey"], as_index=False)["cents"].sum()
+        p["cents"] = p["cents"].astype("int64")
+        p["c_nat"] = np.int64(-1)
+        return _bucketed(p, 0)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        c2n_, _, _ = ray.get(ref)
+        df = t.to_pandas()
+        od = df["o_orderdate"].to_numpy()
+        nats = df["o_custkey"].map(c2n_)
+        m = (od >= lo) & (od < hi) & nats.notna().to_numpy()
+        p = pd.DataFrame({
+            "okey": df["o_orderkey"].to_numpy()[m],
+            "suppkey": np.full(int(m.sum()), -1, np.int64),
+            "cents": np.zeros(int(m.sum()), np.int64),
+            "c_nat": nats.to_numpy()[m].astype(np.int64)})
+        return _bucketed(p, 1)
+
+    def bucket_rev(g: pd.DataFrame) -> pd.DataFrame:
+        _, s2n_, n2name_ = ray.get(ref)
+        li_ = g[g["_side"] == 0][["okey", "suppkey", "cents"]]
+        od_ = g[g["_side"] == 1][["okey", "c_nat"]]
+        j = li_.merge(od_, on="okey", how="inner")
+        s_nat = j["suppkey"].map(s2n_)
+        j = j[(s_nat == j["c_nat"]).to_numpy()]
+        j = j.assign(n_name=j["c_nat"].map(n2name_))
+        out = j.groupby("n_name", as_index=False)["cents"].sum()
+        return pd.DataFrame({
+            "n_name": out["n_name"].astype(object),
+            "revenue_cents": out["cents"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_rev, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("n_name", as_index=False)["revenue_cents"]
+               .sum()
+               .sort_values(["revenue_cents", "n_name"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '%s'
+  AND o_orderdate >= TIMESTAMP '%s' AND o_orderdate < TIMESTAMP '%s'
+GROUP BY n_name ORDER BY revenue_cents DESC, n_name ASC
+""" % (Q5_REGION, Q5_LO, Q5_HI)
+
+
 def orders_cube(sf_dir):
     """Full CUBE over (o_orderstatus, o_orderpriority) — grouping
     sets / OLAP rollup lattice in one pass: all four levels
@@ -7577,6 +7702,7 @@ QUERIES = {
     "priority_lineitems": (priority_lineitems, PRIORITY_LINEITEMS_SQL),
     "q3_shipping": (q3_shipping, Q3_SQL),
     "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "q5_local_suppliers": (q5_local_suppliers, Q5_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
