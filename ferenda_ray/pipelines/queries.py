@@ -420,7 +420,7 @@ idf AS (
          n, s
   FROM g
 ),
-lexall AS (
+lexall0 AS (
   SELECT d.doc_id, CAST(
       CASE WHEN tf1 > 0 THEN (idf1 * (22 * tf1 * s))
            // (10 * tf1 * s + 3 * s + 9 * dl * n) ELSE 0 END
@@ -429,6 +429,12 @@ lexall AS (
     AS BIGINT) AS score
   FROM d, idf
   WHERE tf1 > 0 OR tf2 > 0
+),
+lexall AS (
+  -- score > 0, not tf > 0: _bm25_scored emits only positive scores,
+  -- and a df ≈ N term floors its idf to 0 at large N — keep the two
+  -- engines' qualifying sets identical
+  SELECT doc_id, score FROM lexall0 WHERE score > 0
 )"""
 
 BM25_SQL = """
@@ -1611,6 +1617,11 @@ def er_customer_clusters(sf_dir):
     pairs = edit1_join_pairs(ds, text_col="c_name", key_col="c_custkey")
 
     def as_edges(t: pa.Table) -> pa.Table:
+        # lexicographic min == numeric min only while keys fit the
+        # fixed pad width (utf8_lpad does NOT truncate) — fail loud
+        # rather than silently mis-canonicalize
+        if len(t) and int(pc.max(t["key_b"]).as_py()) >= 10 ** 12:
+            raise ValueError("custkey exceeds the 12-digit pad width")
         a = pc.utf8_lpad(pc.cast(t["key_a"], pa.string()), 12, "0")
         b = pc.utf8_lpad(pc.cast(t["key_b"], pa.string()), 12, "0")
         return pa.table({"uri_a": a, "uri_b": b})
@@ -3076,12 +3087,6 @@ def q5_local_suppliers(sf_dir):
     lo, hi = np.datetime64(Q5_LO), np.datetime64(Q5_HI)
     COLS = ["okey", "suppkey", "cents", "c_nat", "_bucket", "_side"]
 
-    def _bucketed(p: pd.DataFrame, side: int) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(p["okey"], index=False).values
-        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
-        p["_side"] = np.int8(side)
-        return p[COLS]
-
     def prep_li(t: pa.Table) -> pd.DataFrame:
         disc = pc.multiply(t["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
@@ -3094,7 +3099,7 @@ def q5_local_suppliers(sf_dir):
         p = df.groupby(["okey", "suppkey"], as_index=False)["cents"].sum()
         p["cents"] = p["cents"].astype("int64")
         p["c_nat"] = np.int64(-1)
-        return _bucketed(p, 0)
+        return _tag_bucket(p, buckets, 0, COLS)
 
     def prep_od(t: pa.Table) -> pd.DataFrame:
         c2n_, _, _ = ray.get(ref)
@@ -3107,7 +3112,7 @@ def q5_local_suppliers(sf_dir):
             "suppkey": np.full(int(m.sum()), -1, np.int64),
             "cents": np.zeros(int(m.sum()), np.int64),
             "c_nat": nats.to_numpy()[m].astype(np.int64)})
-        return _bucketed(p, 1)
+        return _tag_bucket(p, buckets, 1, COLS)
 
     def bucket_rev(g: pd.DataFrame) -> pd.DataFrame:
         _, s2n_, n2name_ = ray.get(ref)
@@ -3222,6 +3227,17 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def _tag_bucket(p: pd.DataFrame, buckets: int, side: int,
+                cols: list, key: str = "okey") -> pd.DataFrame:
+    """Shared prep for the tagged two-sided fact exchange (the
+    q3/q5 family): key-hash bucket + side tag + fixed projection so
+    both sides union into one uniform block schema."""
+    h = pd.util.hash_pandas_object(p[key], index=False).values
+    p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+    p["_side"] = np.int8(side)
+    return p[cols]
+
+
 Q3_CUT = "1998-06-01"
 Q3_SEGMENT = "BUILDING"
 
@@ -3257,12 +3273,6 @@ def q3_shipping(sf_dir):
     COLS = ["okey", "cents", "o_orderdate", "o_orderpriority",
             "_bucket", "_side"]
 
-    def _bucketed(p: pd.DataFrame, side: int) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(p["okey"], index=False).values
-        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
-        p["_side"] = np.int8(side)
-        return p[COLS]
-
     def prep_li(t: pa.Table) -> pd.DataFrame:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
         disc = pc.multiply(t["l_extendedprice"],
@@ -3276,7 +3286,7 @@ def q3_shipping(sf_dir):
         p["cents"] = p["cents"].astype("int64")
         p["o_orderdate"] = pd.NaT
         p["o_orderpriority"] = None
-        return _bucketed(p, 0)
+        return _tag_bucket(p, buckets, 0, COLS)
 
     def prep_od(t: pa.Table) -> pd.DataFrame:
         keys_ = ray.get(ref)
@@ -3289,7 +3299,7 @@ def q3_shipping(sf_dir):
             "cents": np.zeros(int(m.sum()), np.int64),
             "o_orderdate": df["o_orderdate"].to_numpy(),
             "o_orderpriority": df["o_orderpriority"].to_numpy()})
-        return _bucketed(p, 1)
+        return _tag_bucket(p, buckets, 1, COLS)
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         li_ = g[g["_side"] == 0]
@@ -6677,6 +6687,39 @@ KG_WALKS_SQL = _walks_sql(WALK_LEN)
 BFS_DEPTH = 3
 
 
+def _trusted_core_scan(e, with_labels: bool = False):
+    """Symmetrize + materialize the citation edge list ONCE (seed
+    scan and per-round joins share it) and scan its nodes for the
+    deterministic md5-prefix trusted core — the single copy of the
+    seed convention consumed by kg_bfs_depth / kg_label_propagation
+    (kg_trustrank applies the same predicate per node via
+    ``_trust_seed``). One hexdigest per node; ``with_labels`` adds
+    the hex(md5[1]) % 3 ground-truth label column."""
+    import hashlib
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    sym = e.union(e.map_batches(rev, batch_format="pyarrow")) \
+        .materialize()
+
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
+        nodes = set(t["src"].to_pylist()) | set(t["dst"].to_pylist())
+        picked = []
+        for n in sorted(nodes):
+            h = hashlib.md5(n.encode()).hexdigest()
+            if h[0] == "0":
+                picked.append((n, int(h[1], 16) % 3))
+        out = pd.DataFrame({"node": pd.Series([n for n, _ in picked],
+                                              dtype="object")})
+        if with_labels:
+            out["label"] = pd.Series([v for _, v in picked],
+                                     dtype="int64")
+        return out
+
+    return sym, sym.map_batches(seed_rows, batch_format="pyarrow")
+
+
 def kg_bfs_depth(sf_dir):
     """Multi-source BFS distance (≤ 3 hops) from a deterministic seed
     set — nodes whose md5 starts with '0', a 1/16 'trusted pages'
@@ -6686,26 +6729,9 @@ def kg_bfs_depth(sf_dir):
     one bucketed distinct, labeled-set anti-join via membership_join,
     per-hop materialization. The SQL oracle expands each hop as a
     NOT-IN-all-previous-levels frontier CTE."""
-    import hashlib
-
     from ..stages import graph
 
-    e = _kg_edges(sf_dir)
-
-    def rev(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t["dst"], "dst": t["src"]})
-
-    # materialize once: seed scan + per-hop joins share the edge list
-    sym = e.union(e.map_batches(rev, batch_format="pyarrow")) \
-        .materialize()
-
-    def seed_nodes(t: pa.Table) -> pd.DataFrame:
-        nodes = set(t["src"].to_pylist()) | set(t["dst"].to_pylist())
-        sel = sorted(n for n in nodes
-                     if hashlib.md5(n.encode()).hexdigest()[0] == "0")
-        return pd.DataFrame({"node": pd.Series(sel, dtype="object")})
-
-    seeds = sym.map_batches(seed_nodes, batch_format="pyarrow")
+    sym, seeds = _trusted_core_scan(_kg_edges(sf_dir))
     return graph.bfs_depth(sym, seeds, max_depth=BFS_DEPTH)
 
 
@@ -6747,31 +6773,10 @@ def kg_label_propagation(sf_dir):
     break; unlabeled when no labeled in-neighbor). The SQL oracle
     unrolls each round as count → row_number argmax → clamp-union
     CTEs."""
-    import hashlib
-
     from ..stages import graph
 
-    e = _kg_edges(sf_dir)
-
-    def rev(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t["dst"], "dst": t["src"]})
-
-    # materialize once: both the seed scan and the propagation rounds
-    # consume the edge list (without this the parse→edges lineage
-    # executes twice)
-    sym = e.union(e.map_batches(rev, batch_format="pyarrow")) \
-        .materialize()
-
-    def seed_rows(t: pa.Table) -> pd.DataFrame:
-        nodes = set(t["src"].to_pylist()) | set(t["dst"].to_pylist())
-        sel = sorted(n for n in nodes
-                     if hashlib.md5(n.encode()).hexdigest()[0] == "0")
-        labs = [int(hashlib.md5(n.encode()).hexdigest()[1], 16) % 3
-                for n in sel]
-        return pd.DataFrame({"node": pd.Series(sel, dtype="object"),
-                             "label": pd.Series(labs, dtype="int64")})
-
-    seeds = sym.map_batches(seed_rows, batch_format="pyarrow")
+    sym, seeds = _trusted_core_scan(_kg_edges(sf_dir),
+                                    with_labels=True)
     return graph.label_propagation(sym, seeds, iterations=LP_ITERS)
 
 

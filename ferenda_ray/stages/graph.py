@@ -485,12 +485,22 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
 
 def _solo_labelprop(g, seed_pairs, iterations, src, dst):
     """The identical synchronous majority-update, vectorized over one
-    block. ``seed_pairs`` is the bounded (node, label) seed list."""
-    seed_map = dict(seed_pairs)
+    block. ``seed_pairs`` is the bounded (node, label) seed list;
+    duplicate seed rows for one node resolve to the SMALLEST label
+    (the same rule the distributed _uniq_seed applies)."""
+    seed_map: dict = {}
+    for n, v in sorted(seed_pairs):
+        if n not in seed_map:
+            seed_map[n] = v
     nodes, si, di = _graph_index(g, src, dst)
     labels_sorted = sorted(set(seed_map.values()))
     lab_idx = {v: i for i, v in enumerate(labels_sorted)}
     L = len(labels_sorted)
+    if L == 0:
+        # no seeds ⇒ nothing is ever labeled (matches the
+        # distributed path's empty seeds ∪ empty propagation)
+        return pd.DataFrame({"node": pd.Series([], dtype="object"),
+                             "label": pd.Series([], dtype="int64")})
     idx = {n: i for i, n in enumerate(nodes)}
     clamp = np.full(len(nodes), -1, np.int64)
     for n, v in seed_map.items():
@@ -564,7 +574,10 @@ def label_propagation(edges_ds, seeds_ds, iterations: int = 2,
     num_buckets = _adapt_buckets(e, num_buckets)
 
     def _uniq_seed(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop_duplicates(["node"])[["node", "label"]]
+        # conflicting duplicate seed rows resolve to the SMALLEST
+        # label — deterministic and identical to the solo path
+        out = (g.sort_values(["node", "label"], kind="mergesort")
+               .drop_duplicates(["node"])[["node", "label"]])
         out = out.reset_index(drop=True)
         out["label"] = out["label"].astype("int64")
         return out
@@ -576,6 +589,14 @@ def label_propagation(edges_ds, seeds_ds, iterations: int = 2,
              .groupby("_bucket")
              .map_groups(_uniq_seed, batch_format="pandas")
              ).materialize()
+    if seeds.count() == 0:
+        # no seeds ⇒ nothing ever gets labeled; an all-empty dataset
+        # also loses its schema, which would break the round joins
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series([], dtype="object"),
+             "label": pd.Series([], dtype="int64")}))
 
     def vote(g: pd.DataFrame) -> pd.DataFrame:
         c = (g.groupby(["node", "label"], as_index=False)

@@ -134,6 +134,28 @@ def test_label_propagation_matches_reference(ray_session):
             assert got["zzz-absent"] == 2
 
 
+def test_label_propagation_conflicting_and_empty_seeds(ray_session):
+    # duplicate seed rows with conflicting labels: SMALLEST label
+    # wins, identically on both execution widths
+    seeds = ray.data.from_pandas(pd.DataFrame(
+        {"node": ["a", "a", "d"], "label": [2, 1, 0]}))
+    for small in (10 ** 6, 0):
+        got = graph.label_propagation(_edges_ds(), seeds, iterations=1,
+                                      num_buckets=4,
+                                      small_graph_edges=small).to_pandas()
+        assert dict(zip(got["node"], got["label"])) == \
+            _ref_labelprop(1, {"a": 1, "d": 0}), "small=%d" % small
+    # empty seed set: both widths return empty, no crash
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"node": pd.Series([], dtype="object"),
+         "label": pd.Series([], dtype="int64")}))
+    for small in (10 ** 6, 0):
+        got = graph.label_propagation(_edges_ds(), empty, iterations=2,
+                                      num_buckets=4,
+                                      small_graph_edges=small).to_pandas()
+        assert len(got) == 0, "small=%d" % small
+
+
 def test_pagerank_cycle_converges_ordering(ray_session):
     # c has the most in-edges (b, d, e, a→c) → highest rank
     got = graph.pagerank(_edges_ds(), iterations=3,
