@@ -1107,6 +1107,205 @@ WHERE len(regexp_extract_all(d.text, '\\S+'))
 CHI2_MICRO = 10 ** 6
 
 
+MAD_K_NUM, MAD_K_DEN = 29652, 10000  # 2 · 1.4826 in 1e4 fixed point
+
+
+def doc_length_outliers(sf_dir):
+    """Robust per-source outlier gate on document length (the
+    Iglewicz–Hoaglin modified z-score rule at |z| > 2): flag docs
+    with |n_chars − median| > 2·1.4826·MAD, the constant entering as
+    the exact 29652/10000 cross-multiplication so no float crosses
+    the engine boundary; median and MAD share the repo's 0-based
+    (n−1)//2 index convention.
+
+    Scale shape: MAD derives from the SAME bounded-domain
+    (source, n_chars)→count histogram that yields the median (the
+    source_token_quantiles combiner — the deviation histogram is the
+    value histogram folded around the median), so ONE histogram
+    exchange computes both statistics; the per-source (med, mad)
+    table is a bounded pull broadcast via ray.put and the flag pass
+    is a zero-shuffle map-side filter. Output: flagged
+    (doc_id, source, n_chars, med, mad)."""
+    import ray
+
+    ds0 = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial_hist(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "v": t["n_chars"].to_numpy()})
+        g = df.groupby(["source", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def merge_stats(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g.groupby("v", as_index=False)["cnt"].sum()
+             .sort_values("v", kind="mergesort"))
+        counts = h["cnt"].to_numpy()
+        values = h["v"].to_numpy()
+        n = int(counts.sum())
+
+        def pick(vals, cnts, idx0):
+            cum = cnts.cumsum()
+            return int(vals[int((cum > idx0).argmax())])
+
+        med = pick(values, counts, (n - 1) // 2)
+        dev = pd.DataFrame({"d": np.abs(values - med), "cnt": counts})
+        dh = (dev.groupby("d", as_index=False)["cnt"].sum()
+              .sort_values("d", kind="mergesort"))
+        mad = pick(dh["d"].to_numpy(), dh["cnt"].to_numpy(),
+                   (n - 1) // 2)
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "med": [med], "mad": [mad]})
+
+    stats = {r["source"]: (int(r["med"]), int(r["mad"]))
+             for r in (ds0.map_batches(partial_hist,
+                                       batch_format="pyarrow")
+                       .groupby("source")
+                       .map_groups(merge_stats, batch_format="pandas")
+                       ).take_all()}
+    ref = ray.put(stats)
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string()),
+                            ("n_chars", pa.int64()),
+                            ("med", pa.int64()), ("mad", pa.int64())])
+
+    def gate(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        srcs = t["source"].to_pylist()
+        nc = t["n_chars"].to_numpy().astype(np.int64)
+        med = np.fromiter((st[s][0] for s in srcs), np.int64, len(srcs))
+        mad = np.fromiter((st[s][1] for s in srcs), np.int64, len(srcs))
+        keep = MAD_K_DEN * np.abs(nc - med) > MAD_K_NUM * mad
+        # Arrow out with an explicit schema: an all-filtered batch
+        # must not emit a schema-less empty pandas block
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[keep], pa.int64()),
+            "source": pa.array([s for s, k in zip(srcs, keep) if k],
+                               pa.string()),
+            "n_chars": pa.array(nc[keep], pa.int64()),
+            "med": pa.array(med[keep], pa.int64()),
+            "mad": pa.array(mad[keep], pa.int64())}, schema=out_schema)
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+DOC_LENGTH_OUTLIERS_SQL = """
+WITH r AS (
+  SELECT source, n_chars AS v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+med AS (SELECT source, max(CASE WHEN rn = 1 + (n - 1) // 2 THEN v END)
+          AS med FROM r GROUP BY source),
+dv AS (
+  SELECT r.source, abs(r.v - m.med) AS d,
+         row_number() OVER (PARTITION BY r.source
+                            ORDER BY abs(r.v - m.med)) AS rn,
+         count(*) OVER (PARTITION BY r.source) AS n
+  FROM r JOIN med m ON m.source = r.source),
+mad AS (SELECT source, max(CASE WHEN rn = 1 + (n - 1) // 2 THEN d END)
+          AS mad FROM dv GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars,
+       CAST(m.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad
+FROM documents d
+JOIN med m ON m.source = d.source
+JOIN mad a ON a.source = d.source
+WHERE %d * abs(d.n_chars - m.med) > %d * a.mad
+""" % (MAD_K_DEN, MAD_K_NUM)
+
+
+def source_vocab_overlap(sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic next to source_term_divergence (χ² asks 'does this
+    source drift from the mixture'; this asks 'which sources share a
+    lexicon'). Output per source pair (a < b): intersection size,
+    union size, and Jaccard in exact integer milli-units
+    (inter·1000)//union.
+
+    Scale shape: per-batch batch-local distinct (source, term) pairs,
+    ONE term-hash-bucketed exchange; inside each bucket a vectorized
+    self-merge per term emits bounded ≤ sources² pair counts plus
+    per-source partial vocabulary sizes (every distinct term lives in
+    exactly one bucket, so bucket partials sum exactly); one bounded
+    single-block merge finishes the Jaccard arithmetic. Raw documents
+    never cross the exchange — only (source, term) distinct pairs."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    W = _exchange_buckets(sf_dir)
+
+    def st_partial(t: pa.Table) -> pd.DataFrame:
+        rows = set()
+        for s, txt in zip(t["source"].to_pylist(),
+                          t["text"].to_pylist()):
+            for term in set((txt or "").split(" ")):
+                rows.add((s, term))
+        df = pd.DataFrame(sorted(rows), columns=["source", "term"])
+        h = pd.util.hash_pandas_object(df["term"], index=False).values
+        df["_bucket"] = (h % np.uint64(W)).astype("int32")
+        return df
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "term"])
+        m = g.merge(g, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        pr = (m.groupby(["source_x", "source_y"], as_index=False)
+              .agg(n=("term", "size")))
+        pr.columns = ["a", "b", "n"]
+        szg = g.groupby("source", as_index=False).agg(n=("term", "size"))
+        sz = pd.DataFrame({"a": szg["source"], "b": "", "n": szg["n"]})
+        out = pd.concat([pr, sz], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out[["a", "b", "n"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["a", "b"], as_index=False)["n"].sum()
+        szs = dict(zip(agg.loc[agg["b"] == "", "a"],
+                       agg.loc[agg["b"] == "", "n"]))
+        pr = agg[agg["b"] != ""]
+        inter = pr["n"].to_numpy(np.int64)
+        union = (pr["a"].map(szs).to_numpy(np.int64)
+                 + pr["b"].map(szs).to_numpy(np.int64) - inter)
+        out = pd.DataFrame({
+            "source_a": pr["a"].to_numpy(),
+            "source_b": pr["b"].to_numpy(),
+            "inter": inter,
+            "union_sz": union,
+            "jacc_milli": inter * 1000 // union})
+        return (out.sort_values(["source_a", "source_b"])
+                .reset_index(drop=True)
+                .astype({"inter": "int64", "union_sz": "int64",
+                         "jacc_milli": "int64"}))
+
+    partials = (ds.map_batches(st_partial, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(bucket_counts, batch_format="pandas"))
+    return _merge_partials(partials, final)
+
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS term
+    FROM documents)),
+sz AS (SELECT source, count(*) AS c FROM st GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS inter
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY source_a, source_b)
+SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+       CAST(za.c + zb.c - inter AS BIGINT) AS union_sz,
+       CAST(inter * 1000 // (za.c + zb.c - inter) AS BIGINT)
+         AS jacc_milli
+FROM pr
+JOIN sz za ON za.source = source_a
+JOIN sz zb ON zb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 def source_term_divergence(sf_dir):
     """Domain-shift detector: per-source χ² divergence of the unigram
     term distribution against the whole corpus (the 'is this domain's
@@ -7667,6 +7866,9 @@ QUERIES = {
     "cross_source_contamination": (cross_source_contamination,
                                    CONTAMINATION_SQL),
     "source_term_divergence": (source_term_divergence, SOURCE_CHI2_SQL),
+    "doc_length_outliers": (doc_length_outliers, DOC_LENGTH_OUTLIERS_SQL),
+    "source_vocab_overlap": (source_vocab_overlap,
+                             SOURCE_VOCAB_OVERLAP_SQL),
     "hll_user_registers": (hll_user_registers, HLL_REGISTERS_SQL),
     "user_hll_by_type": (user_hll_by_type, USER_HLL_BY_TYPE_SQL),
     "cm_user_counts": (cm_user_counts, CM_COUNTS_SQL),
