@@ -3243,6 +3243,204 @@ GROUP BY o_orderpriority
 """
 
 
+Q18_MIN_QTY = 250  # sum(l_quantity) threshold — top ~1-2% of orders
+
+
+def q18_large_orders(sf_dir):
+    """TPC-H Q18 shape (large-volume customers): GROUP-HAVING on the
+    fact table's unbounded key (per-order quantity sum > threshold)
+    followed by a JOIN-BACK to the order/customer detail rows — the
+    canonical "aggregate, filter, rehydrate" pattern a plain groupby
+    can't express in one pass.
+
+    Scale shape: lineitem reduces per batch to (okey, qty) partial
+    sums — a lossless combiner, so only one narrow row per
+    (batch, order) reaches the exchange; orders rows ride the SAME
+    orderkey-hash-bucketed exchange tagged (the q3/q5 single-exchange
+    discipline), so each bucket holds every qty partial AND the
+    detail row of its orderkeys and can finalize the HAVING, the
+    join-back, and its LOCAL top-100 — exact because an order lives
+    in exactly one bucket. Customer names attach from a broadcast
+    dict (bounded dimension) inside the one-block final merge.
+    Integer quantity units + cents keep both engines bit-equal."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "qty", "ckey", "cents", "odate_us", "_bucket",
+            "_side"]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "qty": qty.to_numpy()})
+        p = df.groupby("okey", as_index=False)["qty"].sum()
+        p["qty"] = p["qty"].astype("int64")
+        p["ckey"] = np.int64(-1)
+        p["cents"] = np.int64(0)
+        p["odate_us"] = np.int64(0)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy(),
+            "qty": np.zeros(t.num_rows, np.int64),
+            "ckey": t["o_custkey"].to_numpy(),
+            "cents": cents.to_numpy(),
+            "odate_us": t["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").astype(np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0]
+        sums = li_.groupby("okey", as_index=False)["qty"].sum()
+        sums = sums[sums["qty"] > Q18_MIN_QTY]
+        od_ = g[g["_side"] == 1][["okey", "ckey", "cents", "odate_us"]]
+        j = sums.merge(od_, on="okey", how="inner")
+        j = j.sort_values(["cents", "odate_us", "okey"],
+                          ascending=[False, True, True]).head(100)
+        for c in ("okey", "qty", "ckey", "cents", "odate_us"):
+            j[c] = j[c].astype("int64")
+        return j[["okey", "qty", "ckey", "cents", "odate_us"]]
+
+    names_ref = ray.put({
+        int(r["c_custkey"]): r["c_name"]
+        for r in _read(sf_dir, "customer",
+                       columns=["c_custkey", "c_name"]).take_all()})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_top, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        top = (df.sort_values(["cents", "odate_us", "okey"],
+                              ascending=[False, True, True])
+               .head(100).reset_index(drop=True))
+        names = _ray.get(names_ref)
+        return pd.DataFrame({
+            "c_name": top["ckey"].map(names).astype(object),
+            "c_custkey": top["ckey"].astype("int64"),
+            "o_orderkey": top["okey"].astype("int64"),
+            "o_orderdate": top["odate_us"].astype("datetime64[us]"),
+            "total_cents": top["cents"].astype("int64"),
+            "sum_qty": top["qty"].astype("int64")})
+
+    return _merge_partials(per_bucket, final)
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty > %d)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 100
+""" % Q18_MIN_QTY
+
+
+Q4_LATE_DAYS = 60
+
+
+def q4_late_orders(sf_dir):
+    """TPC-H Q4 shape (order-priority checking): count orders by
+    priority where EXISTS a lineitem shipped more than N days after
+    the order date — a large×large EXISTS semi-join whose predicate
+    correlates the two sides (shipdate vs orderdate).
+
+    Scale shape: EXISTS(any lineitem with shipdate > orderdate + N)
+    ≡ max(shipdate) > orderdate + N, and max is a lossless per-batch
+    combiner — so lineitem reduces to one (okey, max_ship) row per
+    (batch, order) before the single orderkey-bucketed tagged
+    exchange (q3/q5/q18 discipline). Each bucket finalizes the max,
+    applies the correlated predicate against its order rows, and
+    emits bounded per-priority count partials; the 5-row histogram
+    merges in one block. All-integer µs timestamps keep the
+    comparison exact."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "ship_us", "odate_us", "prio", "_bucket", "_side"]
+    late_us = np.int64(Q4_LATE_DAYS) * 86_400_000_000
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(),
+            "ship_us": t["l_shipdate"].to_numpy()
+                        .astype("datetime64[us]").astype(np.int64)})
+        p = df.groupby("okey", as_index=False)["ship_us"].max()
+        p["ship_us"] = p["ship_us"].astype("int64")
+        p["odate_us"] = np.int64(0)
+        p["prio"] = ""
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy(),
+            "ship_us": np.zeros(t.num_rows, np.int64),
+            "odate_us": t["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").astype(np.int64),
+            "prio": t["o_orderpriority"].to_pandas().astype(object)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0][["okey", "ship_us"]]
+        mx = li_.groupby("okey", as_index=False)["ship_us"].max()
+        od_ = g[g["_side"] == 1][["okey", "odate_us", "prio"]]
+        j = od_.merge(mx, on="okey", how="inner")
+        j = j[(j["ship_us"].to_numpy()
+               > j["odate_us"].to_numpy() + late_us)]
+        out = j.groupby("prio", as_index=False).size()
+        return pd.DataFrame({
+            "o_orderpriority": out["prio"].astype(object),
+            "order_count": out["size"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate",
+                        "o_orderpriority"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_counts, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("o_orderpriority", as_index=False)
+               ["order_count"].sum()
+               .sort_values("o_orderpriority").reset_index(drop=True))
+        out["order_count"] = out["order_count"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL %d DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""" % Q4_LATE_DAYS
+
+
 Q5_REGION, Q5_LO, Q5_HI = "ASIA", "1997-01-01", "1998-01-01"
 
 
@@ -7910,6 +8108,8 @@ QUERIES = {
     "q3_shipping": (q3_shipping, Q3_SQL),
     "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "q5_local_suppliers": (q5_local_suppliers, Q5_SQL),
+    "q4_late_orders": (q4_late_orders, Q4_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
