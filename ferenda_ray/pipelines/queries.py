@@ -666,6 +666,88 @@ GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
 """
 
 
+NORM_CLONE_MOD, NORM_CLONE_OFFSET = 5, 1_000_000
+
+
+def doc_normalized_dedup(sf_dir):
+    """CCNet-style aggressive-normalization dedup (Wenzek et al.
+    LREC'20 §4.1): documents are keyed by md5 of lowercase text with
+    digits squashed to '0', punctuation stripped and whitespace
+    collapsed — catching case/digit/punctuation variants that exact
+    dedup (``doc_exact_dedup``) cannot. The corpus has no such
+    variants by construction, so every doc_id%5==0 document gets a
+    PLANTED variant (doc_id+1e6, uppercased, '5'→'7', ' ***'
+    appended — all erased by the normalization chain) built from the
+    same arithmetic in both engines; the planted-clone convention of
+    ``cross_source_contamination``/``simhash_planted_recall``.
+
+    Scale shape: the normalization chain and the md5 key are
+    zero-shuffle map-side work; only (key, doc_id, raw_md5) triples
+    reach ONE key-hash-bucketed exchange where each group reduces to
+    (min doc_id, n_copies, n_raw_variants); dup groups only are
+    emitted. Text never crosses the exchange."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+")
+    punct = re.compile(r"[^a-z0-9 \t\n\r]")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy()
+        texts = pd.Series(t["text"].to_pylist(), dtype=object)
+        m = ids % NORM_CLONE_MOD == 0
+        all_ids = np.concatenate(
+            [ids, ids[m] + NORM_CLONE_OFFSET])
+        clones = (texts[m].str.replace("5", "7", regex=False)
+                  .str.upper() + " ***")
+        all_txt = pd.concat([texts, clones], ignore_index=True)
+        norm = (all_txt.str.lower()
+                .str.replace(r"[0-9]", "0", regex=True))
+        norm = norm.map(lambda s: ws.sub(" ", punct.sub("", s)).strip())
+        nk = [hashlib.md5(s.encode()).hexdigest() for s in norm]
+        rk = [hashlib.md5(s.encode()).hexdigest() for s in all_txt]
+        df = pd.DataFrame({"doc_id": all_ids.astype("int64"),
+                           "nk": pd.Series(nk, dtype=object),
+                           "rk": pd.Series(rk, dtype=object)})
+        h = pd.util.hash_pandas_object(df["nk"], index=False).values
+        df["_bucket"] = (h % np.uint64(64)).astype("int32")
+        return df
+
+    def rep(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("nk", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"),
+            n_variants=("rk", "nunique"))
+        out = out[out["n_copies"] > 1]
+        for c in ("doc_id", "n_copies", "n_variants"):
+            out[c] = out[c].astype("int64")
+        return out[["doc_id", "n_copies", "n_variants"]]
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(rep, batch_format="pandas"))
+
+
+NORM_DEDUP_SQL = """
+WITH everything AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + %d,
+         upper(regexp_replace(text, '5', '7', 'g')) || ' ***'
+  FROM documents WHERE doc_id %% %d = 0),
+keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(
+             lower(text), '[0-9]', '0', 'g'),
+             '[^a-z0-9 \t\n\r]', '', 'g'), '\\s+', ' ', 'g'))) AS nk,
+         md5(text) AS rk
+  FROM everything)
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+       count(DISTINCT rk) AS n_variants
+FROM keyed GROUP BY nk HAVING count(*) > 1
+""" % (NORM_CLONE_OFFSET, NORM_CLONE_MOD)
+
+
 def snapshot_dedup(sf_dir):
     """Cross-snapshot (incremental-crawl) exact dedup: drop every
     new-snapshot document whose CONTENT hash already exists in the
@@ -8048,6 +8130,7 @@ QUERIES = {
     "mmr_search": (mmr_search, MMR_SQL),
     "user_bottomk_sample": (user_bottomk_sample, USER_BOTTOMK_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_DEDUP_SQL),
+    "doc_normalized_dedup": (doc_normalized_dedup, NORM_DEDUP_SQL),
     "snapshot_dedup": (snapshot_dedup, SNAPSHOT_DEDUP_SQL),
     "quantile_band_docs": (quantile_band_docs, QUANTILE_BAND_SQL),
     "toc_firstletter": (toc_firstletter, TOC_SQL),
