@@ -7405,6 +7405,44 @@ WHERE p.inter * {JACC_D} >= (ia.d + ib.d - p.inter) * {JACC_N}
 """
 
 
+RA_SCALE, RA_MAXDEG, RA_TOPK = 10 ** 6, 64, 50
+
+
+def kg_link_prediction(sf_dir):
+    """Missing-link prediction over the citation graph by the
+    resource-allocation index (graph.resource_allocation — Zhou, Lü
+    & Zhang '09): non-adjacent pairs scored Σ floor(1e6/deg(z)) over
+    common neighbors z of the symmetrized graph, hubs past deg 64
+    skipped exactly (WHERE deg ≤ cap in both engines), deterministic
+    top-50. The 'which cross-references are probably missing' signal
+    for KG completion. Two bucketed exchanges (z-neighborhood
+    partials, then pair merge + adjacency anti-join + local top-k),
+    one bounded final block."""
+    from ..stages import graph
+
+    return graph.resource_allocation(
+        _kg_edges(sf_dir), scale=RA_SCALE, max_degree=RA_MAXDEG,
+        topk=RA_TOPK)
+
+
+KG_LINKPRED_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+degz AS (SELECT src AS z, count(*) AS d FROM sym GROUP BY src),
+pairs AS (
+  SELECT x.dst AS a, y.dst AS b,
+         CAST(sum({RA_SCALE} // g.d) AS BIGINT) AS score
+  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+  JOIN degz g ON g.z = x.src
+  WHERE g.d <= {RA_MAXDEG}
+  GROUP BY a, b)
+SELECT a, b, score FROM pairs p
+WHERE score > 0
+  AND NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = p.a AND e.dst = p.b)
+ORDER BY score DESC, a, b LIMIT {RA_TOPK}
+"""
+
+
 def _pagerank_sql(iterations: int, scale: int,
                   dn: int = 85, dd: int = 100) -> str:
     base = (scale * (dd - dn)) // dd
@@ -8229,6 +8267,7 @@ QUERIES = {
     "kg_label_propagation": (kg_label_propagation, KG_LABELPROP_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_mirror_candidates": (kg_mirror_candidates, KG_MIRROR_SQL),
+    "kg_link_prediction": (kg_link_prediction, KG_LINKPRED_SQL),
     "kg_cocite_communities": (kg_cocite_communities, KG_COCITE_CC_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),

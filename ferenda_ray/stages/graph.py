@@ -43,7 +43,8 @@ from .joins import _hash64, bucket_join
 __all__ = ["distinct_edges", "degrees", "degree_distribution",
            "cocitation_pairs", "triangle_counts",
            "pagerank", "hits", "random_walks", "bfs_depth", "kcore",
-           "cocitation_counts", "neighbor_jaccard"]
+           "cocitation_counts", "neighbor_jaccard",
+           "resource_allocation"]
 
 
 def _bucketize(col: str, num_buckets: int):
@@ -1031,6 +1032,126 @@ def neighbor_jaccard(edges_ds, jn: int = 1, jd: int = 2,
         return out.reset_index(drop=True)
 
     return j2.map_batches(final, batch_format="pandas")
+
+
+def resource_allocation(edges_ds, scale: int = 10 ** 6,
+                        max_degree: int = 64, topk: int = 50,
+                        num_buckets: int = 64,
+                        src: str = "src", dst: str = "dst"):
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang, Eur. Phys. J. B 71 2009): for node pairs (u, w) NOT already
+    adjacent, score = Σ_{z ∈ N(u)∩N(w)} floor(scale / deg(z)) over the
+    SYMMETRIZED graph — common neighbors weighted inversely by their
+    degree, the strongest of the classic local similarity indices.
+    Deterministic top-``topk`` by (score DESC, u, w).
+
+    All-integer floor-division weights so a SQL oracle replays every
+    score bit-exactly. ``max_degree`` SKIPS hub intermediaries
+    entirely (deg(z) > cap contributes ⌊scale/deg⌋ ≈ 0 anyway) —
+    an exact, SQL-replicable cap (WHERE deg ≤ cap), unlike a lossy
+    truncation; it also bounds the per-z pair explode quadratically.
+
+    Scale shape: exchange 1 hash(z)-buckets the symmetric edge list so
+    each z's full neighborhood is co-located — deg(z) and the weighted
+    per-bucket pair PARTIALS (one row per (bucket, pair) — a combiner)
+    compute vectorized; exchange 2 hash(u,w)-buckets partials UNIONed
+    with the (materialized) normalized edge list to finalize sums and
+    drop already-adjacent pairs, then takes its LOCAL top-k; the
+    bounded buckets×k partials coalesce in one final block. Follows
+    the scrub/decontaminate two-exchange discipline (CLAUDE.md DAG
+    hazard): the unioned edge side is materialized."""
+    sym = distinct_edges(
+        edges_ds.union(edges_ds.map_batches(
+            lambda t: pa.table({src: t[dst], dst: t[src]}),
+            batch_format="pyarrow")),
+        src, dst, num_buckets).materialize()
+
+    def per_z_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[src, dst]]
+        deg = g.groupby(src)[dst].transform("size")
+        g = g[deg <= max_degree]
+        if g.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "is_edge": pd.Series([], dtype="int8")})
+        per_z = g.groupby(src, as_index=False).size()
+        wmap = dict(zip(per_z[src],
+                        (scale // per_z["size"].to_numpy()).astype("int64")))
+        m = g.merge(g, on=src)
+        m = m[m[dst + "_x"] < m[dst + "_y"]]
+        out = pd.DataFrame({"a": m[dst + "_x"], "b": m[dst + "_y"],
+                            "w": m[src].map(wmap).astype("int64")})
+        out = out.groupby(["a", "b"], as_index=False)["w"].sum()
+        out["w"] = out["w"].astype("int64")
+        out["is_edge"] = np.int8(0)
+        return out
+
+    partials = (sym.repartition(num_buckets)
+                .map_batches(_bucketize(src, num_buckets),
+                             batch_format="pandas")
+                .groupby("_bucket").map_groups(per_z_partials,
+                                               batch_format="pandas"))
+
+    def edge_rows(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df[src] < df[dst]]
+        return pd.DataFrame({"a": df[src].astype(object),
+                             "b": df[dst].astype(object),
+                             "w": np.zeros(len(df), np.int64),
+                             "is_edge": np.full(len(df), 1, np.int8)})
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["a"].astype(str) + "\x1f" + df["b"].astype(str)
+        df["_bucket"] = (_hash64(key)
+                         % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    # explicit Arrow schema so an all-empty result keeps its columns
+    # (memory: ray-empty-dataset-schema-loss)
+    out_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("score", pa.int64())])
+
+    def _typed(out: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(out[["a", "b", "score"]],
+                                    schema=out_schema,
+                                    preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["a", "b"], as_index=False).agg(
+            score=("w", "sum"), has_edge=("is_edge", "max"))
+        agg = agg[(agg["has_edge"] == 0) & (agg["score"] > 0)]
+        agg = agg.sort_values(["score", "a", "b"],
+                              ascending=[False, True, True]).head(topk)
+        agg["score"] = agg["score"].astype("int64")
+        return _typed(agg)
+
+    tagged = partials.union(
+        sym.map_batches(edge_rows, batch_format="pyarrow"))
+    per_bucket = (tagged.map_batches(pair_bucket, batch_format="pandas")
+                  .groupby("_bucket").map_groups(finalize,
+                                                 batch_format="pandas"))
+
+    def merge_top(df: pd.DataFrame) -> pa.Table:
+        df = df[df["score"] >= 0]  # drop the schema sentinel
+        out = (df.sort_values(["score", "a", "b"],
+                              ascending=[False, True, True])
+               .head(topk).reset_index(drop=True))
+        out["score"] = out["score"].astype("int64")
+        return _typed(out)
+
+    import ray.data as rd
+
+    # one SENTINEL row (score=-1, dropped in merge_top) guarantees the
+    # merge UDF runs even when every bucket is empty — Ray skips the
+    # UDF on zero-row input, emitting a schema-less block that an
+    # all-empty dataset can't recover from
+    # (memory: ray-empty-dataset-schema-loss)
+    sentinel = rd.from_arrow(pa.table(
+        {"a": [""], "b": [""], "score": [-1]}, schema=out_schema))
+    return per_bucket.union(sentinel).repartition(1).map_batches(
+        merge_top, batch_format="pandas", batch_size=None)
 
 
 def _solo_kcore(g: pd.DataFrame, k: int, rounds: int,

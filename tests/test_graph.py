@@ -363,3 +363,47 @@ def test_kcore_fixpoint_idempotent(ray_session):
     b = graph.kcore(_edges_ds(), k=2, rounds=7, num_buckets=4).to_pandas()
     assert (a.sort_values("node").reset_index(drop=True)
             .equals(b.sort_values("node").reset_index(drop=True)))
+
+
+def _ref_resource_allocation(scale=10 ** 6, max_degree=64, topk=50):
+    sym = sorted({(s, d) for s, d in CLEAN} | {(d, s) for s, d in CLEAN})
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    scores = {}
+    for z, nz in nbrs.items():
+        if len(nz) > max_degree:
+            continue
+        w = scale // len(nz)
+        ns = sorted(nz)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                scores[(ns[i], ns[j])] = scores.get((ns[i], ns[j]), 0) + w
+    out = [(a, b, s) for (a, b), s in scores.items()
+           if s > 0 and b not in nbrs.get(a, ())]
+    out.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return out[:topk]
+
+
+def test_resource_allocation_matches_reference(ray_session):
+    got = graph.resource_allocation(_edges_ds(), num_buckets=4).to_pandas()
+    got_rows = list(map(tuple, got[["a", "b", "score"]].values.tolist()))
+    assert got_rows == _ref_resource_allocation()
+    # hub cap: with max_degree=1 only degree-1 intermediaries count —
+    # on this graph that leaves no candidate pairs, but the schema
+    # must survive the all-empty result (typed sentinel path)
+    got1 = graph.resource_allocation(
+        _edges_ds(), max_degree=1, num_buckets=4).materialize()
+    assert _ref_resource_allocation(max_degree=1) == []
+    assert got1.count() == 0
+    assert [f.name for f in got1.schema().base_schema] == [
+        "a", "b", "score"]
+    # max_degree=3 keeps a/b/e as intermediaries (c is a deg-4 hub)
+    got3 = graph.resource_allocation(
+        _edges_ds(), max_degree=3, num_buckets=4).to_pandas()
+    exp3 = _ref_resource_allocation(max_degree=3)
+    if exp3:
+        assert list(map(tuple,
+                        got3[["a", "b", "score"]].values.tolist())) == exp3
+    else:
+        assert len(got3) == 0
