@@ -3523,6 +3523,88 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """ % Q4_LATE_DAYS
 
 
+ZORDER_SHARD_BITS = 6  # 64 layout shards from the top Morton bits
+
+
+def orders_zorder(sf_dir):
+    """Z-order (Morton-curve) data-layout clustering — the Delta/
+    Iceberg OPTIMIZE ZORDER BY (o_custkey, o_orderdate) analogue:
+    interleave the low 16 bits of custkey with the low 16 bits of the
+    epoch-day so rows close in EITHER dimension land in the same
+    layout shard, then emit the per-shard ZONE MAP (row count +
+    min/max of both dimensions) — the metadata a scan planner prunes
+    row groups with. Writing the shards is ``write_triples_
+    partitioned``'s job; the zone map is the verifiable layout
+    artifact.
+
+    Scale shape: the Morton code is a vectorized numpy bit-spread per
+    batch and the shard key is its top 6 bits — BOUNDED (64) — so
+    per-batch zone-map partials are a lossless min/max/count combiner
+    and the whole operator is ZERO-shuffle: partials coalesce into
+    one final block. SQL replays the interleave bit-for-bit."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate"])
+
+    def _spread16(v: np.ndarray) -> np.ndarray:
+        # 16-bit value -> even bit positions of a 32-bit word
+        v = v.astype(np.int64) & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        z = _spread16(ck) | (_spread16(days) << 1)
+        shard = z >> (32 - ZORDER_SHARD_BITS)
+        df = pd.DataFrame({"shard": shard, "ck": ck, "day": days})
+        out = df.groupby("shard", as_index=False).agg(
+            n_orders=("ck", "size"),
+            ck_min=("ck", "min"), ck_max=("ck", "max"),
+            day_min=("day", "min"), day_max=("day", "max"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard", as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            ck_min=("ck_min", "min"), ck_max=("ck_max", "max"),
+            day_min=("day_min", "min"), day_max=("day_max", "max"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        "(((x >> %d) & 1) << %d) + (((y >> %d) & 1) << %d)"
+        % (b, 2 * b, b, 2 * b + 1) for b in range(16))
+    return """
+WITH xy AS (
+  SELECT (o_custkey & 65535) AS x,
+         (date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+          & 65535) AS y,
+         o_custkey AS ck,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day
+  FROM orders),
+z AS (SELECT CAST(%s AS BIGINT) >> (32 - %d) AS shard, ck, day FROM xy)
+SELECT shard, count(*) AS n_orders,
+       min(ck) AS ck_min, max(ck) AS ck_max,
+       min(day) AS day_min, max(day) AS day_max
+FROM z GROUP BY shard
+""" % (terms, ZORDER_SHARD_BITS)
+
+
+ORDERS_ZORDER_SQL = _zorder_sql()
+
+
 Q5_REGION, Q5_LO, Q5_HI = "ASIA", "1997-01-01", "1998-01-01"
 
 
@@ -8207,6 +8289,7 @@ QUERIES = {
     "orders_running_total": (orders_running_total, ORDERS_RUNNING_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "orders_skyline": (orders_skyline, ORDERS_SKYLINE_SQL),
+    "orders_zorder": (orders_zorder, ORDERS_ZORDER_SQL),
     "lineitem_corr_components": (lineitem_corr_components,
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
