@@ -3537,13 +3537,44 @@ def orders_zorder(sf_dir):
     partitioned``'s job; the zone map is the verifiable layout
     artifact.
 
-    Scale shape: the Morton code is a vectorized numpy bit-spread per
+    Each dimension is first RANGE-QUANTIZED to 16 bits against its
+    observed [min, max] — the exact integer floor division
+    ((v−vmin)·65535)//max(vmax−vmin, 1), the same linearization real
+    ZORDER implementations apply so the curve fills the key space at
+    any data scale (raw low-16-bit interleaving degenerates to one
+    shard when both domains are narrow).
+
+    Scale shape: the bounds are ONE bounded pre-pass (min/max
+    combiner → 4 integers on the driver, the events_decayed_user_score
+    discipline); the Morton code is a vectorized numpy bit-spread per
     batch and the shard key is its top 6 bits — BOUNDED (64) — so
     per-batch zone-map partials are a lossless min/max/count combiner
     and the whole operator is ZERO-shuffle: partials coalesce into
-    one final block. SQL replays the interleave bit-for-bit."""
+    one final block. SQL replays quantization and interleave
+    bit-for-bit."""
     ds = _read(sf_dir, "orders",
                columns=["o_custkey", "o_orderdate"])
+
+    def bounds_partial(t: pa.Table) -> pd.DataFrame:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        return pd.DataFrame({
+            "ck_min": [int(ck.min())], "ck_max": [int(ck.max())],
+            "day_min": [int(days.min())], "day_max": [int(days.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ck_min": [int(df["ck_min"].min())],
+            "ck_max": [int(df["ck_max"].max())],
+            "day_min": [int(df["day_min"].min())],
+            "day_max": [int(df["day_max"].max())]})
+
+    b = _merge_partials(
+        ds.map_batches(bounds_partial, batch_format="pyarrow"),
+        bounds_merge).take_all()[0]
+    ck_lo, ck_rng = b["ck_min"], max(b["ck_max"] - b["ck_min"], 1)
+    day_lo, day_rng = b["day_min"], max(b["day_max"] - b["day_min"], 1)
 
     def _spread16(v: np.ndarray) -> np.ndarray:
         # 16-bit value -> even bit positions of a 32-bit word
@@ -3558,7 +3589,9 @@ def orders_zorder(sf_dir):
         ck = t["o_custkey"].to_numpy().astype(np.int64)
         days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
                 .astype(np.int64))
-        z = _spread16(ck) | (_spread16(days) << 1)
+        qx = ((ck - ck_lo) * 65535) // ck_rng
+        qy = ((days - day_lo) * 65535) // day_rng
+        z = _spread16(qx) | (_spread16(qy) << 1)
         shard = z >> (32 - ZORDER_SHARD_BITS)
         df = pd.DataFrame({"shard": shard, "ck": ck, "day": days})
         out = df.groupby("shard", as_index=False).agg(
@@ -3587,13 +3620,19 @@ def _zorder_sql() -> str:
         "(((x >> %d) & 1) << %d) + (((y >> %d) & 1) << %d)"
         % (b, 2 * b, b, 2 * b + 1) for b in range(16))
     return """
-WITH xy AS (
-  SELECT (o_custkey & 65535) AS x,
-         (date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
-          & 65535) AS y,
-         o_custkey AS ck,
+WITH raw AS (
+  SELECT o_custkey AS ck,
          date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day
   FROM orders),
+b AS (SELECT min(ck) AS ck_lo, greatest(max(ck) - min(ck), 1) AS ck_rng,
+             min(day) AS day_lo,
+             greatest(max(day) - min(day), 1) AS day_rng
+      FROM raw),
+xy AS (
+  SELECT ((r.ck - b.ck_lo) * 65535) // b.ck_rng AS x,
+         ((r.day - b.day_lo) * 65535) // b.day_rng AS y,
+         r.ck, r.day
+  FROM raw r, b),
 z AS (SELECT CAST(%s AS BIGINT) >> (32 - %d) AS shard, ck, day FROM xy)
 SELECT shard, count(*) AS n_orders,
        min(ck) AS ck_min, max(ck) AS ck_max,
