@@ -318,6 +318,26 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+def fulltext_indexed_search(sf_dir):
+    """The same ranked AND query as ``fulltext_search``, served from
+    the MATERIALIZED inverted index (sources/ftindex — the reference's
+    Whoosh/ES index artifact, fulltextindex.py:395-683): postings
+    hive-partitioned by term-hash bucket, built once per corpus with
+    an idempotent _SUCCESS/tmp-swap, and the query read planned over
+    ONLY the 2 query terms' bucket directories — 14 of 16 posting
+    shares never leave storage. Oracle shared with fulltext_search
+    (identical result contract proves index == scan)."""
+    import os
+
+    from ..sources import ftindex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = "/tmp/ferenda_ray_ftidx/%s_b%d" % (
+        os.path.basename(sf_dir.rstrip("/")), ftindex.DEFAULT_BUCKETS)
+    ftindex.build_inverted_index(docs, idx)
+    return ftindex.indexed_term_search(idx, ("merge", "join"), k=20)
+
+
 def _bm25_scored(sf_dir):
     """Shared BM25 scorer (the single copy of the Okapi arithmetic,
     consumed by ``bm25_search`` and the RRF hybrid's lexical leg):
@@ -8283,6 +8303,7 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),
     "doc_quality_filter": (doc_quality_filter, DOC_QUALITY_FILTER_SQL),
     "fulltext_search": (fulltext_search, FULLTEXT_SQL),
+    "fulltext_indexed_search": (fulltext_indexed_search, FULLTEXT_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
     "rrf_hybrid_search": (rrf_hybrid_search, RRF_HYBRID_SQL),
     "collocation_pmi": (collocation_pmi, COLLOCATION_PMI_SQL),

@@ -1,0 +1,142 @@
+"""Materialized inverted (fulltext) index over a text column.
+
+Reference semantics served: the reference indexes every resource's
+text into a Whoosh/Elasticsearch fulltext index at relate time and
+serves term queries from it (``ferenda/fulltextindex.py:395-683``
+``update``/``query``; the WSGI search endpoint consumes it). Here the
+index IS a dataset artifact: postings ``(term, key, tf)`` written as
+hive-partitioned parquet keyed by a deterministic term-hash bucket,
+so a term query plans its read over ONLY the query terms' bucket
+directories — the other ``num_buckets - |terms|`` shares of the
+posting corpus never leave storage. Same discipline as
+``similarity.build_ivf_index`` (the ANN counterpart); both are the
+"index = partitioned parquet + pruned read" pattern that scales to a
+100-TB corpus because the expensive artifact is built once,
+partitioned, and resumable, while queries stream only matching
+partitions.
+
+Tokenizer parity: whitespace split — byte-identical to the SQL
+oracle's ``regexp_extract_all(text, '\\S+')`` (the fulltext_search
+convention).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["term_bucket", "build_inverted_index", "indexed_term_search"]
+
+DEFAULT_BUCKETS = 16
+
+
+def term_bucket(term: str, num_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Deterministic bucket for a term — md5-based so build and query
+    time agree across processes and Python hash randomization."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % num_buckets
+
+
+def build_inverted_index(docs_ds, out_dir: str,
+                         num_buckets: int = DEFAULT_BUCKETS,
+                         key_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Build (or reuse) the materialized index at ``out_dir``.
+
+    Map-side only: each batch tokenizes its docs, reduces to distinct
+    ``(term, key, tf)`` postings (the per-doc Counter is the
+    combiner), tags the term bucket, and the partitioned write is the
+    only exchange — Ray routes rows to one directory per bucket.
+    A ``_SUCCESS`` marker makes rebuilds idempotent and the tmp-dir
+    swap keeps a crashed build invisible (the state/manifest
+    discipline)."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+
+    def postings(t: pa.Table) -> pd.DataFrame:
+        keys = t[key_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_t, out_k, out_f = [], [], []
+        for k, txt in zip(keys, texts):
+            for term, tf in Counter((txt or "").split()).items():
+                out_t.append(term)
+                out_k.append(k)
+                out_f.append(tf)
+        df = pd.DataFrame({"term": pd.Series(out_t, dtype=object),
+                           key_col: pd.Series(out_k, dtype="int64"),
+                           "tf": pd.Series(out_f, dtype="int64")})
+        df["bucket"] = [term_bucket(x, num_buckets) for x in df["term"]]
+        df["bucket"] = df["bucket"].astype("int32")
+        return df
+
+    tmp = "%s.tmp.%d" % (out_dir.rstrip("/"), os.getpid())
+    (docs_ds.map_batches(postings, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["bucket"]))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    if os.path.exists(out_dir):  # losing racer / stale partial
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def indexed_term_search(index_dir: str, terms, k: int = 20,
+                        num_buckets: int = DEFAULT_BUCKETS,
+                        key_col: str = "doc_id",
+                        group_buckets: int = 8):
+    """AND-semantics ranked term query served from the index: read
+    ONLY the query terms' bucket directories (read-side pruning),
+    keep docs containing ALL terms, rank by total term frequency
+    with a deterministic key tie-break, top ``k``.
+
+    The pruned read is the point: a 2-term query over a 16-bucket
+    index plans at most 2 of 16 directories — at corpus scale the
+    posting lists behind the other 14 never leave storage. The
+    AND + score step is one narrow key-hash-bucketed exchange over
+    just the matching postings."""
+    import ray.data as rd
+
+    terms = tuple(terms)
+    want = {term_bucket(t, num_buckets) for t in terms}
+    paths = []
+    for b in sorted(want):
+        d = "%s/bucket=%d" % (index_dir.rstrip("/"), b)
+        if os.path.isdir(d):
+            paths.extend(sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")))
+    if not paths:
+        return rd.from_arrow(pa.table(
+            {key_col: pa.array([], pa.int64()),
+             "score": pa.array([], pa.int64())}))
+    ds = rd.read_parquet(paths, columns=["term", key_col, "tf"])
+
+    term_set = set(terms)
+    n_terms = len(term_set)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["term"].isin(term_set)].copy()
+        h = pd.util.hash_pandas_object(df[key_col], index=False).values
+        df["_bucket"] = (h % np.uint64(group_buckets)).astype("int32")
+        return df
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(key_col, as_index=False).agg(
+            score=("tf", "sum"), nt=("term", "nunique"))
+        agg = agg[agg["nt"] == n_terms]
+        out = agg[[key_col, "score"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (ds.map_batches(prep, batch_format="pandas")
+            .groupby("_bucket").map_groups(score, batch_format="pandas")
+            .sort(["score", key_col], descending=[True, False])
+            .limit(k))

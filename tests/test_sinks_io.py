@@ -56,3 +56,42 @@ def test_fulltext_table(result):
     # one row per addressable resource, doc rows included
     assert (ft["kind"] == "body").sum() > 0
     assert ft["section_uri"].is_unique
+
+
+def test_inverted_index_build_and_search(ray_session, tmp_path):
+    """sources/ftindex: hive-partitioned postings, pruned-read term
+    query with AND semantics vs a brute-force reference."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    from ferenda_ray.sources import ftindex
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a c", "a c c", "b c", ""],
+    })
+    idx = str(tmp_path / "ftidx")
+    ftindex.build_inverted_index(
+        ray.data.from_pandas(docs), idx, num_buckets=4)
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+    # every partition dir matches the term_bucket convention
+    dirs = sorted(d for d in os.listdir(idx) if d.startswith("bucket="))
+    want = sorted({"bucket=%d" % ftindex.term_bucket(t, 4)
+                   for t in ("a", "b", "c")})
+    assert dirs == want
+
+    got = ftindex.indexed_term_search(
+        idx, ("a", "c"), k=10, num_buckets=4).to_pandas()
+    # brute force: docs containing BOTH a and c, score = tf(a)+tf(c)
+    exp = []
+    for _, r in docs.iterrows():
+        toks = r["text"].split()
+        ca, cc = toks.count("a"), toks.count("c")
+        if ca > 0 and cc > 0:
+            exp.append((r["doc_id"], ca + cc))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert list(map(tuple, got[["doc_id", "score"]].values.tolist())) == exp
+    # idempotent rebuild: marker short-circuits
+    assert ftindex.build_inverted_index(None, idx, num_buckets=4) == idx
