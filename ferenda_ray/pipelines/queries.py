@@ -3543,6 +3543,174 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """ % Q4_LATE_DAYS
 
 
+def q17_small_qty_revenue(sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): total revenue
+    of lineitems whose quantity is below 20%% of their part's average
+    quantity — a large table SELF-JOINED against its own per-group
+    aggregate (the correlated-scalar-subquery shape; Q18 filters the
+    group, this filters the DETAIL rows against the group).
+
+    Scale shape: the predicate depends on the row only through
+    (partkey, qty), so each batch pre-reduces to ((partkey, qty) →
+    row count + cents sum) — a lossless combiner — before ONE
+    partkey-hash-bucketed exchange; a part's whole distribution lives
+    in one bucket, which recovers sum/count per part vectorized,
+    applies the EXACT cross-multiplied predicate 5·qty·n < Σqty (no
+    float avg crosses an engine boundary), and emits a single cents
+    partial; bounded partials coalesce in one block."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "qty": qty, "cents": cents})
+        out = df.groupby(["pkey", "qty"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["pkey"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["pkey", "qty"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        # Σqty per part = Σ qty·n over its (qty → n) histogram
+        tot = (g.assign(qn=g["qty"] * g["n"])
+               .groupby("pkey", as_index=False)
+               .agg(s=("qn", "sum"), n_all=("n", "sum")))
+        j = g.merge(tot, on="pkey")
+        keep = 5 * j["qty"] * j["n_all"] < j["s"]
+        return pd.DataFrame(
+            {"revenue_cents": [int(j.loc[keep, "cents"].sum())]})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    per_bucket = (li.map_batches(part, batch_format="pyarrow")
+                  .groupby("_bucket").map_groups(bucket_sum,
+                                                 batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"revenue_cents": pd.Series([df["revenue_cents"].sum()],
+                                        dtype="int64")})
+
+    return _merge_partials(per_bucket, final)
+
+
+Q17_SQL = """
+WITH a AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+            0) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * a.n < a.s
+"""
+
+
+def q22_idle_rich_customers(sf_dir):
+    """TPC-H Q22 shape (global-account-balance anti-join): customers
+    whose balance exceeds the positive-balance AVERAGE and who placed
+    no urgent order, grouped by market segment — a SCALAR-subquery
+    broadcast (two integers) feeding a map-side filter, then an
+    anti-join, then a bounded rollup.
+
+    Scale shape: the average never exists as a float — pass 1 reduces
+    the customer table to (Σ positive cents, n) via a bounded
+    combiner, and the filter is the exact cross-multiplication
+    bal·n > Σ closed over the two broadcast integers (zero-shuffle);
+    the no-urgent-orders side goes through joins.membership_join
+    (broadcast key set under threshold, Bloom + exact recheck above —
+    the q13 discipline); the segment rollup is bounded."""
+    from ..stages.joins import membership_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                           pa.scalar(100.0)),
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "bal": bal})
+
+    cc = cust.map_batches(cents_tbl, batch_format="pyarrow")
+
+    def stat_part(t: pa.Table) -> pd.DataFrame:
+        bal = t["bal"].to_numpy()
+        pos = bal[bal > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    def stat_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["s"].sum())],
+                             "n": [int(df["n"].sum())]})
+
+    st = _merge_partials(cc.map_batches(stat_part,
+                                        batch_format="pyarrow"),
+                         stat_merge).take_all()[0]
+    s_pos, n_pos = int(st["s"]), int(st["n"])
+
+    rich = cc.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["bal"],
+                                                  pa.scalar(n_pos)),
+                                      pa.scalar(s_pos))),
+        batch_format="pyarrow")
+
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: (t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"])),
+        batch_format="pyarrow")
+    idle_rich = membership_join(rich, "c_custkey", urgent, "o_custkey",
+                                mode="anti")
+
+    def seg_part(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"c_mktsegment": t["c_mktsegment"].to_pandas(),
+                           "bal": t["bal"].to_numpy()})
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            n_custs=("bal", "size"), bal_cents=("bal", "sum"))
+        out["n_custs"] = out["n_custs"].astype("int64")
+        out["bal_cents"] = out["bal_cents"].astype("int64")
+        return out
+
+    def seg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            n_custs=("n_custs", "sum"), bal_cents=("bal_cents", "sum"))
+        out["n_custs"] = out["n_custs"].astype("int64")
+        out["bal_cents"] = out["bal_cents"].astype("int64")
+        return out
+
+    return _merge_partials(
+        idle_rich.map_batches(seg_part, batch_format="pyarrow"),
+        seg_merge)
+
+
+Q22_SQL = """
+WITH cents AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer),
+avgpos AS (SELECT sum(bal) AS s, count(*) AS n FROM cents WHERE bal > 0)
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(bal) AS BIGINT) AS bal_cents
+FROM cents c, avgpos a
+WHERE c.bal * a.n > a.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 ZORDER_SHARD_BITS = 6  # 64 layout shards from the top Morton bits
 
 
@@ -8373,7 +8541,9 @@ QUERIES = {
     "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "q5_local_suppliers": (q5_local_suppliers, Q5_SQL),
     "q4_late_orders": (q4_late_orders, Q4_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
