@@ -125,7 +125,13 @@ def run_bench() -> dict:
              ("rrf_hybrid_search", Q.rrf_hybrid_search),
              ("q3_shipping", Q.q3_shipping),
              ("kg_trustrank", Q.kg_trustrank),
-             ("kg_label_propagation", Q.kg_label_propagation)]
+             ("kg_label_propagation", Q.kg_label_propagation),
+             ("q18_large_orders", Q.q18_large_orders),
+             ("q17_small_qty_revenue", Q.q17_small_qty_revenue),
+             ("doc_normalized_dedup", Q.doc_normalized_dedup),
+             ("kg_link_prediction", Q.kg_link_prediction),
+             ("fulltext_indexed_search", Q.fulltext_indexed_search),
+             ("orders_zorder", Q.orders_zorder)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

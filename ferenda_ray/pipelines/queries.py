@@ -5311,6 +5311,57 @@ def minhash_neardup(sf_dir):
     return minhash_dedup(ds, threshold=0.5)
 
 
+MHIDX_CLONE_MOD, MHIDX_NOVEL_MOD = 5, 7
+MHIDX_CLONE_OFF, MHIDX_NOVEL_OFF = 1_000_000, 2_000_000
+
+
+def neardup_incremental(sf_dir):
+    """Incremental (delta-crawl) near-dup against the MATERIALIZED
+    LSH index (dedup.build_minhash_index / neardup_vs_index): the
+    corpus is shingled + minhashed ONCE into a band table
+    hive-partitioned by band-hash; a delta snapshot then pays only
+    its own sketching cost and probes the index with a PRUNED read —
+    the rolling-crawl shape where re-sketching 100 TB per crawl is
+    the thing being avoided.
+
+    The delta is doc arithmetic in both engines: every doc_id%5==0
+    doc re-appears byte-identical under a new id (mirrored content
+    at a new URL — MUST match its source and the source's planted
+    near-dup chain), every doc_id%7==0 id contributes a genuinely
+    novel doc (MUST match nothing). Output = exact-verified
+    (delta_key, indexed_key) pairs at trigram Jaccard ≥ 0.5; the SQL
+    oracle is the brute-force delta×corpus Jaccard join, licensed by
+    the same catch argument as minhash_neardup (qualifying pairs are
+    the planted chains; banding provably catches clones because an
+    identical text has an identical signature)."""
+    from ..stages.dedup import build_minhash_index, neardup_vs_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def delta_tbl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, tx in zip(ids, texts):
+            if i % MHIDX_CLONE_MOD == 0:
+                out_id.append(int(i) + MHIDX_CLONE_OFF)
+                out_tx.append(tx)
+            if i % MHIDX_NOVEL_MOD == 0:
+                out_id.append(int(i) + MHIDX_NOVEL_OFF)
+                out_tx.append("novel doc %d" % i)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    delta = docs.map_batches(delta_tbl, batch_format="pyarrow")
+    import os as _os
+
+    idx_dir = "/tmp/ferenda_ray_mhidx/%s_b16" % _os.path.basename(
+        sf_dir.rstrip("/"))
+    build_minhash_index(docs, idx_dir)
+    return neardup_vs_index(delta, idx_dir, docs.union(delta),
+                            threshold=0.5)
+
+
 # --- shared oracle-SQL fragments (ONE copy of each recipe; the
 # minhash, ngram-jaccard, curation and split oracles compose these so
 # a change to the shingle grammar, Jaccard threshold, CC recursion or
@@ -5361,6 +5412,24 @@ WITH RECURSIVE s AS (%s
 ), %s
 SELECT node AS key, min(lbl) AS canonical_key FROM reach GROUP BY node
 """ % (_shingle_cte("documents"), _jaccard_pair_select("ka", "kb"), _CC_CTES)
+
+
+MHIDX_SQL = """
+WITH everything AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + %d, text FROM documents WHERE doc_id %% %d = 0
+  UNION ALL
+  SELECT doc_id + %d, 'novel doc ' || doc_id
+  FROM documents WHERE doc_id %% %d = 0),
+s AS (%s)
+SELECT d.doc_id AS delta_key, i.doc_id AS indexed_key
+FROM s d JOIN s i ON d.doc_id >= %d AND i.doc_id < %d
+WHERE len(list_intersect(d.sh, i.sh))
+      >= 0.5 * len(list_distinct(list_concat(d.sh, i.sh)))
+""" % (MHIDX_CLONE_OFF, MHIDX_CLONE_MOD, MHIDX_NOVEL_OFF,
+       MHIDX_NOVEL_MOD, _shingle_cte("everything"),
+       MHIDX_CLONE_OFF, MHIDX_CLONE_OFF)
 
 
 def neardup_representatives(sf_dir):
@@ -8611,6 +8680,7 @@ QUERIES = {
     "phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "toc_pages_kg": (toc_pages_kg, TOC_PAGES_SQL),
     "minhash_neardup": (minhash_neardup, MINHASH_SQL),
+    "neardup_incremental": (neardup_incremental, MHIDX_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pairs": (simhash_pairs, None),
     "simhash_pairs_md5": (simhash_pairs_md5, SIMHASH_MD5_SQL),

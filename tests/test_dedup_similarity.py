@@ -573,3 +573,45 @@ def test_scrub_and_decontaminate_sliced_batches(ray_session):
     assert set(surv["key"]) == {r["doc_id"] for r in rows} - cont_expect
     flags = contamination_flags(docs, bench, n=n, num_buckets=8).to_pandas()
     assert set(flags.loc[flags["contaminated"] == 1, "key"]) == cont_expect
+
+
+def test_minhash_index_incremental(ray_session, tmp_path):
+    """build_minhash_index + neardup_vs_index: exact clones under new
+    ids must match their source (and only true >=0.5-Jaccard pairs
+    survive verify); novel docs match nothing; forced-distributed
+    verify path (driver_threshold=0) agrees."""
+    import pandas as pd
+    import ray
+
+    from ferenda_ray.stages import dedup
+
+    base = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "one two three four five six seven",
+                 "alpha beta gamma delta epsilon eta"],
+    })
+    delta = pd.DataFrame({
+        "doc_id": [101, 102],
+        "text": ["alpha beta gamma delta epsilon zeta",  # clone of 1
+                 "totally unrelated fresh content here"],
+    })
+    idx = str(tmp_path / "mhidx")
+    dedup.build_minhash_index(ray.data.from_pandas(base), idx,
+                              num_partitions=4)
+    verify = ray.data.from_pandas(pd.concat([base, delta],
+                                            ignore_index=True))
+    for thr in (None, 0):
+        kwargs = {} if thr is None else {"driver_threshold": 0}
+        got = dedup.neardup_vs_index(
+            ray.data.from_pandas(delta), idx, verify,
+            num_partitions=4, threshold=0.5, **kwargs).to_pandas()
+        rows = sorted(map(tuple,
+                          got[["delta_key", "indexed_key"]]
+                          .values.tolist()))
+        # the byte-identical clone must hit its source; whether it
+        # also hits doc 3 (1's near neighbour) is decided by the same
+        # exact >=0.5 trigram-Jaccard rule on both paths
+        assert (101, 1) in rows
+        assert all(k != 102 for k, _ in rows)
+        assert all(k == 101 for k, _ in rows)
