@@ -2381,6 +2381,59 @@ def events_markov_transitions(sf_dir):
         merge)
 
 
+DEBOUNCE_US = 300_000_000  # 300 s
+
+
+def events_debounce(sf_dir):
+    """Stream de-duplication (debounce): drop every event that repeats
+    its user's immediately-preceding event's type within 300 s — the
+    double-click / retry-storm collapse step run before any
+    behavioral statistic. Raw-predecessor semantics (each event
+    compares to the previous RAW event, the LAG-expressible
+    convention), identical in both engines.
+
+    Scale shape: all of a user's events co-locate in one hash bucket;
+    the predecessor comparison is ONE vectorized shift over the
+    bucket sorted by (user, ts, event_id) — the markov-transition
+    discipline; survivors stream out, nothing aggregates."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same_user = (g["user_id"].shift() == g["user_id"]).to_numpy()
+        same_type = (g["event_type"].shift() == g["event_type"]).to_numpy()
+        close = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            close[1:] = (ts_us[1:] - ts_us[:-1]) <= DEBOUNCE_US
+        drop = same_user & same_type & close
+        out = g.loc[~drop, ["event_id", "user_id", "ts", "event_type"]]
+        return out.reset_index(drop=True)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(keep, batch_format="pandas"))
+
+
+EVENTS_DEBOUNCE_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(event_type) OVER w AS ptype,
+         lag(ts) OVER w AS pts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts, event_type FROM o
+WHERE ptype IS NULL OR ptype <> event_type
+   OR date_diff('microsecond', pts, ts) > %d
+""" % DEBOUNCE_US
+
+
 EVENTS_MARKOV_SQL = """
 WITH o AS (
   SELECT user_id, event_type,
@@ -7783,6 +7836,45 @@ WHERE p.inter * {JACC_D} >= (ia.d + ib.d - p.inter) * {JACC_N}
 """
 
 
+ANF_ROUNDS = 2
+
+
+def kg_neighborhood_anf(sf_dir):
+    """Approximate Neighborhood Function over the citation graph
+    (graph.neighborhood_registers — ANF/HyperBall): per-node HLL
+    register state of the radius-2 ball, the primitive behind
+    neighborhood-size / effective-diameter estimation where the exact
+    ball's quadratic state is unaffordable. Registers merge by max
+    (associative — every exchange is a combiner), one join + one
+    max-merge per round; the register state is pure integer
+    arithmetic over the shared md5 hash, so SQL replays it EXACTLY by
+    unrolling the 2-hop ball; the float estimator on top is
+    hll_estimate (unit-tested in test_hll)."""
+    from ..stages import graph
+
+    return graph.neighborhood_registers(_kg_edges(sf_dir),
+                                        rounds=ANF_ROUNDS)
+
+
+KG_ANF_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+b0 AS (SELECT src AS v, src AS m FROM sym UNION SELECT dst, dst FROM sym),
+b1 AS (SELECT v, m FROM b0 UNION
+       SELECT s.dst, b.m FROM b0 b JOIN sym s ON s.src = b.v),
+b2 AS (SELECT v, m FROM b1 UNION
+       SELECT s.dst, b.m FROM b1 b JOIN sym s ON s.src = b.v),
+h AS (SELECT v, CAST('0x' || substr(md5(m), 1, 15) AS BIGINT) AS hv
+      FROM b2)
+SELECT v AS node, hv % 256 AS reg,
+       max(CASE WHEN hv // 256 = 0 THEN 53
+                ELSE 52 - length(printf('%b', hv // 256)) + 1 END)
+           AS max_rank
+FROM h GROUP BY node, reg
+"""
+
+
 RA_SCALE, RA_MAXDEG, RA_TOPK = 10 ** 6, 64, 50
 
 
@@ -8602,6 +8694,7 @@ QUERIES = {
                                   EVENTS_DECAYED_SQL),
     "events_markov_transitions": (events_markov_transitions,
                                   EVENTS_MARKOV_SQL),
+    "events_debounce": (events_debounce, EVENTS_DEBOUNCE_SQL),
     "events_asof_click_view": (events_asof_click_view, EVENTS_ASOF_SQL),
     "events_range_pairs": (events_range_pairs, EVENTS_RANGE_SQL),
     "anti_join_empty_orders": (anti_join_empty_orders, ANTI_JOIN_SQL),
@@ -8650,6 +8743,7 @@ QUERIES = {
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_mirror_candidates": (kg_mirror_candidates, KG_MIRROR_SQL),
     "kg_link_prediction": (kg_link_prediction, KG_LINKPRED_SQL),
+    "kg_neighborhood_anf": (kg_neighborhood_anf, KG_ANF_SQL),
     "kg_cocite_communities": (kg_cocite_communities, KG_COCITE_CC_SQL),
     "kg_facet_pivot": (kg_facet_pivot, KG_FACET_SQL),
     "kg_entity_subjects": (kg_entity_subjects, KG_ENTITY_SQL),

@@ -44,7 +44,7 @@ __all__ = ["distinct_edges", "degrees", "degree_distribution",
            "cocitation_pairs", "triangle_counts",
            "pagerank", "hits", "random_walks", "bfs_depth", "kcore",
            "cocitation_counts", "neighbor_jaccard",
-           "resource_allocation"]
+           "resource_allocation", "neighborhood_registers"]
 
 
 def _bucketize(col: str, num_buckets: int):
@@ -1032,6 +1032,121 @@ def neighbor_jaccard(edges_ds, jn: int = 1, jd: int = 2,
         return out.reset_index(drop=True)
 
     return j2.map_batches(final, batch_format="pandas")
+
+
+def _node_registers(nodes, hll_p: int = 8):
+    """(reg, rank) per node string — md5 60-bit parse, low ``hll_p``
+    bits register, leading-zero rank in the remaining window: the
+    hll_user_registers hash convention, shared bit-exactly with SQL
+    (CAST('0x'||substr(md5(node),1,15) AS BIGINT))."""
+    import hashlib
+
+    regs, ranks = [], []
+    w = 60 - hll_p
+    for n in nodes:
+        h = int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+        rem = h >> hll_p
+        regs.append(h % (1 << hll_p))
+        ranks.append(w - rem.bit_length() + 1 if rem else w + 1)
+    return regs, ranks
+
+
+def neighborhood_registers(edges_ds, rounds: int = 2, hll_p: int = 8,
+                           num_buckets: int = 64,
+                           src: str = "src", dst: str = "dst",
+                           small_graph_edges: int | None = None):
+    """Approximate Neighborhood Function state (ANF, Palmer et al.
+    KDD'02; HyperBall, Boldi & Vigna WWW'11): per-node HyperLogLog
+    registers of the radius-``rounds`` ball over the SYMMETRIZED
+    graph — the web-graph primitive behind neighborhood-size,
+    effective-diameter and centrality estimation, computable where
+    the exact ball (quadratic state) is not.
+
+    State is rows ``(node, reg, max_rank)``; a round is register
+    flow along edges (one bucketed state⋈edges join) + a max-merge
+    per (node, reg) (one bucketed exchange), materialized per round
+    (the pagerank loop discipline). Register max is associative, so
+    any partial tree is exact and the final state is EXACTLY
+    SQL-replayable by unrolling the k-hop ball; the float ball-size
+    estimate on top is ``queries.hll_estimate`` (unit-tested
+    separately — the register STATE is what the correctness gate
+    hashes). Small graphs take the width-1 single-task path."""
+    from .joins import bucket_join
+
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
+
+    raw = edges_ds.materialize()
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({src: t[dst], dst: t[src]})
+
+    if raw.count() <= small_graph_edges:
+        def solo(g: pd.DataFrame) -> pd.DataFrame:
+            s = np.concatenate([g[src].to_numpy(), g[dst].to_numpy()])
+            d = np.concatenate([g[dst].to_numpy(), g[src].to_numpy()])
+            e = pd.DataFrame({"s": s, "d": d})
+            e = e[e["s"] != e["d"]].drop_duplicates()
+            nodes = pd.unique(np.concatenate(
+                [e["s"].to_numpy(), e["d"].to_numpy()]))
+            regs, ranks = _node_registers(nodes, hll_p)
+            st = pd.DataFrame({"node": nodes,
+                               "reg": pd.Series(regs, dtype="int64"),
+                               "max_rank": pd.Series(ranks,
+                                                     dtype="int64")})
+            for _ in range(rounds):
+                c = st.merge(e, left_on="node", right_on="s")
+                c = pd.DataFrame({"node": c["d"].to_numpy(),
+                                  "reg": c["reg"].to_numpy(),
+                                  "max_rank": c["max_rank"].to_numpy()})
+                st = (pd.concat([st, c], ignore_index=True)
+                      .groupby(["node", "reg"], as_index=False)
+                      ["max_rank"].max())
+            st["reg"] = st["reg"].astype("int64")
+            st["max_rank"] = st["max_rank"].astype("int64")
+            return st[["node", "reg", "max_rank"]]
+
+        return raw.repartition(1).map_batches(
+            solo, batch_format="pandas", batch_size=None)
+
+    e = distinct_edges(
+        raw.union(raw.map_batches(rev, batch_format="pyarrow")),
+        src, dst, num_buckets).materialize()
+    nb = _adapt_buckets(e, num_buckets)
+
+    def seed_regs(df: pd.DataFrame) -> pd.DataFrame:
+        regs, ranks = _node_registers(df["node"].to_numpy(), hll_p)
+        return pd.DataFrame({
+            "node": pd.Series(df["node"].to_numpy(), dtype=object),
+            "reg": pd.Series(regs, dtype="int64"),
+            "max_rank": pd.Series(ranks, dtype="int64")})
+
+    def maxmerge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["node", "reg"], as_index=False)["max_rank"].max()
+        out["reg"] = out["reg"].astype("int64")
+        out["max_rank"] = out["max_rank"].astype("int64")
+        return out[["node", "reg", "max_rank"]]
+
+    state = (_nodes(e, src, dst, nb)
+             .map_batches(seed_regs, batch_format="pandas")
+             .materialize())
+    for _ in range(rounds):
+        hop = bucket_join(state, e, left_on="node", right_on=src,
+                          num_buckets=nb)
+        contrib = hop.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df[dst].to_numpy(),
+                "reg": df["reg"].to_numpy(),
+                "max_rank": df["max_rank"].to_numpy()}),
+            batch_format="pandas")
+        state = (state.union(contrib)
+                 .repartition(nb)
+                 .map_batches(_bucketize("node", nb),
+                              batch_format="pandas")
+                 .groupby("_bucket")
+                 .map_groups(maxmerge, batch_format="pandas")
+                 .materialize())
+    return state
 
 
 def resource_allocation(edges_ds, scale: int = 10 ** 6,

@@ -407,3 +407,37 @@ def test_resource_allocation_matches_reference(ray_session):
                         got3[["a", "b", "score"]].values.tolist())) == exp3
     else:
         assert len(got3) == 0
+
+
+def _ref_anf_registers(rounds=2, hll_p=8):
+    import hashlib
+
+    sym = {(s, d) for s, d in CLEAN} | {(d, s) for s, d in CLEAN}
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    ball = {n: {n} for n in NODES}
+    for _ in range(rounds):
+        ball = {n: b | {x for m in b for x in nbrs.get(m, ())}
+                for n, b in ball.items()}
+    w = 60 - hll_p
+    out = {}
+    for n, b in ball.items():
+        for m in b:
+            h = int(hashlib.md5(m.encode()).hexdigest()[:15], 16)
+            rem = h >> hll_p
+            rank = (w - rem.bit_length() + 1) if rem else w + 1
+            key = (n, h % (1 << hll_p))
+            out[key] = max(out.get(key, 0), rank)
+    return sorted((n, r, v) for (n, r), v in out.items())
+
+
+def test_neighborhood_registers_matches_reference(ray_session):
+    exp = _ref_anf_registers()
+    for force in (None, 0):
+        kwargs = {} if force is None else {"small_graph_edges": 0}
+        got = graph.neighborhood_registers(
+            _edges_ds(), rounds=2, num_buckets=4, **kwargs).to_pandas()
+        rows = sorted(map(tuple,
+                          got[["node", "reg", "max_rank"]].values.tolist()))
+        assert rows == exp, "path force=%s" % force
