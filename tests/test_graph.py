@@ -386,27 +386,33 @@ def _ref_resource_allocation(scale=10 ** 6, max_degree=64, topk=50):
 
 
 def test_resource_allocation_matches_reference(ray_session):
-    got = graph.resource_allocation(_edges_ds(), num_buckets=4).to_pandas()
-    got_rows = list(map(tuple, got[["a", "b", "score"]].values.tolist()))
-    assert got_rows == _ref_resource_allocation()
-    # hub cap: with max_degree=1 only degree-1 intermediaries count —
-    # on this graph that leaves no candidate pairs, but the schema
-    # must survive the all-empty result (typed sentinel path)
-    got1 = graph.resource_allocation(
-        _edges_ds(), max_degree=1, num_buckets=4).materialize()
-    assert _ref_resource_allocation(max_degree=1) == []
-    assert got1.count() == 0
-    assert [f.name for f in got1.schema().base_schema] == [
-        "a", "b", "score"]
-    # max_degree=3 keeps a/b/e as intermediaries (c is a deg-4 hub)
-    got3 = graph.resource_allocation(
-        _edges_ds(), max_degree=3, num_buckets=4).to_pandas()
-    exp3 = _ref_resource_allocation(max_degree=3)
-    if exp3:
-        assert list(map(tuple,
-                        got3[["a", "b", "score"]].values.tolist())) == exp3
-    else:
-        assert len(got3) == 0
+    # both execution widths: width-1 solo (default on small graphs)
+    # and the distributed two-exchange path (small_graph_edges=0)
+    for small in (None, 0):
+        kwargs = {} if small is None else {"small_graph_edges": 0}
+        got = graph.resource_allocation(
+            _edges_ds(), num_buckets=4, **kwargs).to_pandas()
+        rows = list(map(tuple, got[["a", "b", "score"]].values.tolist()))
+        assert rows == _ref_resource_allocation(), "small=%s" % small
+        # hub cap: with max_degree=1 only degree-1 intermediaries
+        # count — no candidate pairs here, but the schema must
+        # survive the all-empty result on both widths
+        got1 = graph.resource_allocation(
+            _edges_ds(), max_degree=1, num_buckets=4,
+            **kwargs).materialize()
+        assert _ref_resource_allocation(max_degree=1) == []
+        assert got1.count() == 0, "small=%s" % small
+        # max_degree=3 keeps a/b/e as intermediaries (c is a deg-4
+        # hub) — every qualifying pair is adjacent, so empty too
+        got3 = graph.resource_allocation(
+            _edges_ds(), max_degree=3, num_buckets=4,
+            **kwargs).to_pandas()
+        exp3 = _ref_resource_allocation(max_degree=3)
+        if exp3:
+            assert list(map(
+                tuple, got3[["a", "b", "score"]].values.tolist())) == exp3
+        else:
+            assert len(got3) == 0
 
 
 def _ref_anf_registers(rounds=2, hll_p=8):
