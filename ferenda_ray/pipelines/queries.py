@@ -3764,6 +3764,182 @@ GROUP BY c_mktsegment
 """
 
 
+CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 10, 17, 23
+CDC_INS_OFF = 10_000_000
+
+
+def orders_cdc_merge(sf_dir):
+    """Warehouse MERGE INTO / CDC apply: a change-data-capture delta
+    (updates, deletes, inserts) applied to the orders base table in
+    one pass — the upsert primitive every incremental ingest needs.
+    The delta is doc arithmetic in both engines: keys %10 (and not
+    %17) get a +100-cent price correction, keys %17 are deleted,
+    keys %23 re-appear as inserts under key+10⁷; DELETE dominates
+    UPDATE by rule.
+
+    Scale shape: base rows (version 0) and delta rows (version 1 +
+    op) ride ONE key-hash-bucketed exchange tagged; each bucket
+    resolves its keys vectorized — drop keys holding a delete, else
+    keep the highest version — and streams the merged rows out.
+    Neither side broadcasts; only fixed-width columns cross."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+
+    def base_rows(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        k = t["o_orderkey"].to_numpy()
+        df = pd.DataFrame({"k": k, "total_cents": cents,
+                           "st": t["o_orderstatus"].to_pandas()
+                           .astype(object),
+                           "ver": np.zeros(len(k), np.int8),
+                           "del_": np.zeros(len(k), np.int8)})
+        return df
+
+    def delta_rows(t: pa.Table) -> pd.DataFrame:
+        b = base_rows(t)
+        k = b["k"].to_numpy()
+        upd = b[(k % CDC_UPD_MOD == 0) & (k % CDC_DEL_MOD != 0)].copy()
+        upd["total_cents"] = upd["total_cents"] + 100
+        upd["ver"] = np.int8(1)
+        dl = b[k % CDC_DEL_MOD == 0].copy()
+        dl["ver"] = np.int8(1)
+        dl["del_"] = np.int8(1)
+        ins = b[k % CDC_INS_MOD == 0].copy()
+        ins["k"] = ins["k"] + CDC_INS_OFF
+        ins["st"] = "N"
+        ins["ver"] = np.int8(1)
+        return pd.concat([upd, dl, ins], ignore_index=True)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["k"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        dead = set(g.loc[g["del_"] == 1, "k"])
+        g = g[~g["k"].isin(dead)]
+        g = (g.sort_values(["k", "ver"], ascending=[True, False],
+                           kind="mergesort")
+             .drop_duplicates("k"))
+        out = pd.DataFrame({
+            "o_orderkey": g["k"].astype("int64"),
+            "total_cents": g["total_cents"].astype("int64"),
+            "o_orderstatus": g["st"].astype(object)})
+        return out.reset_index(drop=True)
+
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    tagged = (od.map_batches(base_rows, batch_format="pyarrow")
+              .union(od.map_batches(delta_rows, batch_format="pyarrow"))
+              .map_batches(tag, batch_format="pandas"))
+    return (tagged.groupby("_bucket")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+ORDERS_CDC_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         o_orderstatus AS st
+  FROM orders),
+upd AS (SELECT k, total_cents + 100 AS total_cents, st FROM base
+        WHERE k %% %d = 0 AND k %% %d <> 0),
+del AS (SELECT k FROM base WHERE k %% %d = 0),
+ins AS (SELECT k + %d AS k, total_cents, 'N' AS st FROM base
+        WHERE k %% %d = 0)
+SELECT k AS o_orderkey, total_cents, st AS o_orderstatus FROM (
+  SELECT * FROM base
+  WHERE k NOT IN (SELECT k FROM del) AND k NOT IN (SELECT k FROM upd)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins)
+""" % (CDC_UPD_MOD, CDC_DEL_MOD, CDC_DEL_MOD, CDC_INS_OFF, CDC_INS_MOD)
+
+
+ANOM_K_NUM, ANOM_K_DEN = 2 * 10_000, 29_652  # |z| > 2, 1.4826 exact
+
+
+def events_anomaly_days(sf_dir):
+    """Event-rate anomaly detection: days whose per-type event count
+    deviates from that type's typical daily rate by a modified
+    z-score > 2 (Iglewicz–Hoaglin over median/MAD — the
+    doc_length_outliers rule applied to a TIME SERIES of rates, the
+    ops-monitoring 'traffic spike/outage day' signal).
+
+    Scale shape: the (type, day) count table is BOUNDED (types ×
+    days), so per-batch count partials are a lossless combiner and
+    median, MAD and the exact 29652·|x−med| > 2·10⁴·MAD
+    cross-multiplied flag all evaluate vectorized inside the ONE
+    coalesced merge block — zero shuffle end to end."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()
+                           .astype(object), "day": days})
+        out = df.groupby(["event_type", "day"], as_index=False).size()
+        out = out.rename(columns={"size": "n_events"})
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)[
+            "n_events"].sum()
+        outs = []
+        for et, sub in g.groupby("event_type"):
+            v = np.sort(sub["n_events"].to_numpy())
+            med = int(v[(len(v) - 1) // 2])
+            d = np.sort(np.abs(sub["n_events"].to_numpy() - med))
+            mad = int(d[(len(d) - 1) // 2])
+            keep = (ANOM_K_DEN * np.abs(sub["n_events"].to_numpy()
+                                        - med) > ANOM_K_NUM * mad)
+            s = sub[keep].copy()
+            s["med"] = np.int64(med)
+            s["mad"] = np.int64(mad)
+            outs.append(s)
+        out = (pd.concat(outs, ignore_index=True) if outs else
+               pd.DataFrame(columns=["event_type", "day", "n_events",
+                                     "med", "mad"]))
+        for c in ("day", "n_events", "med", "mad"):
+            out[c] = out[c].astype("int64")
+        return out[["event_type", "day", "n_events", "med", "mad"]]
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+EVENTS_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '1970-01-01', ts) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, day),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n_events) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+med AS (SELECT event_type, max(CASE WHEN rn = 1 + (n - 1) // 2
+                                    THEN n_events END) AS med
+        FROM r GROUP BY event_type),
+dv AS (SELECT c.event_type, abs(c.n_events - m.med) AS d,
+              row_number() OVER (PARTITION BY c.event_type
+                                 ORDER BY abs(c.n_events - m.med))
+                  AS rn,
+              count(*) OVER (PARTITION BY c.event_type) AS n
+       FROM c JOIN med m USING (event_type)),
+mad AS (SELECT event_type, max(CASE WHEN rn = 1 + (n - 1) // 2
+                                    THEN d END) AS mad
+        FROM dv GROUP BY event_type)
+SELECT c.event_type, c.day, c.n_events,
+       CAST(m.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad
+FROM c JOIN med m USING (event_type) JOIN mad a USING (event_type)
+WHERE %d * abs(c.n_events - m.med) > %d * a.mad
+""" % (ANOM_K_DEN, ANOM_K_NUM)
+
+
 ZORDER_SHARD_BITS = 6  # 64 layout shards from the top Morton bits
 
 
@@ -8679,6 +8855,8 @@ QUERIES = {
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "orders_skyline": (orders_skyline, ORDERS_SKYLINE_SQL),
     "orders_zorder": (orders_zorder, ORDERS_ZORDER_SQL),
+    "orders_cdc_merge": (orders_cdc_merge, ORDERS_CDC_SQL),
+    "events_anomaly_days": (events_anomaly_days, EVENTS_ANOMALY_SQL),
     "lineitem_corr_components": (lineitem_corr_components,
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
