@@ -3858,6 +3858,67 @@ SELECT k AS o_orderkey, total_cents, st AS o_orderstatus FROM (
 """ % (CDC_UPD_MOD, CDC_DEL_MOD, CDC_DEL_MOD, CDC_INS_OFF, CDC_INS_MOD)
 
 
+def events_daily_dense(sf_dir):
+    """Dense per-type daily event counts with EXPLICIT zero cells —
+    dimension densification (the gap-filling every time-series
+    consumer needs: a day with no events must exist as 0, not be
+    absent; the Q13 zero-cell idea on the time axis). The calendar is
+    the GLOBAL [min_day, max_day] span so every type carries the same
+    dense axis.
+
+    Scale shape: the (type, day) count table is bounded, so per-batch
+    partials are a lossless combiner; the single coalesced merge
+    block derives the global span and reindexes each type against it
+    vectorized — zero shuffle, and the dense output is |types|×|days|
+    rows by construction. SQL mirrors via generate_series ×
+    types LEFT JOIN counts."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()
+                           .astype(object), "day": days})
+        out = df.groupby(["event_type", "day"], as_index=False).size()
+        out = out.rename(columns={"size": "n_events"})
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)[
+            "n_events"].sum()
+        lo, hi = int(g["day"].min()), int(g["day"].max())
+        cal = np.arange(lo, hi + 1, dtype=np.int64)
+        types = sorted(g["event_type"].unique())
+        dense = pd.DataFrame({
+            "event_type": np.repeat(np.array(types, dtype=object),
+                                    len(cal)),
+            "day": np.tile(cal, len(types))})
+        out = dense.merge(g, on=["event_type", "day"], how="left")
+        out["n_events"] = (out["n_events"].fillna(0).astype("int64"))
+        out["day"] = out["day"].astype("int64")
+        return out[["event_type", "day", "n_events"]]
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+EVENTS_DENSE_SQL = """
+WITH c AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '1970-01-01', ts) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+cal AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+types AS (SELECT DISTINCT event_type FROM c)
+SELECT t.event_type, CAST(cal.day AS BIGINT) AS day,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+FROM types t CROSS JOIN cal
+LEFT JOIN c ON c.event_type = t.event_type AND c.day = cal.day
+"""
+
+
 ANOM_K_NUM, ANOM_K_DEN = 2 * 10_000, 29_652  # |z| > 2, 1.4826 exact
 
 
@@ -5540,6 +5601,45 @@ def minhash_neardup(sf_dir):
     return minhash_dedup(ds, threshold=0.5)
 
 
+CONT_MOD, CONT_OFF = 11, 3_000_000
+CONT_NUM, CONT_DEN, CONT_DF_CAP = 4, 5, 256
+
+
+def doc_containment(sf_dir):
+    """Excerpt / quotation detection by asymmetric shingle CONTAINMENT
+    (dedup.containment_pairs): delta docs whose rare-gram set is
+    ≥ 4/5 contained in a corpus doc — the duplication symmetric
+    Jaccard misses (every doc_id%11==0 doc plants a first-⅔-of-words
+    excerpt under id+3·10⁶: containment ≈ 1 while J ≈ ⅔ < 4/5).
+    Boilerplate grams (corpus df > 256) are excluded from numerator
+    AND denominator — the exact, SQL-replicable cap that also bounds
+    the per-gram pair explode. Two bucketed exchanges (gram postings,
+    then per-delta-key finalize), exact cross-multiplied threshold."""
+    from ..stages.dedup import containment_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def excerpts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, tx in zip(ids, texts):
+            if i % CONT_MOD:
+                continue
+            w = (tx or "").split()
+            k = (2 * len(w)) // 3
+            if k < 1:
+                continue
+            out_id.append(int(i) + CONT_OFF)
+            out_tx.append(" ".join(w[:k]))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    delta = docs.map_batches(excerpts, batch_format="pyarrow")
+    return containment_pairs(delta, docs, cont_num=CONT_NUM,
+                             cont_den=CONT_DEN, df_cap=CONT_DF_CAP)
+
+
 MHIDX_CLONE_MOD, MHIDX_NOVEL_MOD = 5, 7
 MHIDX_CLONE_OFF, MHIDX_NOVEL_OFF = 1_000_000, 2_000_000
 
@@ -5659,6 +5759,33 @@ WHERE len(list_intersect(d.sh, i.sh))
 """ % (MHIDX_CLONE_OFF, MHIDX_CLONE_MOD, MHIDX_NOVEL_OFF,
        MHIDX_NOVEL_MOD, _shingle_cte("everything"),
        MHIDX_CLONE_OFF, MHIDX_CLONE_OFF)
+
+
+DOC_CONTAINMENT_SQL = """
+WITH excerpts AS (
+  SELECT doc_id + %d AS doc_id,
+         array_to_string(w[1:(2 * len(w)) // 3], ' ') AS text
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+        FROM documents)
+  WHERE doc_id %% %d = 0 AND (2 * len(w)) // 3 >= 1),
+everything AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM excerpts),
+s AS (%s),
+tok AS (SELECT doc_id, unnest(sh) AS g FROM s),
+corpus_g AS (SELECT * FROM tok WHERE doc_id < %d),
+delta_g AS (SELECT * FROM tok WHERE doc_id >= %d),
+hot AS (SELECT g FROM corpus_g GROUP BY g HAVING count(*) > %d),
+asize AS (SELECT doc_id, count(*) AS n FROM delta_g
+          WHERE g NOT IN (SELECT g FROM hot) GROUP BY doc_id),
+inter AS (SELECT d.doc_id AS a, c.doc_id AS b, count(*) AS i
+          FROM delta_g d JOIN corpus_g c USING (g)
+          WHERE g NOT IN (SELECT g FROM hot) GROUP BY a, b)
+SELECT i.a AS delta_key, i.b AS corpus_key
+FROM inter i JOIN asize z ON z.doc_id = i.a
+WHERE i.i * %d >= %d * z.n
+""" % (CONT_OFF, CONT_MOD, _shingle_cte("everything"), CONT_OFF,
+       CONT_OFF, CONT_DF_CAP, CONT_DEN, CONT_NUM)
+
 
 
 def neardup_representatives(sf_dir):
@@ -8857,6 +8984,7 @@ QUERIES = {
     "orders_zorder": (orders_zorder, ORDERS_ZORDER_SQL),
     "orders_cdc_merge": (orders_cdc_merge, ORDERS_CDC_SQL),
     "events_anomaly_days": (events_anomaly_days, EVENTS_ANOMALY_SQL),
+    "events_daily_dense": (events_daily_dense, EVENTS_DENSE_SQL),
     "lineitem_corr_components": (lineitem_corr_components,
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
@@ -8953,6 +9081,7 @@ QUERIES = {
     "toc_pages_kg": (toc_pages_kg, TOC_PAGES_SQL),
     "minhash_neardup": (minhash_neardup, MINHASH_SQL),
     "neardup_incremental": (neardup_incremental, MHIDX_SQL),
+    "doc_containment": (doc_containment, DOC_CONTAINMENT_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pairs": (simhash_pairs, None),
     "simhash_pairs_md5": (simhash_pairs_md5, SIMHASH_MD5_SQL),

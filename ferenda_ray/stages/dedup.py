@@ -1447,3 +1447,113 @@ def neardup_vs_index(delta_ds, index_dir: str, verify_docs_ds,
                          "indexed_key": t["key_b"]})
 
     return verified.map_batches(rename, batch_format="pyarrow")
+
+
+# --- asymmetric containment near-dup (excerpt/quotation detection) ------
+
+def containment_pairs(delta_ds, corpus_ds, cont_num: int = 4,
+                      cont_den: int = 5, df_cap: int = 256,
+                      shingle_k: int = 3, text_col: str = "text",
+                      key_col: str = "doc_id", num_buckets: int = 64):
+    """Asymmetric near-dup by shingle CONTAINMENT (Broder '97's
+    resemblance/containment pair): delta docs A whose rare-gram set
+    is ≥ cont_num/cont_den contained in a corpus doc B —
+    |A_r ∩ B_r| · den ≥ num · |A_r| — catching excerpts/quotations
+    that symmetric Jaccard misses (a 2/3 excerpt has J ≈ 2/3 but
+    containment ≈ 1).
+
+    ``A_r`` restricts both sides to INFORMATIVE grams: grams whose
+    corpus document frequency exceeds ``df_cap`` (boilerplate) are
+    excluded from numerator AND denominator — an exact, SQL-replicable
+    rule that simultaneously bounds the per-gram pair explode (a gram
+    pairs ≤ df_cap corpus docs with each delta holder).
+
+    Scale shape: both sides reduce doc-locally to distinct
+    (gram, key) rows (combiner); exchange 1 co-locates each gram's
+    postings (hash(gram) bucket) — df, the cap and the per-gram
+    (a, b) intersection partials plus per-a rare-size partials all
+    compute inside the bucket; exchange 2 co-locates everything of
+    one delta key (hash(a)) to finalize inter sums, |A_r| and the
+    exact cross-multiplied threshold. Returns
+    Dataset(delta_key, corpus_key)."""
+
+    def explode(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g_out, k_out = [], []
+            for k, t in zip(df[key_col], df[text_col]):
+                sh = np.unique(shingle_hashes(t or "", shingle_k))
+                g_out.append(sh)
+                k_out.append(np.full(len(sh), k))
+            if not g_out:
+                return pd.DataFrame({
+                    "g": pd.Series(dtype="int64"),
+                    "key": pd.Series(dtype="int64"),
+                    "_side": pd.Series(dtype="int8"),
+                    "_bucket": pd.Series(dtype="int32")})
+            out = pd.DataFrame({
+                "g": np.concatenate(g_out).astype("int64"),
+                "key": np.concatenate(k_out).astype("int64")})
+            out["_side"] = np.int8(side)
+            out["_bucket"] = (
+                (out["g"].values.view("uint64") * _GOLDEN)
+                % np.uint64(num_buckets)).astype("int32")
+            return out
+        return fn
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        d_ = g[g["_side"] == 0][["g", "key"]]
+        c_ = g[g["_side"] == 1][["g", "key"]]
+        if d_.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        # corpus df per gram; drop boilerplate grams entirely
+        dfreq = c_.groupby("g")["key"].transform("size")
+        c_ok = c_[dfreq <= df_cap]
+        ok_grams = set(c_ok["g"].unique())
+        # rarity is CORPUS df: a delta gram absent from the corpus has
+        # df 0 <= cap and counts toward |A_r|; only grams the corpus
+        # marks as boilerplate (df > cap) are excluded from the size
+        c_all_grams = set(c_["g"].unique())
+        d_rare = d_[~d_["g"].isin(c_all_grams - ok_grams)]
+        sizes = d_rare.groupby("key", as_index=False).size()
+        size_rows = pd.DataFrame({"a": sizes["key"].astype("int64"),
+                                  "b": np.int64(-1),
+                                  "n": sizes["size"].astype("int64")})
+        m = d_rare.merge(c_ok, on="g", suffixes=("_a", "_b"))
+        inter = (m.groupby(["key_a", "key_b"], as_index=False).size()
+                 if len(m) else
+                 pd.DataFrame({"key_a": pd.Series(dtype="int64"),
+                               "key_b": pd.Series(dtype="int64"),
+                               "size": pd.Series(dtype="int64")}))
+        inter_rows = pd.DataFrame({"a": inter["key_a"].astype("int64"),
+                                   "b": inter["key_b"].astype("int64"),
+                                   "n": inter["size"].astype("int64")})
+        return pd.concat([size_rows, inter_rows], ignore_index=True)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = (g[g["b"] == -1].groupby("a", as_index=False)["n"].sum()
+                 .rename(columns={"n": "asize"}))
+        pairs = (g[g["b"] != -1]
+                 .groupby(["a", "b"], as_index=False)["n"].sum())
+        j = pairs.merge(sizes, on="a")
+        keep = j["n"] * cont_den >= cont_num * j["asize"]
+        out = j[keep]
+        return pd.DataFrame({
+            "delta_key": out["a"].astype("int64"),
+            "corpus_key": out["b"].astype("int64")}).reset_index(drop=True)
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["a"], index=False).values
+        df["_bucket"] = (h % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    tagged = (delta_ds.map_batches(explode(0), batch_format="pandas")
+              .union(corpus_ds.map_batches(explode(1),
+                                           batch_format="pandas")))
+    partials = (tagged.groupby("_bucket")
+                .map_groups(per_gram, batch_format="pandas"))
+    return (partials.map_batches(rebucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(finalize, batch_format="pandas"))
