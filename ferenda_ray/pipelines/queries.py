@@ -3919,6 +3919,83 @@ LEFT JOIN c ON c.event_type = t.event_type AND c.day = cal.day
 """
 
 
+PREC_LOOKBACK_US = 3_600_000_000        # 1 h
+PREC_WINDOW_US = 6 * 3_600_000_000      # 6 h panes
+
+
+def events_preceding_hour_count(sf_dir):
+    """Per-EVENT sliding RANGE window: for every event, the number of
+    same-type events in the preceding hour (inclusive, peers counted
+    — SQL RANGE ... 1 HOUR PRECEDING AND CURRENT ROW semantics). The
+    per-row rate feature behind burst detection and rate limiting.
+
+    Scale shape: a per-row window over an unbounded partition can't
+    ride one group per type — instead events split into 6-hour PANES
+    keyed (type, pane), and every event within 1 h of a pane's end is
+    ALSO emitted into the next pane as a context-only HALO row, so
+    each pane holds everything its own rows can look back at. One
+    bucketed exchange; per pane one sort + two vectorized
+    searchsorted passes; halo duplication is bounded by
+    lookback/pane = 1/6 of the stream. Exact by construction — the
+    window never crosses more than one pane boundary."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts",
+                                          "event_type"])
+    from ..stages.joins import _hash64
+
+    def panes(t: pa.Table) -> pd.DataFrame:
+        ts_us = (t["ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64))
+        et = pd.Series(t["event_type"].to_pylist(), dtype=object)
+        eid = t["event_id"].to_numpy()
+        w = ts_us // PREC_WINDOW_US
+        own = pd.DataFrame({"event_id": eid, "ts_us": ts_us,
+                            "event_type": et, "w": w,
+                            "is_ctx": np.int8(0)})
+        halo_m = ts_us >= (w + 1) * PREC_WINDOW_US - PREC_LOOKBACK_US
+        halo = pd.DataFrame({
+            "event_id": eid[halo_m], "ts_us": ts_us[halo_m],
+            "event_type": et[halo_m].reset_index(drop=True),
+            "w": w[halo_m] + 1, "is_ctx": np.int8(1)})
+        out = pd.concat([own, halo], ignore_index=True)
+        key = out["event_type"].astype(str) + "\x1f" + out["w"].astype(str)
+        out["_bucket"] = (_hash64(key) % np.uint64(64)).astype("int32")
+        return out
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(["event_type", "w"], sort=False):
+            sub = sub.sort_values(["ts_us", "event_id"],
+                                  kind="mergesort")
+            all_ts = sub["ts_us"].to_numpy()
+            own = sub[sub["is_ctx"] == 0]
+            t = own["ts_us"].to_numpy()
+            lo = np.searchsorted(all_ts, t - PREC_LOOKBACK_US,
+                                 side="left")
+            hi = np.searchsorted(all_ts, t, side="right")
+            outs.append(pd.DataFrame({
+                "event_id": own["event_id"].to_numpy(),
+                "n_prec": (hi - lo).astype("int64")}))
+        if not outs:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "n_prec": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["event_id"] = out["event_id"].astype("int64")
+        return out
+
+    return (ds.map_batches(panes, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(count_window,
+                                           batch_format="pandas"))
+
+
+EVENTS_PREC_SQL = """
+SELECT event_id,
+       count(*) OVER (PARTITION BY event_type ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                      AND CURRENT ROW) AS n_prec
+FROM events
+"""
+
+
 ANOM_K_NUM, ANOM_K_DEN = 2 * 10_000, 29_652  # |z| > 2, 1.4826 exact
 
 
@@ -8985,6 +9062,8 @@ QUERIES = {
     "orders_cdc_merge": (orders_cdc_merge, ORDERS_CDC_SQL),
     "events_anomaly_days": (events_anomaly_days, EVENTS_ANOMALY_SQL),
     "events_daily_dense": (events_daily_dense, EVENTS_DENSE_SQL),
+    "events_preceding_hour_count": (events_preceding_hour_count,
+                                    EVENTS_PREC_SQL),
     "lineitem_corr_components": (lineitem_corr_components,
                                  LINEITEM_CORR_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),

@@ -615,3 +615,35 @@ def test_minhash_index_incremental(ray_session, tmp_path):
         assert (101, 1) in rows
         assert all(k != 102 for k, _ in rows)
         assert all(k == 101 for k, _ in rows)
+
+
+def test_containment_pairs_asymmetry_and_dfcap(ray_session):
+    """dedup.containment_pairs: an excerpt is contained in its source
+    (but not Jaccard-similar); the corpus-df cap removes boilerplate
+    grams from BOTH numerator and denominator."""
+    import pandas as pd
+    import ray
+
+    from ferenda_ray.stages import dedup
+
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["w1 w2 w3 w4 w5 w6 w7 w8 w9",
+                 "x1 x2 x3 x4 x5 x6 x7 x8 x9"],
+    })
+    delta = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": ["w1 w2 w3 w4 w5 w6",       # first 2/3 of doc 1
+                 "z1 z2 z3 z4 z5 z6"],      # matches nothing
+    })
+    got = dedup.containment_pairs(
+        ray.data.from_pandas(delta), ray.data.from_pandas(corpus),
+        cont_num=4, cont_den=5, df_cap=256, num_buckets=4).to_pandas()
+    rows = sorted(map(tuple,
+                      got[["delta_key", "corpus_key"]].values.tolist()))
+    assert rows == [(10, 1)]
+    # df_cap=0 marks EVERY corpus gram boilerplate -> no pairs at all
+    got0 = dedup.containment_pairs(
+        ray.data.from_pandas(delta), ray.data.from_pandas(corpus),
+        cont_num=4, cont_den=5, df_cap=0, num_buckets=4).materialize()
+    assert got0.count() == 0
