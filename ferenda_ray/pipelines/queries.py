@@ -3764,6 +3764,221 @@ GROUP BY c_mktsegment
 """
 
 
+Q21_LATE_DAYS = 60
+
+
+def q21_blame_supplier(sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders involving ≥2 distinct suppliers where EXACTLY ONE
+    supplier shipped late, blame that supplier — the triple
+    EXISTS / NOT-EXISTS self-correlation on one fact table
+    (reference shape: TPC-H 21; restated on this schema's columns as
+    late := max(l_shipdate) per (order, supplier) > o_orderdate + N
+    days, since the testdata carries no receipt/commit dates).
+
+    Scale shape: "supplier was late on order o" depends on lineitem
+    only through max(l_shipdate) per (okey, skey) — max is a lossless
+    per-batch combiner, so lineitem reduces to one narrow row per
+    (batch, order, supplier) before ONE orderkey-hash-bucketed tagged
+    exchange (the q3/q4/q18 discipline); 'F' order rows ride the same
+    exchange. An order's complete supplier set lives in exactly one
+    bucket, so each bucket evaluates the whole correlated predicate
+    (n_supp ≥ 2 ∧ n_late == 1 ∧ this supplier late) vectorized and
+    emits bounded (suppkey → numwait) count partials — supplier is a
+    dimension, so the final name-attach + top-20 merge is one
+    dimension-scale block (names from a broadcast dict, q18 style)."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "skey", "ship_us", "odate_us", "_bucket", "_side"]
+    late_us = np.int64(Q21_LATE_DAYS) * 86_400_000_000
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(),
+            "skey": t["l_suppkey"].to_numpy(),
+            "ship_us": t["l_shipdate"].to_numpy()
+                        .astype("datetime64[us]").astype(np.int64)})
+        p = df.groupby(["okey", "skey"], as_index=False)["ship_us"].max()
+        for c in ("okey", "skey", "ship_us"):
+            p[c] = p[c].astype("int64")
+        p["odate_us"] = np.int64(0)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy(),
+            "skey": np.zeros(t.num_rows, np.int64),
+            "ship_us": np.zeros(t.num_rows, np.int64),
+            "odate_us": t["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").astype(np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_blame(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0]
+        mx = li_.groupby(["okey", "skey"],
+                         as_index=False)["ship_us"].max()
+        od_ = g[g["_side"] == 1][["okey", "odate_us"]]
+        j = mx.merge(od_, on="okey", how="inner")
+        j["late"] = (j["ship_us"].to_numpy()
+                     > j["odate_us"].to_numpy() + late_us).astype(np.int64)
+        per_o = j.groupby("okey").agg(n_supp=("skey", "size"),
+                                      n_late=("late", "sum"))
+        ok = per_o.index[(per_o["n_supp"] >= 2)
+                         & (per_o["n_late"] == 1)]
+        w = j[j["okey"].isin(ok) & (j["late"] == 1)]
+        out = w.groupby("skey", as_index=False).size()
+        return pd.DataFrame({"skey": out["skey"].astype("int64"),
+                             "numwait": out["size"].astype("int64")})
+
+    names_ref = ray.put({
+        int(r["s_suppkey"]): r["s_name"]
+        for r in _read(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_name"]).take_all()})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_blame, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        agg = df.groupby("skey", as_index=False)["numwait"].sum()
+        names = _ray.get(names_ref)
+        agg["s_name"] = agg["skey"].map(names).astype(object)
+        agg = (agg.sort_values(["numwait", "s_name"],
+                               ascending=[False, True])
+               .head(20).reset_index(drop=True))
+        return pd.DataFrame({
+            "s_name": agg["s_name"].astype(object),
+            "numwait": agg["numwait"].astype("int64")})
+
+    return _merge_partials(per_bucket, final)
+
+
+Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey, max(l_shipdate) AS mx
+  FROM lineitem GROUP BY 1, 2),
+j AS (
+  SELECT l.okey, l.skey,
+         CASE WHEN l.mx > o.o_orderdate + INTERVAL %d DAY
+              THEN 1 ELSE 0 END AS late
+  FROM l JOIN orders o ON o.o_orderkey = l.okey
+  WHERE o.o_orderstatus = 'F'),
+g AS (SELECT okey, count(*) AS n_supp, sum(late) AS n_late
+      FROM j GROUP BY okey)
+SELECT s.s_name, count(*) AS numwait
+FROM j JOIN g USING (okey) JOIN supplier s ON s.s_suppkey = j.skey
+WHERE g.n_supp >= 2 AND g.n_late = 1 AND j.late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""" % Q21_LATE_DAYS
+
+
+Q11_SHARE_NUM, Q11_SHARE_DEN = 12, 10  # keep parts > 1.2× avg revenue
+
+
+def q11_important_parts(sf_dir):
+    """TPC-H Q11 shape (important stock): per-part revenue HAVING a
+    threshold that is itself a GLOBAL aggregate of the same groupby —
+    the "filter groups against a scalar computed over all groups"
+    pattern (reference shape: TPC-H 11; restated over lineitem since
+    the testdata has no partsupp — threshold = 1.2× the average
+    per-part revenue, which is non-degenerate on this corpus where a
+    fixed global fraction is all-or-nothing).
+
+    Scale shape: per-batch (partkey → cents) partial sums (lossless
+    combiner) feed ONE partkey-hash-bucketed exchange that finalizes
+    exact per-part revenues; that per-part table — the inherently
+    small output of the aggregate — materializes ONCE and is consumed
+    twice: a bounded two-integer pass (Σcents, n_parts) broadcasts the
+    threshold, then a map-side cross-multiplied filter (no float avg
+    crosses an engine boundary) with per-batch local top-100 partials
+    coalesces into the single bounded merge block (q18 discipline)."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "cents": cents})
+        out = df.groupby("pkey", as_index=False)["cents"].sum()
+        for c in ("pkey", "cents"):
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["pkey"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pkey", as_index=False)["cents"].sum()
+        return pd.DataFrame({"pkey": out["pkey"].astype("int64"),
+                             "cents": out["cents"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice"])
+    per_part = (li.map_batches(part, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(bucket_final,
+                                               batch_format="pandas")
+                ).materialize()
+
+    def stat_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["cents"].sum())],
+                             "n": [int(len(df))]})
+
+    def stat_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["s"].sum())],
+                             "n": [int(df["n"].sum())]})
+
+    st = _merge_partials(per_part.map_batches(stat_part,
+                                              batch_format="pandas"),
+                         stat_merge).take_all()[0]
+    tot, n_parts = int(st["s"]), int(st["n"])
+
+    def keep_top(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray((df["cents"].to_numpy().astype(object) * n_parts
+                        * Q11_SHARE_DEN) > (tot * Q11_SHARE_NUM),
+                       dtype=bool)
+        out = (df[m].sort_values(["cents", "pkey"],
+                                 ascending=[False, True]).head(100))
+        return pd.DataFrame({"pkey": out["pkey"].astype("int64"),
+                             "cents": out["cents"].astype("int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["cents", "pkey"],
+                              ascending=[False, True])
+               .head(100).reset_index(drop=True))
+        return pd.DataFrame({
+            "l_partkey": out["pkey"].astype("int64"),
+            "revenue_cents": out["cents"].astype("int64")})
+
+    return _merge_partials(
+        per_part.map_batches(keep_top, batch_format="pandas"), final)
+
+
+Q11_SQL = """
+WITH p AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS revenue_cents
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(revenue_cents) AS tot, count(*) AS np FROM p)
+SELECT p.l_partkey, p.revenue_cents
+FROM p, t
+WHERE p.revenue_cents * t.np * %d > t.tot * %d
+ORDER BY p.revenue_cents DESC, p.l_partkey
+LIMIT 100
+""" % (Q11_SHARE_DEN, Q11_SHARE_NUM)
+
+
 CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 10, 17, 23
 CDC_INS_OFF = 10_000_000
 
@@ -9091,6 +9306,8 @@ QUERIES = {
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
+    "q21_blame_supplier": (q21_blame_supplier, Q21_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
