@@ -131,7 +131,11 @@ def run_bench() -> dict:
              ("doc_normalized_dedup", Q.doc_normalized_dedup),
              ("kg_link_prediction", Q.kg_link_prediction),
              ("fulltext_indexed_search", Q.fulltext_indexed_search),
-             ("orders_zorder", Q.orders_zorder)]
+             ("orders_zorder", Q.orders_zorder),
+             ("q21_blame_supplier", Q.q21_blame_supplier),
+             ("q11_important_parts", Q.q11_important_parts),
+             ("q10_returned_customers", Q.q10_returned_customers),
+             ("orders_zorder_scan", Q.orders_zorder_scan)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

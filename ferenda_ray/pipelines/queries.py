@@ -3979,6 +3979,199 @@ LIMIT 100
 """ % (Q11_SHARE_DEN, Q11_SHARE_NUM)
 
 
+def orders_zorder_scan(sf_dir):
+    """Zone-map data-skipping scan over the MATERIALIZED Z-order
+    layout — the consumer half of ``orders_zorder`` (which emits the
+    zone map; this query writes the clustered layout once and then
+    answers a 2-D range predicate by reading ONLY the shards whose
+    zone map intersects — the Delta/Iceberg "OPTIMIZE ZORDER →
+    data-skipping scan" pair, same build-once/pruned-read discipline
+    as ``fulltext_indexed_search`` / ``build_ivf_index``).
+
+    Predicate: custkey in the lowest 10%% of its observed range AND
+    orderdate in the first quarter of its range — both bounds derived
+    from data, so the SQL oracle replays them exactly. Pruning is
+    sound (a shard qualifies iff its per-dimension minima can admit a
+    match — a superset) and the scan re-applies the exact predicate,
+    so the pruned answer ≡ the full-scan answer; the unit test
+    additionally asserts shards were actually skipped."""
+    import json as _json
+
+    from ..sources.zlayout import build_zorder_layout, zorder_pruned_scan
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def to_xy(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        return pd.DataFrame({
+            "key": t["o_orderkey"].to_numpy().astype("int64"),
+            "x": t["o_custkey"].to_numpy().astype("int64"),
+            "y": days})
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    layout = build_zorder_layout(
+        ds.map_batches(to_xy, batch_format="pyarrow"),
+        "/tmp/ferenda_ray_zlayout_v1/%s" % tag)
+    import os as _os
+    with open(_os.path.join(layout, "_meta.json")) as fh:
+        m = _json.load(fh)
+    x_hi = m["x_lo"] + m["x_rng"] // 10
+    y_hi = m["y_lo"] + m["y_rng"] // 4
+
+    rows, _read_n, _tot = zorder_pruned_scan(layout, x_hi, y_hi)
+
+    def present(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": t["key"].to_numpy().astype("int64"),
+            "o_custkey": t["x"].to_numpy().astype("int64"),
+            "o_orderdate": t["y"].to_numpy()
+                            .astype("datetime64[D]")
+                            .astype("datetime64[us]")})
+
+    return rows.map_batches(present, batch_format="pyarrow")
+
+
+ZORDER_SCAN_SQL = """
+WITH raw AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         o_orderdate
+  FROM orders),
+b AS (SELECT min(o_custkey) AS x_lo,
+             greatest(max(o_custkey) - min(o_custkey), 1) AS x_rng,
+             min(day) AS y_lo,
+             greatest(max(day) - min(day), 1) AS y_rng
+      FROM raw)
+SELECT r.o_orderkey, r.o_custkey, r.o_orderdate
+FROM raw r, b
+WHERE r.o_custkey <= b.x_lo + b.x_rng // 10
+  AND r.day <= b.y_lo + b.y_rng // 4
+"""
+
+
+Q10_DATE_LO, Q10_DATE_HI = "1997-10-01", "1998-01-01"
+
+
+def q10_returned_customers(sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue of RETURNED lineitems on orders in one quarter — a fact ⋈
+    fact ⋈ dimension rollup whose group key (custkey) is NOT the join
+    key of the first join (orderkey), i.e. the canonical DOUBLE
+    re-key: aggregate on key A, re-partition the partials on key B.
+
+    Scale shape: lineitem pre-reduces per batch to (okey → 'R' cents)
+    partials (lossless combiner) and rides ONE orderkey-bucketed
+    tagged exchange with the window-filtered order rows; each bucket
+    joins and re-emits (ckey → cents) partials tagged with a SECOND
+    custkey-hash bucket — the chain is exactly two exchanges with one
+    union (the scrub/decontaminate DAG discipline). The second
+    exchange finalizes per-customer revenue and takes a LOCAL top-20
+    (exact: a customer's whole revenue lives in one bucket); bounded
+    partials coalesce in the single merge block where names attach
+    from a broadcast customer dict (q18 contract — bucket-join it at
+    10⁹ customers)."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "ckey", "cents", "_bucket", "_side"]
+    lo_us = int(np.datetime64(Q10_DATE_LO, "us").astype(np.int64))
+    hi_us = int(np.datetime64(Q10_DATE_HI, "us").astype(np.int64))
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "cents": cents})
+        p = df.groupby("okey", as_index=False)["cents"].sum()
+        for c in ("okey", "cents"):
+            p[c] = p[c].astype("int64")
+        p["ckey"] = np.int64(-1)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        dus = (t["o_orderdate"].to_numpy()
+               .astype("datetime64[us]").astype(np.int64))
+        keep = (dus >= lo_us) & (dus < hi_us)
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy()[keep],
+            "ckey": t["o_custkey"].to_numpy()[keep],
+            "cents": np.zeros(int(keep.sum()), np.int64)})
+        for c in ("okey", "ckey"):
+            p[c] = p[c].astype("int64")
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_cust(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = (g[g["_side"] == 0]
+               .groupby("okey", as_index=False)["cents"].sum())
+        od_ = g[g["_side"] == 1][["okey", "ckey"]]
+        j = li_.merge(od_, on="okey", how="inner")
+        out = j.groupby("ckey", as_index=False)["cents"].sum()
+        for c in ("ckey", "cents"):
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["ckey"], index=False).values
+        out["_b2"] = (h % np.uint64(buckets)).astype("int32")
+        return out[["ckey", "cents", "_b2"]]
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("ckey", as_index=False)["cents"].sum()
+        top = (s.sort_values(["cents", "ckey"],
+                             ascending=[False, True]).head(20))
+        for c in ("ckey", "cents"):
+            top[c] = top[c].astype("int64")
+        return top[["ckey", "cents"]]
+
+    names_ref = ray.put({
+        int(r["c_custkey"]): r["c_name"]
+        for r in _read(sf_dir, "customer",
+                       columns=["c_custkey", "c_name"]).take_all()})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag",
+                        "l_extendedprice"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_cust = (tagged.groupby("_bucket")
+                .map_groups(bucket_cust, batch_format="pandas")
+                .groupby("_b2")
+                .map_groups(bucket_top, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        top = (df.sort_values(["cents", "ckey"],
+                              ascending=[False, True])
+               .head(20).reset_index(drop=True))
+        names = _ray.get(names_ref)
+        return pd.DataFrame({
+            "c_custkey": top["ckey"].astype("int64"),
+            "c_name": top["ckey"].map(names).astype(object),
+            "revenue_cents": top["cents"].astype("int64")})
+
+    return _merge_partials(per_cust, final)
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '%s'
+  AND o.o_orderdate < DATE '%s'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+""" % (Q10_DATE_LO, Q10_DATE_HI)
+
+
 CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 10, 17, 23
 CDC_INS_OFF = 10_000_000
 
@@ -9308,6 +9501,8 @@ QUERIES = {
     "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
     "q21_blame_supplier": (q21_blame_supplier, Q21_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q10_returned_customers": (q10_returned_customers, Q10_SQL),
+    "orders_zorder_scan": (orders_zorder_scan, ZORDER_SCAN_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
