@@ -4172,6 +4172,219 @@ LIMIT 20
 """ % (Q10_DATE_LO, Q10_DATE_HI)
 
 
+def q7_nation_volume(sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations by year, in both directions — the pattern where DIMENSION
+    ATTRIBUTES (supplier nation, customer nation) must propagate
+    through a fact×fact join before a bounded rollup.
+
+    Scale shape: both nation attributes resolve via broadcast dicts
+    BEFORE the exchange (supplier⋈nation and customer⋈nation are
+    dimension-side lookups — the customer arm carries the q5
+    bucket-join contract at 10⁹ customers), and the nation-pair filter
+    prunes map-side, so only matching rows enter the ONE
+    orderkey-bucketed tagged exchange; lineitem pre-reduces per batch
+    to (okey, supp_nation, year) → cents partials (lossless combiner).
+    Each bucket joins, drops same-nation flows, and emits BOUNDED
+    (2 × 2 × years) revenue partials that coalesce in one block.
+
+    The nation pair is DERIVED FROM THE DATA (the nations of the two
+    lowest-suppkey suppliers with distinct nations) so the query is
+    non-degenerate at every scale factor — the synthetic corpus
+    spreads few suppliers over 25 nations at sf0.001; the SQL oracle
+    replays the same rule."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "nat", "year", "cents", "_bucket", "_side"]
+
+    nat_name = {int(r["n_nationkey"]): r["n_name"]
+                for r in _read(sf_dir, "nation",
+                               columns=["n_nationkey",
+                                        "n_name"]).take_all()}
+    supp_nat = {int(r["s_suppkey"]): nat_name[int(r["s_nationkey"])]
+                for r in _read(sf_dir, "supplier",
+                               columns=["s_suppkey",
+                                        "s_nationkey"]).take_all()}
+    cust_nat = {int(r["c_custkey"]): nat_name[int(r["c_nationkey"])]
+                for r in _read(sf_dir, "customer",
+                               columns=["c_custkey",
+                                        "c_nationkey"]).take_all()}
+    # pair rule shared with the SQL oracle: nation of the lowest
+    # suppkey, and of the lowest suppkey in a DIFFERENT nation
+    by_key = sorted(supp_nat)
+    nat_a = supp_nat[by_key[0]]
+    nat_b = next(supp_nat[k] for k in by_key if supp_nat[k] != nat_a)
+    pair = {nat_a, nat_b}
+    supp_ref, cust_ref = ray.put(supp_nat), ray.put(cust_nat)
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        sn = _ray.get(supp_ref)
+        nat = pd.Series(t["l_suppkey"].to_numpy()).map(sn)
+        keep = nat.isin(pair).to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()[keep]
+        year = (t["l_shipdate"].to_numpy()[keep]
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy()[keep],
+                           "nat": nat.to_numpy()[keep],
+                           "year": year, "cents": cents})
+        p = df.groupby(["okey", "nat", "year"],
+                       as_index=False)["cents"].sum()
+        for c in ("okey", "year", "cents"):
+            p[c] = p[c].astype("int64")
+        p["nat"] = p["nat"].astype(object)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        cn = _ray.get(cust_ref)
+        nat = pd.Series(t["o_custkey"].to_numpy()).map(cn)
+        keep = nat.isin(pair).to_numpy()
+        okey = t["o_orderkey"].to_numpy()[keep]
+        p = pd.DataFrame({"okey": okey.astype("int64"),
+                          "nat": pd.Series(nat.to_numpy()[keep],
+                                           dtype=object),
+                          "year": np.zeros(len(okey), np.int64),
+                          "cents": np.zeros(len(okey), np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_vol(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = (g[g["_side"] == 0]
+               .groupby(["okey", "nat", "year"],
+                        as_index=False)["cents"].sum()
+               .rename(columns={"nat": "supp_nation"}))
+        od_ = (g[g["_side"] == 1][["okey", "nat"]]
+               .rename(columns={"nat": "cust_nation"}))
+        j = li_.merge(od_, on="okey", how="inner")
+        j = j[j["supp_nation"] != j["cust_nation"]]
+        out = j.groupby(["supp_nation", "cust_nation", "year"],
+                        as_index=False)["cents"].sum()
+        return pd.DataFrame({
+            "supp_nation": out["supp_nation"].astype(object),
+            "cust_nation": out["cust_nation"].astype(object),
+            "l_year": out["year"].astype("int64"),
+            "revenue_cents": out["cents"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_vol, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # typed empty — schema-loss pitfall guard
+            return pd.DataFrame({
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64")})
+        out = (df.groupby(["supp_nation", "cust_nation", "l_year"],
+                          as_index=False)["revenue_cents"].sum()
+               .sort_values(["supp_nation", "cust_nation", "l_year"])
+               .reset_index(drop=True))
+        out["l_year"] = out["l_year"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q7_SQL = """
+WITH sn AS (
+  SELECT s_suppkey, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+na AS (SELECT n_name FROM sn ORDER BY s_suppkey LIMIT 1),
+nb AS (SELECT n_name FROM sn
+       WHERE n_name <> (SELECT n_name FROM na)
+       ORDER BY s_suppkey LIMIT 1)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND n1.n_name IN ((SELECT n_name FROM na), (SELECT n_name FROM nb))
+  AND n2.n_name IN ((SELECT n_name FROM na), (SELECT n_name FROM nb))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+TRAIN_SHARDS = 8
+
+
+def training_shards(sf_dir):
+    """Deterministic hash-shuffle into dataloader shards — the
+    training-manifest step of a 100-TB pipeline: every document gets a
+    stable (shard, position) independent of read order, partitioning
+    or engine, because both derive from md5(doc_id) alone (the
+    seedless-shuffle discipline shared by mixture_sample /
+    user_bottomk_sample; a global random_shuffle of 100 TB is an
+    all-to-all of every byte, while the hash manifest moves only
+    (doc_id, hash) pairs).
+
+    Scale shape: shard = md5[:8] % K is map-side; ONE shard-bucketed
+    exchange groups each shard, which sorts by the full hex digest
+    (position = rank) vectorized. A shard sorting in one worker is
+    the operating point by construction — K is chosen so a shard fits
+    the dataloader (thousands of shards at 100 TB); for pathological
+    shard sizes the order key is prefix-decomposable (sort hex[0:2]
+    ranges separately, offset by counts)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest()
+              for i in ids]
+        shard = np.array([int(h[:8], 16) % TRAIN_SHARDS for h in hx],
+                         dtype=np.int64)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "hx": pd.Series(hx, dtype=object),
+                             "shard": shard})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["hx", "doc_id"], kind="mergesort")
+             .reset_index(drop=True))
+        return pd.DataFrame({
+            "shard": g["shard"].astype("int64"),
+            "pos": np.arange(len(g), dtype=np.int64),
+            "doc_id": g["doc_id"].astype("int64")})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+TRAINING_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+s AS (
+  SELECT doc_id, hx,
+         CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) %% %d
+              AS BIGINT) AS shard
+  FROM h)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY hx, doc_id) - 1
+            AS BIGINT) AS pos,
+       doc_id
+FROM s
+""" % TRAIN_SHARDS
+
+
 CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 10, 17, 23
 CDC_INS_OFF = 10_000_000
 
@@ -9503,6 +9716,8 @@ QUERIES = {
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q10_returned_customers": (q10_returned_customers, Q10_SQL),
     "orders_zorder_scan": (orders_zorder_scan, ZORDER_SCAN_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
