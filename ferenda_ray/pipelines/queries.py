@@ -3967,8 +3967,8 @@ def q11_important_parts(sf_dir):
 Q11_SQL = """
 WITH p AS (
   SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-           AS revenue_cents
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
   FROM lineitem GROUP BY 1),
 t AS (SELECT sum(revenue_cents) AS tot, count(*) AS np FROM p)
 SELECT p.l_partkey, p.revenue_cents
