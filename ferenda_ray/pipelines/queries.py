@@ -4385,6 +4385,103 @@ FROM s
 """ % TRAIN_SHARDS
 
 
+def q2_min_cost_supplier(sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each part, the
+    supplier offering the LOWEST average sale price — the grouped
+    ARGMIN + join-back pattern (Q15 is the global argmax; this is the
+    per-group argmin whose group count is unbounded), restated over
+    lineitem since the testdata carries no partsupp.
+
+    Ranking is the exact integer floor((Σcents·1000)/n) milli-cent
+    average with suppkey tie-break — both engines replay the same
+    formula, so no float average crosses the boundary. Scale shape:
+    per-batch (pkey, skey) → (n, cents) partial sums (lossless
+    combiner) feed ONE partkey-bucketed exchange — a part's whole
+    supplier distribution lives in one bucket, which finalizes sums,
+    computes the rational rank and takes the per-part argmin
+    vectorized (groupby-idxmin over sorted keys), then keeps its
+    LOCAL 100 lowest partkeys; bounded partials coalesce in the one
+    merge block where supplier names attach from a broadcast dict
+    (dimension contract, q18 style)."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "skey": t["l_suppkey"].to_numpy(),
+                           "cents": cents})
+        out = df.groupby(["pkey", "skey"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["pkey"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_argmin(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pkey", "skey"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        s["avg_milli"] = (s["cents"] * 1000) // s["n"]
+        s = s.sort_values(["pkey", "avg_milli", "skey"],
+                          kind="mergesort")
+        best = s.groupby("pkey", as_index=False).first()
+        best = best.sort_values("pkey").head(100)
+        return pd.DataFrame({
+            "pkey": best["pkey"].astype("int64"),
+            "skey": best["skey"].astype("int64"),
+            "avg_milli": best["avg_milli"].astype("int64")})
+
+    names_ref = ray.put({
+        int(r["s_suppkey"]): r["s_name"]
+        for r in _read(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_name"]).take_all()})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    per_bucket = (li.map_batches(part, batch_format="pyarrow")
+                  .groupby("_bucket").map_groups(bucket_argmin,
+                                                 batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        top = (df.sort_values("pkey").head(100)
+               .reset_index(drop=True))
+        names = _ray.get(names_ref)
+        return pd.DataFrame({
+            "l_partkey": top["pkey"].astype("int64"),
+            "s_suppkey": top["skey"].astype("int64"),
+            "s_name": top["skey"].map(names).astype(object),
+            "avg_milli": top["avg_milli"].astype("int64")})
+
+    return _merge_partials(per_bucket, final)
+
+
+Q2_SQL = """
+WITH s AS (
+  SELECT l_partkey AS pkey, l_suppkey AS skey,
+         count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2),
+r AS (
+  SELECT pkey, skey, (cents * 1000) // n AS avg_milli,
+         row_number() OVER (PARTITION BY pkey
+                            ORDER BY (cents * 1000) // n, skey) AS rk
+  FROM s)
+SELECT r.pkey AS l_partkey, r.skey AS s_suppkey, sp.s_name,
+       CAST(r.avg_milli AS BIGINT) AS avg_milli
+FROM r JOIN supplier sp ON sp.s_suppkey = r.skey
+WHERE r.rk = 1
+ORDER BY r.pkey
+LIMIT 100
+"""
+
+
 CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 10, 17, 23
 CDC_INS_OFF = 10_000_000
 
@@ -9718,6 +9815,7 @@ QUERIES = {
     "orders_zorder_scan": (orders_zorder_scan, ZORDER_SCAN_SQL),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
