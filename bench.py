@@ -135,7 +135,10 @@ def run_bench() -> dict:
              ("q21_blame_supplier", Q.q21_blame_supplier),
              ("q11_important_parts", Q.q11_important_parts),
              ("q10_returned_customers", Q.q10_returned_customers),
-             ("orders_zorder_scan", Q.orders_zorder_scan)]
+             ("orders_zorder_scan", Q.orders_zorder_scan),
+             ("q7_nation_volume", Q.q7_nation_volume),
+             ("training_shards", Q.training_shards),
+             ("q2_min_cost_supplier", Q.q2_min_cost_supplier)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -96,6 +96,14 @@ def build_zorder_layout(ds, out_dir: str,
     clustered = ds.map_batches(assign, batch_format="pyarrow")
     clustered.write_parquet(tmp, partition_cols=["shard"])
 
+    # zone map from the WRITTEN files (columnar read of 2 narrow
+    # columns + the partition key), not by re-executing the whole
+    # upstream pipeline a second time — at 100 TB the re-scan would
+    # double the build cost.
+    import ray.data as rd
+
+    written = rd.read_parquet(tmp, columns=["shard", "x", "y"])
+
     # zone map: bounded (≤ 2^shard_bits keys) → lossless combiner
     def zm_partial(t: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({"shard": t["shard"].to_numpy(),
@@ -117,7 +125,7 @@ def build_zorder_layout(ds, out_dir: str,
             out[c] = out[c].astype("int64")
         return out
 
-    zm = (clustered.map_batches(zm_partial, batch_format="pyarrow")
+    zm = (written.map_batches(zm_partial, batch_format="pyarrow")
           .repartition(1)
           .map_batches(zm_merge, batch_format="pandas",
                        batch_size=None).to_pandas())
