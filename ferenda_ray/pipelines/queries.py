@@ -9722,6 +9722,486 @@ FROM proj, pn, ab
 DOC_QUALITY_CLASSIFIER_SQL = _centroid_sql(4096)
 
 
+# ---------------------------------------------------------------------
+# TPC-H fill-ins: Q6 / Q14 / Q19 / Q16 / Q8 shapes
+# ---------------------------------------------------------------------
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q6_forecast_revenue(sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    filter-and-sum over the fact table — the zero-shuffle baseline
+    every scan-heavy stage should degenerate to.
+
+    Scale shape: predicate + per-batch cents partial entirely
+    map-side (only 4 of 11 lineitem columns leave storage), one
+    bounded single-row merge. The float discount crosses engines as
+    round(l_discount*100) integer percent, so the BETWEEN 3 AND 7 is
+    exact; revenue units are extprice-cents × discount-percent
+    (1e-4 dollars), an integer product of two per-row roundings —
+    no float sum exists on either side."""
+    lo = np.datetime64(Q6_LO, "us").astype(np.int64)
+    hi = np.datetime64(Q6_HI, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ship = (t["l_shipdate"].to_numpy()
+                .astype("datetime64[us]").astype(np.int64))
+        pct = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                           pa.scalar(100.0)),
+                               round_mode="half_towards_infinity"),
+                      pa.int64()).to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        qty = t["l_quantity"].to_numpy()
+        m = ((ship >= lo) & (ship < hi)
+             & (pct >= 3) & (pct <= 7) & (qty < 25))
+        return pd.DataFrame(
+            {"revenue_e4": pd.Series([int((cents[m] * pct[m]).sum())],
+                                     dtype="int64"),
+             "n_items": pd.Series([int(m.sum())], dtype="int64")})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount",
+                        "l_extendedprice", "l_quantity"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"revenue_e4": pd.Series([int(df["revenue_e4"].sum())],
+                                     dtype="int64"),
+             "n_items": pd.Series([int(df["n_items"].sum())],
+                                  dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+Q6_SQL = """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '%s' AND l_shipdate < DATE '%s'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 3 AND 7
+  AND l_quantity < 25
+""" % (Q6_LO, Q6_HI)
+
+
+Q14_LO, Q14_HI = "1996-09-01", "1996-10-01"
+
+
+def q14_promo_revenue(sf_dir):
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue that came from PROMO-type parts — a fact ⋈ dimension join
+    whose output is a single ratio.
+
+    Scale shape: the month filter + per-row cents land map-side, and
+    each lineitem batch pre-reduces to (partkey → cents) partials (a
+    lossless combiner) before ONE partkey-hash-bucketed tagged
+    exchange against the part side's (partkey, is_promo) rows — the
+    part table is NOT broadcast (every part matters here, unlike a
+    filtered dimension leg, so at 10⁹ parts a broadcast dict would be
+    the skeleton_entities anti-pattern). Each bucket inner-joins and
+    emits one (promo_cents, total_cents) partial; the ratio is exact
+    integer permille in the single-block merge, so no float division
+    crosses engines."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    lo, hi = np.datetime64(Q14_LO), np.datetime64(Q14_HI)
+    COLS = ["pkey", "cents", "promo", "_bucket", "_side"]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        ship = t["l_shipdate"].to_numpy()
+        m = (ship >= lo) & (ship < hi)
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy()[m],
+                           "cents": cents[m]})
+        p = df.groupby("pkey", as_index=False)["cents"].sum()
+        p["cents"] = p["cents"].astype("int64")
+        p["promo"] = np.int64(-1)
+        return _tag_bucket(p, buckets, 0, COLS, key="pkey")
+
+    def prep_pt(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "pkey": t["p_partkey"].to_numpy(),
+            "cents": np.zeros(t.num_rows, np.int64),
+            "promo": (t["p_type"].to_numpy(zero_copy_only=False)
+                      == "PROMO").astype(np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS, key="pkey")
+
+    def bucket_sums(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0][["pkey", "cents"]]
+        pt_ = g[g["_side"] == 1][["pkey", "promo"]]
+        j = li_.merge(pt_, on="pkey", how="inner")
+        c = j["cents"].to_numpy()
+        return pd.DataFrame(
+            {"promo_cents": pd.Series(
+                [int(c[j["promo"].to_numpy() == 1].sum())],
+                dtype="int64"),
+             "total_cents": pd.Series([int(c.sum())], dtype="int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(pt.map_batches(prep_pt, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_sums, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        promo = int(df["promo_cents"].sum())
+        total = int(df["total_cents"].sum())
+        return pd.DataFrame(
+            {"promo_cents": pd.Series([promo], dtype="int64"),
+             "total_cents": pd.Series([total], dtype="int64"),
+             "promo_permille": pd.Series(
+                 [(1000 * promo) // max(total, 1)], dtype="int64")})
+
+    return _merge_partials(per_bucket, final)
+
+
+Q14_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '%s' AND l_shipdate < DATE '%s')
+SELECT CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO' THEN li.c END), 0)
+            AS BIGINT) AS promo_cents,
+       CAST(coalesce(sum(li.c), 0) AS BIGINT) AS total_cents,
+       CAST((1000 * coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN li.c END), 0))
+            // greatest(coalesce(sum(li.c), 0), 1) AS BIGINT)
+         AS promo_permille
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+""" % (Q14_LO, Q14_HI)
+
+
+# (brand, size_lo..size_hi, qty_lo..qty_hi) — brands are disjoint so a
+# part matches at most one bracket
+Q19_BRACKETS = (("Brand#12", 1, 5, 1, 11),
+                ("Brand#23", 1, 10, 10, 20),
+                ("Brand#15", 1, 15, 20, 30))
+
+
+def q19_bracket_revenue(sf_dir):
+    """TPC-H Q19 shape (discounted revenue): a disjunction of
+    three (brand, size-range, quantity-range) brackets spanning BOTH
+    join sides — the predicate that defeats naive pushdown because
+    no single conjunct applies to either table alone.
+
+    Scale shape: the bracket predicates select a small fraction of
+    parts, so the part side reduces to a broadcast dict
+    partkey → (qty_lo, qty_hi) built from a pruned 3-column read
+    (the filtered-dimension-leg contract of q3_shipping; at 10⁹
+    parts swap in joins.bucket_join). The lineitem pass is then
+    zero-shuffle: map each row's partkey, range-check its quantity,
+    sum cents per batch, merge one bounded block."""
+    import ray
+
+    pt = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    bracket_keys = []
+    for brand, slo, shi, qlo, qhi in Q19_BRACKETS:
+        m = ((pt["p_brand"] == brand)
+             & (pt["p_size"] >= slo) & (pt["p_size"] <= shi))
+        bracket_keys.append(
+            (frozenset(pt.loc[m, "p_partkey"].astype(int)), qlo, qhi))
+    ref = ray.put(bracket_keys)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        brackets = ray.get(ref)
+        pk = pd.Series(t["l_partkey"].to_numpy())
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        m = np.zeros(len(pk), dtype=bool)
+        for keys, qlo, qhi in brackets:  # 3 vectorized passes
+            m |= pk.isin(keys).to_numpy() & (qty >= qlo) & (qty <= qhi)
+        return pd.DataFrame(
+            {"revenue_cents": pd.Series([int(cents[m].sum())],
+                                        dtype="int64"),
+             "n_items": pd.Series([int(m.sum())], dtype="int64")})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"revenue_cents": pd.Series([int(df["revenue_cents"].sum())],
+                                        dtype="int64"),
+             "n_items": pd.Series([int(df["n_items"].sum())],
+                                  dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+Q19_SQL = """
+SELECT CAST(coalesce(sum(
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE %s
+""" % " OR ".join(
+    "(p.p_brand = '%s' AND p.p_size BETWEEN %d AND %d "
+    "AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN %d AND %d)"
+    % b for b in Q19_BRACKETS)
+
+
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+Q16_EXCL_BRAND = "Brand#5"
+Q16_MIN_BAL = 2000  # suppliers below this are excluded ("complaints")
+
+
+def q16_supplier_count(sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    suppliers per (brand, type, size) for a filtered part family,
+    excluding a supplier blocklist — COUNT(DISTINCT) whose groups
+    span the whole fact table, with lineitem standing in for
+    partsupp as the part↔supplier association.
+
+    Scale shape: the filtered part attributes broadcast as
+    partkey → (brand, type, size) (filtered-dimension contract) and
+    the blocklist as a set; each lineitem batch projects to
+    batch-locally-deduped (suppkey, brand, type, size) rows — the
+    dedup is the combiner — before ONE suppkey-hash-bucketed
+    exchange. A supplier's rows land in exactly one bucket, so the
+    per-bucket global dedup makes per-group distinct-counts additive
+    across buckets; the ≤ brands×types×sizes merge is bounded."""
+    import ray
+
+    pt = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_type",
+                        "p_size"]).to_pandas()
+    pt = pt[pt["p_size"].isin(Q16_SIZES)
+            & (pt["p_brand"] != Q16_EXCL_BRAND)]
+    pk = pt["p_partkey"].astype(int)
+    brand_of = dict(zip(pk, pt["p_brand"]))
+    type_of = dict(zip(pk, pt["p_type"]))
+    size_of = dict(zip(pk, pt["p_size"].astype(int)))
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(sup.loc[sup["s_acctbal"] < Q16_MIN_BAL, "s_suppkey"]
+              .astype(int))
+    ref = ray.put((brand_of, type_of, size_of, bad))
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        brand_, type_, size_, bad_ = ray.get(ref)
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "skey": t["l_suppkey"].to_numpy()})
+        df = df[df["pkey"].isin(brand_) & ~df["skey"].isin(bad_)]
+        df = df.drop_duplicates()  # batch-local combiner
+        out = pd.DataFrame({
+            "skey": df["skey"].to_numpy(),
+            "p_brand": df["pkey"].map(brand_).to_numpy(),
+            "p_type": df["pkey"].map(type_).to_numpy(),
+            "p_size": df["pkey"].map(size_).to_numpy(np.int64)})
+        out = out.drop_duplicates()
+        h = pd.util.hash_pandas_object(out["skey"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["skey", "p_brand", "p_type", "p_size"])
+        out = (g.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False).size()
+               .rename(columns={"size": "supplier_cnt"}))
+        out["p_size"] = out["p_size"].astype("int64")
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    per_bucket = (li.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_counts, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["p_brand", "p_type", "p_size"],
+                          as_index=False)["supplier_cnt"].sum()
+               .sort_values(["supplier_cnt", "p_brand",
+                             "p_type", "p_size"],
+                            ascending=[False, True, True, True])
+               .reset_index(drop=True))
+        out["p_size"] = out["p_size"].astype("int64")
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q16_SQL = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (%s) AND p.p_brand <> '%s'
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < %d)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""" % (", ".join(str(s) for s in Q16_SIZES), Q16_EXCL_BRAND, Q16_MIN_BAL)
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+Q8_LO, Q8_HI = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(sf_dir):
+    """TPC-H Q8 shape (national market share): per order-year, the
+    permille of region-ASIA customers' ECONOMY-part revenue supplied
+    by one target nation — a ratio whose numerator and denominator
+    share the same join tree. The target nation derives from the
+    data (nation of the lowest-suppkey supplier), so every scale
+    factor is non-degenerate and the SQL oracle replays the rule.
+
+    Scale shape: part-type filter and supplier→nation map broadcast
+    (filtered-dimension / q5 contract — the customer arm flips to a
+    bucket join at 10⁹ rows); lineitem pre-reduces per batch to
+    (okey → total_cents, nation_cents) — a lossless combiner —
+    before the single orderkey-bucketed tagged exchange against
+    region+window-filtered orders (okey, year). Each bucket joins
+    and emits bounded per-year (num, den) partials; the permille is
+    exact integer division in the one-block merge."""
+    import ray
+
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"])
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region_nk = set(nat.loc[nat["n_regionkey"].isin(rk),
+                            "n_nationkey"].astype(int))
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = dict(zip(sup["s_suppkey"].astype(int),
+                   sup["s_nationkey"].astype(int)))
+    target_nk = s2n[min(s2n)]  # data-derived: nation of supplier #min
+    pt = _read(sf_dir, "part",
+               columns=["p_partkey", "p_type"]).to_pandas()
+    pkeys = set(pt.loc[pt["p_type"] == Q8_TYPE, "p_partkey"].astype(int))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = set(cust.loc[cust["c_nationkey"].isin(region_nk),
+                         "c_custkey"].astype(int))
+    ref = ray.put((pkeys, s2n, target_nk, ckeys))
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    lo, hi = np.datetime64(Q8_LO), np.datetime64(Q8_HI)
+    COLS = ["okey", "cents", "nat_cents", "year", "_bucket", "_side"]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        pkeys_, s2n_, tnk, _ = ray.get(ref)
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "skey": t["l_suppkey"].to_numpy(),
+                           "pkey": t["l_partkey"].to_numpy(),
+                           "cents": cents})
+        df = df[df["pkey"].isin(pkeys_)]
+        isn = df["skey"].map(s2n_).to_numpy() == tnk
+        df = df.assign(nat_cents=np.where(isn, df["cents"], 0))
+        p = df.groupby("okey", as_index=False)[
+            ["cents", "nat_cents"]].sum()
+        p["cents"] = p["cents"].astype("int64")
+        p["nat_cents"] = p["nat_cents"].astype("int64")
+        p["year"] = np.int64(0)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        _, _, _, ckeys_ = ray.get(ref)
+        od = t["o_orderdate"].to_numpy()
+        ck = t["o_custkey"].to_numpy()
+        okey = t["o_orderkey"].to_numpy()
+        m = ((od >= lo) & (od < hi)
+             & pd.Series(ck).isin(ckeys_).to_numpy())
+        yr = (od[m].astype("datetime64[Y]").astype(np.int64) + 1970)
+        p = pd.DataFrame({"okey": okey[m],
+                          "cents": np.zeros(int(m.sum()), np.int64),
+                          "nat_cents": np.zeros(int(m.sum()), np.int64),
+                          "year": yr.astype(np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_share(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0][["okey", "cents", "nat_cents"]]
+        od_ = g[g["_side"] == 1][["okey", "year"]]
+        j = li_.merge(od_, on="okey", how="inner")
+        out = j.groupby("year", as_index=False)[
+            ["cents", "nat_cents"]].sum()
+        return pd.DataFrame({
+            "o_year": out["year"].astype("int64"),
+            "nation_cents": out["nat_cents"].astype("int64"),
+            "total_cents": out["cents"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_partkey",
+                        "l_extendedprice", "l_discount"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_share, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("o_year", as_index=False)[
+            ["nation_cents", "total_cents"]].sum()
+               .sort_values("o_year").reset_index(drop=True))
+        num = out["nation_cents"].to_numpy()
+        den = np.maximum(out["total_cents"].to_numpy(), 1)
+        out["share_permille"] = (1000 * num) // den
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q8_SQL = """
+WITH tgt AS (
+  SELECT s_nationkey AS nk FROM supplier ORDER BY s_suppkey LIMIT 1),
+region_cust AS (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE n.n_regionkey =
+        (SELECT r_regionkey FROM region WHERE r_name = '%s')),
+li AS (
+  SELECT l.l_orderkey AS okey,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS c,
+         CASE WHEN s.s_nationkey = (SELECT nk FROM tgt)
+              THEN 1 ELSE 0 END AS isn
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '%s'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(li.c * li.isn) AS BIGINT) AS nation_cents,
+       CAST(sum(li.c) AS BIGINT) AS total_cents,
+       CAST((1000 * sum(li.c * li.isn)) // greatest(sum(li.c), 1)
+            AS BIGINT) AS share_permille
+FROM li
+JOIN orders o ON o.o_orderkey = li.okey
+JOIN region_cust rc ON rc.c_custkey = o.o_custkey
+WHERE o.o_orderdate >= DATE '%s' AND o.o_orderdate < DATE '%s'
+GROUP BY 1 ORDER BY 1
+""" % (Q8_REGION, Q8_TYPE, Q8_LO, Q8_HI)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -9818,6 +10298,11 @@ QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
+    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
