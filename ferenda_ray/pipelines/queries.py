@@ -10172,6 +10172,193 @@ def q8_market_share(sf_dir):
     return _merge_partials(per_bucket, final)
 
 
+RANGE_SHARDS = 16
+
+
+def doc_range_layout(sf_dir):
+    """Balanced range partitioning by sampled splitters — the
+    terasort primitive, and the scale path that replaces
+    ``ds.sort`` on the full table: a global sort of 100 TB is an
+    all-to-all of every byte, while the sampled-splitter layout moves
+    only a key sample, then assigns shards map-side. Documents are
+    ranged over the composite key n_chars·1e8 + doc_id (skewed first
+    dimension, unique tiebreaker), the layout a length-bucketed
+    curriculum/packing reader would want.
+
+    Scale shape: the sample is deterministic (md5(doc_id) hex prefix
+    '0', ~1/16 — seedless-shuffle discipline; at 100 TB deepen the
+    prefix so ~1k keys/shard survive) and is a pruned 2-column read;
+    splitter selection happens in ONE coalesced sample block and only
+    the S-1 splitters reach the driver for broadcast. Assignment is a
+    zero-shuffle searchsorted pass emitting bounded per-shard
+    (count, min, max) partials; the merge is one ≤S-row block. The
+    oracle replays sample, splitter ranks and the splitters≤key rule
+    exactly."""
+    import hashlib
+
+    import ray
+
+    def sample_keys(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        nch = t["n_chars"].to_numpy().astype(np.int64)
+        keep = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest()[0] == "0"
+             for i in ids])
+        key = nch * np.int64(100_000_000) + np.asarray(ids, np.int64)
+        return pd.DataFrame({"key": key[keep]})
+
+    def to_splitters(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(df["key"].to_numpy())
+        m = len(k)
+        pos = sorted({(i * m) // RANGE_SHARDS
+                      for i in range(1, RANGE_SHARDS)} - {0})
+        return pd.DataFrame(
+            {"key": k[[p - 1 for p in pos]].astype(np.int64)})
+
+    cols = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    spl = (cols.map_batches(sample_keys, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(to_splitters, batch_format="pandas",
+                        batch_size=None)
+           .to_pandas())  # bounded: ≤ S-1 splitter rows
+    splitters = np.sort(spl["key"].to_numpy().astype(np.int64))
+    ref = ray.put(splitters)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        spl_ = ray.get(ref)
+        key = (t["n_chars"].to_numpy().astype(np.int64)
+               * np.int64(100_000_000)
+               + t["doc_id"].to_numpy().astype(np.int64))
+        shard = np.searchsorted(spl_, key, side="right")
+        df = pd.DataFrame({"shard": shard.astype(np.int64),
+                           "key": key})
+        out = df.groupby("shard", as_index=False).agg(
+            n_docs=("key", "size"), lo_key=("key", "min"),
+            hi_key=("key", "max"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard", as_index=False).agg(
+            n_docs=("n_docs", "sum"), lo_key=("lo_key", "min"),
+            hi_key=("hi_key", "max")).sort_values("shard")
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.reset_index(drop=True)
+
+    return _merge_partials(
+        cols.map_batches(assign, batch_format="pyarrow"), final)
+
+
+DOC_RANGE_LAYOUT_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) * 100000000 + doc_id AS key
+  FROM documents),
+samp AS (
+  SELECT key FROM k
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+ordered AS (
+  SELECT key, row_number() OVER (ORDER BY key) AS rn,
+         count(*) OVER () AS m
+  FROM samp),
+pos AS (
+  SELECT DISTINCT (i * mm.m) // %d AS p
+  FROM generate_series(1, %d) g(i),
+       (SELECT DISTINCT m FROM ordered) mm(m)
+  WHERE (i * mm.m) // %d >= 1),
+spl AS (SELECT o.key FROM ordered o JOIN pos ON o.rn = pos.p),
+assigned AS (
+  SELECT k.key,
+         (SELECT count(*) FROM spl WHERE spl.key <= k.key) AS shard
+  FROM k)
+SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       CAST(min(key) AS BIGINT) AS lo_key,
+       CAST(max(key) AS BIGINT) AS hi_key
+FROM assigned GROUP BY 1 ORDER BY 1
+""" % (RANGE_SHARDS, RANGE_SHARDS - 1, RANGE_SHARDS)
+
+
+CHECKSUM_BUCKETS = 16
+CHECKSUM_MOD = (1 << 61) - 1  # Mersenne prime: sums never overflow
+
+
+def orders_checksum(sf_dir):
+    """Anti-entropy table checksum (the Merkle/Cassandra repair
+    primitive, and the CDC-apply verifier for orders_cdc_merge):
+    per key-range bucket, an order-independent checksum — the sum
+    mod 2⁶¹-1 of each row's md5-derived integer over its FULL
+    canonical content. Two replicas (or a table before/after a
+    botched migration) compare 16 small rows to localize which key
+    ranges diverge, instead of diffing 100 TB.
+
+    Scale shape: zero shuffle — the per-row hash and the per-bucket
+    (count, sum-mod-p) partial are map-side (sums are associative
+    mod p, so the partial is a lossless combiner), and the ≤16-row
+    partials coalesce in one merge block. The canonical row string
+    (okey|status|cents|iso-date) is engine-neutral, so the SQL
+    oracle recomputes every row hash bit-for-bit."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        okey = t["o_orderkey"].to_numpy().astype(np.int64)
+        status = t["o_orderstatus"].to_pylist()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        dates = t["o_orderdate"].to_numpy().astype("datetime64[D]")
+        dstr = np.datetime_as_string(dates)
+        rows = [int(hashlib.md5(
+            ("%d|%s|%d|%s" % (k, s, c, d)).encode())
+            .hexdigest()[:15], 16)
+            for k, s, c, d in zip(okey, status, cents, dstr)]
+        df = pd.DataFrame({"bucket": (okey % CHECKSUM_BUCKETS),
+                           "h": pd.Series(rows, dtype=object)})
+        out = df.groupby("bucket", as_index=False).agg(
+            n_rows=("h", "size"),
+            checksum=("h", lambda s: int(sum(s) % CHECKSUM_MOD)))
+        out["bucket"] = out["bucket"].astype("int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["checksum"] = out["checksum"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("bucket", as_index=False)
+               .agg(n_rows=("n_rows", "sum"),
+                    checksum=("checksum",
+                              lambda s: int(sum(int(v) for v in s)
+                                            % CHECKSUM_MOD)))
+               .sort_values("bucket").reset_index(drop=True))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus",
+                        "o_totalprice", "o_orderdate"])
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+ORDERS_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT o_orderkey %% %d AS bucket,
+         CAST('0x' || substr(md5(concat_ws('|',
+                CAST(o_orderkey AS VARCHAR),
+                o_orderstatus,
+                CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR),
+                strftime(o_orderdate, '%%Y-%%m-%%d'))), 1, 15)
+              AS BIGINT) AS hv
+  FROM orders)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+       CAST(sum(CAST(hv AS HUGEINT)) %% %d AS BIGINT) AS checksum
+FROM h GROUP BY 1 ORDER BY 1
+""" % (CHECKSUM_BUCKETS, CHECKSUM_MOD)
+
+
 Q8_SQL = """
 WITH tgt AS (
   SELECT s_nationkey AS nk FROM supplier ORDER BY s_suppkey LIMIT 1),
@@ -10303,6 +10490,8 @@ QUERIES = {
     "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
     "q16_supplier_count": (q16_supplier_count, Q16_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
+    "doc_range_layout": (doc_range_layout, DOC_RANGE_LAYOUT_SQL),
+    "orders_checksum": (orders_checksum, ORDERS_CHECKSUM_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
