@@ -10172,6 +10172,90 @@ def q8_market_share(sf_dir):
     return _merge_partials(per_bucket, final)
 
 
+BASKET_MINSUP = 2
+BASKET_TOPK = 20
+
+
+def basket_part_pairs(sf_dir):
+    """Market-basket pair mining (the A-Priori pair-counting shape,
+    MMDS ch.6): the top-20 part pairs by the number of orders whose
+    basket contains both — the co-occurrence primitive behind
+    recommenders and feature co-selection.
+
+    Scale shape: baskets are unbounded and span input blocks, so the
+    okey-bucketed exchange is required; batch-local distinct
+    (okey, pkey) is the combiner into it. Each bucket self-joins its
+    baskets vectorized (p1 < p2) and emits LOCAL pair counts — a
+    lossless partial because an order lives in exactly one bucket.
+    Pair support finalizes in a SECOND pair-hash-bucketed exchange
+    (two chained exchanges, no union — within the DAG discipline)
+    that prunes support < minsup map-side of the merge and keeps a
+    local top-k; the global top-20 orders by (support desc, p1, p2)
+    so ties never cross engines."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "pkey": t["l_partkey"].to_numpy()})
+        df = df.drop_duplicates()  # batch-local combiner
+        h = pd.util.hash_pandas_object(df["okey"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["okey", "pkey"]].drop_duplicates()
+        j = g.merge(g, on="okey")
+        j = j[j["pkey_x"] < j["pkey_y"]]
+        out = (j.groupby(["pkey_x", "pkey_y"], as_index=False).size()
+               .rename(columns={"pkey_x": "p1", "pkey_y": "p2",
+                                "size": "support"}))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(
+            out["p1"] * np.int64(1_000_003) + out["p2"],
+            index=False).values
+        out["_b2"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p1", "p2"], as_index=False)["support"].sum()
+        g = g[g["support"] >= BASKET_MINSUP]
+        g = (g.sort_values(["support", "p1", "p2"],
+                           ascending=[False, True, True])
+             .head(BASKET_TOPK))
+        for c in ("p1", "p2", "support"):
+            g[c] = g[c].astype("int64")
+        return g[["p1", "p2", "support"]]
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    per_pair = (li.map_batches(prep, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(bucket_pairs, batch_format="pandas")
+                .groupby("_b2")
+                .map_groups(bucket_topk, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["support", "p1", "p2"],
+                               ascending=[False, True, True])
+                .head(BASKET_TOPK).reset_index(drop=True))
+
+    return _merge_partials(per_pair, final)
+
+
+BASKET_PAIRS_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS support
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2)
+SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+       CAST(support AS BIGINT) AS support
+FROM p WHERE support >= %d
+ORDER BY support DESC, p1, p2 LIMIT %d
+""" % (BASKET_MINSUP, BASKET_TOPK)
+
+
 RANGE_SHARDS = 16
 
 
@@ -10492,6 +10576,7 @@ QUERIES = {
     "q8_market_share": (q8_market_share, Q8_SQL),
     "doc_range_layout": (doc_range_layout, DOC_RANGE_LAYOUT_SQL),
     "orders_checksum": (orders_checksum, ORDERS_CHECKSUM_SQL),
+    "basket_part_pairs": (basket_part_pairs, BASKET_PAIRS_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
