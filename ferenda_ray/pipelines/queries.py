@@ -10172,6 +10172,175 @@ def q8_market_share(sf_dir):
     return _merge_partials(per_bucket, final)
 
 
+def langid_agreement(sf_dir):
+    """Inter-rater agreement (Cohen's kappa) between an "annotator"
+    label and the REAL LangId actor-pool prediction — the
+    label-quality audit every weakly-supervised training-data
+    pipeline runs before trusting a heuristic labeler.
+
+    Rater A is the planted language langs[doc_id % 4]; rater B is
+    the LangId stage run end-to-end on a probe whose stopword
+    profile is deliberately wrong for doc_id % 7 == 0 (a planted
+    ~1/7 disagreement — kappa stays strongly positive, so the
+    floor-divided milli-kappa never hits the Python-floor vs
+    DuckDB-truncate sign divergence). Scale shape: probes and
+    predictions are map-side (actor pool sized to the cluster),
+    each batch emits a bounded ≤16-cell confusion partial, and
+    kappa = (N·D − Σrᵢcᵢ)·1000 // (N² − Σrᵢcᵢ) — exact
+    cross-multiplied integers — finalizes in one merge block."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    langs = sorted(text_analysis._STOP)  # ["de", "en", "es", "fr"]
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        a, texts = [], []
+        for did in ids:
+            a.append(langs[did % 4])
+            b_lang = langs[(did + (1 if did % 7 == 0 else 0)) % 4]
+            texts.append(" ".join(sorted(text_analysis._STOP[b_lang]) * 3))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "a_lang": pa.array(a, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    def confusion(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"a": t["a_lang"].to_pylist(),
+                           "b": t["detected_lang"].to_pylist()})
+        out = df.groupby(["a", "b"], as_index=False).size()
+        out["size"] = out["size"].astype("int64")
+        return out.rename(columns={"size": "n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cm = df.groupby(["a", "b"])["n"].sum()
+        n = int(cm.sum())
+        d = int(cm[[k for k in cm.index if k[0] == k[1]]].sum())
+        rows = cm.groupby("a").sum()
+        cols = cm.groupby("b").sum()
+        s = int(sum(int(rows.get(l, 0)) * int(cols.get(l, 0))
+                    for l in set(rows.index) | set(cols.index)))
+        kappa_milli = (1000 * (n * d - s)) // max(n * n - s, 1)
+        return pd.DataFrame(
+            {"n_docs": pd.Series([n], dtype="int64"),
+             "n_agree": pd.Series([d], dtype="int64"),
+             "kappa_milli": pd.Series([kappa_milli], dtype="int64")})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    preds = (ds.map_batches(probe, batch_format="pyarrow")
+             .map_batches(text_analysis.LangId,
+                          concurrency=(max(2, ncpu // 4),
+                                       max(4, ncpu - 2)),
+                          batch_format="pyarrow"))
+    return _merge_partials(
+        preds.map_batches(confusion, batch_format="pyarrow"), final)
+
+
+LANGID_AGREEMENT_SQL = """
+WITH r AS (
+  SELECT CASE doc_id % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                          WHEN 2 THEN 'es' ELSE 'fr' END AS a,
+         CASE (doc_id + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+              % 4
+           WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+           WHEN 2 THEN 'es' ELSE 'fr' END AS b
+  FROM documents),
+cm AS (SELECT a, b, count(*) AS n FROM r GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(coalesce(sum(n) FILTER (a = b), 0) AS BIGINT) AS d
+        FROM cm),
+marg AS (
+  SELECT CAST(coalesce(sum(ra.rn * cb.cn), 0) AS BIGINT) AS s
+  FROM (SELECT a AS l, sum(n) AS rn FROM cm GROUP BY 1) ra
+  JOIN (SELECT b AS l, sum(n) AS cn FROM cm GROUP BY 1) cb
+    ON ra.l = cb.l)
+SELECT tot.n AS n_docs, tot.d AS n_agree,
+       CAST((1000 * (tot.n * tot.d - marg.s))
+            // greatest(tot.n * tot.n - marg.s, 1) AS BIGINT)
+         AS kappa_milli
+FROM tot, marg
+"""
+
+
+def orders_ivm_counts(sf_dir):
+    """Incremental view maintenance: keep the per-status
+    (count, cents) aggregate current under the SAME CDC delta
+    orders_cdc_merge applies — by folding SIGNED delta partials into
+    the base aggregate instead of re-aggregating the merged table
+    (the Δ-law agg(apply(base, δ)) = agg(base) ⊕ signed_agg(δ);
+    at 100 TB the delta is MBs while the rescan is the table).
+
+    Scale shape: fully zero-shuffle — one pass emits, per batch, the
+    base (+1, +cents) partials AND the delta's signed partials
+    (update: (0, +100) on surviving keys; delete: (−1, −cents);
+    insert: (+1, +cents) under status 'N'), all bounded by the ≤5
+    statuses; one merge block sums. The oracle re-aggregates the
+    merged table from the same delta CTEs, so equality IS the IVM
+    correctness proof."""
+
+    def signed(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        st = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                         pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        upd = (k % CDC_UPD_MOD == 0) & (k % CDC_DEL_MOD != 0)
+        dl = k % CDC_DEL_MOD == 0
+        ins = k % CDC_INS_MOD == 0
+        parts = [
+            pd.DataFrame({"st": st, "dn": np.ones(len(k), np.int64),
+                          "dc": c}),                       # base
+            pd.DataFrame({"st": st[upd],
+                          "dn": np.zeros(int(upd.sum()), np.int64),
+                          "dc": np.full(int(upd.sum()), 100,
+                                        np.int64)}),       # updates
+            pd.DataFrame({"st": st[dl],
+                          "dn": np.full(int(dl.sum()), -1, np.int64),
+                          "dc": -c[dl]}),                  # deletes
+            pd.DataFrame({"st": np.full(int(ins.sum()), "N",
+                                        dtype=object),
+                          "dn": np.ones(int(ins.sum()), np.int64),
+                          "dc": c[ins]}),                  # inserts
+        ]
+        df = pd.concat(parts, ignore_index=True)
+        out = df.groupby("st", as_index=False)[["dn", "dc"]].sum()
+        out["dn"] = out["dn"].astype("int64")
+        out["dc"] = out["dc"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("st", as_index=False)[["dn", "dc"]].sum()
+               .rename(columns={"st": "o_orderstatus",
+                                "dn": "n_orders",
+                                "dc": "total_cents"}))
+        out = out[out["n_orders"] > 0]
+        out = out.sort_values("o_orderstatus").reset_index(drop=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["total_cents"] = out["total_cents"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    return _merge_partials(
+        ds.map_batches(signed, batch_format="pyarrow"), final)
+
+
+ORDERS_IVM_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+merged AS (
+  SELECT CASE WHEN k %% %d = 0 THEN c + 100 ELSE c END AS c, st
+  FROM base WHERE k %% %d != 0
+  UNION ALL
+  SELECT c, 'N' AS st FROM base WHERE k %% %d = 0)
+SELECT st AS o_orderstatus, count(*) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS total_cents
+FROM merged GROUP BY 1 ORDER BY 1
+""" % (CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD)
+
+
 BASKET_MINSUP = 2
 BASKET_TOPK = 20
 
@@ -10577,6 +10746,8 @@ QUERIES = {
     "doc_range_layout": (doc_range_layout, DOC_RANGE_LAYOUT_SQL),
     "orders_checksum": (orders_checksum, ORDERS_CHECKSUM_SQL),
     "basket_part_pairs": (basket_part_pairs, BASKET_PAIRS_SQL),
+    "langid_agreement": (langid_agreement, LANGID_AGREEMENT_SQL),
+    "orders_ivm_counts": (orders_ivm_counts, ORDERS_IVM_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
