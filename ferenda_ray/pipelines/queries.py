@@ -10172,6 +10172,86 @@ def q8_market_share(sf_dir):
     return _merge_partials(per_bucket, final)
 
 
+EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
+                   "signup": 8, "view": 16}
+
+
+def events_daily_type_mask(sf_dir):
+    """Bitmap-index audience segmentation (the roaring-bitmap OLAP
+    shape): per (user, day), the bitwise-OR mask of event types seen,
+    then the audience-size histogram over masks — how many user-days
+    were view-only, how many purchased without erroring, etc.
+
+    Scale shape: a type's bit is a power of two, so the batch-local
+    (user, day, bit) drop_duplicates + sum IS the OR — a lossless
+    combiner into the single (user, day)-bucketed exchange. Buckets
+    OR their mask partials vectorized (decompose → per-bit max →
+    recompose; bitwise OR is associative so any partial grouping is
+    exact) and emit bounded ≤2^types histogram partials; one merge
+    block sums. DuckDB's bit_or replays the mask directly."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    nbits = len(EVENT_TYPE_BITS)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        day = (t["ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        bit = (pd.Series(t["event_type"].to_pylist())
+               .map(EVENT_TYPE_BITS).to_numpy(np.int64))
+        df = pd.DataFrame({"u": t["user_id"].to_numpy(),
+                           "d": day, "bit": bit}).drop_duplicates()
+        p = df.groupby(["u", "d"], as_index=False)["bit"].sum()
+        p = p.rename(columns={"bit": "mask"})
+        p["mask"] = p["mask"].astype("int64")
+        h = pd.util.hash_pandas_object(
+            p["u"] * np.int64(1_000_003) + p["d"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["mask"].to_numpy()
+        bits = pd.DataFrame({"u": g["u"].to_numpy(),
+                             "d": g["d"].to_numpy()})
+        for i in range(nbits):  # decompose → per-bit max == OR
+            bits["b%d" % i] = (m >> i) & 1
+        mx = bits.groupby(["u", "d"], as_index=False).max()
+        mask = np.zeros(len(mx), np.int64)
+        for i in range(nbits):
+            mask += mx["b%d" % i].to_numpy(np.int64) << i
+        hist = (pd.DataFrame({"mask": mask})
+                .groupby("mask", as_index=False).size()
+                .rename(columns={"size": "n_user_days"}))
+        hist["mask"] = hist["mask"].astype("int64")
+        hist["n_user_days"] = hist["n_user_days"].astype("int64")
+        return hist
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    per_bucket = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_hist, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("mask", as_index=False)["n_user_days"].sum()
+               .sort_values("mask").reset_index(drop=True))
+        out["mask"] = out["mask"].astype("int64")
+        out["n_user_days"] = out["n_user_days"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+EVENTS_MASK_SQL = """
+WITH m AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         bit_or(CASE event_type
+                  WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                  ELSE 16 END) AS mask
+  FROM events GROUP BY 1, 2)
+SELECT CAST(mask AS BIGINT) AS mask, count(*) AS n_user_days
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 def langid_agreement(sf_dir):
     """Inter-rater agreement (Cohen's kappa) between an "annotator"
     label and the REAL LangId actor-pool prediction — the
@@ -10748,6 +10828,7 @@ QUERIES = {
     "basket_part_pairs": (basket_part_pairs, BASKET_PAIRS_SQL),
     "langid_agreement": (langid_agreement, LANGID_AGREEMENT_SQL),
     "orders_ivm_counts": (orders_ivm_counts, ORDERS_IVM_SQL),
+    "events_daily_type_mask": (events_daily_type_mask, EVENTS_MASK_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
