@@ -138,7 +138,13 @@ def run_bench() -> dict:
              ("orders_zorder_scan", Q.orders_zorder_scan),
              ("q7_nation_volume", Q.q7_nation_volume),
              ("training_shards", Q.training_shards),
-             ("q2_min_cost_supplier", Q.q2_min_cost_supplier)]
+             ("q2_min_cost_supplier", Q.q2_min_cost_supplier),
+             ("q8_market_share", Q.q8_market_share),
+             ("q16_supplier_count", Q.q16_supplier_count),
+             ("basket_part_pairs", Q.basket_part_pairs),
+             ("doc_range_layout", Q.doc_range_layout),
+             ("orders_checksum", Q.orders_checksum),
+             ("events_daily_type_mask", Q.events_daily_type_mask)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

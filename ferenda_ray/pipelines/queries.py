@@ -10172,6 +10172,98 @@ def q8_market_share(sf_dir):
     return _merge_partials(per_bucket, final)
 
 
+QUANTILE_PERMILLES = (500, 950, 990)
+RADIX_SHIFT = 12  # pass-1 buckets = cents >> 12 (bounded, ≤ 2^14 here)
+
+
+def orders_price_percentiles(sf_dir):
+    """Exact order statistics without a sort: P50/P95/P99 of the
+    order price by TWO-PASS RADIX SELECTION — the primitive that
+    replaces `ds.sort` + offset when only ranks are wanted (a global
+    sort of 100 TB is an all-to-all; this is two zero-shuffle
+    histogram passes).
+
+    Pass 1 histograms the high bits (cents >> 12 — a bounded-domain
+    combiner, ≤2^14 cells at any data scale for this column; widen
+    the shift for wider domains), the cumulative walk pins each
+    target rank to one high-bucket + residual rank; pass 2
+    histograms full values inside only the ≤3 selected buckets
+    (pruned map-side) and walks to the exact value. Ranks are
+    ceil(q·N) so the SQL row_number oracle replays them; ties are
+    value-ties, so rank→value is engine-independent."""
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                            pa.scalar(100.0)),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy()
+
+    def hist_hi(t: pa.Table) -> pd.DataFrame:
+        hi = cents_of(t) >> RADIX_SHIFT
+        out = (pd.DataFrame({"hi": hi})
+               .groupby("hi", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["hi"] = out["hi"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("hi", as_index=False)["n"].sum()
+          .sort_values("hi").reset_index(drop=True))
+    n_total = int(h1["n"].sum())
+    cum = h1["n"].cumsum().to_numpy()
+    targets = []  # (q_permille, hi_bucket, residual_rank)
+    for q in QUANTILE_PERMILLES:
+        k = (q * n_total + 999) // 1000  # ceil(q·N)
+        i = int(np.searchsorted(cum, k))
+        prev = int(cum[i - 1]) if i else 0
+        targets.append((q, int(h1["hi"].iloc[i]), k - prev))
+    wanted = frozenset(hi for _, hi, _ in targets)
+
+    def hist_lo(t: pa.Table) -> pd.DataFrame:
+        v = cents_of(t)
+        v = v[np.isin(v >> RADIX_SHIFT, list(wanted))]
+        out = (pd.DataFrame({"v": v})
+               .groupby("v", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["v"] = out["v"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    h2 = (ds.map_batches(hist_lo, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("v", as_index=False)["n"].sum()
+          .sort_values("v").reset_index(drop=True))
+    vals, counts = h2["v"].to_numpy(), h2["n"].to_numpy()
+    out_rows = []
+    for q, hi, resid in targets:
+        m = (vals >> RADIX_SHIFT) == hi
+        c = counts[m].cumsum()
+        j = int(np.searchsorted(c, resid))
+        out_rows.append((q, int(vals[m][j])))
+    return pd.DataFrame({
+        "q_permille": pd.Series([r[0] for r in out_rows],
+                                dtype="int64"),
+        "cents": pd.Series([r[1] for r in out_rows], dtype="int64")})
+
+
+ORDERS_PCTL_SQL = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+n AS (SELECT count(*) AS n FROM c),
+ks AS (
+  SELECT q, (q * n.n + 999) // 1000 AS k
+  FROM (VALUES (%s)) qs(q), n)
+SELECT CAST(ks.q AS BIGINT) AS q_permille,
+       CAST(r.v AS BIGINT) AS cents
+FROM ks JOIN r ON r.rn = ks.k
+ORDER BY 1
+""" % "), (".join(str(q) for q in QUANTILE_PERMILLES)
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -10829,6 +10921,8 @@ QUERIES = {
     "langid_agreement": (langid_agreement, LANGID_AGREEMENT_SQL),
     "orders_ivm_counts": (orders_ivm_counts, ORDERS_IVM_SQL),
     "events_daily_type_mask": (events_daily_type_mask, EVENTS_MASK_SQL),
+    "orders_price_percentiles": (orders_price_percentiles,
+                                 ORDERS_PCTL_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
