@@ -10344,6 +10344,261 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+def lineitem_fk_orphans(sf_dir):
+    """Referential-integrity audit (the FK-violation scan a warehouse
+    runs after a non-cascading delete): the same CDC delta as
+    ``orders_cdc_merge`` deletes orders (keys %%17) WITHOUT cascading
+    to lineitem, so surviving lineitems whose l_orderkey no longer
+    resolves are orphans — reported per returnflag as orphan row
+    count + distinct orphaned orders.
+
+    Scale shape: the deleted-key side comes from the ORDERS SCAN (a
+    membership problem — the audit must not assume the delete rule is
+    recomputable from the fact side), riding the q3/q4 orderkey-
+    bucketed tagged exchange: lineitem batches pre-reduce to
+    (okey, flag) → row-count partials (lossless combiner; distinct-
+    order counting stays exact because an order's rows land in one
+    bucket), the orders side contributes one row per dead key, each
+    bucket semi-joins vectorized and emits bounded ≤|flags| partials;
+    one merge block sums. Neither side broadcasts."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "flag", "rows", "_bucket", "_side"]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(),
+            "flag": t["l_returnflag"].to_pandas().astype(object)})
+        p = (df.groupby(["okey", "flag"], as_index=False).size()
+             .rename(columns={"size": "rows"}))
+        p["rows"] = p["rows"].astype("int64")
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_dead(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        k = k[k % CDC_DEL_MOD == 0]
+        p = pd.DataFrame({"okey": k,
+                          "flag": pd.Series([""] * len(k),
+                                            dtype=object),
+                          "rows": np.zeros(len(k), np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_audit(g: pd.DataFrame) -> pd.DataFrame:
+        dead = g.loc[g["_side"] == 1, "okey"].to_numpy()
+        li_ = g[g["_side"] == 0]
+        j = li_[li_["okey"].isin(dead)]
+        out = j.groupby("flag", as_index=False).agg(
+            orphan_rows=("rows", "sum"),
+            orphan_orders=("okey", "nunique"))
+        return pd.DataFrame({
+            "l_returnflag": out["flag"].astype(object),
+            "orphan_rows": out["orphan_rows"].astype("int64"),
+            "orphan_orders": out["orphan_orders"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_dead, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_audit, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("l_returnflag", as_index=False)
+               [["orphan_rows", "orphan_orders"]].sum()
+               .sort_values("l_returnflag").reset_index(drop=True))
+        out["orphan_rows"] = out["orphan_rows"].astype("int64")
+        out["orphan_orders"] = out["orphan_orders"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+FK_ORPHANS_SQL = """
+WITH dead AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey %% %d = 0)
+SELECT l_returnflag,
+       count(*) AS orphan_rows,
+       count(DISTINCT l_orderkey) AS orphan_orders
+FROM lineitem JOIN dead ON l_orderkey = dead.o_orderkey
+GROUP BY 1 ORDER BY 1
+""" % CDC_DEL_MOD
+
+
+def events_ab_metrics(sf_dir):
+    """A/B experiment readout: users are assigned a variant by
+    md5(user_id) parity (the seedless hash assignment every
+    experimentation platform uses — stable across engines, runs and
+    partitions; the training_shards convention), and the readout
+    reports per (variant, event_type) the user count, total events,
+    and the EXACT integer sufficient statistics a t-test needs
+    (Σx, Σx²) plus milli-mean = 1000·Σx // n. No float crosses the
+    engine boundary; significance tests derive from the integers.
+
+    Scale shape: batch-local (user, type) count partials (lossless
+    combiner) feed ONE user-bucketed exchange; each bucket finalizes
+    per-user counts, hashes each DISTINCT user once for its variant,
+    and emits bounded ≤2·|types| (variant, type, n, Σx, Σx²)
+    partials — additive across buckets because a user lives in
+    exactly one bucket; one merge block sums and derives the
+    milli-mean."""
+    import hashlib
+
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "et": t["event_type"].to_pandas().astype(object)})
+        p = (df.groupby(["u", "et"], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        p["cnt"] = p["cnt"].astype("int64")
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        pu = g.groupby(["u", "et"], as_index=False)["cnt"].sum()
+        variant = {
+            int(u): int(hashlib.md5(str(int(u)).encode())
+                        .hexdigest()[:8], 16) % 2
+            for u in pu["u"].unique()}
+        pu["variant"] = pu["u"].map(variant).astype("int64")
+        pu["sq"] = pu["cnt"] * pu["cnt"]
+        out = pu.groupby(["variant", "et"], as_index=False).agg(
+            n_users=("u", "size"),
+            total_events=("cnt", "sum"),
+            sumsq_events=("sq", "sum"))
+        return pd.DataFrame({
+            "variant": out["variant"].astype("int64"),
+            "event_type": out["et"].astype(object),
+            "n_users": out["n_users"].astype("int64"),
+            "total_events": out["total_events"].astype("int64"),
+            "sumsq_events": out["sumsq_events"].astype("int64")})
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    per_bucket = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_stats, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["variant", "event_type"], as_index=False)
+               [["n_users", "total_events", "sumsq_events"]].sum())
+        out["mean_milli"] = ((out["total_events"] * 1000)
+                             // out["n_users"])
+        out = (out.sort_values(["variant", "event_type"])
+               .reset_index(drop=True))
+        for c in ("variant", "n_users", "total_events",
+                  "sumsq_events", "mean_milli"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+EVENTS_AB_SQL = """
+WITH pu AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+v AS (
+  SELECT user_id,
+         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2 AS BIGINT) AS variant
+  FROM (SELECT DISTINCT user_id FROM events))
+SELECT v.variant, pu.event_type,
+       count(*) AS n_users,
+       CAST(sum(pu.cnt) AS BIGINT) AS total_events,
+       CAST(sum(pu.cnt * pu.cnt) AS BIGINT) AS sumsq_events,
+       CAST(sum(pu.cnt) * 1000 // count(*) AS BIGINT) AS mean_milli
+FROM pu JOIN v USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+COMPACT_TARGET_CHARS = 2000
+
+
+def source_compaction_plan(sf_dir):
+    """Small-files compaction planning (the Delta/Iceberg OPTIMIZE
+    bin-packing step): per source, pack document "files" into
+    target-size output bins by the deterministic size-descending
+    cumulative-quota rule — order by (bytes DESC, doc_id), bin =
+    floor(running_bytes_before / TARGET) — and emit the per-bin
+    manifest (file count, bytes). The rule is a pure function of the
+    sorted order, so SQL's window cumsum replays it bit-for-bit, and
+    every bin except a source's last lands within one max-file-size
+    of the target.
+
+    Scale shape: planning consumes only the FILE MANIFEST (source,
+    id, bytes — one narrow row per file; ~10⁶ rows at 100 TB, not
+    the data); ONE source-bucketed exchange co-locates each source's
+    manifest (the plan needs its files totally ordered), the
+    per-bucket plan is one vectorized sort + cumsum + floor-div, and
+    the bounded (source, bin) rows are FINAL per bucket (a source
+    lives in exactly one bucket) — the merge block only sorts. The
+    rewrite pass the plan drives is embarrassingly parallel per
+    bin."""
+    buckets = _exchange_buckets(sf_dir, "documents")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "source": t["source"].to_pandas().astype(object),
+            "doc_id": t["doc_id"].to_numpy(),
+            "bytes": t["n_chars"].to_numpy()})
+        h = pd.util.hash_pandas_object(p["source"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_plan(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, f in g.groupby("source", sort=False):
+            f = f.sort_values(["bytes", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort")
+            b = f["bytes"].to_numpy(np.int64)
+            before = np.cumsum(b) - b
+            bins = before // COMPACT_TARGET_CHARS
+            plan = (pd.DataFrame({"bin": bins, "bytes": b})
+                    .groupby("bin", as_index=False)
+                    .agg(n_files=("bytes", "size"),
+                         bytes_total=("bytes", "sum")))
+            plan.insert(0, "source", src)
+            outs.append(plan)
+        out = (pd.concat(outs, ignore_index=True) if outs else
+               pd.DataFrame({"source": pd.Series(dtype=object),
+                             "bin": pd.Series(dtype="int64"),
+                             "n_files": pd.Series(dtype="int64"),
+                             "bytes_total": pd.Series(dtype="int64")}))
+        for c in ("bin", "n_files", "bytes_total"):
+            out[c] = out[c].astype("int64")
+        return out[["source", "bin", "n_files", "bytes_total"]]
+
+    ds = _read(sf_dir, "documents",
+               columns=["source", "doc_id", "n_chars"])
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_plan, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["source", "bin"])
+                .reset_index(drop=True))
+
+    return _merge_partials(per_bucket, final)
+
+
+COMPACTION_SQL = """
+WITH f AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING)
+           - n_chars AS before
+  FROM documents)
+SELECT source, CAST(before // %d AS BIGINT) AS bin,
+       count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes_total
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+""" % COMPACT_TARGET_CHARS
+
+
 def langid_agreement(sf_dir):
     """Inter-rater agreement (Cohen's kappa) between an "annotator"
     label and the REAL LangId actor-pool prediction — the
@@ -10923,6 +11178,9 @@ QUERIES = {
     "events_daily_type_mask": (events_daily_type_mask, EVENTS_MASK_SQL),
     "orders_price_percentiles": (orders_price_percentiles,
                                  ORDERS_PCTL_SQL),
+    "lineitem_fk_orphans": (lineitem_fk_orphans, FK_ORPHANS_SQL),
+    "events_ab_metrics": (events_ab_metrics, EVENTS_AB_SQL),
+    "source_compaction_plan": (source_compaction_plan, COMPACTION_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
