@@ -10599,6 +10599,231 @@ FROM f GROUP BY 1, 2 ORDER BY 1, 2
 """ % COMPACT_TARGET_CHARS
 
 
+def source_lang_gini(sf_dir):
+    """Label-distribution audit: per-source Gini impurity of the
+    language labels in exact integer milli-units — the class-balance
+    check a curation pipeline runs before trusting per-source
+    sampling weights (a source whose labels collapsed to one class is
+    a labeler failure, not a signal). Gini = 1 − Σp² is RATIONAL, so
+    milli-gini = (1000·(n² − Σc²)) // n² replays bit-for-bit in SQL —
+    no log/entropy float crosses the engine boundary.
+
+    Scale shape: the (source, lang) count table is bounded, so
+    per-batch count partials are a lossless combiner and the whole
+    statistic finalizes in the one coalesced merge block — zero
+    shuffle at any data scale."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas().astype(object),
+            "lang": t["lang"].to_pandas().astype(object)})
+        out = (df.groupby(["source", "lang"], as_index=False).size()
+               .rename(columns={"size": "c"}))
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df.groupby(["source", "lang"], as_index=False)["c"].sum()
+        cell["sq"] = cell["c"] * cell["c"]
+        s = cell.groupby("source", as_index=False).agg(
+            n=("c", "sum"), sumsq=("sq", "sum"),
+            n_langs=("lang", "size"))
+        nn = s["n"] * s["n"]
+        s["gini_milli"] = (1000 * (nn - s["sumsq"])) // nn
+        out = (s[["source", "n_langs", "n", "gini_milli"]]
+               .rename(columns={"n": "n_docs"})
+               .sort_values("source").reset_index(drop=True))
+        for c in ("n_langs", "n_docs", "gini_milli"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+SOURCE_GINI_SQL = """
+WITH cell AS (
+  SELECT source, lang, count(*) AS c
+  FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT source, count(*) AS n_langs,
+         CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(c * c) AS BIGINT) AS sumsq
+  FROM cell GROUP BY 1)
+SELECT source, n_langs, n_docs,
+       CAST((1000 * (n_docs * n_docs - sumsq))
+            // (n_docs * n_docs) AS BIGINT) AS gini_milli
+FROM s ORDER BY source
+"""
+
+
+RDV_NODES_BEFORE, RDV_NODES_AFTER = 8, 9
+
+
+def rendezvous_rebalance(sf_dir):
+    """Consistent-hashing shard rebalance audit (rendezvous / HRW
+    hashing, Thaler-Ravishankar '98): every doc is assigned to the
+    node maximizing md5(doc:node), before (8 nodes) and after (9
+    nodes) a scale-out, and the movement matrix (node_before,
+    node_after) → count is the proof of HRW's minimal-movement
+    property — every off-diagonal row must land on the NEW node,
+    and ~1/9 of each node moves. This is how a 100-TB engine grows
+    its cache/shard tier without reshuffling the world.
+
+    Scale shape: both assignments are pure map-side hashing (9 md5s
+    per doc, the training_shards seedless discipline; argmax
+    tie-breaks to the lower node id), the movement matrix is bounded
+    ≤8·9 cells so per-batch partials are a lossless combiner — zero
+    shuffle."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(doc_id: int, n_nodes: int) -> int:
+        best, best_h = 0, -1
+        for n in range(n_nodes):
+            h = int(hashlib.md5(("%d:%d" % (doc_id, n)).encode())
+                    .hexdigest()[:8], 16)
+            if h > best_h:  # strict > == lower-node tie-break
+                best, best_h = n, h
+        return best
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in t["doc_id"].to_pylist()]
+        b = [assign(i, RDV_NODES_BEFORE) for i in ids]
+        a = [assign(i, RDV_NODES_AFTER) for i in ids]
+        out = (pd.DataFrame({"node_before": b, "node_after": a})
+               .groupby(["node_before", "node_after"], as_index=False)
+               .size().rename(columns={"size": "n_docs"}))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["node_before", "node_after"],
+                          as_index=False)["n_docs"].sum()
+               .sort_values(["node_before", "node_after"])
+               .reset_index(drop=True))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+RENDEZVOUS_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST(t.n AS BIGINT) AS node,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(t.n AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS BIGINT) AS hv
+  FROM documents, range(%d) t(n)),
+p8 AS (
+  SELECT doc_id, node FROM (
+    SELECT doc_id, node, row_number() OVER (
+      PARTITION BY doc_id ORDER BY hv DESC, node) AS rk
+    FROM h WHERE node < %d) WHERE rk = 1),
+p9 AS (
+  SELECT doc_id, node FROM (
+    SELECT doc_id, node, row_number() OVER (
+      PARTITION BY doc_id ORDER BY hv DESC, node) AS rk
+    FROM h) WHERE rk = 1)
+SELECT p8.node AS node_before, p9.node AS node_after,
+       count(*) AS n_docs
+FROM p8 JOIN p9 USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""" % (RDV_NODES_AFTER, RDV_NODES_BEFORE)
+
+
+def user_value_twa(sf_dir):
+    """Time-weighted average of the event value per user (the
+    monitoring/billing primitive: a gauge sampled at irregular
+    times is averaged by HOLDING each value until the next sample —
+    last-observation-carried-forward — not by the naive mean that
+    over-weights bursts). All integer: µs timestamps × milli-values,
+    twa_milli = Σ(mv·Δt) // ΣΔt; users with one event have no
+    holding interval and are excluded by rule.
+
+    Scale shape: one user-bucketed exchange co-locates each user's
+    events (the events_debounce LAG discipline), the per-bucket pass
+    is one vectorized sort + shift + two grouped sums, and one
+    (user) row per user streams out — no driver loop, no global
+    sort. Bounds: Σmv·Δt ≤ max_mv · span_us ≈ 10¹⁸ here; at wider
+    spans drop to ms ticks (divide Δt by a fixed 10³ in BOTH
+    engines) before the product."""
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        mv = pc.cast(pc.round(pc.multiply(t["value"],
+                                          pa.scalar(1000.0)),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy()
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": t["ts"].to_numpy()
+                  .astype("datetime64[us]").astype(np.int64),
+            "eid": t["event_id"].to_numpy(),
+            "mv": mv})
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["u", "ts", "eid"], kind="mergesort")
+             .reset_index(drop=True))
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        mv = g["mv"].to_numpy(np.int64)
+        # pair i with its successor WITHIN the same user — all int64
+        # (a float64 detour via .shift() would lose exactness >2^53)
+        i = np.flatnonzero(u[:-1] == u[1:]) if len(u) > 1 else \
+            np.empty(0, np.intp)
+        v = pd.DataFrame({"u": u[i], "num": mv[i] * (ts[i + 1] - ts[i]),
+                          "dt": ts[i + 1] - ts[i]})
+        s = v.groupby("u", as_index=False).agg(
+            num=("num", "sum"), den=("dt", "sum"))
+        s = s[s["den"] > 0]
+        return pd.DataFrame({
+            "user_id": s["u"].astype("int64"),
+            "twa_milli": (s["num"].astype("int64")
+                          // s["den"].astype("int64")),
+            "span_us": s["den"].astype("int64")})
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    per_bucket = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_twa, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values("user_id").reset_index(drop=True)
+        for c in ("user_id", "twa_milli", "span_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+USER_TWA_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value * 1000) AS BIGINT) AS mv
+  FROM events),
+p AS (
+  SELECT user_id, mv,
+         lead(t) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id) - t AS dt
+  FROM e)
+SELECT user_id,
+       CAST(sum(mv * dt) // sum(dt) AS BIGINT) AS twa_milli,
+       CAST(sum(dt) AS BIGINT) AS span_us
+FROM p WHERE dt IS NOT NULL
+GROUP BY 1 HAVING sum(dt) > 0 ORDER BY 1
+"""
+
+
 def langid_agreement(sf_dir):
     """Inter-rater agreement (Cohen's kappa) between an "annotator"
     label and the REAL LangId actor-pool prediction — the
@@ -11181,6 +11406,9 @@ QUERIES = {
     "lineitem_fk_orphans": (lineitem_fk_orphans, FK_ORPHANS_SQL),
     "events_ab_metrics": (events_ab_metrics, EVENTS_AB_SQL),
     "source_compaction_plan": (source_compaction_plan, COMPACTION_SQL),
+    "source_lang_gini": (source_lang_gini, SOURCE_GINI_SQL),
+    "rendezvous_rebalance": (rendezvous_rebalance, RENDEZVOUS_SQL),
+    "user_value_twa": (user_value_twa, USER_TWA_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
