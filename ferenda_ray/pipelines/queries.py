@@ -10264,6 +10264,164 @@ ORDER BY 1
 """ % "), (".join(str(q) for q in QUANTILE_PERMILLES)
 
 
+WINSOR_PERMILLES = (50, 950)  # clip bounds for the robust mean
+
+
+def orders_winsorized_mean(sf_dir):
+    """Winsorized (clipped) robust mean of the order price — the
+    outlier-resistant aggregate a billing/metrics pipeline reports
+    when heavy tails would swamp a plain mean: values are CLIPPED to
+    the exact [P05, P95] before averaging. Reuses the two-pass radix
+    selection of ``orders_price_percentiles`` for the exact bounds
+    (rank = ceil(q·N), value-ties engine-independent), then one more
+    zero-shuffle pass sums the clipped values as integer cents —
+    three streaming passes total, no sort, no exchange anywhere.
+
+    Output: the bounds and mean_milli = 1000·Σclip // N, all exact
+    integers; SQL replays the ranks via row_number and the clip via
+    greatest/least."""
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                            pa.scalar(100.0)),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy()
+
+    def hist_hi(t: pa.Table) -> pd.DataFrame:
+        hi = cents_of(t) >> RADIX_SHIFT
+        out = (pd.DataFrame({"hi": hi})
+               .groupby("hi", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("hi", as_index=False)["n"].sum()
+          .sort_values("hi").reset_index(drop=True))
+    n_total = int(h1["n"].sum())
+    cum = h1["n"].cumsum().to_numpy()
+    targets = []
+    for q in WINSOR_PERMILLES:
+        k = (q * n_total + 999) // 1000
+        i = int(np.searchsorted(cum, k))
+        prev = int(cum[i - 1]) if i else 0
+        targets.append((int(h1["hi"].iloc[i]), k - prev))
+    wanted = frozenset(hi for hi, _ in targets)
+
+    def hist_lo(t: pa.Table) -> pd.DataFrame:
+        v = cents_of(t)
+        v = v[np.isin(v >> RADIX_SHIFT, list(wanted))]
+        out = (pd.DataFrame({"v": v})
+               .groupby("v", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    h2 = (ds.map_batches(hist_lo, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("v", as_index=False)["n"].sum()
+          .sort_values("v").reset_index(drop=True))
+    vals, counts = h2["v"].to_numpy(), h2["n"].to_numpy()
+    bounds = []
+    for hi, resid in targets:
+        m = (vals >> RADIX_SHIFT) == hi
+        c = counts[m].cumsum()
+        bounds.append(int(vals[m][int(np.searchsorted(c, resid))]))
+    lo_c, hi_c = bounds
+
+    def clipped_sum(t: pa.Table) -> pd.DataFrame:
+        v = np.clip(cents_of(t), lo_c, hi_c)
+        return pd.DataFrame({"s": [int(v.sum())],
+                             "n": [len(v)]}).astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        s, n = int(df["s"].sum()), int(df["n"].sum())
+        return pd.DataFrame({
+            "lo_cents": pd.Series([lo_c], dtype="int64"),
+            "hi_cents": pd.Series([hi_c], dtype="int64"),
+            "n": pd.Series([n], dtype="int64"),
+            "mean_milli": pd.Series([(s * 1000) // n],
+                                    dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(clipped_sum, batch_format="pyarrow"), final)
+
+
+ORDERS_WINSOR_SQL = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+n AS (SELECT count(*) AS n FROM c),
+b AS (
+  SELECT min(v) FILTER (rn = (%d * n.n + 999) // 1000) AS lo,
+         min(v) FILTER (rn = (%d * n.n + 999) // 1000) AS hi
+  FROM r, n GROUP BY n.n)
+SELECT CAST(b.lo AS BIGINT) AS lo_cents,
+       CAST(b.hi AS BIGINT) AS hi_cents,
+       CAST(n.n AS BIGINT) AS n,
+       CAST(sum(greatest(b.lo, least(b.hi, c.v))) * 1000 // n.n
+            AS BIGINT) AS mean_milli
+FROM c, b, n GROUP BY b.lo, b.hi, n.n
+""" % WINSOR_PERMILLES
+
+
+def key_skew_profile(sf_dir):
+    """Partition-skew diagnosis (the pre-shuffle audit that decides
+    whether a key needs salting BEFORE a 100-TB groupby is launched):
+    the distribution of per-key row counts, reported as a log₂-bucket
+    histogram — bucket k holds keys with 2^k ≤ count < 2^(k+1), with
+    key- and row-mass per bucket. A heavy tail at high buckets means
+    hot keys (salt them, q.v. salted_source_counts); a flat profile
+    licenses plain hash partitioning.
+
+    Scale shape: per-batch (key → count) partials (lossless combiner)
+    feed ONE key-bucketed exchange; each bucket finalizes its keys'
+    counts, takes the frexp exponent vectorized (exact — no float
+    log₂ at engine boundaries; SQL replays via the binary-string
+    length), and emits bounded ≤64-cell histogram partials; one merge
+    block sums."""
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy()})
+             .groupby("u", as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        p["cnt"] = p["cnt"].astype("int64")
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby("u", as_index=False)["cnt"].sum()
+             ["cnt"].to_numpy(np.int64))
+        lb = np.frexp(c.astype(np.float64))[1] - 1  # floor(log2), exact
+        out = (pd.DataFrame({"log2_bucket": lb, "cnt": c})
+               .groupby("log2_bucket", as_index=False)
+               .agg(n_keys=("cnt", "size"), n_rows=("cnt", "sum")))
+        return out.astype("int64")
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    per_bucket = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_hist, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("log2_bucket", as_index=False)
+               [["n_keys", "n_rows"]].sum()
+               .sort_values("log2_bucket").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, final)
+
+
+KEY_SKEW_SQL = """
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+SELECT CAST(length(format('{:b}', c)) - 1 AS BIGINT) AS log2_bucket,
+       count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -11409,6 +11567,9 @@ QUERIES = {
     "source_lang_gini": (source_lang_gini, SOURCE_GINI_SQL),
     "rendezvous_rebalance": (rendezvous_rebalance, RENDEZVOUS_SQL),
     "user_value_twa": (user_value_twa, USER_TWA_SQL),
+    "orders_winsorized_mean": (orders_winsorized_mean,
+                               ORDERS_WINSOR_SQL),
+    "key_skew_profile": (key_skew_profile, KEY_SKEW_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
