@@ -10422,6 +10422,348 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_benford_audit(sf_dir):
+    """Benford's-law first-digit audit of the order totals — the
+    fraud/data-quality screen an ingest pipeline runs on any
+    money-like column (fabricated values flatten the leading-digit
+    curve; Benford '38, Nigrini '96 — public literature). Reports
+    per leading digit the count and the exact milli-share, plus the
+    Benford expectation in milli (floor(1000·log10(1+1/d)) — a
+    CONSTANT table, so no float computed from data crosses engines).
+
+    Scale shape: the 9-cell digit histogram is a bounded-domain
+    per-batch combiner — zero shuffle at any scale; the leading
+    digit comes off the integer cents' decimal string in both
+    engines."""
+    benford_milli = {d: int(np.floor(1000 * np.log10(1 + 1 / d)))
+                     for d in range(1, 10)}
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        first = (pd.Series(cents).astype(str).str[0]
+                 .astype(np.int64))
+        out = (pd.DataFrame({"digit": first})
+               .groupby("digit", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("digit", as_index=False)["n"].sum()
+               .sort_values("digit").reset_index(drop=True))
+        total = int(out["n"].sum())
+        out["share_milli"] = (out["n"] * 1000) // total
+        out["benford_milli"] = out["digit"].map(benford_milli)
+        return out.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+ORDERS_BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+h AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+SELECT h.digit, CAST(h.n AS BIGINT) AS n,
+       CAST(h.n * 1000 // t.total AS BIGINT) AS share_milli,
+       CAST(floor(1000 * log10(1 + 1.0 / h.digit)) AS BIGINT)
+         AS benford_milli
+FROM h, t ORDER BY h.digit
+"""
+
+
+def orderkey_join_stats(sf_dir):
+    """EXACT join-cardinality statistics for lineitem ⋈ orders on
+    orderkey — the question every optimizer answers with a sketch,
+    answered exactly in one pass: |join| = Σ_k cnt_li(k)·cnt_od(k),
+    plus distinct keys on each side and in the intersection. This is
+    the pre-flight a 100-TB join runs to choose broadcast vs shuffle
+    vs salt (pairs with key_skew_profile).
+
+    Scale shape: per-batch (key, side) → count partials (lossless
+    combiner) ride ONE key-bucketed tagged exchange; each bucket
+    finalizes both sides' counts, multiplies vectorized, and emits a
+    single 5-integer partial row; one merge block sums. Nothing but
+    narrow count rows ever crosses the wire."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["k", "n", "_bucket", "_side"]
+
+    def prep(col):
+        def f(t: pa.Table) -> pd.DataFrame:
+            p = (pd.DataFrame({"k": t[col].to_numpy()})
+                 .groupby("k", as_index=False).size()
+                 .rename(columns={"size": "n"}))
+            p["n"] = p["n"].astype("int64")
+            return _tag_bucket(p, buckets, 0 if col[0] == "l" else 1,
+                               COLS, key="k")
+        return f
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = (g[g["_side"] == 0].groupby("k", as_index=False)
+               ["n"].sum())
+        od_ = (g[g["_side"] == 1].groupby("k", as_index=False)
+               ["n"].sum())
+        j = li_.merge(od_, on="k", how="outer",
+                      suffixes=("_l", "_o"))
+        # outer-merge NaNs upcast to float64 — restore exact int64
+        # before any product (the >2^53 exactness discipline)
+        j["n_l"] = j["n_l"].fillna(0).astype("int64")
+        j["n_o"] = j["n_o"].fillna(0).astype("int64")
+        both = (j["n_l"] > 0) & (j["n_o"] > 0)
+        return pd.DataFrame({
+            "join_rows": [int((j["n_l"] * j["n_o"]).sum())],
+            "li_keys": [int((j["n_l"] > 0).sum())],
+            "od_keys": [int((j["n_o"] > 0).sum())],
+            "both_keys": [int(both.sum())],
+            "max_key_rows": [int((j["n_l"] * j["n_o"]).max())
+                             if len(j) else 0]}).astype("int64")
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey"])
+    tagged = (li.map_batches(prep("l_orderkey"),
+                             batch_format="pyarrow")
+              .union(od.map_batches(prep("o_orderkey"),
+                                    batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_stats, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "join_rows": [int(df["join_rows"].sum())],
+            "li_keys": [int(df["li_keys"].sum())],
+            "od_keys": [int(df["od_keys"].sum())],
+            "both_keys": [int(df["both_keys"].sum())],
+            "max_key_rows": [int(df["max_key_rows"].max())
+                             if len(df) else 0]}).astype("int64")
+
+    return _merge_partials(per_bucket, final)
+
+
+JOIN_STATS_SQL = """
+WITH l AS (SELECT l_orderkey AS k, count(*) AS n
+           FROM lineitem GROUP BY 1),
+o AS (SELECT o_orderkey AS k, count(*) AS n
+      FROM orders GROUP BY 1),
+j AS (SELECT coalesce(l.k, o.k) AS k,
+             coalesce(l.n, 0) AS nl, coalesce(o.n, 0) AS no
+      FROM l FULL OUTER JOIN o ON l.k = o.k)
+SELECT CAST(sum(nl * no) AS BIGINT) AS join_rows,
+       CAST(count(*) FILTER (nl > 0) AS BIGINT) AS li_keys,
+       CAST(count(*) FILTER (no > 0) AS BIGINT) AS od_keys,
+       CAST(count(*) FILTER (nl > 0 AND no > 0) AS BIGINT)
+         AS both_keys,
+       CAST(max(nl * no) AS BIGINT) AS max_key_rows
+FROM j
+"""
+
+
+def brand_revenue_hhi(sf_dir):
+    """Market-concentration audit: the Herfindahl–Hirschman index of
+    brand revenue shares in exact integer units — HHI_micro =
+    (10⁶·Σc_b²) // (Σc_b)², the regulator's concentration screen and
+    the curation pipeline's source-dominance check (one brand owning
+    the corpus is a sampling hazard; pairs with source_lang_gini,
+    which is the same rational family as impurity rather than
+    concentration). Revenue in per-row-rounded integer cents — the
+    q1 discipline — so the squared sums replay exactly.
+
+    Scale shape: brand revenue is a bounded-domain per-batch combiner
+    (the brand dimension rides a bucket_join in brand_revenue; here
+    only (brand, cents) partials move), the squared-share arithmetic
+    happens in the one coalesced merge block — zero data shuffle."""
+    from ..stages.joins import bucket_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                         pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "cents": c})
+
+    joined = bucket_join(li.map_batches(cents, batch_format="pyarrow"),
+                         part, left_on="l_partkey",
+                         right_on="p_partkey")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "brand": t["p_brand"].to_pandas().astype(object),
+            "cents": t["cents"].to_numpy()})
+        out = df.groupby("brand", as_index=False)["cents"].sum()
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.groupby("brand", as_index=False)["cents"].sum()
+        total = int(b["cents"].sum())
+        sumsq = int((b["cents"].astype(object) ** 2).sum())
+        hhi = (1_000_000 * sumsq) // (total * total)
+        top = b.sort_values(["cents", "brand"],
+                            ascending=[False, True]).iloc[0]
+        return pd.DataFrame({
+            "n_brands": pd.Series([len(b)], dtype="int64"),
+            "hhi_micro": pd.Series([hhi], dtype="int64"),
+            "top_brand": pd.Series([top["brand"]], dtype=object),
+            "top_share_milli": pd.Series(
+                [(int(top["cents"]) * 1000) // total], dtype="int64")})
+
+    return _merge_partials(
+        joined.map_batches(partial, batch_format="pyarrow"), final)
+
+
+BRAND_HHI_SQL = """
+WITH b AS (
+  SELECT p_brand AS brand,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+               AS sumsq,
+             count(*) AS n_brands
+      FROM b),
+top AS (SELECT brand, cents FROM b
+        ORDER BY cents DESC, brand LIMIT 1)
+SELECT t.n_brands,
+       CAST(1000000 * t.sumsq
+            // (CAST(t.total AS HUGEINT) * t.total) AS BIGINT)
+         AS hhi_micro,
+       top.brand AS top_brand,
+       CAST(top.cents * 1000 // t.total AS BIGINT) AS top_share_milli
+FROM t, top
+"""
+
+
+ANALYZE_COLS = ("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderdate")
+
+
+def orders_analyze_stats(sf_dir):
+    """ANALYZE TABLE — the catalog-statistics pass every optimizer
+    (and every zone-map builder) runs: per numeric/date column, the
+    EXACT distinct-value count, null count, min and max, normalized
+    to int64 (cents for money, µs for dates) so one uniform schema
+    carries every column.
+
+    Scale shape: min/max/nulls are per-batch combiners (exact, zero
+    shuffle); exact NDV is the one statistic that needs an exchange,
+    and ALL columns share a single (col, value)-bucketed exchange of
+    batch-local DISTINCT pairs (the dedup-combiner discipline:
+    batch-distinct bounds the exchange by distinct-per-batch, and
+    per-bucket nunique is additive because a (col, value) pair lives
+    in exactly one bucket). Compare approximate twins: hll_user
+    registers trade this exactness for fixed memory at 10¹² keys."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+
+    def to_i64(t: pa.Table, col: str) -> np.ndarray:
+        a = t[col]
+        if pa.types.is_timestamp(a.type):
+            return a.to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+        if pa.types.is_floating(a.type):
+            return pc.cast(pc.round(pc.multiply(a, pa.scalar(100.0)),
+                                    round_mode="half_towards_infinity"),
+                           pa.int64()).to_numpy()
+        return a.to_numpy().astype(np.int64)
+
+    def prep_pairs(t: pa.Table) -> pd.DataFrame:
+        outs = []
+        for ci, col in enumerate(ANALYZE_COLS):
+            v = np.unique(to_i64(t, col))
+            outs.append(pd.DataFrame({
+                "ci": np.full(len(v), ci, np.int64), "v": v}))
+        p = pd.concat(outs, ignore_index=True)
+        h = pd.util.hash_pandas_object(
+            p["ci"] * np.int64(1_000_003) + p["v"],
+            index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_ndv(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["ci", "v"])
+               .groupby("ci", as_index=False).size()
+               .rename(columns={"size": "ndv"}))
+        return out.astype("int64")
+
+    def prep_minmax(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for ci, col in enumerate(ANALYZE_COLS):
+            nulls = int(pc.sum(pc.is_null(t[col])).as_py() or 0)
+            v = to_i64(t.filter(pc.is_valid(t[col])), col) \
+                if nulls else to_i64(t, col)
+            rows.append((ci, nulls,
+                         int(v.min()) if len(v) else np.iinfo(np.int64).max,
+                         int(v.max()) if len(v) else np.iinfo(np.int64).min))
+        return pd.DataFrame(rows, columns=["ci", "nulls", "mn", "mx"]) \
+            .astype("int64")
+
+    ds = _read(sf_dir, "orders", columns=list(ANALYZE_COLS))
+    ndv = (ds.map_batches(prep_pairs, batch_format="pyarrow")
+           .groupby("_bucket")
+           .map_groups(bucket_ndv, batch_format="pandas")
+           .to_pandas()
+           .groupby("ci", as_index=False)["ndv"].sum())
+    mm = (ds.map_batches(prep_minmax, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("ci", as_index=False)
+          .agg(nulls=("nulls", "sum"), mn=("mn", "min"),
+               mx=("mx", "max")))
+    out = mm.merge(ndv, on="ci").sort_values("ci")
+    return pd.DataFrame({
+        "column": pd.Series([ANALYZE_COLS[int(i)]
+                             for i in out["ci"]], dtype=object),
+        "ndv": out["ndv"].astype("int64").reset_index(drop=True),
+        "nulls": out["nulls"].astype("int64").reset_index(drop=True),
+        "min_i64": out["mn"].astype("int64").reset_index(drop=True),
+        "max_i64": out["mx"].astype("int64").reset_index(drop=True)})
+
+
+ORDERS_ANALYZE_SQL = """
+WITH n AS (
+  SELECT 'o_orderkey' AS col, 0 AS ci,
+         count(DISTINCT o_orderkey) AS ndv,
+         count(*) - count(o_orderkey) AS nulls,
+         CAST(min(o_orderkey) AS BIGINT) AS min_i64,
+         CAST(max(o_orderkey) AS BIGINT) AS max_i64
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', 1, count(DISTINCT o_custkey),
+         count(*) - count(o_custkey),
+         CAST(min(o_custkey) AS BIGINT),
+         CAST(max(o_custkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', 2,
+         count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)),
+         count(*) - count(o_totalprice),
+         CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT),
+         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', 3, count(DISTINCT o_orderdate),
+         count(*) - count(o_orderdate),
+         CAST(epoch_us(min(o_orderdate)) AS BIGINT),
+         CAST(epoch_us(max(o_orderdate)) AS BIGINT)
+  FROM orders)
+SELECT col AS "column", CAST(ndv AS BIGINT) AS ndv,
+       CAST(nulls AS BIGINT) AS nulls, min_i64, max_i64
+FROM n ORDER BY ci
+"""
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -11570,6 +11912,10 @@ QUERIES = {
     "orders_winsorized_mean": (orders_winsorized_mean,
                                ORDERS_WINSOR_SQL),
     "key_skew_profile": (key_skew_profile, KEY_SKEW_SQL),
+    "orders_benford_audit": (orders_benford_audit, ORDERS_BENFORD_SQL),
+    "orderkey_join_stats": (orderkey_join_stats, JOIN_STATS_SQL),
+    "brand_revenue_hhi": (brand_revenue_hhi, BRAND_HHI_SQL),
+    "orders_analyze_stats": (orders_analyze_stats, ORDERS_ANALYZE_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
