@@ -144,7 +144,13 @@ def run_bench() -> dict:
              ("basket_part_pairs", Q.basket_part_pairs),
              ("doc_range_layout", Q.doc_range_layout),
              ("orders_checksum", Q.orders_checksum),
-             ("events_daily_type_mask", Q.events_daily_type_mask)]
+             ("events_daily_type_mask", Q.events_daily_type_mask),
+             ("lineitem_fk_orphans", Q.lineitem_fk_orphans),
+             ("orderkey_join_stats", Q.orderkey_join_stats),
+             ("source_compaction_plan", Q.source_compaction_plan),
+             ("user_value_twa", Q.user_value_twa),
+             ("orders_winsorized_mean", Q.orders_winsorized_mean),
+             ("orders_analyze_stats", Q.orders_analyze_stats)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
