@@ -10764,6 +10764,109 @@ FROM n ORDER BY ci
 """
 
 
+def q20_excess_suppliers(sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    shipped quantity of some widget part EXCEEDS half that part's
+    stock — the doubly-nested EXISTS (partsupp ⋈ agg-subquery on
+    lineitem) restated over the available tables: stock derives
+    deterministically from the part dimension (avail = (p_size+5)·4,
+    pure arithmetic both engines replay), and the output ranks
+    suppliers by how many parts they overshipped. Completes the
+    TPC-H sweep (q9/q12 live as brand_revenue/priority_lineitems).
+
+    Scale shape: lineitem pre-reduces to (pkey, skey) → Σqty partials
+    (lossless combiner); the widget-filtered part arm rides the SAME
+    pkey-bucketed tagged exchange (the q14 discipline — every part
+    matters, so no broadcast); each bucket finalizes sums, applies
+    the exact integer 2·Σqty > avail predicate and emits (skey,
+    n_excess) partials — additive because a (pkey, skey) pair lives
+    in exactly one bucket; supplier names attach from a broadcast
+    dimension dict in the bounded merge."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["pkey", "skey", "q", "_bucket", "_side"]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "skey": t["l_suppkey"].to_numpy(),
+                           "q": qty})
+        p = df.groupby(["pkey", "skey"], as_index=False)["q"].sum()
+        p["q"] = p["q"].astype("int64")
+        return _tag_bucket(p, buckets, 0, COLS, key="pkey")
+
+    def prep_part(t: pa.Table) -> pd.DataFrame:
+        m = pc.match_substring(t["p_name"], "widget").to_numpy(
+            zero_copy_only=False)
+        keys = t["p_partkey"].to_numpy()[m]
+        size = t["p_size"].to_numpy()[m].astype(np.int64)
+        p = pd.DataFrame({"pkey": keys,
+                          "skey": np.zeros(len(keys), np.int64),
+                          "q": (size + 5) * 4})  # q carries avail
+        return _tag_bucket(p, buckets, 1, COLS, key="pkey")
+
+    def bucket_excess(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = (g[g["_side"] == 0]
+               .groupby(["pkey", "skey"], as_index=False)["q"].sum())
+        pa_ = g[g["_side"] == 1][["pkey", "q"]] \
+            .rename(columns={"q": "avail"})
+        j = li_.merge(pa_, on="pkey", how="inner")
+        j = j[2 * j["q"].to_numpy() > j["avail"].to_numpy()]
+        out = (j.groupby("skey", as_index=False)
+               .agg(excess_parts=("pkey", "nunique")))
+        return out.astype("int64")
+
+    names_ref = ray.put({
+        int(r["s_suppkey"]): r["s_name"]
+        for r in _read(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_name"]).take_all()})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_name", "p_size"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(part.map_batches(prep_part,
+                                      batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_excess, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        out = (df.groupby("skey", as_index=False)
+               ["excess_parts"].sum()
+               .sort_values(["excess_parts", "skey"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+        names = _ray.get(names_ref)
+        return pd.DataFrame({
+            "s_suppkey": out["skey"].astype("int64"),
+            "s_name": out["skey"].map(names).astype(object),
+            "excess_parts": out["excess_parts"].astype("int64")})
+
+    return _merge_partials(per_bucket, final)
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+pa AS (
+  SELECT p_partkey, (p_size + 5) * 4 AS avail
+  FROM part WHERE p_name LIKE '%widget%'),
+x AS (
+  SELECT sk, count(DISTINCT pk) AS excess_parts
+  FROM ps JOIN pa ON pk = p_partkey
+  WHERE 2 * q > avail GROUP BY 1)
+SELECT s.s_suppkey, s.s_name,
+       CAST(x.excess_parts AS BIGINT) AS excess_parts
+FROM x JOIN supplier s ON s.s_suppkey = x.sk
+ORDER BY excess_parts DESC, s.s_suppkey
+"""
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -11916,6 +12019,7 @@ QUERIES = {
     "orderkey_join_stats": (orderkey_join_stats, JOIN_STATS_SQL),
     "brand_revenue_hhi": (brand_revenue_hhi, BRAND_HHI_SQL),
     "orders_analyze_stats": (orders_analyze_stats, ORDERS_ANALYZE_SQL),
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
