@@ -10867,6 +10867,157 @@ ORDER BY excess_parts DESC, s.s_suppkey
 """
 
 
+SLIDING_WINDOW_HOURS = 6
+
+
+def events_sliding_dau(sf_dir):
+    """EXACT sliding-window distinct users — active users over the
+    trailing 6 hours, reported hourly (the ops dashboard's DAU/MAU
+    shape at window grain). Distinct counts are NOT additive across
+    subwindows (per-hour distincts cannot be summed), which is what
+    makes this a real operator: a user-hour contributes to exactly 6
+    overlapping windows, so the expansion is BOUNDED (6×) and
+    deduplication per (user, window) restores exactness.
+
+    Scale shape: batch-local distinct (user, hour) pairs (a lossless
+    combiner for this expansion) ride ONE user-bucketed exchange;
+    each bucket dedups its users' hours exactly (a user lives in one
+    bucket), expands hour→6 windows vectorized (np.repeat/tile),
+    dedups (user, window) and emits bounded (window, count) partials
+    — additive across buckets; one merge block sums over the ~10³
+    window cells. SQL replays via the same 6-way range expansion."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    W = SLIDING_WINDOW_HOURS
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        h = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 3_600_000_000)
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy(), "h": h})
+             .drop_duplicates())
+        hh = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (hh % np.uint64(buckets)).astype("int32")
+        return p.reset_index(drop=True)
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "h"])
+        u = np.repeat(g["u"].to_numpy(np.int64), W)
+        w = (np.repeat(g["h"].to_numpy(np.int64), W)
+             + np.tile(np.arange(W, dtype=np.int64), len(g)))
+        uw = pd.DataFrame({"u": u, "w": w}).drop_duplicates()
+        out = (uw.groupby("w", as_index=False).size()
+               .rename(columns={"size": "active_users"}))
+        return out.astype("int64")
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    per_bucket = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_count, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("w", as_index=False)["active_users"].sum()
+               .rename(columns={"w": "window_end_hour"})
+               .sort_values("window_end_hour")
+               .reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, final)
+
+
+SLIDING_DAU_SQL = """
+WITH uh AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 3600000000 AS h
+  FROM events),
+uw AS (
+  SELECT DISTINCT user_id, h + k.k AS w
+  FROM uh, range(%d) k(k))
+SELECT CAST(w AS BIGINT) AS window_end_hour,
+       count(*) AS active_users
+FROM uw GROUP BY 1 ORDER BY 1
+""" % SLIDING_WINDOW_HOURS
+
+
+def region_revenue_share(sf_dir):
+    """Hierarchical ratio-to-parent rollup (the OLAP share-of-segment
+    report): revenue per supplier nation with each nation's exact
+    permille share OF ITS REGION — the two-level rollup where the
+    child metric divides by the parent aggregate. Exercises the full
+    region→nation→supplier dimension chain over the fact table.
+
+    Scale shape: the three dimension arms are genuinely small
+    (region/nation/supplier) so they broadcast as composed dicts via
+    ray.put (the q18 dimension contract — at 10⁹ suppliers the
+    supplier arm switches to joins.bucket_join); fact batches emit
+    bounded (nation) cents partials — a lossless combiner — and the
+    parent totals + shares derive in the one coalesced merge block.
+    Zero data shuffle; exact integer permille."""
+    import ray
+
+    sup = {int(r["s_suppkey"]): int(r["s_nationkey"])
+           for r in _read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"])
+           .take_all()}
+    nat = {int(r["n_nationkey"]): (r["n_name"], int(r["n_regionkey"]))
+           for r in _read(sf_dir, "nation").take_all()}
+    reg = {int(r["r_regionkey"]): r["r_name"]
+           for r in _read(sf_dir, "region").take_all()}
+    s2n_ref = ray.put({sk: nat[nk][0] for sk, nk in sup.items()})
+    n2r = {name: reg[rk] for name, rk in nat.values()}
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        s2n = _ray.get(s2n_ref)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "nation": pd.Series([s2n[int(k)] for k in
+                                 t["l_suppkey"].to_pylist()],
+                                dtype=object),
+            "cents": cents})
+        out = df.groupby("nation", as_index=False)["cents"].sum()
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("nation", as_index=False)["cents"].sum()
+        n["region"] = n["nation"].map(n2r).astype(object)
+        rc = n.groupby("region")["cents"].transform("sum")
+        n["share_permille"] = (n["cents"] * 1000) // rc
+        out = (n[["region", "nation", "cents", "share_permille"]]
+               .sort_values(["region", "nation"])
+               .reset_index(drop=True))
+        out["cents"] = out["cents"].astype("int64")
+        out["share_permille"] = out["share_permille"].astype("int64")
+        return out
+
+    return _merge_partials(
+        li.map_batches(partial, batch_format="pyarrow"), final)
+
+
+REGION_SHARE_SQL = """
+WITH nrev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2),
+rr AS (SELECT region, CAST(sum(cents) AS BIGINT) AS rc
+       FROM nrev GROUP BY 1)
+SELECT nrev.region, nrev.nation, nrev.cents,
+       CAST(nrev.cents * 1000 // rr.rc AS BIGINT) AS share_permille
+FROM nrev JOIN rr USING (region)
+ORDER BY 1, 2
+"""
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -12020,6 +12171,8 @@ QUERIES = {
     "brand_revenue_hhi": (brand_revenue_hhi, BRAND_HHI_SQL),
     "orders_analyze_stats": (orders_analyze_stats, ORDERS_ANALYZE_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
+    "events_sliding_dau": (events_sliding_dau, SLIDING_DAU_SQL),
+    "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
