@@ -338,6 +338,83 @@ def fulltext_indexed_search(sf_dir):
     return ftindex.indexed_term_search(idx, ("merge", "join"), k=20)
 
 
+FT_DELTA_REPL_MOD, FT_DELTA_NEW_MOD = 31, 37
+FT_DELTA_NEW_OFF = 10_000_000
+
+
+def fulltext_delta_search(sf_dir):
+    """The SAME ranked AND query served from an INCREMENTALLY
+    MAINTAINED index: the base index of ``fulltext_indexed_search``
+    is upgraded by ``ftindex.merge_index_delta`` with a deterministic
+    delta crawl — doc_id %% 31 re-crawled with changed text (UPSERT:
+    their old postings are superseded), doc_id %% 37 spawning brand-new
+    docs under key+10⁷ — and the query runs against the merged
+    VERSION (the base stays immutable; LSM/segment-merge discipline,
+    fulltextindex.py update semantics). The oracle reconstructs the
+    post-delta corpus in SQL and replays the scan query, so equality
+    proves merge(index, δ) == index(apply(corpus, δ)) — the index
+    twin of orders_ivm_counts' Δ-law.
+
+    Scale point: the merge pays ONLY the delta's tokenization plus a
+    zero-shuffle drop-filter stream of the base postings — never a
+    re-index of the corpus."""
+    import os
+
+    from ..sources import ftindex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    base = "/tmp/ferenda_ray_ftidx/%s_b%d" % (
+        os.path.basename(sf_dir.rstrip("/")), ftindex.DEFAULT_BUCKETS)
+    ftindex.build_inverted_index(docs, base)
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, tx in zip(ids, texts):
+            if i % FT_DELTA_REPL_MOD == 0:   # re-crawl: changed text
+                out_id.append(int(i))
+                out_tx.append((tx or "") + " merge deltaterm")
+            if i % FT_DELTA_NEW_MOD == 0:    # brand-new document
+                out_id.append(int(i) + FT_DELTA_NEW_OFF)
+                out_tx.append((tx or "") + " merge join")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    delta = docs.map_batches(delta_rows, batch_format="pyarrow")
+    # the re-crawl manifest IS the superseded-key list (bounded by
+    # the delta batch, never by the corpus)
+    replaced = [int(r["doc_id"]) for r in
+                _read(sf_dir, "documents", columns=["doc_id"])
+                .take_all() if r["doc_id"] % FT_DELTA_REPL_MOD == 0]
+    merged = "%s_delta_v1" % base
+    ftindex.merge_index_delta(base, delta, merged,
+                              replaced_keys=replaced)
+    return ftindex.indexed_term_search(merged, ("merge", "join"), k=20)
+
+
+FT_DELTA_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id %% %d = 0
+              THEN text || ' merge deltaterm' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + %d, text || ' merge join'
+  FROM documents WHERE doc_id %% %d = 0),
+m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text, '\\S+'),
+                         t -> t = 'merge')) AS c1,
+         len(list_filter(regexp_extract_all(text, '\\S+'),
+                         t -> t = 'join')) AS c2
+  FROM corpus)
+SELECT doc_id, CAST(c1 + c2 AS BIGINT) AS score FROM m
+WHERE c1 > 0 AND c2 > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""" % (FT_DELTA_REPL_MOD, FT_DELTA_NEW_OFF, FT_DELTA_NEW_MOD)
+
+
 def _bm25_scored(sf_dir):
     """Shared BM25 scorer (the single copy of the Okapi arithmetic,
     consumed by ``bm25_search`` and the RRF hybrid's lexical leg):
@@ -12173,6 +12250,7 @@ QUERIES = {
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "events_sliding_dau": (events_sliding_dau, SLIDING_DAU_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
+    "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),

@@ -30,7 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["term_bucket", "build_inverted_index", "indexed_term_search"]
+__all__ = ["term_bucket", "build_inverted_index", "indexed_term_search",
+           "merge_index_delta"]
 
 DEFAULT_BUCKETS = 16
 
@@ -39,6 +40,40 @@ def term_bucket(term: str, num_buckets: int = DEFAULT_BUCKETS) -> int:
     """Deterministic bucket for a term — md5-based so build and query
     time agree across processes and Python hash randomization."""
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % num_buckets
+
+
+def _postings_fn(key_col: str, text_col: str, num_buckets: int):
+    """Batch → distinct (term, key, tf, bucket) postings — the per-doc
+    Counter is the combiner; shared by build and delta-merge."""
+    def postings(t: pa.Table) -> pd.DataFrame:
+        keys = t[key_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_t, out_k, out_f = [], [], []
+        for k, txt in zip(keys, texts):
+            for term, tf in Counter((txt or "").split()).items():
+                out_t.append(term)
+                out_k.append(k)
+                out_f.append(tf)
+        df = pd.DataFrame({"term": pd.Series(out_t, dtype=object),
+                           key_col: pd.Series(out_k, dtype="int64"),
+                           "tf": pd.Series(out_f, dtype="int64")})
+        # hash each DISTINCT term once per batch, not once per posting
+        uniq = {x: term_bucket(x, num_buckets)
+                for x in pd.unique(df["term"])}
+        df["bucket"] = df["term"].map(uniq).astype("int32")
+        return df
+    return postings
+
+
+def _swap_into(tmp: str, out_dir: str) -> str:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    if os.path.exists(out_dir):  # losing racer / stale partial
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return out_dir
 
 
 def build_inverted_index(docs_ds, out_dir: str,
@@ -58,33 +93,74 @@ def build_inverted_index(docs_ds, out_dir: str,
     if os.path.exists(marker):
         return out_dir
 
-    def postings(t: pa.Table) -> pd.DataFrame:
-        keys = t[key_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_t, out_k, out_f = [], [], []
-        for k, txt in zip(keys, texts):
-            for term, tf in Counter((txt or "").split()).items():
-                out_t.append(term)
-                out_k.append(k)
-                out_f.append(tf)
-        df = pd.DataFrame({"term": pd.Series(out_t, dtype=object),
-                           key_col: pd.Series(out_k, dtype="int64"),
-                           "tf": pd.Series(out_f, dtype="int64")})
-        df["bucket"] = [term_bucket(x, num_buckets) for x in df["term"]]
-        df["bucket"] = df["bucket"].astype("int32")
-        return df
-
     tmp = "%s.tmp.%d" % (out_dir.rstrip("/"), os.getpid())
-    (docs_ds.map_batches(postings, batch_format="pyarrow")
+    (docs_ds.map_batches(_postings_fn(key_col, text_col, num_buckets),
+                         batch_format="pyarrow")
      .write_parquet(tmp, partition_cols=["bucket"]))
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
-        fh.write("ok")
-    if os.path.exists(out_dir):  # losing racer / stale partial
-        import shutil
+    return _swap_into(tmp, out_dir)
 
-        shutil.rmtree(out_dir)
-    os.replace(tmp, out_dir)
-    return out_dir
+
+def merge_index_delta(index_dir: str, delta_docs_ds, out_dir: str,
+                      replaced_keys=(),
+                      num_buckets: int = DEFAULT_BUCKETS,
+                      key_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Incremental index maintenance — the segment-merge step of every
+    production fulltext engine (Whoosh/Lucene ``update_document``,
+    ``fulltextindex.py:395-683``'s update semantics; the LSM
+    discipline): apply a delta crawl (UPSERTS: new keys inserted,
+    ``replaced_keys`` superseded) to an existing index and write a
+    NEW immutable index version at ``out_dir`` — the base version is
+    never mutated, so readers keep a consistent snapshot and a
+    crashed merge is invisible (tmp-dir swap + _SUCCESS).
+
+    Scale shape: only POSTINGS move — the delta pays its own
+    tokenization (map-side Counter combiner), the base index streams
+    through a vectorized drop-filter of superseded keys (zero
+    shuffle; ``replaced_keys`` is bounded by the re-crawled batch, so
+    a broadcast set is the operating point — swap in a key-bucketed
+    anti-join when a delta replaces 10⁹ docs), and the partitioned
+    write routes both sides to their term-hash bucket directories.
+    Each bucket merges independently; the sibling of
+    ``dedup.neardup_incremental``'s band-index maintenance."""
+    import ray
+    import ray.data as rd
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+
+    delta_post = delta_docs_ds.map_batches(
+        _postings_fn(key_col, text_col, num_buckets),
+        batch_format="pyarrow")
+
+    paths = sorted(
+        os.path.join(index_dir, d, f)
+        for d in os.listdir(index_dir) if d.startswith("bucket=")
+        for f in os.listdir(os.path.join(index_dir, d))
+        if f.endswith(".parquet"))
+    base = rd.read_parquet(paths, columns=["term", key_col, "tf"])
+    dead_ref = ray.put(frozenset(int(k) for k in replaced_keys))
+
+    def keep_live(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        dead = _ray.get(dead_ref)
+        df = pd.DataFrame({
+            "term": t["term"].to_pandas().astype(object),
+            key_col: t[key_col].to_numpy(),
+            "tf": t["tf"].to_numpy()})
+        if dead:
+            df = df[~df[key_col].isin(dead)]
+        uniq = {x: term_bucket(x, num_buckets)
+                for x in pd.unique(df["term"])}
+        df["bucket"] = df["term"].map(uniq).astype("int32")
+        return df.reset_index(drop=True)
+
+    merged = base.map_batches(keep_live,
+                              batch_format="pyarrow").union(delta_post)
+    tmp = "%s.tmp.%d" % (out_dir.rstrip("/"), os.getpid())
+    merged.write_parquet(tmp, partition_cols=["bucket"])
+    return _swap_into(tmp, out_dir)
 
 
 def indexed_term_search(index_dir: str, terms, k: int = 20,

@@ -95,3 +95,47 @@ def test_inverted_index_build_and_search(ray_session, tmp_path):
     assert list(map(tuple, got[["doc_id", "score"]].values.tolist())) == exp
     # idempotent rebuild: marker short-circuits
     assert ftindex.build_inverted_index(None, idx, num_buckets=4) == idx
+
+
+def test_index_delta_merge_upsert(ray_session, tmp_path):
+    """sources/ftindex.merge_index_delta: superseded keys drop their
+    OLD postings, new keys appear, the base version stays immutable,
+    and the merge is idempotent."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    from ferenda_ray.sources import ftindex
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b", "a c c", "b c"],
+    })
+    base = str(tmp_path / "base")
+    ftindex.build_inverted_index(
+        ray.data.from_pandas(docs), base, num_buckets=4)
+
+    # delta: doc 2 re-crawled WITHOUT 'c' (upsert), doc 9 brand-new
+    delta = pd.DataFrame({
+        "doc_id": [2, 9],
+        "text": ["a a b", "c c c"],
+    })
+    merged = str(tmp_path / "merged")
+    ftindex.merge_index_delta(base, ray.data.from_pandas(delta),
+                              merged, replaced_keys=[2], num_buckets=4)
+
+    def search(idx, terms):
+        return list(map(tuple, ftindex.indexed_term_search(
+            idx, terms, k=10, num_buckets=4).to_pandas()
+            [["doc_id", "score"]].values.tolist()))
+
+    # doc 2's old 'c' postings are GONE: only 3 and the new 9 match c
+    assert search(merged, ("c",)) == [(9, 3), (3, 1)]
+    # upserted doc 2 reflects the NEW text: tf(a)=2
+    assert (2, 3) in search(merged, ("a", "b"))
+    # the base version is untouched (immutable snapshot)
+    assert search(base, ("c",)) == [(2, 2), (3, 1)]
+    # idempotent: marker short-circuits a re-merge
+    assert ftindex.merge_index_delta(base, None, merged,
+                                     num_buckets=4) == merged
