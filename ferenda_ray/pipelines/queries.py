@@ -5393,6 +5393,85 @@ FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
+IVF_ADD_MOD, IVF_ADD_OFF = 13, 10_000_000
+
+
+def embed_ivf_add_knn(sf_dir):
+    """ANN served from an INCREMENTALLY GROWN materialized IVF index
+    (similarity.add_to_ivf_index — FAISS's IndexIVF.add shape): the
+    base index is built once, a delta of re-keyed vector copies
+    (vec_id %% 13 → key+10⁷, identical embedding) is ADDED against the
+    FIXED centroids (hardlinked base segments + delta segments — the
+    base corpus is never read or rewritten), and the query probes the
+    merged version with n_probe = ALL buckets, which makes IVF exact
+    — so a plain brute-force SQL oracle over the post-delta vector
+    set proves add(index, δ) == index(corpus ∪ δ) end to end. This
+    gives the ANN-index family its fully-oracled member
+    (embed_knn_ivf stays the honest approximate path)."""
+    import os
+
+    from ..stages.similarity import (add_to_ivf_index, build_ivf_index,
+                                     knn_ivf_indexed)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = "/tmp/ferenda_ray_ivf/%s_c8_v1" % os.path.basename(
+        sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        build_ivf_index(ds, base, n_centroids=8)
+        with open(os.path.join(base, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        keep = ids % IVF_ADD_MOD == 0
+        return pa.table({
+            "vec_id": pa.array(ids[keep] + IVF_ADD_OFF, pa.int64()),
+            "embedding": t["embedding"].filter(
+                pa.array(keep, pa.bool_()))})
+
+    delta = ds.map_batches(delta_rows, batch_format="pyarrow")
+    merged = "%s_add_v1" % base
+    add_to_ivf_index(base, delta, merged)
+
+    q = (ds.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+            batch_format="pyarrow").to_pandas())
+    qv = np.asarray(list(q["embedding"])[0], dtype=np.float64)
+    out = knn_ivf_indexed(merged, qv[None, :], k=10, n_probe=8)
+    # rank on cosine rounded to 12 dp: the planted exact-duplicate
+    # tie must break on vec_id in BOTH engines — raw float64 dots
+    # drift a final ulp with BLAS kernel/segment-size choice, which
+    # would otherwise flip the (0, 0+10⁷) pair nondeterministically
+    out = out.copy()
+    out["c12"] = out["cosine"].round(12)
+    out = (out.sort_values(["c12", "vec_id"],
+                           ascending=[False, True], kind="mergesort")
+           .reset_index(drop=True))
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    return (out[["vec_id", "rank"]]
+            .astype({"vec_id": "int64", "rank": "int64"}))
+
+
+IVF_ADD_SQL = """
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + %d, embedding FROM embeddings
+  WHERE vec_id %% %d = 0),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[])
+           AS sim
+  FROM allv, q)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY round(sim, 12) DESC,
+                               vec_id ASC) - 1
+            AS BIGINT) AS rank
+FROM s ORDER BY round(sim, 12) DESC, vec_id ASC LIMIT 10
+""" % (IVF_ADD_OFF, IVF_ADD_MOD)
+
+
 SEMDEDUP_OFFSET = 10_000_000
 SEMDEDUP_THR = (9025, 10000)  # τ=0.95 → τ² as an exact integer ratio
 
@@ -12251,6 +12330,7 @@ QUERIES = {
     "events_sliding_dau": (events_sliding_dau, SLIDING_DAU_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
+    "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),

@@ -251,3 +251,63 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
             rows.append((qi, r.vec_id, r.cosine, rank))
     return pd.DataFrame(rows,
                         columns=["query_idx", "vec_id", "cosine", "rank"])
+
+
+def add_to_ivf_index(index_dir: str, delta_ds, out_dir: str,
+                     vec_col: str = "embedding",
+                     key_col: str = "vec_id") -> str:
+    """Incremental IVF maintenance — FAISS's ``IndexIVF.add`` shape:
+    new vectors are assigned to the EXISTING (fixed) centroids
+    map-side and land as fresh segment files; the new index version
+    at ``out_dir`` is hardlinked base segments + delta segments, so
+    versioning costs O(files), not O(bytes), and the base snapshot
+    stays immutable for concurrent readers (the ftindex
+    merge_index_delta discipline; centroids are NOT retrained — the
+    standard drift trade-off, rebuild when recall decays).
+
+    Scale shape: the delta pays one broadcast-centroid assignment
+    pass (zero shuffle) and a partitioned write into its buckets;
+    the base corpus is never read, moved or rewritten."""
+    import os
+    import shutil
+
+    import ray
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    cent_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(bucket=pd.Series(dtype="int32"))
+        cent = ray.get(cent_ref)
+        vecs = _unit(_as_matrix(df[vec_col]))
+        df = df.copy()
+        df["bucket"] = np.argmax(vecs @ cent.T, axis=1).astype("int32")
+        return df
+
+    tmp_delta = "%s.tmpdelta.%d" % (out_dir.rstrip("/"), os.getpid())
+    (delta_ds.map_batches(assign, batch_format="pandas")
+     .write_parquet(tmp_delta, partition_cols=["bucket"]))
+
+    tmp = "%s.tmp.%d" % (out_dir.rstrip("/"), os.getpid())
+    os.makedirs(tmp, exist_ok=True)
+    for src, pref in ((index_dir, "base_"), (tmp_delta, "delta_")):
+        for d in os.listdir(src):
+            if not d.startswith("bucket="):
+                continue
+            os.makedirs(os.path.join(tmp, d), exist_ok=True)
+            for f in os.listdir(os.path.join(src, d)):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(src, d, f),
+                            os.path.join(tmp, d, pref + f))
+    shutil.rmtree(tmp_delta)
+    np.save(os.path.join(tmp, "centroids.npy"), centroids)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return out_dir

@@ -97,3 +97,54 @@ def test_winsorized_bounds_are_order_statistics(ray_session):
     assert int(out["mean_milli"]) == (int(clipped.sum()) * 1000) // n
     assert (out["lo_cents"] * 1000 <= out["mean_milli"]
             <= out["hi_cents"] * 1000)
+
+
+def test_ivf_add_hardlink_versioning(ray_session, tmp_path):
+    """similarity.add_to_ivf_index: the new version hardlinks the
+    base segments (O(files) versioning, st_nlink > 1), the base dir
+    is byte-untouched, delta vectors land in centroid buckets, and
+    the merge is idempotent."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ferenda_ray.stages import similarity
+
+    rng = [[float(i % 7) - 3.0, float(i % 5) - 2.0, 1.0]
+           for i in range(40)]
+    base_df = pd.DataFrame({"vec_id": list(range(40)),
+                            "embedding": rng})
+    base = str(tmp_path / "ivf_base")
+    similarity.build_ivf_index(ray.data.from_pandas(base_df), base,
+                               n_centroids=4)
+    base_files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(base) for f in fs
+        if f.endswith(".parquet"))
+    base_sig = [(p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+                for p in base_files]
+
+    delta_df = pd.DataFrame({"vec_id": [100, 101],
+                             "embedding": [[1.0, 0.0, 0.0],
+                                           [0.0, 1.0, 0.0]]})
+    merged = str(tmp_path / "ivf_merged")
+    similarity.add_to_ivf_index(base, ray.data.from_pandas(delta_df),
+                                merged)
+    assert os.path.exists(os.path.join(merged, "_SUCCESS"))
+    # base segments are hardlinked, not copied, and base untouched
+    linked = [os.path.join(d, f)
+              for d, _, fs in os.walk(merged) for f in fs
+              if f.startswith("base_")]
+    assert linked and all(os.stat(p).st_nlink >= 2 for p in linked)
+    assert base_sig == [(p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+                        for p in base_files]
+    # the merged index serves base + delta: full probe finds vec 100
+    # as the exact match for its own direction
+    out = similarity.knn_ivf_indexed(merged,
+                                     np.array([[1.0, 0.0, 0.0]]),
+                                     k=1, n_probe=4)
+    assert list(out["vec_id"]) == [100]
+    # idempotent: marker short-circuits
+    assert similarity.add_to_ivf_index(base, None, merged) == merged
