@@ -7790,6 +7790,83 @@ FROM ent
 KG_MENTIONS_SQL = _kg_mentions_sql()
 
 
+def kg_anchor_text(sf_dir):
+    """Anchor-text profile per cited target — the web-graph primitive
+    search engines and KG label miners run over link anchors (the
+    surface forms citing a page ARE its crowd-sourced labels; Craswell
+    et al. SIGIR'01 — public literature): per linked_uri from the
+    REAL mention pipeline, the dominant surface form, its count, the
+    total mentions and the surface diversity.
+
+    Scale shape: batch-local (target, surface) count partials (the
+    lossless combiner) feed ONE target-bucketed exchange; a target's
+    whole profile lives in one bucket, so top-surface / totals /
+    diversity finalize vectorized per bucket and the per-target rows
+    are FINAL — the merge block only sorts. The oracle recomputes the
+    mentions from doc arithmetic (KG_MENTIONS_SQL) and replays the
+    same window ranking."""
+    buckets = _exchange_buckets(sf_dir, "documents")
+    mentions = _kg(sf_dir)["mentions"]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "linked_uri": t["linked_uri"].to_pandas().astype(object),
+            "surface": t["surface"].to_pandas().astype(object)})
+        p = (df.groupby(["linked_uri", "surface"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        p["n"] = p["n"].astype("int64")
+        h = pd.util.hash_pandas_object(p["linked_uri"],
+                                       index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_profile(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["linked_uri", "surface"], as_index=False)
+             ["n"].sum())
+        c = c.sort_values(["linked_uri", "n", "surface"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        tot = c.groupby("linked_uri", as_index=False).agg(
+            total_mentions=("n", "sum"), n_surfaces=("n", "size"))
+        top = c.groupby("linked_uri", as_index=False).first()
+        out = top.merge(tot, on="linked_uri")
+        return pd.DataFrame({
+            "linked_uri": out["linked_uri"].astype(object),
+            "top_surface": out["surface"].astype(object),
+            "top_n": out["n"].astype("int64"),
+            "total_mentions": out["total_mentions"].astype("int64"),
+            "n_surfaces": out["n_surfaces"].astype("int64")})
+
+    per_bucket = (mentions.map_batches(partial, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_profile, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("linked_uri").reset_index(drop=True)
+
+    return _merge_partials(per_bucket, final)
+
+
+KG_ANCHOR_SQL = f"""
+WITH m AS ({KG_MENTIONS_SQL}),
+c AS (
+  SELECT linked_uri, surface, count(*) AS n
+  FROM m GROUP BY 1, 2),
+r AS (
+  SELECT linked_uri, surface, n,
+         row_number() OVER (PARTITION BY linked_uri
+                            ORDER BY n DESC, surface) AS rk,
+         CAST(sum(n) OVER (PARTITION BY linked_uri) AS BIGINT)
+           AS total_mentions,
+         count(*) OVER (PARTITION BY linked_uri) AS n_surfaces
+  FROM c)
+SELECT linked_uri, surface AS top_surface,
+       CAST(n AS BIGINT) AS top_n, total_mentions,
+       CAST(n_surfaces AS BIGINT) AS n_surfaces
+FROM r WHERE rk = 1 ORDER BY linked_uri
+"""
+
+
 def _sql_lit(s: str) -> str:
     """SQL string literal (embedded newlines are valid in standard
     string literals; single quotes double)."""
@@ -12393,6 +12470,7 @@ QUERIES = {
     "kg_labels": (kg_labels, KG_LABELS_SQL),
     "kg_sections": (kg_sections, KG_SECTIONS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
+    "kg_anchor_text": (kg_anchor_text, KG_ANCHOR_SQL),
     "kg_mention_contexts": (kg_mention_contexts, KG_KWIC_SQL),
     "phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "toc_pages_kg": (toc_pages_kg, TOC_PAGES_SQL),
