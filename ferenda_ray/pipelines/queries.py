@@ -5472,6 +5472,110 @@ FROM s ORDER BY round(sim, 12) DESC, vec_id ASC LIMIT 10
 """ % (IVF_ADD_OFF, IVF_ADD_MOD)
 
 
+def segment_price_median(sf_dir):
+    """GROUPED radix selection: the exact median order price PER
+    customer market segment — the per-group generalization of
+    ``orders_price_percentiles``. A grouped exact median over a wide
+    value domain normally means a per-group sort; here BOTH passes
+    stay zero-shuffle because the histogram key is (segment,
+    bucket): pass 1 histograms high bits per segment (bounded
+    |segments|·2^14 cells — still a lossless combiner), one walk per
+    segment pins its ceil(N_g/2) rank to a bucket + residual, pass 2
+    histograms full values inside only the selected (segment,
+    bucket) cells. The segment dimension attaches from a broadcast
+    custkey→segment dict (the q18 contract; bucket_join at 10⁹
+    customers).
+
+    Ranks are ceil(N/2) with value-ties, so SQL's per-partition
+    row_number replays rank→value engine-independently."""
+    import ray
+
+    seg_ref = ray.put({
+        int(r["c_custkey"]): r["c_mktsegment"]
+        for r in _read(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+        .take_all()})
+
+    def seg_cents(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        seg = _ray.get(seg_ref)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        return pd.DataFrame({
+            "seg": pd.Series([seg[int(k)] for k in
+                              t["o_custkey"].to_pylist()],
+                             dtype=object),
+            "v": cents})
+
+    def hist_hi(t: pa.Table) -> pd.DataFrame:
+        df = seg_cents(t)
+        df["hi"] = df["v"].to_numpy() >> RADIX_SHIFT
+        out = (df.groupby(["seg", "hi"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["hi"] = out["hi"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice"])
+    h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
+          .to_pandas()
+          .groupby(["seg", "hi"], as_index=False)["n"].sum())
+    targets = {}  # seg -> (hi_bucket, residual_rank)
+    for seg, g in h1.groupby("seg"):
+        g = g.sort_values("hi").reset_index(drop=True)
+        n = int(g["n"].sum())
+        k = (n + 1) // 2  # ceil(N/2) — the lower median
+        cum = g["n"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, k))
+        prev = int(cum[i - 1]) if i else 0
+        targets[seg] = (int(g["hi"].iloc[i]), k - prev)
+    wanted = {s: hi for s, (hi, _) in targets.items()}
+
+    def hist_lo(t: pa.Table) -> pd.DataFrame:
+        df = seg_cents(t)
+        hi = df["v"].to_numpy() >> RADIX_SHIFT
+        keep = hi == df["seg"].map(wanted).to_numpy()
+        df = df[keep]
+        out = (df.groupby(["seg", "v"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["v"] = out["v"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    h2 = (ds.map_batches(hist_lo, batch_format="pyarrow")
+          .to_pandas()
+          .groupby(["seg", "v"], as_index=False)["n"].sum())
+    rows = []
+    for seg, (hi, resid) in sorted(targets.items()):
+        g = h2[h2["seg"] == seg].sort_values("v")
+        cum = g["n"].cumsum().to_numpy()
+        j = int(np.searchsorted(cum, resid))
+        rows.append((seg, int(g["v"].iloc[j])))
+    return pd.DataFrame({
+        "c_mktsegment": pd.Series([r[0] for r in rows], dtype=object),
+        "median_cents": pd.Series([r[1] for r in rows],
+                                  dtype="int64")})
+
+
+SEGMENT_MEDIAN_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN customer c ON o_custkey = c.c_custkey),
+r AS (
+  SELECT seg, v,
+         row_number() OVER (PARTITION BY seg ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM j)
+SELECT seg AS c_mktsegment, CAST(v AS BIGINT) AS median_cents
+FROM r WHERE rn = (n + 1) // 2
+ORDER BY seg
+"""
+
+
 SEMDEDUP_OFFSET = 10_000_000
 SEMDEDUP_THR = (9025, 10000)  # τ=0.95 → τ² as an exact integer ratio
 
@@ -12408,6 +12512,8 @@ QUERIES = {
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
+    "segment_price_median": (segment_price_median,
+                             SEGMENT_MEDIAN_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
