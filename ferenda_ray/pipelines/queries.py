@@ -11204,6 +11204,139 @@ ORDER BY excess_parts DESC, s.s_suppkey
 """
 
 
+WM_DELAY_MOD = 600            # synthetic network delay: 0..599 s
+WM_ALLOWED_US = 300_000_000   # watermark lag: 5 minutes
+WM_PANE_US = 600_000_000      # 10-minute arrival panes
+
+
+def events_late_arrivals(sf_dir):
+    """Watermark / late-data accounting — the correctness ledger of
+    every streaming engine (Flink/Beam allowed-lateness semantics):
+    events ARRIVE out of order (arrival = event time + a seedless
+    md5-derived 0..599 s delay, deterministic in both engines), the
+    watermark trails the maximum event time SEEN so far by 5 minutes,
+    and an event is LATE iff its event time is below the watermark at
+    its arrival. Reports per type: events, late count, worst lateness.
+
+    Scale shape: the watermark is a PREFIX MAX over arrival order —
+    decomposable exactly like a running total: pass 1 reduces each
+    10-minute arrival pane to its max event time (bounded-domain
+    per-batch combiner, zero shuffle) and the coalesced merge derives
+    each pane's EXCLUSIVE carry (max over all earlier panes),
+    broadcast by closure; pass 2 is ONE pane-bucketed exchange whose
+    buckets sort their panes locally, take the within-pane exclusive
+    cummax, splice the carry, flag lateness vectorized and emit
+    bounded per-type partials. No global sort ever happens — the
+    pane decomposition IS the distributed watermark."""
+    import hashlib
+
+    buckets = _exchange_buckets(sf_dir, "events")
+    SENT = np.int64(np.iinfo(np.int64).min)
+
+    def base(t: pa.Table) -> pd.DataFrame:
+        ids = t["event_id"].to_numpy()
+        delay = np.array(
+            [int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8],
+                 16) % WM_DELAY_MOD for i in ids],
+            dtype=np.int64) * 1_000_000
+        ts = (t["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        return pd.DataFrame({
+            "eid": ids, "t": ts, "a": ts + delay,
+            "et": t["event_type"].to_pandas().astype(object)})
+
+    def pane_max(t: pa.Table) -> pd.DataFrame:
+        df = base(t)
+        df["pane"] = df["a"].to_numpy() // WM_PANE_US
+        out = df.groupby("pane", as_index=False)["t"].max()
+        out["pane"] = out["pane"].astype("int64")
+        out["t"] = out["t"].astype("int64")
+        return out
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type"])
+    pm = (ev.map_batches(pane_max, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("pane", as_index=False)["t"].max()
+          .sort_values("pane").reset_index(drop=True))
+    # exclusive carry: max event time of all STRICTLY earlier panes
+    run = pm["t"].cummax().shift(1)
+    carry = {int(p): (SENT if pd.isna(c) else np.int64(c))
+             for p, c in zip(pm["pane"], run)}
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = base(t)
+        df["pane"] = df["a"].to_numpy() // WM_PANE_US
+        h = pd.util.hash_pandas_object(df["pane"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def bucket_flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["pane", "a", "eid"], kind="mergesort")
+             .reset_index(drop=True))
+        run = g.groupby("pane")["t"].cummax()
+        prev = run.groupby(g["pane"]).shift(1)
+        pane_carry = g["pane"].map(carry).astype("int64")
+        t = g["t"].to_numpy(np.int64)
+        seen = np.maximum(prev.fillna(SENT).to_numpy(np.int64),
+                          pane_carry.to_numpy(np.int64))
+        late = (seen != SENT) & (t < seen - WM_ALLOWED_US)
+        late_s = np.where(late, (seen - WM_ALLOWED_US - t)
+                          // 1_000_000, 0)
+        out = pd.DataFrame({"et": g["et"], "late": late.astype(np.int64),
+                            "late_s": late_s.astype(np.int64)})
+        p = out.groupby("et", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_late_s=("late_s", "max"))
+        p["et"] = p["et"].astype(object)
+        for c in ("n_events", "n_late", "max_late_s"):
+            p[c] = p[c].astype("int64")
+        return p
+
+    per_bucket = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_flags, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("et", as_index=False)
+               .agg(n_events=("n_events", "sum"),
+                    n_late=("n_late", "sum"),
+                    max_late_s=("max_late_s", "max"))
+               .rename(columns={"et": "event_type"})
+               .sort_values("event_type").reset_index(drop=True))
+        out["event_type"] = out["event_type"].astype(object)
+        for c in ("n_events", "n_late", "max_late_s"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+LATE_ARRIVALS_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS t,
+         epoch_us(ts)
+           + CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                      1, 8) AS BIGINT) %% %d
+                  AS BIGINT) * 1000000 AS a
+  FROM events),
+w AS (
+  SELECT event_type, t,
+         max(t) OVER (ORDER BY a, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS seen
+  FROM e)
+SELECT event_type, count(*) AS n_events,
+       CAST(count(*) FILTER (seen IS NOT NULL
+                             AND t < seen - %d) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN seen IS NOT NULL
+                               AND t < seen - %d
+                              THEN (seen - %d - t) // 1000000 END),
+                     0) AS BIGINT) AS max_late_s
+FROM w GROUP BY 1 ORDER BY 1
+""" % (WM_DELAY_MOD, WM_ALLOWED_US, WM_ALLOWED_US, WM_ALLOWED_US)
+
+
 SLIDING_WINDOW_HOURS = 6
 
 
@@ -12509,6 +12642,8 @@ QUERIES = {
     "orders_analyze_stats": (orders_analyze_stats, ORDERS_ANALYZE_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "events_sliding_dau": (events_sliding_dau, SLIDING_DAU_SQL),
+    "events_late_arrivals": (events_late_arrivals,
+                             LATE_ARRIVALS_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
