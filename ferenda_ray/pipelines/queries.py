@@ -5576,6 +5576,113 @@ ORDER BY seg
 """
 
 
+EMB_DIM, EMB_QUANT = 64, 1000.0
+
+
+def source_embedding_coherence(sf_dir):
+    """Exact within-group embedding coherence in ONE streaming pass —
+    the cluster-quality statistic (within-cluster sum of squared
+    pairwise distances) computed WITHOUT the pairwise join, via the
+    sufficient-statistics identity Σ_{i<j}|vᵢ−vⱼ|² = n·Σ|vᵢ|² − |Σvᵢ|².
+    A naive implementation shuffles O(n²) pairs per group; this moves
+    exactly (n_groups × (2 + dim)) integers — the same decomposition
+    that makes distributed variance/k-means updates one-pass.
+
+    Exactness: embeddings quantize to integer milli-units with
+    half-away rounding (the cents discipline) so every sum, square
+    and the final cross-multiplied milli-average replay bit-for-bit
+    in SQL. Scale shape: per-batch per-source partials (n, Σ|q|²,
+    Σq as DIM int columns) are a lossless combiner; the bounded
+    merge block squares the summed vector and divides exactly —
+    zero shuffle at any corpus size."""
+    import ray
+
+    # dimension attaches map-side: the (doc_id → source) dict is the
+    # narrow broadcast arm (q18 contract; bucket_join with an Arrow
+    # list carrier at 10⁹ docs). The embedding column itself never
+    # enters an exchange — object-ndarray columns can't ride the
+    # pandas sort exchange (the ragged-TensorArray pitfall).
+    src_ref = ray.put({
+        int(r["doc_id"]): r["source"]
+        for r in _read(sf_dir, "documents",
+                       columns=["doc_id", "source"]).take_all()})
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        if len(df) == 0:
+            cols = {"source": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="int64"),
+                    "s2": pd.Series(dtype="int64")}
+            cols.update({"c%d" % d: pd.Series(dtype="int64")
+                         for d in range(EMB_DIM)})
+            return pd.DataFrame(cols)
+        s2n = _ray.get(src_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) * EMB_QUANT
+                      for v in df["embedding"]])
+        q = (np.floor(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+        out = pd.DataFrame({
+            "source": [s2n[int(k)] for k in df["vec_id"]],
+            "n": np.ones(len(df), np.int64),
+            "s2": (q * q).sum(axis=1)})
+        for d in range(EMB_DIM):
+            out["c%d" % d] = q[:, d]
+        p = out.groupby("source", as_index=False).sum()
+        p["source"] = p["source"].astype(object)
+        return p
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).sum()
+        cvec = g[["c%d" % d for d in range(EMB_DIM)]].to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        S = g["s2"].to_numpy(np.int64)
+        # Python ints: n·S and |Σq|² exceed int64 long before 100 TB
+        rows = []
+        for i, src in enumerate(g["source"]):
+            T = sum(int(x) * int(x) for x in cvec[i])
+            tot = int(n[i]) * int(S[i]) - T  # = Σ_{i<j} d²
+            pairs = int(n[i]) * (int(n[i]) - 1)
+            rows.append((src, int(n[i]),
+                         (tot * 2000) // pairs if pairs else 0))
+        out = pd.DataFrame(rows, columns=["source", "n_docs",
+                                          "coherence_milli"])
+        out = out.sort_values("source").reset_index(drop=True)
+        out["source"] = out["source"].astype(object)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["coherence_milli"] = out["coherence_milli"].astype("int64")
+        return out
+
+    return _merge_partials(
+        emb.map_batches(partial, batch_format="pandas"), final)
+
+
+SOURCE_COHERENCE_SQL = """
+WITH x AS (
+  SELECT d.source, e.vec_id, s.i,
+         CAST(round(e.embedding[s.i] * 1000) AS BIGINT) AS q
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id,
+  generate_series(1, %d) s(i)),
+per_vec AS (
+  SELECT source, vec_id, CAST(sum(q * q) AS BIGINT) AS s2
+  FROM x GROUP BY 1, 2),
+dims AS (
+  SELECT source, i, CAST(sum(q) AS BIGINT) AS sq
+  FROM x GROUP BY 1, 2),
+a AS (
+  SELECT source, count(*) AS n, CAST(sum(s2) AS HUGEINT) AS S
+  FROM per_vec GROUP BY 1),
+t AS (
+  SELECT source, CAST(sum(CAST(sq AS HUGEINT) * sq) AS HUGEINT) AS T
+  FROM dims GROUP BY 1)
+SELECT a.source, CAST(a.n AS BIGINT) AS n_docs,
+       CAST((CAST(a.n AS HUGEINT) * a.S - t.T) * 2000
+            // (a.n * (a.n - 1)) AS BIGINT) AS coherence_milli
+FROM a JOIN t USING (source)
+ORDER BY a.source
+""" % EMB_DIM
+
+
 SEMDEDUP_OFFSET = 10_000_000
 SEMDEDUP_THR = (9025, 10000)  # τ=0.95 → τ² as an exact integer ratio
 
@@ -12649,6 +12756,8 @@ QUERIES = {
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
     "segment_price_median": (segment_price_median,
                              SEGMENT_MEDIAN_SQL),
+    "source_embedding_coherence": (source_embedding_coherence,
+                                   SOURCE_COHERENCE_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "union_entities": (union_entities, UNION_SQL),
     "embed_knn": (embed_knn, EMBED_KNN_SQL),
