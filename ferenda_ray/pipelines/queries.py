@@ -11311,6 +11311,108 @@ ORDER BY excess_parts DESC, s.s_suppkey
 """
 
 
+def audience_overlap_matrix(sf_dir):
+    """Audience overlap — |users(A) ∩ users(B)| for every event-type
+    pair, the segmentation cross-tab ad/analytics systems compute
+    with per-segment bitmap indexes: a user's type SET is one ≤2^5
+    mask, the mask HISTOGRAM is a bounded sufficient statistic, and
+    every pairwise intersection reads off it by popcount arithmetic —
+    no per-pair distinct-count pass, no |types|² scans.
+
+    Scale shape: batch-local (user, bit) dedup+sum partials (the
+    events_daily_type_mask OR-combiner, without the day axis) feed
+    ONE user-bucketed exchange; buckets OR partial masks and emit the
+    bounded ≤2^|types| histogram; the merge derives all pairs from
+    the histogram in one vectorized pass. SQL replays via per-user
+    bool flags and sum-of-products."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    nbits = len(EVENT_TYPE_BITS)
+    types = sorted(EVENT_TYPE_BITS)  # bit i = types[i] (1,2,4,8,16)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        bit = (pd.Series(t["event_type"].to_pylist())
+               .map(EVENT_TYPE_BITS).to_numpy(np.int64))
+        df = (pd.DataFrame({"u": t["user_id"].to_numpy(),
+                            "bit": bit}).drop_duplicates())
+        p = df.groupby("u", as_index=False)["bit"].sum()
+        p = p.rename(columns={"bit": "mask"})
+        p["mask"] = p["mask"].astype("int64")
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["mask"].to_numpy()
+        bits = pd.DataFrame({"u": g["u"].to_numpy()})
+        for i in range(nbits):
+            bits["b%d" % i] = (m >> i) & 1
+        mx = bits.groupby("u", as_index=False).max()
+        mask = np.zeros(len(mx), np.int64)
+        for i in range(nbits):
+            mask += mx["b%d" % i].to_numpy(np.int64) << i
+        out = (pd.DataFrame({"mask": mask})
+               .groupby("mask", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    per_bucket = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_hist, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("mask", as_index=False)["n"].sum()
+        masks = h["mask"].to_numpy(np.int64)
+        counts = h["n"].to_numpy(np.int64)
+        rows = []
+        for i, ta in enumerate(types):
+            for k, tb in enumerate(types):
+                if i > k:
+                    continue
+                sel = ((masks >> i) & 1) & ((masks >> k) & 1)
+                rows.append((ta, tb, int(counts[sel == 1].sum())))
+        out = pd.DataFrame(rows, columns=["type_a", "type_b",
+                                          "n_users"])
+        out["type_a"] = out["type_a"].astype(object)
+        out["type_b"] = out["type_b"].astype(object)
+        out["n_users"] = out["n_users"].astype("int64")
+        return out.sort_values(["type_a", "type_b"]) \
+            .reset_index(drop=True)
+
+    return _merge_partials(per_bucket, final)
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS purchase,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           AS signup,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_
+  FROM events GROUP BY 1),
+p AS (
+  SELECT a.type_a, b.type_b FROM
+    (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+            ('view')) a(type_a),
+    (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+            ('view')) b(type_b)
+  WHERE a.type_a <= b.type_b)
+SELECT p.type_a, p.type_b,
+       CAST(sum((CASE p.type_a WHEN 'click' THEN click
+                 WHEN 'error' THEN error WHEN 'purchase' THEN purchase
+                 WHEN 'signup' THEN signup ELSE view_ END)
+                * (CASE p.type_b WHEN 'click' THEN click
+                   WHEN 'error' THEN error
+                   WHEN 'purchase' THEN purchase
+                   WHEN 'signup' THEN signup ELSE view_ END))
+            AS BIGINT) AS n_users
+FROM f, p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 WM_DELAY_MOD = 600            # synthetic network delay: 0..599 s
 WM_ALLOWED_US = 300_000_000   # watermark lag: 5 minutes
 WM_PANE_US = 600_000_000      # 10-minute arrival panes
@@ -12751,6 +12853,8 @@ QUERIES = {
     "events_sliding_dau": (events_sliding_dau, SLIDING_DAU_SQL),
     "events_late_arrivals": (events_late_arrivals,
                              LATE_ARRIVALS_SQL),
+    "audience_overlap_matrix": (audience_overlap_matrix,
+                                AUDIENCE_OVERLAP_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
