@@ -150,7 +150,17 @@ def run_bench() -> dict:
              ("source_compaction_plan", Q.source_compaction_plan),
              ("user_value_twa", Q.user_value_twa),
              ("orders_winsorized_mean", Q.orders_winsorized_mean),
-             ("orders_analyze_stats", Q.orders_analyze_stats)]
+             ("orders_analyze_stats", Q.orders_analyze_stats),
+             ("q20_excess_suppliers", Q.q20_excess_suppliers),
+             ("events_sliding_dau", Q.events_sliding_dau),
+             ("events_late_arrivals", Q.events_late_arrivals),
+             ("fulltext_delta_search", Q.fulltext_delta_search),
+             ("embed_ivf_add_knn", Q.embed_ivf_add_knn),
+             ("kg_anchor_text", Q.kg_anchor_text),
+             ("segment_price_median", Q.segment_price_median),
+             ("source_embedding_coherence",
+              Q.source_embedding_coherence),
+             ("audience_overlap_matrix", Q.audience_overlap_matrix)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
