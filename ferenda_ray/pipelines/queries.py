@@ -11413,6 +11413,85 @@ FROM f, p GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+TREND_EPOCH_H = 473_352  # 2024-01-01 UTC in epoch-hours — x origin
+
+
+def events_value_trend(sf_dir):
+    """Grouped OLS trend via sufficient statistics — per event type,
+    the least-squares slope of value over time from the classic
+    closed form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), computed
+    in ONE streaming pass: the five sufficient statistics (n, Σx,
+    Σy, Σxy, Σx²) are per-batch integer partials (x = seconds since
+    a fixed epoch, y = milli-value — every term exact), and the
+    numerator/denominator finalize as arbitrary-precision Python
+    ints in the bounded merge (HUGEINT in the oracle). The result
+    IS the (num, den) integer pair — no float division, no
+    floor-vs-truncate sign hazard crosses engines; consumers divide.
+
+    This is the trend-detection primitive every metrics pipeline
+    wants per segment, in the same one-pass family as
+    source_embedding_coherence (variance identity) and the IVM
+    Δ-law: aggregates maintained from mergeable statistics."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        # HOUR ticks: x ≤ ~10³ keeps n²·Var(x) (the denominator)
+        # inside int64 through sf0.1 and beyond — the tick unit is
+        # the overflow knob (seconds blow int64 at n ≈ 2·10⁴)
+        x = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 3_600_000_000) - TREND_EPOCH_H
+        y = pc.cast(pc.round(pc.multiply(t["value"],
+                                         pa.scalar(1000.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas().astype(object),
+            "n": np.ones(len(x), np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        out = df.groupby("event_type", as_index=False).sum()
+        out["event_type"] = out["event_type"].astype(object)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).sum()
+        rows = []
+        for r in g.itertuples(index=False):
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            num = n * int(r.sxy) - sx * sy
+            den = n * int(r.sxx) - sx * sx
+            rows.append((r.event_type, n, num, den))
+        out = pd.DataFrame(rows, columns=["event_type", "n",
+                                          "slope_num", "slope_den"])
+        out = out.sort_values("event_type").reset_index(drop=True)
+        out["event_type"] = out["event_type"].astype(object)
+        for c in ("n", "slope_num", "slope_den"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+EVENTS_TREND_SQL = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 - %d AS x,
+         CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM e GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s ORDER BY event_type
+""" % TREND_EPOCH_H
+
+
 WM_DELAY_MOD = 600            # synthetic network delay: 0..599 s
 WM_ALLOWED_US = 300_000_000   # watermark lag: 5 minutes
 WM_PANE_US = 600_000_000      # 10-minute arrival panes
@@ -12855,6 +12934,7 @@ QUERIES = {
                              LATE_ARRIVALS_SQL),
     "audience_overlap_matrix": (audience_overlap_matrix,
                                 AUDIENCE_OVERLAP_SQL),
+    "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
