@@ -160,7 +160,8 @@ def run_bench() -> dict:
              ("segment_price_median", Q.segment_price_median),
              ("source_embedding_coherence",
               Q.source_embedding_coherence),
-             ("audience_overlap_matrix", Q.audience_overlap_matrix)]
+             ("audience_overlap_matrix", Q.audience_overlap_matrix),
+             ("events_value_trend", Q.events_value_trend)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -11776,6 +11776,116 @@ ORDER BY 1, 2
 """
 
 
+def orders_decile_report(sf_dir):
+    """Exact equi-depth histogram — decile boundaries plus per-decile
+    row counts and cents mass over the order price: the statistic a
+    cost-based optimizer keeps per column (equi-depth beats equi-width
+    under skew) and a billing pipeline reports as the decile table.
+    Boundaries are TRUE order statistics (rank ceil(d·N/10) via the
+    two-pass radix selection of orders_price_percentiles — no sort),
+    and a third zero-shuffle pass assigns each row to its decile by
+    searchsorted against the broadcast 9-edge array and emits bounded
+    10-cell (count, cents) partials. Three streaming passes total.
+
+    Decile rule pinned for both engines: decile d (1..10) holds rows
+    with v ≤ edge_d and v > edge_{d-1}, edges being the ceil-rank
+    values — SQL replays via the same edge values from row_number."""
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                            pa.scalar(100.0)),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy()
+
+    def hist_hi(t: pa.Table) -> pd.DataFrame:
+        out = (pd.DataFrame({"hi": cents_of(t) >> RADIX_SHIFT})
+               .groupby("hi", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("hi", as_index=False)["n"].sum()
+          .sort_values("hi").reset_index(drop=True))
+    n_total = int(h1["n"].sum())
+    cum = h1["n"].cumsum().to_numpy()
+    targets = []
+    for d in range(1, 10):  # the 9 interior edges
+        k = (d * n_total + 9) // 10  # ceil(d·N/10)
+        i = int(np.searchsorted(cum, k))
+        prev = int(cum[i - 1]) if i else 0
+        targets.append((int(h1["hi"].iloc[i]), k - prev))
+    wanted = frozenset(hi for hi, _ in targets)
+
+    def hist_lo(t: pa.Table) -> pd.DataFrame:
+        v = cents_of(t)
+        v = v[np.isin(v >> RADIX_SHIFT, list(wanted))]
+        out = (pd.DataFrame({"v": v})
+               .groupby("v", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    h2 = (ds.map_batches(hist_lo, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("v", as_index=False)["n"].sum()
+          .sort_values("v").reset_index(drop=True))
+    vals, counts = h2["v"].to_numpy(), h2["n"].to_numpy()
+    edges = []
+    for hi, resid in targets:
+        m = (vals >> RADIX_SHIFT) == hi
+        c = counts[m].cumsum()
+        edges.append(int(vals[m][int(np.searchsorted(c, resid))]))
+    edges_arr = np.asarray(edges, dtype=np.int64)
+
+    def decile_partial(t: pa.Table) -> pd.DataFrame:
+        v = cents_of(t)
+        # decile = 1 + #edges strictly below v  (v ≤ edge_d rule)
+        d = 1 + np.searchsorted(edges_arr, v, side="left")
+        # rows equal to an edge belong to that edge's decile
+        out = (pd.DataFrame({"decile": d, "n": 1, "cents": v})
+               .groupby("decile", as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return out.astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("decile", as_index=False)
+             [["n", "cents"]].sum()
+             .sort_values("decile").reset_index(drop=True))
+        hi_edges = edges + [None]
+        g["hi_cents"] = [hi_edges[int(d) - 1] if int(d) <= 9 else -1
+                         for d in g["decile"]]
+        g.loc[g["decile"] == 10, "hi_cents"] = -1  # open top bucket
+        for c in ("decile", "n", "cents", "hi_cents"):
+            g[c] = g[c].astype("int64")
+        return g[["decile", "hi_cents", "n", "cents"]]
+
+    return _merge_partials(
+        ds.map_batches(decile_partial, batch_format="pyarrow"), final)
+
+
+ORDERS_DECILE_SQL = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+n AS (SELECT count(*) AS n FROM c),
+e AS (
+  SELECT d, min(r.v) AS edge
+  FROM generate_series(1, 9) g(d), n, r
+  WHERE r.rn = (g.d * n.n + 9) // 10
+  GROUP BY d),
+a AS (
+  SELECT c.v,
+         1 + (SELECT count(*) FROM e WHERE e.edge < c.v) AS decile
+  FROM c)
+SELECT decile,
+       CAST(coalesce((SELECT edge FROM e WHERE e.d = a.decile), -1)
+            AS BIGINT) AS hi_cents,
+       count(*) AS n, CAST(sum(v) AS BIGINT) AS cents
+FROM a GROUP BY decile ORDER BY decile
+"""
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -12935,6 +13045,8 @@ QUERIES = {
     "audience_overlap_matrix": (audience_overlap_matrix,
                                 AUDIENCE_OVERLAP_SQL),
     "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
+    "orders_decile_report": (orders_decile_report,
+                             ORDERS_DECILE_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
