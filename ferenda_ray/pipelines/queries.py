@@ -11886,6 +11886,65 @@ FROM a GROUP BY decile ORDER BY decile
 """
 
 
+KANON_K, KANON_BAND = 5, 100
+
+
+def doc_k_anonymity(sf_dir):
+    """k-anonymity audit — the data-governance screen a release
+    pipeline runs before publishing: rows whose QUASI-IDENTIFIER
+    tuple (source, lang, length band) is shared by fewer than k
+    records are re-identifiable (Sweeney '02 — public literature).
+    Reports the group census: total groups, groups below k, rows at
+    risk, and the smallest group size.
+
+    Scale shape: the QI space is bounded (sources × langs × bands),
+    so per-batch (QI → count) partials are a lossless combiner and
+    the census finalizes in the one coalesced merge block — zero
+    shuffle. With an unbounded QI (e.g. raw zip×birthdate) the same
+    op rides one QI-bucketed exchange; the census stays bounded."""
+    ds = _read(sf_dir, "documents",
+               columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas().astype(object),
+            "lang": t["lang"].to_pandas().astype(object),
+            "band": t["n_chars"].to_numpy() // KANON_BAND})
+        out = (df.groupby(["source", "lang", "band"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["band"] = out["band"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "lang", "band"], as_index=False)
+             ["n"].sum())
+        small = g[g["n"] < KANON_K]
+        return pd.DataFrame({
+            "n_groups": pd.Series([len(g)], dtype="int64"),
+            "small_groups": pd.Series([len(small)], dtype="int64"),
+            "rows_at_risk": pd.Series([int(small["n"].sum())],
+                                      dtype="int64"),
+            "min_group": pd.Series([int(g["n"].min())],
+                                   dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+KANON_SQL = """
+WITH g AS (
+  SELECT source, lang, n_chars // %d AS band, count(*) AS n
+  FROM documents GROUP BY 1, 2, 3)
+SELECT count(*) AS n_groups,
+       CAST(count(*) FILTER (n < %d) AS BIGINT) AS small_groups,
+       CAST(coalesce(sum(n) FILTER (n < %d), 0) AS BIGINT)
+         AS rows_at_risk,
+       CAST(min(n) AS BIGINT) AS min_group
+FROM g
+""" % (KANON_BAND, KANON_K, KANON_K)
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -13047,6 +13106,7 @@ QUERIES = {
     "events_value_trend": (events_value_trend, EVENTS_TREND_SQL),
     "orders_decile_report": (orders_decile_report,
                              ORDERS_DECILE_SQL),
+    "doc_k_anonymity": (doc_k_anonymity, KANON_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
