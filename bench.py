@@ -161,7 +161,9 @@ def run_bench() -> dict:
              ("source_embedding_coherence",
               Q.source_embedding_coherence),
              ("audience_overlap_matrix", Q.audience_overlap_matrix),
-             ("events_value_trend", Q.events_value_trend)]
+             ("events_value_trend", Q.events_value_trend),
+             ("orders_decile_report", Q.orders_decile_report),
+             ("doc_k_anonymity", Q.doc_k_anonymity)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
