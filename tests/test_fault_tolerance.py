@@ -55,3 +55,46 @@ def test_worker_death_is_transparent(ray_session, tmp_path):
     assert out.equals(clean)
     # the dead worker's PID is not the one that completed the batch
     assert int(open(sentinel).read()) != os.getpid()
+
+
+def test_streams_through_tiny_object_store(tmp_path):
+    """Backpressure/spill: a dataset ~10× the object store must
+    stream end-to-end (Ray spills / applies backpressure rather than
+    OOM-ing) — the property that lets 100 TB flow through fixed
+    memory. Runs in a subprocess so it owns its own small-store Ray
+    session (the shared fixture keeps the normal store)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    out = str(tmp_path / "spill_out")
+    code = textwrap.dedent("""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        ray.init(address="local", num_cpus=4,
+                 include_dashboard=False, logging_level="ERROR",
+                 object_store_memory=200 * 1024 * 1024)
+
+        def inflate(t):
+            ids = t["id"].to_pylist()
+            blob = [np.random.default_rng(int(i)).bytes(1 << 20)
+                    for i in ids]
+            return pa.table({"id": pa.array(ids, pa.int64()),
+                             "blob": pa.array(blob, pa.binary())})
+
+        # ~2 GB of 1 MiB rows through a 200 MiB store
+        ds = (rd.range(2048, override_num_blocks=64)
+              .map_batches(inflate, batch_size=32,
+                           batch_format="pyarrow"))
+        ds.write_parquet(%r)
+        back = rd.read_parquet(%r)
+        assert back.count() == 2048, back.count()
+        print("SPILL_OK")
+        ray.shutdown()
+    """ % (out, out))
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=420)
+    assert "SPILL_OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
