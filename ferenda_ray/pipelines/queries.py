@@ -11945,6 +11945,105 @@ FROM g
 """ % (KANON_BAND, KANON_K, KANON_K)
 
 
+CUSUM_H = (1, 2)  # alarm when 2·S_t > total (count·days units)
+
+
+def events_cusum_alarms(sf_dir):
+    """CUSUM change-point detection (Page '54 — public literature)
+    over the per-type daily event counts: the sequential recursion
+    S_t = max(0, S_{t−1} + (x_t − k)) looks unparallelizable, but it
+    EQUALS P_t − min_{j≤t} P_j for the prefix sums P of (x − k) —
+    the same prefix-decomposition as the events_late_arrivals
+    watermark (pane minima + carries), here finalized in one block
+    because the (type, day) table is bounded. All integer: deviations
+    live in count·days units (x_i·D − total, so k = mean needs no
+    division), and the alarm threshold h = total/2 cross-multiplies
+    the same way. Reports per type the alarm-day count and the first
+    alarm day.
+
+    Scale shape: bounded (type, day) count partials (lossless
+    combiner, zero shuffle); prefix sums, running minima and alarm
+    flags all vectorize in the single coalesced merge block. SQL
+    replays P and min-over-preceding with window functions."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = (t["ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        out = (pd.DataFrame({
+            "event_type": t["event_type"].to_pandas().astype(object),
+            "day": day}).groupby(["event_type", "day"],
+                                 as_index=False).size()
+            .rename(columns={"size": "n"}))
+        out["day"] = out["day"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "day"], as_index=False)
+             ["n"].sum())
+        rows = []
+        for et, grp in g.groupby("event_type"):
+            grp = grp.sort_values("day").reset_index(drop=True)
+            x = grp["n"].to_numpy(np.int64)
+            D = np.int64(len(x))
+            total = np.int64(x.sum())
+            dev = x * D - total              # (x_i − mean)·D exactly
+            P = np.cumsum(dev)
+            minp = np.minimum.accumulate(np.concatenate(
+                ([np.int64(0)], P)))[:-1]    # min over j < t, floor 0
+            S = P - minp
+            alarm = S * CUSUM_H[1] > CUSUM_H[0] * total
+            first = (int(grp["day"].iloc[int(np.argmax(alarm))])
+                     if alarm.any() else -1)
+            rows.append((et, int(D), int(alarm.sum()), first))
+        out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                          "alarm_days",
+                                          "first_alarm_day"])
+        out = out.sort_values("event_type").reset_index(drop=True)
+        out["event_type"] = out["event_type"].astype(object)
+        for c in ("n_days", "alarm_days", "first_alarm_day"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+EVENTS_CUSUM_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+              AS BIGINT) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+         CAST(sum(n) AS BIGINT) AS total
+  FROM c GROUP BY 1),
+p AS (
+  SELECT c.event_type, c.day, tot.total,
+         CAST(sum(c.n * tot.d - tot.total) OVER (
+           PARTITION BY c.event_type ORDER BY c.day
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+  FROM c JOIN tot USING (event_type)),
+s AS (
+  SELECT event_type, day, total, pf,
+         pf - least(coalesce(min(pf) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0), 0) AS cusum
+  FROM p)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(count(*) FILTER (cusum * %d > %d * total) AS BIGINT)
+         AS alarm_days,
+       CAST(coalesce(min(day) FILTER (cusum * %d > %d * total), -1)
+            AS BIGINT) AS first_alarm_day
+FROM s GROUP BY 1 ORDER BY 1
+""" % (CUSUM_H[1], CUSUM_H[0], CUSUM_H[1], CUSUM_H[0])
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -13107,6 +13206,8 @@ QUERIES = {
     "orders_decile_report": (orders_decile_report,
                              ORDERS_DECILE_SQL),
     "doc_k_anonymity": (doc_k_anonymity, KANON_SQL),
+    "events_cusum_alarms": (events_cusum_alarms,
+                            EVENTS_CUSUM_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
