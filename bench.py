@@ -163,7 +163,8 @@ def run_bench() -> dict:
              ("audience_overlap_matrix", Q.audience_overlap_matrix),
              ("events_value_trend", Q.events_value_trend),
              ("orders_decile_report", Q.orders_decile_report),
-             ("doc_k_anonymity", Q.doc_k_anonymity)]
+             ("doc_k_anonymity", Q.doc_k_anonymity),
+             ("events_cusum_alarms", Q.events_cusum_alarms)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
