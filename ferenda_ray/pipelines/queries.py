@@ -12044,6 +12044,92 @@ FROM s GROUP BY 1 ORDER BY 1
 """ % (CUSUM_H[1], CUSUM_H[0], CUSUM_H[1], CUSUM_H[0])
 
 
+def orders_daily_acf1(sf_dir):
+    """Lag-1 autocorrelation of the daily order-revenue series — the
+    seasonality/momentum screen that closes the time-series audit
+    triad (trend slope → CUSUM shift → ACF persistence). With
+    deviations d_t = x_t·D − T (the mean needs no division; D days,
+    T total cents), num = Σ d_t·d_{t+1} and den = Σ d_t² live in
+    128-bit/Python-int space (d² passes int64 already at sf0.01),
+    and the result is acf1_milli = (1000·num) ÷ den with division
+    EXPLICITLY toward zero on both sides — num can be negative, and
+    Python floors where DuckDB truncates, so the sign is peeled
+    first. Missing calendar days count as zero-revenue days (the
+    dense-axis rule of events_daily_dense), so "consecutive" is
+    well-defined.
+
+    Scale shape: the (day → cents) table is bounded, so per-batch
+    partials are a lossless combiner; densification, deviations and
+    both sums run in the one coalesced merge block — zero shuffle."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = (t["o_orderdate"].to_numpy()
+               .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"day": day, "cents": cents})
+               .groupby("day", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day", as_index=False)["cents"].sum()
+             .sort_values("day").reset_index(drop=True))
+        lo, hi = int(g["day"].min()), int(g["day"].max())
+        dense = np.zeros(hi - lo + 1, dtype=object)  # Python ints
+        for d, c in zip(g["day"].to_numpy(), g["cents"].to_numpy()):
+            dense[int(d) - lo] = int(c)
+        D, T = len(dense), int(sum(dense))
+        dev = [int(x) * D - T for x in dense]
+        num = sum(a * b for a, b in zip(dev[:-1], dev[1:]))
+        den = sum(a * a for a in dev)
+        # toward-zero division (DuckDB's //), sign peeled first —
+        # Python's // floors negatives
+        milli = ((1000 * num) // den if num >= 0
+                 else -((1000 * -num) // den)) if den else 0
+        return pd.DataFrame({
+            "n_days": pd.Series([D], dtype="int64"),
+            "acf1_milli": pd.Series([milli], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+ORDERS_ACF1_SQL = """
+WITH c AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+dense AS (
+  SELECT g.day, coalesce(c.cents, 0) AS cents
+  FROM (SELECT unnest(generate_series(span.lo, span.hi)) AS day
+        FROM span) g
+  LEFT JOIN c USING (day)),
+s AS (SELECT count(*) AS d, CAST(sum(cents) AS HUGEINT) AS t
+      FROM dense),
+dev AS (
+  SELECT day, CAST(cents AS HUGEINT) * s.d - s.t AS dv
+  FROM dense, s),
+pair AS (
+  SELECT dv, lead(dv) OVER (ORDER BY day) AS dv1 FROM dev),
+nd AS (
+  SELECT sum(CASE WHEN dv1 IS NULL THEN 0 ELSE dv * dv1 END) AS num,
+         sum(dv * dv) AS den
+  FROM pair)
+SELECT CAST(s.d AS BIGINT) AS n_days,
+       CAST(CASE WHEN nd.den = 0 THEN 0
+                 WHEN nd.num >= 0 THEN (1000 * nd.num) // nd.den
+                 ELSE -((1000 * -nd.num) // nd.den) END
+            AS BIGINT) AS acf1_milli
+FROM nd, s
+"""
+
+
 EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
                    "signup": 8, "view": 16}
 
@@ -13208,6 +13294,7 @@ QUERIES = {
     "doc_k_anonymity": (doc_k_anonymity, KANON_SQL),
     "events_cusum_alarms": (events_cusum_alarms,
                             EVENTS_CUSUM_SQL),
+    "orders_daily_acf1": (orders_daily_acf1, ORDERS_ACF1_SQL),
     "region_revenue_share": (region_revenue_share, REGION_SHARE_SQL),
     "fulltext_delta_search": (fulltext_delta_search, FT_DELTA_SQL),
     "embed_ivf_add_knn": (embed_ivf_add_knn, IVF_ADD_SQL),
