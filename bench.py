@@ -164,7 +164,10 @@ def run_bench() -> dict:
              ("events_value_trend", Q.events_value_trend),
              ("orders_decile_report", Q.orders_decile_report),
              ("doc_k_anonymity", Q.doc_k_anonymity),
-             ("events_cusum_alarms", Q.events_cusum_alarms)]
+             ("events_cusum_alarms", Q.events_cusum_alarms),
+             ("orders_time_travel", Q.orders_time_travel),
+             ("orders_dq_expectations", Q.orders_dq_expectations),
+             ("lineitem_weighted_median", Q.lineitem_weighted_median)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

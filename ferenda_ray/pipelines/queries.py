@@ -13160,6 +13160,337 @@ GROUP BY 1 ORDER BY 1
 """ % (Q8_REGION, Q8_TYPE, Q8_LO, Q8_HI)
 
 
+# --- time travel / data-quality / weighted selection -----------------
+# Second CDC delta (version 2) on top of orders_cdc_merge's delta —
+# pure key arithmetic so both engines replay it. Applies to whatever
+# key is ALIVE at v1 (including inserted keys k + CDC_INS_OFF).
+TT_UPD2_MOD, TT_DEL2_MOD, TT_UPD2_CENTS = 21, 29, 50
+
+
+def orders_time_travel(sf_dir):
+    """Time-travel reads over a versioned table (Delta Lake /
+    Iceberg `AS OF` — Armbrust VLDB'20): the table has a version
+    ladder v0 (base orders) → v1 (the orders_cdc_merge delta:
+    +100-cent updates %10, deletes %17, inserts %23 under
+    key+10⁷) → v2 (a second delta: +50-cent updates on keys %21
+    alive at v1, deletes %29), and a reader must see EXACTLY the
+    state as of its pinned version — later deltas invisible.
+
+    Scale shape: each version's aggregate folds by the SIGNED
+    Delta-law (orders_ivm_counts): agg(v) = agg(v0) + Σ_{i≤v}
+    signed_agg(δᵢ), and because every delta is key arithmetic the
+    map side derives all three versions' (n, cents) partials from
+    each base batch directly — ZERO shuffle, bounded 3-row merge.
+    A file-borne delta would ride orders_cdc_merge's key-bucketed
+    exchange instead; the aggregate fold is the same."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        n0, c0 = len(k), int(cents.sum())
+        # v1: surviving base rows (+100 on %10 survivors) + inserts
+        alive1 = k % CDC_DEL_MOD != 0
+        c1b = cents + 100 * ((k % CDC_UPD_MOD == 0) & alive1)
+        ins = k % CDC_INS_MOD == 0
+        keys1 = np.concatenate([k[alive1], k[ins] + CDC_INS_OFF])
+        cents1 = np.concatenate([c1b[alive1], cents[ins]])
+        n1, c1 = len(keys1), int(cents1.sum())
+        # v2: delta 2 applied to the v1 state
+        alive2 = keys1 % TT_DEL2_MOD != 0
+        c2v = cents1[alive2] + TT_UPD2_CENTS * (
+            keys1[alive2] % TT_UPD2_MOD == 0)
+        n2, c2 = int(alive2.sum()), int(c2v.sum())
+        return pd.DataFrame({
+            "version": pd.Series([0, 1, 2], dtype="int64"),
+            "n_rows": pd.Series([n0, n1, n2], dtype="int64"),
+            "total_cents": pd.Series([c0, c1, c2], dtype="int64")})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("version", as_index=False)
+               .agg(n_rows=("n_rows", "sum"),
+                    total_cents=("total_cents", "sum"))
+               .sort_values("version").reset_index(drop=True))
+        return out.astype("int64")
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_partials(partials, merge)
+
+
+ORDERS_TIME_TRAVEL_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+v1 AS (
+  SELECT k, c + CASE WHEN k %% %d = 0 THEN 100 ELSE 0 END AS c
+  FROM base WHERE k %% %d <> 0
+  UNION ALL
+  SELECT k + %d, c FROM base WHERE k %% %d = 0),
+v2 AS (
+  SELECT k, c + CASE WHEN k %% %d = 0 THEN %d ELSE 0 END AS c
+  FROM v1 WHERE k %% %d <> 0)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT)
+         AS n_rows, CAST(sum(c) AS BIGINT) AS total_cents FROM base
+  UNION ALL
+  SELECT 1, count(*), CAST(sum(c) AS BIGINT) FROM v1
+  UNION ALL
+  SELECT 2, count(*), CAST(sum(c) AS BIGINT) FROM v2)
+ORDER BY version
+""" % (CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_OFF, CDC_INS_MOD,
+       TT_UPD2_MOD, TT_UPD2_CENTS, TT_DEL2_MOD)
+
+
+DQ_CHECKS = ("not_null:o_orderkey", "unique:o_orderkey",
+             "accepted_values:o_orderstatus",
+             "domain:o_orderkey_lt_ins_off", "absent:cdc_deleted_keys",
+             "non_negative:total_cents")
+
+
+def orders_dq_expectations(sf_dir):
+    """Declarative data-quality expectation suite (deequ — Schelter
+    VLDB'18; Great Expectations) validated against a PIPELINE OUTPUT
+    — the post-CDC-merge orders table — not the pristine input, so
+    the suite actually bites: the delta's inserted rows carry status
+    'N' (violates accepted_values {F,O,P}) and keys ≥ 10⁷ (violates
+    the key-domain bound), while uniqueness / not-null / no-deleted-
+    keys / non-negative pass, proving the merge. Output = one row
+    per check: (check, total, violations, passed).
+
+    Scale shape: five of the six checks are per-batch count
+    partials (lossless combiner, zero shuffle); uniqueness is the
+    one genuinely distributed check — batch-local (key, cnt)
+    distinct partials through ONE key-bucketed exchange, per-bucket
+    violations = Σ(cnt−1) additive because a key lives in exactly
+    one bucket. The union of both partial streams meets in a single
+    bounded 6-row merge."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+
+    def v1_rows(t: pa.Table):
+        k = t["o_orderkey"].to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        st = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        alive1 = k % CDC_DEL_MOD != 0
+        c1b = cents + 100 * ((k % CDC_UPD_MOD == 0) & alive1)
+        ins = k % CDC_INS_MOD == 0
+        keys1 = np.concatenate([k[alive1], k[ins] + CDC_INS_OFF])
+        cents1 = np.concatenate([c1b[alive1], cents[ins]])
+        st1 = np.concatenate(
+            [st[alive1], np.full(int(ins.sum()), "N", dtype=object)])
+        return keys1, cents1, st1
+
+    def scan_checks(t: pa.Table) -> pd.DataFrame:
+        keys1, cents1, st1 = v1_rows(t)
+        n = len(keys1)
+        viol = [
+            0,  # not_null: synthesized keys are never null
+            0,  # unique: measured by the exchange branch below
+            int((~np.isin(st1, ("F", "O", "P"))).sum()),
+            int((keys1 >= CDC_INS_OFF).sum()),
+            int(((keys1 < CDC_INS_OFF)
+                 & (keys1 % CDC_DEL_MOD == 0)).sum()),
+            int((cents1 < 0).sum()),
+        ]
+        tot = [n, 0, n, n, n, n]  # unique totals ride the exchange
+        return pd.DataFrame({
+            "ci": pd.Series(range(len(DQ_CHECKS)), dtype="int64"),
+            "total": pd.Series(tot, dtype="int64"),
+            "violations": pd.Series(viol, dtype="int64")})
+
+    def key_partial(t: pa.Table) -> pd.DataFrame:
+        keys1, _, _ = v1_rows(t)
+        p = (pd.DataFrame({"k": keys1})
+             .groupby("k", as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        h = pd.util.hash_pandas_object(p["k"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        p["cnt"] = p["cnt"].astype("int64")
+        p["k"] = p["k"].astype("int64")
+        return p
+
+    def bucket_unique(g: pd.DataFrame) -> pd.DataFrame:
+        per_key = g.groupby("k")["cnt"].sum()
+        return pd.DataFrame({
+            "ci": pd.Series([1], dtype="int64"),
+            "total": pd.Series([int(per_key.sum())], dtype="int64"),
+            "violations": pd.Series([int((per_key - 1).sum())],
+                                    dtype="int64")})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    scans = ds.map_batches(scan_checks, batch_format="pyarrow")
+    uniq = (ds.map_batches(key_partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_unique, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("ci", as_index=False)
+             .agg(total=("total", "sum"),
+                  violations=("violations", "sum"))
+             .sort_values("ci").reset_index(drop=True))
+        return pd.DataFrame({
+            "check": pd.Series([DQ_CHECKS[int(i)] for i in g["ci"]],
+                               dtype=object),
+            "total": g["total"].astype("int64"),
+            "violations": g["violations"].astype("int64"),
+            "passed": (g["violations"] == 0).astype("int64")})
+
+    return _merge_partials(scans.union(uniq), merge)
+
+
+ORDERS_DQ_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         o_orderstatus AS st
+  FROM orders),
+v1 AS (
+  SELECT k, c + CASE WHEN k %% %d = 0 THEN 100 ELSE 0 END AS c, st
+  FROM base WHERE k %% %d <> 0
+  UNION ALL
+  SELECT k + %d, c, 'N' FROM base WHERE k %% %d = 0),
+checks AS (
+  SELECT 'not_null:o_orderkey' AS chk, count(*) AS total,
+         count(*) - count(k) AS violations FROM v1
+  UNION ALL
+  SELECT 'unique:o_orderkey', count(*),
+         count(*) - count(DISTINCT k) FROM v1
+  UNION ALL
+  SELECT 'accepted_values:o_orderstatus', count(*),
+         sum(CASE WHEN st NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+  FROM v1
+  UNION ALL
+  SELECT 'domain:o_orderkey_lt_ins_off', count(*),
+         sum(CASE WHEN k >= %d THEN 1 ELSE 0 END) FROM v1
+  UNION ALL
+  SELECT 'absent:cdc_deleted_keys', count(*),
+         sum(CASE WHEN k < %d AND k %% %d = 0 THEN 1 ELSE 0 END)
+  FROM v1
+  UNION ALL
+  SELECT 'non_negative:total_cents', count(*),
+         sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) FROM v1)
+SELECT chk AS "check", CAST(total AS BIGINT) AS total,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+       AS passed
+FROM checks ORDER BY chk
+""" % (CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_OFF, CDC_INS_MOD,
+       CDC_INS_OFF, CDC_INS_OFF, CDC_DEL_MOD)
+
+
+def lineitem_weighted_median(sf_dir):
+    """Per-returnflag WEIGHTED median: the exact weighted order
+    statistic (50% of shipped QUANTITY lies at or below the answer
+    price) — the statistic behind weighted percentile SLAs and
+    cost-weighted histogram equalization; quantity-weighted, so a
+    10-unit line counts ten times a 1-unit line. Same grouped
+    two-pass radix selection as segment_price_median, with weight
+    sums replacing row counts in both histogram passes: no sort at
+    any scale, ranks are weight ranks.
+
+    Pass 1 histograms Σw per (flag, cents>>RADIX_SHIFT) — bounded
+    |flags|×2^14 cells, a lossless combiner; the per-flag cumulative
+    walk pins target = (W+1)//2 to one high bucket + residual weight
+    rank. Pass 2 histograms Σw per full value inside only the
+    selected cells (pruned map-side) and walks to the smallest value
+    whose cumulative weight reaches the residual — the rule SQL
+    replays via a window cumsum, engine-independent because ties are
+    value ties."""
+
+    def wv_of(t: pa.Table):
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                         pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        w = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        f = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+        return f, v, w
+
+    wm_schema = pa.schema([("f", pa.string()), ("k", pa.int64()),
+                           ("w", pa.int64())])
+
+    def hist_hi(t: pa.Table) -> pa.Table:
+        f, v, w = wv_of(t)
+        out = (pd.DataFrame({"f": f, "k": v >> RADIX_SHIFT, "w": w})
+               .groupby(["f", "k"], as_index=False)["w"].sum())
+        return pa.Table.from_arrays(
+            [pa.array(out["f"], pa.string()),
+             pa.array(out["k"].to_numpy(np.int64)),
+             pa.array(out["w"].to_numpy(np.int64))], schema=wm_schema)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice",
+                        "l_quantity"])
+    h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
+          .to_pandas()
+          .groupby(["f", "k"], as_index=False)["w"].sum())
+    targets = {}   # flag -> (hi_bucket, residual_weight_rank, W)
+    for flag, grp in h1.groupby("f"):
+        grp = grp.sort_values("k")
+        W = int(grp["w"].sum())
+        tgt = (W + 1) // 2
+        cum = grp["w"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, tgt))
+        prev = int(cum[i - 1]) if i else 0
+        targets[flag] = (int(grp["k"].iloc[i]), tgt - prev, W)
+    wanted = {(flag, hi) for flag, (hi, _, _) in targets.items()}
+
+    def hist_lo(t: pa.Table) -> pa.Table:
+        f, v, w = wv_of(t)
+        hi = v >> RADIX_SHIFT
+        m = np.zeros(len(f), dtype=bool)  # |wanted| = |flags| passes,
+        for flag, hi_sel in wanted:       # each one vectorized
+            m |= (f == flag) & (hi == hi_sel)
+        out = (pd.DataFrame({"f": f[m], "k": v[m], "w": w[m]})
+               .groupby(["f", "k"], as_index=False)["w"].sum())
+        return pa.Table.from_arrays(
+            [pa.array(out["f"], pa.string()),
+             pa.array(out["k"].to_numpy(np.int64)),
+             pa.array(out["w"].to_numpy(np.int64))], schema=wm_schema)
+
+    h2 = (ds.map_batches(hist_lo, batch_format="pyarrow")
+          .to_pandas()
+          .groupby(["f", "k"], as_index=False)["w"].sum())
+    rows = []
+    for flag in sorted(targets):
+        hi_sel, resid, W = targets[flag]
+        grp = h2[h2["f"] == flag].sort_values("k")
+        cum = grp["w"].cumsum().to_numpy()
+        j = int(np.searchsorted(cum, resid))
+        rows.append((flag, W, int(grp["k"].iloc[j])))
+    return pd.DataFrame({
+        "l_returnflag": pd.Series([r[0] for r in rows], dtype=object),
+        "w_total": pd.Series([r[1] for r in rows], dtype="int64"),
+        "median_cents": pd.Series([r[2] for r in rows],
+                                  dtype="int64")})
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH wv AS (
+  SELECT l_returnflag AS f,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem),
+g AS (SELECT f, v, CAST(sum(w) AS BIGINT) AS w FROM wv GROUP BY 1, 2),
+c AS (SELECT f, v, sum(w) OVER (PARTITION BY f ORDER BY v) AS cw,
+             (sum(w) OVER (PARTITION BY f) + 1) // 2 AS tgt
+      FROM g),
+m AS (SELECT f, min(v) AS median_cents FROM c WHERE cw >= tgt
+      GROUP BY f),
+t AS (SELECT f, CAST(sum(w) AS BIGINT) AS w_total FROM wv GROUP BY f)
+SELECT t.f AS l_returnflag, t.w_total,
+       CAST(m.median_cents AS BIGINT) AS median_cents
+FROM t JOIN m ON m.f = t.f ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -13395,6 +13726,10 @@ QUERIES = {
     "pack_token_chunks": (pack_token_chunks, PACK_CHUNKS_SQL),
     "xhtml_annotated": (xhtml_annotated, XHTML_ANNOTATED_SQL),
     "curation_pipeline": (curation_pipeline, CURATION_SQL),
+    "orders_time_travel": (orders_time_travel, ORDERS_TIME_TRAVEL_SQL),
+    "orders_dq_expectations": (orders_dq_expectations, ORDERS_DQ_SQL),
+    "lineitem_weighted_median": (lineitem_weighted_median,
+                                 WEIGHTED_MEDIAN_SQL),
 }
 
 
