@@ -13472,6 +13472,107 @@ def lineitem_weighted_median(sf_dir):
                                   dtype="int64")})
 
 
+# Bloom audit constants: m deliberately small so the audit is
+# non-degenerate at test scales (sf0.001 fill ≈ 17% → measurable FPs;
+# sf0.01 saturates the filter, SHOWING the m-sizing tradeoff the
+# membership_join bloom_fp parameter governs).
+BLOOM_AUDIT_M = 1 << 14
+BLOOM_AUDIT_K = 2
+BLOOM_PROBE_OFF = 100_000_000
+
+
+def bloom_fpr_audit(sf_dir):
+    """Bloom-filter false-positive-rate audit — the measurement that
+    validates ``joins.membership_join``'s Bloom pre-filter contract
+    (no false negatives; FPR governed by fill ratio) before trusting
+    it at 100 TB (Bloom '70; Broder & Mitzenmacher '04 survey).
+    Members = order keys; probes = keys + 10⁸ (guaranteed
+    non-members); filter bits use the repo's md5-hex discipline so
+    DuckDB replays the EXACT bit arithmetic — the audit is fully
+    oracled, unlike the production filter's siphash.
+
+    Scale shape: pass 1 emits batch-local DISTINCT bit positions (a
+    bounded ≤2^14 domain → lossless combiner), driver-merged and
+    broadcast once via ray.put; pass 2 probes map-side with two
+    np.isin checks per batch and emits (n, fp) count partials —
+    both passes zero shuffle, single bounded merge row. Per-key md5
+    is the audit's honest cost (the same per-row loop as
+    orders_checksum)."""
+    import hashlib
+    import ray
+
+    def bitpos(key: int, i: int) -> int:
+        h = hashlib.md5(b"bf:%d:%d" % (key, i)).hexdigest()
+        return int(h[:15], 16) % BLOOM_AUDIT_M
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def member_bits(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        bits = {bitpos(int(key), i)
+                for key in k for i in range(BLOOM_AUDIT_K)}
+        return pd.DataFrame({"bit": pd.Series(sorted(bits),
+                                              dtype="int64")})
+
+    bits = np.sort(ds.map_batches(member_bits, batch_format="pyarrow")
+                   .to_pandas()["bit"].drop_duplicates()
+                   .to_numpy(np.int64))
+    bits_ref = ray.put(bits)
+    bits_set = len(bits)
+
+    def probe(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        b = _ray.get(bits_ref)
+        k = t["o_orderkey"].to_numpy()
+        cols = [np.fromiter((bitpos(int(key) + BLOOM_PROBE_OFF, i)
+                             for key in k), np.int64, len(k))
+                for i in range(BLOOM_AUDIT_K)]
+        maybe = np.ones(len(k), dtype=bool)
+        for c in cols:
+            maybe &= np.isin(c, b)
+        return pd.DataFrame({"n": pd.Series([len(k)], dtype="int64"),
+                             "fp": pd.Series([int(maybe.sum())],
+                                             dtype="int64")})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n, fp = int(df["n"].sum()), int(df["fp"].sum())
+        return pd.DataFrame({
+            "n_keys": pd.Series([n], dtype="int64"),
+            "bits_set": pd.Series([bits_set], dtype="int64"),
+            "measured_fp": pd.Series([fp], dtype="int64"),
+            "fill_permille": pd.Series(
+                [1000 * bits_set // BLOOM_AUDIT_M], dtype="int64")})
+
+    partials = ds.map_batches(probe, batch_format="pyarrow")
+    return _merge_partials(partials, merge)
+
+
+BLOOM_FPR_SQL = """
+WITH keys AS (SELECT o_orderkey AS k FROM orders),
+hs AS (SELECT 0 AS i UNION ALL SELECT 1),
+mb AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5('bf:' || CAST(k AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) %% %d AS bit
+  FROM keys, hs),
+pb AS (
+  SELECT k,
+         bool_and(
+           CAST('0x' || substr(md5('bf:'
+                || CAST(k + %d AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) %% %d
+           IN (SELECT bit FROM mb)) AS maybe
+  FROM keys, hs GROUP BY k)
+SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+       CAST((SELECT count(*) FROM mb) AS BIGINT) AS bits_set,
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS measured_fp,
+       CAST(1000 * (SELECT count(*) FROM mb) // %d AS BIGINT)
+         AS fill_permille
+FROM pb
+""" % (BLOOM_AUDIT_M, BLOOM_PROBE_OFF, BLOOM_AUDIT_M, BLOOM_AUDIT_M)
+
+
 WEIGHTED_MEDIAN_SQL = """
 WITH wv AS (
   SELECT l_returnflag AS f,
@@ -13730,6 +13831,7 @@ QUERIES = {
     "orders_dq_expectations": (orders_dq_expectations, ORDERS_DQ_SQL),
     "lineitem_weighted_median": (lineitem_weighted_median,
                                  WEIGHTED_MEDIAN_SQL),
+    "bloom_fpr_audit": (bloom_fpr_audit, BLOOM_FPR_SQL),
 }
 
 
