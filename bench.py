@@ -167,7 +167,11 @@ def run_bench() -> dict:
              ("events_cusum_alarms", Q.events_cusum_alarms),
              ("orders_time_travel", Q.orders_time_travel),
              ("orders_dq_expectations", Q.orders_dq_expectations),
-             ("lineitem_weighted_median", Q.lineitem_weighted_median)]
+             ("lineitem_weighted_median", Q.lineitem_weighted_median),
+             ("bloom_fpr_audit", Q.bloom_fpr_audit),
+             ("orders_price_mad", Q.orders_price_mad),
+             ("orderkey_join_sample_estimate",
+              Q.orderkey_join_sample_estimate)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -13592,6 +13592,179 @@ FROM t JOIN m ON m.f = t.f ORDER BY 1
 """
 
 
+def orders_price_mad(sf_dir):
+    """Median absolute deviation of the order price — the robust
+    scale estimator (Hampel '74; the statistic behind robust z-score
+    outlier fences, pairing orders_winsorized_mean's robust
+    location): MAD = median(|x − median(x)|), both medians EXACT
+    order statistics found by the two-pass radix selection — four
+    zero-shuffle histogram passes total, no sort at any scale.
+
+    Selection rule everywhere: rank (N+1)//2, answer = smallest
+    value whose cumulative count reaches it (ties are value ties, so
+    rank→value is engine-independent; SQL replays via row_number).
+    The deviation pass re-reads the column and subtracts the
+    broadcast median map-side — deviations never materialize as a
+    table."""
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                            pa.scalar(100.0)),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy()
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def select_median(value_fn) -> tuple[int, int]:
+        """Two-pass radix selection of rank (N+1)//2 over
+        ``value_fn(batch) -> int64 array``. Returns (N, value)."""
+        def hist_hi(t: pa.Table) -> pd.DataFrame:
+            out = (pd.DataFrame({"hi": value_fn(t) >> RADIX_SHIFT})
+                   .groupby("hi", as_index=False).size()
+                   .rename(columns={"size": "n"}))
+            return out.astype("int64")
+
+        h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
+              .to_pandas()
+              .groupby("hi", as_index=False)["n"].sum()
+              .sort_values("hi").reset_index(drop=True))
+        n_total = int(h1["n"].sum())
+        tgt = (n_total + 1) // 2
+        cum = h1["n"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, tgt))
+        hi_sel = int(h1["hi"].iloc[i])
+        resid = tgt - (int(cum[i - 1]) if i else 0)
+
+        def hist_lo(t: pa.Table) -> pd.DataFrame:
+            v = value_fn(t)
+            v = v[(v >> RADIX_SHIFT) == hi_sel]
+            out = (pd.DataFrame({"v": v})
+                   .groupby("v", as_index=False).size()
+                   .rename(columns={"size": "n"}))
+            return out.astype("int64")
+
+        h2 = (ds.map_batches(hist_lo, batch_format="pyarrow")
+              .to_pandas()
+              .groupby("v", as_index=False)["n"].sum()
+              .sort_values("v").reset_index(drop=True))
+        c2 = h2["n"].cumsum().to_numpy()
+        j = int(np.searchsorted(c2, resid))
+        return n_total, int(h2["v"].iloc[j])
+
+    n, med = select_median(cents_of)
+    _, mad = select_median(lambda t: np.abs(cents_of(t) - med))
+    return pd.DataFrame({
+        "n_orders": pd.Series([n], dtype="int64"),
+        "median_cents": pd.Series([med], dtype="int64"),
+        "mad_cents": pd.Series([mad], dtype="int64")})
+
+
+ORDERS_MAD_SQL = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+cnt AS (SELECT count(*) AS n FROM v),
+m AS (
+  SELECT c AS med FROM
+    (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v), cnt
+  WHERE rn = (n + 1) // 2),
+d AS (SELECT abs(c - (SELECT med FROM m)) AS dv FROM v),
+md AS (
+  SELECT dv FROM
+    (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d), cnt
+  WHERE rn = (n + 1) // 2)
+SELECT CAST((SELECT n FROM cnt) AS BIGINT) AS n_orders,
+       CAST((SELECT med FROM m) AS BIGINT) AS median_cents,
+       CAST((SELECT dv FROM md) AS BIGINT) AS mad_cents
+"""
+
+
+JOIN_SAMPLE_HEX = "0"  # md5 first hex char → sampling rate 1/16
+JOIN_SAMPLE_RATE = 16
+
+
+def orderkey_join_sample_estimate(sf_dir):
+    """Sampled join-size estimation vs exact truth — the optimizer's
+    actual workflow (sample keys, scale up) audited against the
+    exact answer orderkey_join_stats computes, in ONE pass: keys
+    whose md5 hex starts with '0' (a deterministic 1/16 KEY sample —
+    seedless-shuffle discipline, so both engines draw the SAME
+    sample) contribute cnt_li·cnt_od to the estimate, scaled ×16;
+    the same bucket pass sums the unscaled products for the truth.
+    Output = (true_pairs, est_pairs, err_permille) — the error the
+    estimator actually made, as data.
+
+    Scale shape: per-batch (key, side) count partials (lossless
+    combiner) ride the ONE key-bucketed tagged exchange of
+    orderkey_join_stats; each bucket multiplies vectorized, md5-tags
+    its distinct keys once, and emits a 2-integer partial; single
+    bounded merge."""
+    import hashlib
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["k", "n", "_bucket", "_side"]
+
+    def prep(table: str, col: str, side: int):
+        def fn(t: pa.Table) -> pd.DataFrame:
+            p = (pd.DataFrame({"k": t[col].to_numpy()})
+                 .groupby("k", as_index=False).size()
+                 .rename(columns={"size": "n"}))
+            p["n"] = p["n"].astype("int64")
+            return _tag_bucket(p, buckets, side, COLS, key="k")
+        return _read(sf_dir, table, columns=[col]).map_batches(
+            fn, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = (g[g["_side"] == 0].groupby("k")["n"].sum())
+        od_ = (g[g["_side"] == 1].groupby("k")["n"].sum())
+        j = pd.DataFrame({"a": li_, "b": od_}).dropna()
+        a = j["a"].to_numpy(np.int64)
+        b = j["b"].to_numpy(np.int64)
+        prod = a * b
+        sampled = np.fromiter(
+            (hashlib.md5(str(int(k)).encode()).hexdigest()[0]
+             == JOIN_SAMPLE_HEX for k in j.index),
+            dtype=bool, count=len(j))
+        return pd.DataFrame({
+            "true_pairs": pd.Series([int(prod.sum())], dtype="int64"),
+            "sampled_pairs": pd.Series([int(prod[sampled].sum())],
+                                       dtype="int64")})
+
+    tagged = prep("lineitem", "l_orderkey", 0).union(
+        prep("orders", "o_orderkey", 1))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        true = int(df["true_pairs"].sum())
+        est = JOIN_SAMPLE_RATE * int(df["sampled_pairs"].sum())
+        err = 1000 * abs(est - true) // max(true, 1)
+        return pd.DataFrame({
+            "true_pairs": pd.Series([true], dtype="int64"),
+            "est_pairs": pd.Series([est], dtype="int64"),
+            "err_permille": pd.Series([err], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+JOIN_SAMPLE_SQL = """
+WITH li AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+            GROUP BY 1),
+od AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
+j AS (
+  SELECT li.k, li.n * od.n AS prod,
+         CASE WHEN substr(md5(CAST(li.k AS VARCHAR)), 1, 1) = '%s'
+              THEN 1 ELSE 0 END AS s
+  FROM li JOIN od ON od.k = li.k),
+t AS (SELECT CAST(sum(prod) AS BIGINT) AS true_pairs,
+             CAST(%d * sum(prod * s) AS BIGINT) AS est_pairs
+      FROM j)
+SELECT true_pairs, est_pairs,
+       CAST(1000 * abs(est_pairs - true_pairs)
+            // greatest(true_pairs, 1) AS BIGINT) AS err_permille
+FROM t
+""" % (JOIN_SAMPLE_HEX, JOIN_SAMPLE_RATE)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -13832,6 +14005,9 @@ QUERIES = {
     "lineitem_weighted_median": (lineitem_weighted_median,
                                  WEIGHTED_MEDIAN_SQL),
     "bloom_fpr_audit": (bloom_fpr_audit, BLOOM_FPR_SQL),
+    "orders_price_mad": (orders_price_mad, ORDERS_MAD_SQL),
+    "orderkey_join_sample_estimate": (orderkey_join_sample_estimate,
+                                      JOIN_SAMPLE_SQL),
 }
 
 
