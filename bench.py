@@ -171,7 +171,9 @@ def run_bench() -> dict:
              ("bloom_fpr_audit", Q.bloom_fpr_audit),
              ("orders_price_mad", Q.orders_price_mad),
              ("orderkey_join_sample_estimate",
-              Q.orderkey_join_sample_estimate)]
+              Q.orderkey_join_sample_estimate),
+             ("embed_squant_recall", Q.embed_squant_recall),
+             ("orders_dow_seasonality", Q.orders_dow_seasonality)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

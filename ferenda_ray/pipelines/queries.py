@@ -13765,6 +13765,167 @@ FROM t
 """ % (JOIN_SAMPLE_HEX, JOIN_SAMPLE_RATE)
 
 
+SQ8_DIV, SQ8_CLIP, SQ8_K = 64, 15, 10  # int4-style signed grid
+
+
+def embed_squant_recall(sf_dir):
+    """Scalar-quantization recall audit (the FAISS SQ8 tradeoff —
+    Jégou et al. TPAMI'11 §III discuss the coarse-quantizer loss):
+    rank the corpus against query vec 0 on a coarse int4-style
+    grid (clip(milli//64, ±15) — toward-zero division, the
+    engine-shared rule) vs the exact milli grid, and report the per-rank top-10
+    comparison with a hit flag — the measurement a vector store runs
+    before shipping 8× memory compression (recall 8/10 at sf0.001,
+    6/10 at sf0.01 — the grid is deliberately coarse so the audit
+    bites; int8 at these dims is lossless and degenerate). Both scorers are INTEGER
+    dot products, so ranking and ties (score desc, vec_id asc)
+    replay bit-for-bit in SQL; no float ulp ever crosses engines.
+
+    Scale shape: both query vectors broadcast once (tiny); each
+    batch quantizes map-side, does two integer matvecs, and emits
+    its local top-k for each scorer — an admissible partial (any
+    global top-k member is in its batch's top-k) — into one bounded
+    driver merge. Zero shuffle; the embedding column never enters an
+    exchange."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def milli_of(vs) -> np.ndarray:
+        m = np.stack([np.asarray(v, dtype=np.float64) * EMB_QUANT
+                      for v in vs])
+        return (np.floor(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+
+    def sq8_of(m: np.ndarray) -> np.ndarray:
+        return np.clip(np.sign(m) * (np.abs(m) // SQ8_DIV),
+                       -SQ8_CLIP, SQ8_CLIP)
+
+    qrow = (emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+        batch_format="pyarrow").to_pandas())
+    qm = milli_of([np.asarray(list(qrow["embedding"])[0],
+                              dtype=np.float64)])[0]
+    qs = sq8_of(qm.reshape(1, -1))[0]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+                "scorer": pd.Series(dtype="int64")})
+        m = milli_of(df["embedding"])
+        vid = df["vec_id"].to_numpy(np.int64)
+        outs = []
+        for scorer, (mat, qv) in enumerate(
+                [(m, qm), (sq8_of(m), qs)]):
+            s = mat @ qv
+            order = np.lexsort((vid, -s))[:SQ8_K]
+            outs.append(pd.DataFrame({
+                "vec_id": vid[order], "s": s[order],
+                "scorer": np.full(len(order), scorer, np.int64)}))
+        return pd.concat(outs, ignore_index=True).astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        tops = {}
+        for scorer, g in df.groupby("scorer"):
+            g = g.sort_values(["s", "vec_id"],
+                              ascending=[False, True]).head(SQ8_K)
+            tops[int(scorer)] = g["vec_id"].to_numpy(np.int64)
+        exact, sq8 = tops[0], tops[1]
+        exact_set = set(exact.tolist())
+        return pd.DataFrame({
+            "rank": pd.Series(range(SQ8_K), dtype="int64"),
+            "vec_exact": pd.Series(exact, dtype="int64"),
+            "vec_sq8": pd.Series(sq8, dtype="int64"),
+            "hit": pd.Series([1 if v in exact_set else 0
+                              for v in sq8], dtype="int64")})
+
+    return _merge_partials(
+        emb.map_batches(partial, batch_format="pandas"), merge)
+
+
+EMBED_SQ8_SQL = """
+WITH m AS (
+  SELECT e.vec_id, s.i,
+         CAST(round(e.embedding[s.i] * 1000) AS BIGINT) AS q
+  FROM embeddings e, generate_series(1, %d) s(i)),
+q8 AS (
+  SELECT vec_id, i,
+         greatest(-%d, least(%d, q // %d)) AS q
+  FROM m),
+qm AS (SELECT i, q FROM m WHERE vec_id = 0),
+qq AS (SELECT i, q FROM q8 WHERE vec_id = 0),
+xs AS (SELECT m.vec_id, CAST(sum(m.q * qm.q) AS BIGINT) AS s
+       FROM m JOIN qm USING (i) GROUP BY 1),
+ss AS (SELECT q8.vec_id, CAST(sum(q8.q * qq.q) AS BIGINT) AS s
+       FROM q8 JOIN qq USING (i) GROUP BY 1),
+rx AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id)
+         AS rn FROM xs QUALIFY rn <= %d),
+rs AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id)
+         AS rn FROM ss QUALIFY rn <= %d)
+SELECT CAST(rx.rn - 1 AS BIGINT) AS rank,
+       rx.vec_id AS vec_exact, rs.vec_id AS vec_sq8,
+       CAST(CASE WHEN rs.vec_id IN (SELECT vec_id FROM rx)
+            THEN 1 ELSE 0 END AS BIGINT) AS hit
+FROM rx JOIN rs USING (rn) ORDER BY rank
+""" % (EMB_DIM, SQ8_CLIP, SQ8_CLIP, SQ8_DIV, SQ8_K, SQ8_K)
+
+
+def orders_dow_seasonality(sf_dir):
+    """Day-of-week seasonality index of order revenue — the calendar
+    companion to the time-series audit triad (trend slope → CUSUM
+    shift → ACF persistence): per weekday, order count, revenue
+    cents and the seasonality index 7000·cents_d // total (1000 =
+    flat week), the statistic capacity planners read before sizing
+    ingestion for weekday peaks. Weekday = epoch-days % 7 — pure
+    integer arithmetic both engines share, no locale-dependent
+    DAYNAME ever crosses.
+
+    Scale shape: the (dow, count, cents) table is a bounded 7-cell
+    partial — a lossless per-batch combiner, zero shuffle, one merge
+    block computing the exact integer permille index."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"dow": days % 7, "n": 1, "cents": cents})
+               .groupby("dow", as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("dow", as_index=False)
+             .agg(n_orders=("n", "sum"), cents=("cents", "sum"))
+             .sort_values("dow").reset_index(drop=True))
+        total = int(g["cents"].sum())
+        g["index_permille"] = (7000 * g["cents"]) // max(total, 1)
+        return g.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+ORDERS_DOW_SQL = """
+WITH d AS (
+  SELECT (CAST(epoch_us(o_orderdate) AS BIGINT)
+          // 86400000000) % 7 AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+g AS (SELECT dow, count(*) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM d GROUP BY 1)
+SELECT dow, CAST(n_orders AS BIGINT) AS n_orders, cents,
+       CAST(7000 * CAST(cents AS HUGEINT)
+            // greatest((SELECT sum(cents) FROM g), 1) AS BIGINT)
+         AS index_permille
+FROM g ORDER BY dow
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -14008,6 +14169,9 @@ QUERIES = {
     "orders_price_mad": (orders_price_mad, ORDERS_MAD_SQL),
     "orderkey_join_sample_estimate": (orderkey_join_sample_estimate,
                                       JOIN_SAMPLE_SQL),
+    "embed_squant_recall": (embed_squant_recall, EMBED_SQ8_SQL),
+    "orders_dow_seasonality": (orders_dow_seasonality,
+                               ORDERS_DOW_SQL),
 }
 
 
