@@ -175,7 +175,11 @@ def run_bench() -> dict:
              ("embed_squant_recall", Q.embed_squant_recall),
              ("orders_dow_seasonality", Q.orders_dow_seasonality),
              ("events_peak_concurrency", Q.events_peak_concurrency),
-             ("lineitem_sequence_audit", Q.lineitem_sequence_audit)]
+             ("lineitem_sequence_audit", Q.lineitem_sequence_audit),
+             ("orders_pit_dimension_join",
+              Q.orders_pit_dimension_join),
+             ("user_interarrival_histogram",
+              Q.user_interarrival_histogram)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

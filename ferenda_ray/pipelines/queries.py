@@ -14084,6 +14084,173 @@ FROM a GROUP BY 1 ORDER BY 1
 """
 
 
+# SCD2 version boundaries for the point-in-time dimension join:
+# customers with custkey % PIT_MOD == 0 rotate their market segment
+# at each boundary (pure arithmetic — both engines replay it).
+PIT_BOUNDS = ("1994-01-01", "1996-01-01")
+PIT_MOD = 5
+
+
+def orders_pit_dimension_join(sf_dir):
+    """Point-in-time dimension join — the feature-store / SCD2
+    correctness primitive (Kimball type-2 dimensions; every feature
+    platform's 'as-of the event, not as-of today' rule): each order
+    must see the customer-segment VERSION valid at its order date,
+    never the current one (that is label leakage). The versioned
+    dimension derives by rule: customers with custkey % 5 == 0
+    rotate one segment forward at 1994-01-01 and again at
+    1996-01-01; effective segment = rotate(base, versions passed).
+    Output = revenue rollup by EFFECTIVE segment — provably
+    different from the current-version rollup.
+
+    Scale shape: the dimension broadcasts once as (custkey → segment
+    index) plus the sorted segment list (q18 contract — bucket_join
+    at 10⁹ customers); the version lookup is a map-side searchsorted
+    against the broadcast boundary array, so the PIT join is ZERO
+    shuffle; bounded (segment, n, cents) combiner, one merge."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    segs = sorted(cust["c_mktsegment"].unique().tolist())
+    seg_idx = {s: i for i, s in enumerate(segs)}
+    dim_ref = ray.put({int(r.c_custkey): seg_idx[r.c_mktsegment]
+                       for r in cust.itertuples()})
+    bounds = np.array([np.datetime64(b, "D").astype(np.int64)
+                       for b in PIT_BOUNDS], dtype=np.int64)
+    nseg = len(segs)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        dim = _ray.get(dim_ref)
+        ck = t["o_custkey"].to_numpy()
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        base = np.fromiter((dim[int(k)] for k in ck), np.int64,
+                           len(ck))
+        shift = np.where(ck % PIT_MOD == 0,
+                         np.searchsorted(bounds, days, side="right"),
+                         0)
+        eff = (base + shift) % nseg
+        out = (pd.DataFrame({"ei": eff, "n": 1, "cents": cents})
+               .groupby("ei", as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("ei", as_index=False)
+             .agg(n_orders=("n", "sum"), cents=("cents", "sum"))
+             .sort_values("ei").reset_index(drop=True))
+        return pd.DataFrame({
+            "segment": pd.Series([segs[int(i)] for i in g["ei"]],
+                                 dtype=object),
+            "n_orders": g["n_orders"].astype("int64"),
+            "cents": g["cents"].astype("int64")})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+PIT_JOIN_SQL = """
+WITH segs AS (
+  SELECT s, row_number() OVER (ORDER BY s) - 1 AS i
+  FROM (SELECT DISTINCT c_mktsegment AS s FROM customer)),
+nseg AS (SELECT count(*) AS n FROM segs),
+cust AS (
+  SELECT c_custkey AS ck, i AS base
+  FROM customer JOIN segs ON s = c_mktsegment),
+eff AS (
+  SELECT (base + CASE WHEN ck %% %d = 0 THEN
+            (CASE WHEN o_orderdate >= TIMESTAMP '%s'
+                  THEN 1 ELSE 0 END
+           + CASE WHEN o_orderdate >= TIMESTAMP '%s'
+                  THEN 1 ELSE 0 END)
+          ELSE 0 END) %% (SELECT n FROM nseg) AS ei,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN cust ON ck = o_custkey)
+SELECT s.s AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(e.cents) AS BIGINT) AS cents
+FROM eff e JOIN segs s ON s.i = e.ei
+GROUP BY 1 ORDER BY 1
+""" % (PIT_MOD, PIT_BOUNDS[0], PIT_BOUNDS[1])
+
+
+def user_interarrival_histogram(sf_dir):
+    """Inter-arrival-time histogram per log₂ band — the traffic-
+    model statistic (burstiness vs Poisson; the tail tells you
+    session-timeout and cache-TTL budgets): for every user, the gaps
+    between consecutive events in microseconds, bucketed by
+    floor(log₂ gap) exactly (frexp exponent — an integer, so SQL
+    replays via binary-string length, the key_skew_profile
+    discipline; zero-gaps get bucket −1).
+
+    Scale shape: (user, ts) pairs ride ONE user-bucketed exchange
+    (a user's events co-locate); each bucket sorts within user
+    vectorized (mergesort on the narrow pair columns only), diffs,
+    and emits bounded ≤64-cell (bucket, n) partials; single merge.
+    The gap multiset is tie-order-independent (equal timestamps gap
+    to zero), so no tiebreak ever crosses engines."""
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))})
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "ts": "int64"})
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts"], kind="mergesort")
+        u = g["u"].to_numpy()
+        ts = g["ts"].to_numpy()
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        b = np.full(len(gaps), -1, np.int64)
+        nz = gaps > 0
+        b[nz] = np.frexp(gaps[nz].astype(np.float64))[1] - 1
+        out = (pd.DataFrame({"log2_bucket": b})
+               .groupby("log2_bucket", as_index=False).size()
+               .rename(columns={"size": "n_gaps"}))
+        return out.astype("int64")
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_hist, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("log2_bucket", as_index=False)
+               ["n_gaps"].sum()
+               .sort_values("log2_bucket").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT)
+         - lag(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events),
+b AS (
+  SELECT CASE WHEN gap = 0 THEN -1
+         ELSE length(format('{:b}', gap)) - 1 END AS log2_bucket
+  FROM g WHERE gap IS NOT NULL)
+SELECT CAST(log2_bucket AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -14334,6 +14501,10 @@ QUERIES = {
                                 EVENTS_PEAK_SQL),
     "lineitem_sequence_audit": (lineitem_sequence_audit,
                                 LINEITEM_SEQ_SQL),
+    "orders_pit_dimension_join": (orders_pit_dimension_join,
+                                  PIT_JOIN_SQL),
+    "user_interarrival_histogram": (user_interarrival_histogram,
+                                    INTERARRIVAL_SQL),
 }
 
 
