@@ -179,7 +179,8 @@ def run_bench() -> dict:
              ("orders_pit_dimension_join",
               Q.orders_pit_dimension_join),
              ("user_interarrival_histogram",
-              Q.user_interarrival_histogram)]
+              Q.user_interarrival_histogram),
+             ("vocab_zipf_spectrum", Q.vocab_zipf_spectrum)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -14251,6 +14251,110 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+ZIPF_J = 11  # planted power-law family z_0..z_10
+
+
+def vocab_zipf_spectrum(sf_dir):
+    """Zipf frequency-spectrum audit of the corpus vocabulary — the
+    corpus-linguistics health check (Zipf '49; a natural-language
+    corpus shows a near-linear log-log frequency spectrum, while
+    boilerplate floods single bands): the number of distinct terms
+    whose total frequency falls in each log₂ band, plus the OLS
+    slope of floor(log₂ n_terms) over the band index as an exact
+    integer milli-value (the events_value_trend five-statistic
+    identity; toward-zero division pinned in both engines). All
+    integers — log₂ via frexp / binary-string length, never a float
+    log.
+
+    Scale shape: per-batch term→count partials (lossless combiner)
+    ride ONE term-hash-bucketed exchange; a term's total finalizes
+    in exactly one bucket, so per-bucket (band, n_terms) cells are
+    additive; the ≤64-row band histogram merges in one block where
+    the slope is plain integer arithmetic.
+
+    The synthetic corpus has a ~31-term vocabulary (degenerate
+    2-band spectrum), so a power-law token family is planted (the
+    dup_passages precedent): each doc carries z_j = "z{j}_{doc_id
+    mod 2^j}" for j in 0..10 — ~2^j distinct terms at frequency
+    ≈N/2^j, a true s≈1 Zipf law both engines replay by
+    arithmetic."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W = _exchange_buckets(sf_dir)
+
+    def term_partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+        c = Counter()
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            c.update((txt or "").split(" "))
+            c.update("z%d_%d" % (j, did % (1 << j))
+                     for j in range(ZIPF_J))
+        df = pd.DataFrame({"term": list(c.keys()),
+                           "n": np.fromiter(c.values(), np.int64,
+                                            len(c))})
+        h = pd.util.hash_pandas_object(df["term"], index=False).values
+        df["_bucket"] = (h % np.uint64(W)).astype("int32")
+        return df
+
+    def bucket_bands(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("term")["n"].sum().to_numpy(np.int64)
+        band = np.frexp(tot.astype(np.float64))[1] - 1
+        out = (pd.DataFrame({"band": band})
+               .groupby("band", as_index=False).size()
+               .rename(columns={"size": "n_terms"}))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(term_partial, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_bands, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("band", as_index=False)["n_terms"].sum()
+             .sort_values("band").reset_index(drop=True))
+        x = g["band"].to_numpy(np.int64)
+        y = (np.frexp(g["n_terms"].to_numpy(np.float64))[1] - 1)
+        n = len(x)
+        num = int(n * int((x * y).sum()) - int(x.sum()) * int(y.sum()))
+        den = int(n * int((x * x).sum()) - int(x.sum()) ** 2)
+        s = 1000 * num
+        milli = (abs(s) // abs(den)) * (1 if (s >= 0) == (den > 0)
+                                        else -1) if den else 0
+        out = g.astype("int64")
+        out["slope_milli"] = np.int64(milli)
+        return out
+
+    return _merge_partials(per_bucket, merge)
+
+
+VOCAB_ZIPF_SQL = """
+WITH aug AS (
+  SELECT text || ' z0_' || CAST(doc_id % 1 AS VARCHAR) || ' z1_' || CAST(doc_id % 2 AS VARCHAR) || ' z2_' || CAST(doc_id % 4 AS VARCHAR) || ' z3_' || CAST(doc_id % 8 AS VARCHAR) || ' z4_' || CAST(doc_id % 16 AS VARCHAR) || ' z5_' || CAST(doc_id % 32 AS VARCHAR) || ' z6_' || CAST(doc_id % 64 AS VARCHAR) || ' z7_' || CAST(doc_id % 128 AS VARCHAR) || ' z8_' || CAST(doc_id % 256 AS VARCHAR) || ' z9_' || CAST(doc_id % 512 AS VARCHAR) || ' z10_' || CAST(doc_id % 1024 AS VARCHAR) AS text FROM documents),
+tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM aug),
+tc AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+bands AS (
+  SELECT length(format('{:b}', n)) - 1 AS band,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM tc GROUP BY 1),
+pts AS (
+  SELECT CAST(band AS BIGINT) AS x,
+         CAST(length(format('{:b}', n_terms)) - 1 AS BIGINT) AS y
+  FROM bands),
+ols AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts),
+s AS (
+  SELECT 1000 * (n * sxy - sx * sy) AS num,
+         n * sxx - sx * sx AS den
+  FROM ols)
+SELECT b.band, b.n_terms,
+       CAST(CASE WHEN den = 0 THEN 0
+            ELSE num // den END AS BIGINT) AS slope_milli
+FROM bands b, s ORDER BY b.band
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -14505,6 +14609,7 @@ QUERIES = {
                                   PIT_JOIN_SQL),
     "user_interarrival_histogram": (user_interarrival_histogram,
                                     INTERARRIVAL_SQL),
+    "vocab_zipf_spectrum": (vocab_zipf_spectrum, VOCAB_ZIPF_SQL),
 }
 
 
