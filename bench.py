@@ -180,7 +180,9 @@ def run_bench() -> dict:
               Q.orders_pit_dimension_join),
              ("user_interarrival_histogram",
               Q.user_interarrival_histogram),
-             ("vocab_zipf_spectrum", Q.vocab_zipf_spectrum)]
+             ("vocab_zipf_spectrum", Q.vocab_zipf_spectrum),
+             ("orders_median_of_means", Q.orders_median_of_means),
+             ("orders_backlog_aging", Q.orders_backlog_aging)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

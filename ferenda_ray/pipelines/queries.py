@@ -14355,6 +14355,159 @@ FROM bands b, s ORDER BY b.band
 """
 
 
+MOM_GROUPS = 32  # median-of-means partition count
+
+
+def orders_median_of_means(sf_dir):
+    """Median-of-means estimator audit — the heavy-tail-robust mean
+    every streaming system reaches for when a plain average can be
+    wrecked by outliers (Alon-Matias-Szegedy '96 uses exactly this
+    shape; Lugosi-Mendelson '19 surveys the theory): rows are
+    deterministically md5-assigned to 32 groups, each group's exact
+    integer milli-mean is computed, and the estimator is the median
+    of those 32 means — reported NEXT TO the true milli-mean so the
+    estimator's deviation is data, like orderkey_join_sample_estimate.
+
+    Scale shape: the (group → sum, n) table is a bounded 32-cell
+    per-batch combiner — zero shuffle at any scale; the merge block
+    finalizes 32 exact means (toward-zero irrelevant: all positive),
+    sorts 32 values, and takes the lower median (rank (g+1)//2, the
+    radix-selection rule). SQL replays the assignment, the means and
+    the rank."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        grp = np.fromiter(
+            (int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15],
+                 16) % MOM_GROUPS for x in k), np.int64, len(k))
+        out = (pd.DataFrame({"g": grp, "n": 1, "cents": cents})
+               .groupby("g", as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("g", as_index=False)
+             .agg(n=("n", "sum"), cents=("cents", "sum")))
+        means = np.sort((1000 * g["cents"].to_numpy(np.int64))
+                        // g["n"].to_numpy(np.int64))
+        mom = int(means[(len(means) + 1) // 2 - 1])
+        true = (1000 * int(g["cents"].sum())) // int(g["n"].sum())
+        return pd.DataFrame({
+            "n_groups": pd.Series([len(means)], dtype="int64"),
+            "mom_millicents": pd.Series([mom], dtype="int64"),
+            "true_millicents": pd.Series([int(true)], dtype="int64"),
+            "abs_diff": pd.Series([abs(mom - int(true))],
+                                  dtype="int64")})
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+MOM_SQL = """
+WITH r AS (
+  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) %% %d AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+gm AS (
+  SELECT g, CAST(1000 * sum(cents) // count(*) AS BIGINT) AS mean_m
+  FROM r GROUP BY 1),
+mom AS (
+  SELECT mean_m FROM
+    (SELECT mean_m, row_number() OVER (ORDER BY mean_m) AS rn
+     FROM gm),
+    (SELECT count(*) AS c FROM gm)
+  WHERE rn = (c + 1) // 2),
+tr AS (
+  SELECT CAST(1000 * sum(cents) // count(*) AS BIGINT) AS true_m
+  FROM r)
+SELECT CAST((SELECT count(*) FROM gm) AS BIGINT) AS n_groups,
+       CAST((SELECT mean_m FROM mom) AS BIGINT) AS mom_millicents,
+       CAST((SELECT true_m FROM tr) AS BIGINT) AS true_millicents,
+       CAST(abs((SELECT mean_m FROM mom) - (SELECT true_m FROM tr))
+            AS BIGINT) AS abs_diff
+""" % MOM_GROUPS
+
+
+AGING_BANDS = (30, 90, 365)  # days: 0-30 / 31-90 / 91-365 / 365+
+
+
+def orders_backlog_aging(sf_dir):
+    """Open-order backlog aging report — the accounts-receivable /
+    fulfillment-SLA staple: orders still OPEN (status 'O') bucketed
+    by age at the ledger close, where the close date is the maximum
+    order date in the data (derived, so every scale is
+    non-degenerate and both engines pin the same instant). Bands
+    0–30 / 31–90 / 91–365 / 365+ days; per band the open-order count
+    and exposure cents.
+
+    Scale shape: pass 1 is a zero-shuffle max-date combiner (one
+    scalar); pass 2 buckets map-side against the broadcast close
+    date and emits bounded 4-cell (band, n, cents) partials — zero
+    shuffle, single merge."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def max_day(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"mx": pd.Series([int(days.max())],
+                                             dtype="int64")})
+
+    close = int(ds.map_batches(max_day, batch_format="pyarrow")
+                .to_pandas()["mx"].max())
+    edges = np.array(AGING_BANDS, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        st = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        m = st == "O"
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))[m]
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()[m]
+        age = close - days
+        band = np.searchsorted(edges, age, side="left")
+        out = (pd.DataFrame({"band": band, "n": 1, "cents": cents})
+               .groupby("band", as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("band", as_index=False)
+               .agg(n_orders=("n", "sum"), cents=("cents", "sum"))
+               .sort_values("band").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+AGING_SQL = """
+WITH close AS (
+  SELECT max(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000)
+    AS c FROM orders),
+o AS (
+  SELECT (SELECT c FROM close)
+         - CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+           AS age,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O')
+SELECT CAST(CASE WHEN age <= 30 THEN 0 WHEN age <= 90 THEN 1
+            WHEN age <= 365 THEN 2 ELSE 3 END AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -14610,6 +14763,8 @@ QUERIES = {
     "user_interarrival_histogram": (user_interarrival_histogram,
                                     INTERARRIVAL_SQL),
     "vocab_zipf_spectrum": (vocab_zipf_spectrum, VOCAB_ZIPF_SQL),
+    "orders_median_of_means": (orders_median_of_means, MOM_SQL),
+    "orders_backlog_aging": (orders_backlog_aging, AGING_SQL),
 }
 
 
