@@ -182,7 +182,8 @@ def run_bench() -> dict:
               Q.user_interarrival_histogram),
              ("vocab_zipf_spectrum", Q.vocab_zipf_spectrum),
              ("orders_median_of_means", Q.orders_median_of_means),
-             ("orders_backlog_aging", Q.orders_backlog_aging)]
+             ("orders_backlog_aging", Q.orders_backlog_aging),
+             ("customer_rfm_segments", Q.customer_rfm_segments)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -14508,6 +14508,179 @@ FROM o GROUP BY 1 ORDER BY 1
 """
 
 
+def customer_rfm_segments(sf_dir):
+    """RFM segmentation (Hughes '94 — the marketing-analytics
+    staple): every customer scored 1–5 on Recency (days since last
+    order at the ledger close = the data's max order date),
+    Frequency (order count) and Monetary (lifetime cents) by EXACT
+    quintile rank, then the 5×5×5 segment census. Quintile edges are
+    TRUE order statistics (rank ceil(q·N/5)); a value's score is
+    1 + the number of edges strictly below it (the decile-report
+    tie rule — rows equal to an edge belong to that edge's
+    quintile), so heavy ties (shared last-order days) resolve
+    identically in both engines.
+
+    Scale shape: order partials (custkey → n, cents, last_day — a
+    lossless combiner) ride ONE custkey-bucketed exchange; the
+    per-customer (r, f, m) table materializes ONCE (narrow: 4
+    int64/customer — the checkpointed-vocabulary precedent; ~32 GB
+    at 10⁹ customers, spread across the cluster store). R and F have
+    bounded domains (days, order counts) so their edge histograms
+    are zero-shuffle full-value combiners; M uses the two-pass radix
+    selection. Scoring is map-side against broadcast edge arrays
+    into a bounded ≤125-cell combiner."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+    COLS = ["ck", "n", "cents", "last_day", "_bucket"]
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        p = (pd.DataFrame({"ck": t["o_custkey"].to_numpy(),
+                           "n": 1, "cents": cents, "last_day": days})
+             .groupby("ck", as_index=False)
+             .agg(n=("n", "sum"), cents=("cents", "sum"),
+                  last_day=("last_day", "max")))
+        h = pd.util.hash_pandas_object(p["ck"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype("int64")[COLS].astype({"_bucket": "int32"})
+
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby("ck", as_index=False)
+             .agg(f=("n", "sum"), m=("cents", "sum"),
+                  last_day=("last_day", "max")))
+        return a.astype("int64")
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_customer, batch_format="pandas")
+            .materialize())
+    close = int(cust.map_batches(
+        lambda df: pd.DataFrame(
+            {"mx": pd.Series([int(df["last_day"].max())],
+                             dtype="int64")}),
+        batch_format="pandas").to_pandas()["mx"].max())
+    n_cust = cust.count()
+    ranks = [(q * n_cust + 4) // 5 for q in (1, 2, 3, 4)]
+
+    def exact_edges(hist: pd.DataFrame) -> np.ndarray:
+        """hist: (v, n) full-value histogram → 4 quintile edges."""
+        hist = hist.sort_values("v").reset_index(drop=True)
+        cum = hist["n"].cumsum().to_numpy()
+        return np.asarray(
+            [int(hist["v"].iloc[int(np.searchsorted(cum, k))])
+             for k in ranks], dtype=np.int64)
+
+    def hist_of(expr) -> pd.DataFrame:
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = (pd.DataFrame({"v": expr(df)})
+                   .groupby("v", as_index=False).size()
+                   .rename(columns={"size": "n"}))
+            return out.astype("int64")
+        return (cust.map_batches(fn, batch_format="pandas")
+                .to_pandas().groupby("v", as_index=False)["n"].sum())
+
+    r_edges = exact_edges(hist_of(
+        lambda df: close - df["last_day"].to_numpy(np.int64)))
+    f_edges = exact_edges(hist_of(
+        lambda df: df["f"].to_numpy(np.int64)))
+    # M: two-pass radix (cents totals are unbounded)
+    m_hi = hist_of(lambda df: df["m"].to_numpy(np.int64)
+                   >> RADIX_SHIFT).sort_values("v")
+    cum = m_hi["n"].cumsum().to_numpy()
+    m_targets = []
+    for k in ranks:
+        i = int(np.searchsorted(cum, k))
+        m_targets.append((int(m_hi["v"].iloc[i]),
+                          k - (int(cum[i - 1]) if i else 0)))
+    m_wanted = frozenset(hi for hi, _ in m_targets)
+
+    def m_lo(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["m"].to_numpy(np.int64)
+        v = v[np.isin(v >> RADIX_SHIFT, list(m_wanted))]
+        out = (pd.DataFrame({"v": v})
+               .groupby("v", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    h2 = (cust.map_batches(m_lo, batch_format="pandas")
+          .to_pandas().groupby("v", as_index=False)["n"].sum()
+          .sort_values("v").reset_index(drop=True))
+    vals, counts = h2["v"].to_numpy(), h2["n"].to_numpy()
+    m_edges = []
+    for hi, resid in m_targets:
+        msk = (vals >> RADIX_SHIFT) == hi
+        c = counts[msk].cumsum()
+        m_edges.append(int(vals[msk][int(np.searchsorted(c, resid))]))
+    m_edges = np.asarray(m_edges, dtype=np.int64)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        r = close - df["last_day"].to_numpy(np.int64)
+        f = df["f"].to_numpy(np.int64)
+        m = df["m"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "r_score": 1 + np.searchsorted(r_edges, r, side="left"),
+            "f_score": 1 + np.searchsorted(f_edges, f, side="left"),
+            "m_score": 1 + np.searchsorted(m_edges, m, side="left"),
+            "n": 1})
+        return (out.groupby(["r_score", "f_score", "m_score"],
+                            as_index=False)["n"].sum()
+                .astype("int64"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["r_score", "f_score", "m_score"],
+                          as_index=False)["n"].sum()
+               .rename(columns={"n": "n_customers"})
+               .sort_values(["r_score", "f_score", "m_score"])
+               .reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(
+        cust.map_batches(score, batch_format="pandas"), merge)
+
+
+RFM_SQL = """
+WITH close AS (
+  SELECT max(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000)
+    AS c FROM orders),
+cust AS (
+  SELECT o_custkey AS ck,
+         (SELECT c FROM close)
+         - max(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000)
+           AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS m
+  FROM orders GROUP BY 1),
+n AS (SELECT count(*) AS n FROM cust),
+re AS (SELECT r AS v, row_number() OVER (ORDER BY r) AS rn FROM cust),
+fe AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rn FROM cust),
+me AS (SELECT m AS v, row_number() OVER (ORDER BY m) AS rn FROM cust),
+qr AS (SELECT unnest([1, 2, 3, 4]) AS q),
+redge AS (SELECT v FROM re, n, qr WHERE rn = (q * n + 4) // 5),
+fedge AS (SELECT v FROM fe, n, qr WHERE rn = (q * n + 4) // 5),
+medge AS (SELECT v FROM me, n, qr WHERE rn = (q * n + 4) // 5),
+scored AS (
+  SELECT 1 + (SELECT count(*) FROM redge WHERE redge.v < cust.r)
+           AS r_score,
+         1 + (SELECT count(*) FROM fedge WHERE fedge.v < cust.f)
+           AS f_score,
+         1 + (SELECT count(*) FROM medge WHERE medge.v < cust.m)
+           AS m_score
+  FROM cust)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -14765,6 +14938,7 @@ QUERIES = {
     "vocab_zipf_spectrum": (vocab_zipf_spectrum, VOCAB_ZIPF_SQL),
     "orders_median_of_means": (orders_median_of_means, MOM_SQL),
     "orders_backlog_aging": (orders_backlog_aging, AGING_SQL),
+    "customer_rfm_segments": (customer_rfm_segments, RFM_SQL),
 }
 
 
