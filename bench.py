@@ -183,7 +183,11 @@ def run_bench() -> dict:
              ("vocab_zipf_spectrum", Q.vocab_zipf_spectrum),
              ("orders_median_of_means", Q.orders_median_of_means),
              ("orders_backlog_aging", Q.orders_backlog_aging),
-             ("customer_rfm_segments", Q.customer_rfm_segments)]
+             ("customer_rfm_segments", Q.customer_rfm_segments),
+             ("customer_pareto_concentration",
+              Q.customer_pareto_concentration),
+             ("events_session_lifetable",
+              Q.events_session_lifetable)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -14681,6 +14681,208 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def customer_pareto_concentration(sf_dir):
+    """Pareto 80/20 revenue-concentration audit — the SMALLEST number
+    of top customers whose lifetime revenue covers 80% of the total,
+    found WITHOUT ranking 10⁹ customers: a descending two-pass radix
+    walk (the selection machinery run top-down on mass instead of
+    bottom-up on count). Ties are value ties — within a tier of
+    equal lifetime revenue the crossing count is order-independent,
+    so SQL's row_number cumsum replays it exactly.
+
+    Scale shape: per-batch (custkey → cents) partials ride ONE
+    custkey-bucketed exchange; pass 2 histograms per-customer totals
+    into bounded high-bit bands (count + mass per band — a lossless
+    combiner), the driver walks bands top-down to the crossing band,
+    pass 3 histograms full values inside only that band; the final
+    tier arithmetic (j = ceil((target − mass_above)/v)) is exact
+    integers."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        p = (pd.DataFrame({"ck": t["o_custkey"].to_numpy(),
+                           "m": cents})
+             .groupby("ck", as_index=False)["m"].sum())
+        h = pd.util.hash_pandas_object(p["ck"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"ck": "int64", "m": "int64"})
+
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("ck", as_index=False)["m"].sum()
+                .astype("int64"))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_customer, batch_format="pandas")
+            .materialize())
+
+    def band_hist(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy(np.int64)
+        out = (pd.DataFrame({"band": m >> RADIX_SHIFT, "n": 1,
+                             "mass": m})
+               .groupby("band", as_index=False)
+               .agg(n=("n", "sum"), mass=("mass", "sum")))
+        return out.astype("int64")
+
+    h1 = (cust.map_batches(band_hist, batch_format="pandas")
+          .to_pandas()
+          .groupby("band", as_index=False)
+          .agg(n=("n", "sum"), mass=("mass", "sum"))
+          .sort_values("band", ascending=False)
+          .reset_index(drop=True))
+    total = int(h1["mass"].sum())
+    n_cust = int(h1["n"].sum())
+    target = (4 * total + 4) // 5  # ceil(0.8·T)
+    cum = h1["mass"].cumsum().to_numpy()
+    i = int(np.searchsorted(cum, target))
+    mass_above = int(cum[i - 1]) if i else 0
+    count_above = int(h1["n"].iloc[:i].sum())
+    band_sel = int(h1["band"].iloc[i])
+
+    def val_hist(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy(np.int64)
+        m = m[(m >> RADIX_SHIFT) == band_sel]
+        out = (pd.DataFrame({"v": m, "n": 1})
+               .groupby("v", as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    h2 = (cust.map_batches(val_hist, batch_format="pandas")
+          .to_pandas().groupby("v", as_index=False)["n"].sum()
+          .sort_values("v", ascending=False).reset_index(drop=True))
+    k, covered = count_above, mass_above
+    for v, n in zip(h2["v"].to_numpy(np.int64),
+                    h2["n"].to_numpy(np.int64)):
+        tier = int(v) * int(n)
+        if covered + tier >= target:
+            j = (target - covered + int(v) - 1) // int(v)
+            k += int(j)
+            covered += int(j) * int(v)
+            break
+        covered += tier
+        k += int(n)
+    return pd.DataFrame({
+        "n_customers": pd.Series([n_cust], dtype="int64"),
+        "top_k": pd.Series([k], dtype="int64"),
+        "covered_cents": pd.Series([covered], dtype="int64"),
+        "covered_permille": pd.Series([1000 * covered // total],
+                                      dtype="int64")})
+
+
+PARETO_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS m
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(m) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n FROM cust),
+r AS (
+  SELECT m, row_number() OVER (ORDER BY m DESC) AS rn,
+         sum(m) OVER (ORDER BY m DESC ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM cust),
+x AS (
+  SELECT min(rn) AS k FROM r, t
+  WHERE cum >= (4 * total + 4) // 5)
+SELECT (SELECT n FROM t) AS n_customers,
+       CAST((SELECT k FROM x) AS BIGINT) AS top_k,
+       CAST((SELECT cum FROM r WHERE rn = (SELECT k FROM x))
+            AS BIGINT) AS covered_cents,
+       CAST(1000 * (SELECT cum FROM r WHERE rn = (SELECT k FROM x))
+            // (SELECT total FROM t) AS BIGINT) AS covered_permille
+"""
+
+
+def events_session_lifetable(sf_dir):
+    """Survival-analysis life table of session durations — the
+    Kaplan-Meier INPUT (t, n_at_risk, n_ending): for every observed
+    duration (whole minutes), how many sessions last at least that
+    long and how many end exactly there. Retention teams read the
+    hazard d/n off this table; keeping it integer (counts, not the
+    KM product) is what lets both engines agree exactly.
+
+    Scale shape: sessions form in the events_sessions user-bucketed
+    exchange (same 30-min-gap, (ts, event_id) ordering convention);
+    each bucket emits its duration histogram (bounded: distinct
+    whole-minute durations) as additive partials, and the single
+    merge derives n_at_risk as the descending suffix cumsum — no
+    second pass, no sort exchange."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    GAP = pd.Timedelta(minutes=30)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def dur_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        d = g.groupby("user_id")["ts"].diff()
+        sid = (d.isna() | (d > GAP)).cumsum()
+        s = g.groupby(sid)["ts"].agg(["min", "max"])
+        # normalize to µs explicitly — Ray pandas blocks carry
+        # datetime64[us], a ns assumption silently floors to 0
+        lo = s["min"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hi = s["max"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dur = (hi - lo) // 60_000_000
+        out = (pd.DataFrame({"dur_min": dur})
+               .groupby("dur_min", as_index=False).size()
+               .rename(columns={"size": "n_ending"}))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(add_bucket, batch_format="pandas")
+                  .groupby("_bucket")
+                  .map_groups(dur_hist, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("dur_min", as_index=False)["n_ending"].sum()
+             .sort_values("dur_min", ascending=False)
+             .reset_index(drop=True))
+        g["n_at_risk"] = g["n_ending"].cumsum()
+        g = g.sort_values("dur_min").reset_index(drop=True)
+        return g[["dur_min", "n_at_risk", "n_ending"]].astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+LIFETABLE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)
+           AS session_no
+  FROM o),
+d AS (
+  SELECT (CAST(epoch_us(max(ts)) AS BIGINT)
+          - CAST(epoch_us(min(ts)) AS BIGINT)) // 60000000
+           AS dur_min
+  FROM s GROUP BY user_id, session_no),
+h AS (SELECT dur_min, CAST(count(*) AS BIGINT) AS n_ending
+      FROM d GROUP BY 1)
+SELECT dur_min,
+       CAST(sum(n_ending) OVER (ORDER BY dur_min DESC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+       n_ending
+FROM h ORDER BY dur_min
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -14939,6 +15141,10 @@ QUERIES = {
     "orders_median_of_means": (orders_median_of_means, MOM_SQL),
     "orders_backlog_aging": (orders_backlog_aging, AGING_SQL),
     "customer_rfm_segments": (customer_rfm_segments, RFM_SQL),
+    "customer_pareto_concentration": (customer_pareto_concentration,
+                                      PARETO_SQL),
+    "events_session_lifetable": (events_session_lifetable,
+                                 LIFETABLE_SQL),
 }
 
 
