@@ -14883,6 +14883,200 @@ FROM h ORDER BY dur_min
 """
 
 
+CHURN_WINDOW_HOURS = 12  # events span 30 days @ ~10 h/user gap —
+# a day-scale window labels nobody churned; 12 h gives 5/15 (sf0.001)
+# and 40/150 (sf0.01) churned, a usable class balance at every scale
+
+
+def user_churn_labels(sf_dir):
+    """Leakage-safe churn-label generation — the supervised-training
+    primitive every behavioral model needs (and the temporal twin of
+    orders_pit_dimension_join's rule): pin a cutoff at max(ts) − W,
+    build FEATURES strictly from events before the cutoff and
+    the LABEL strictly from the W window after it; a user is
+    churned iff active before and silent after. Output = the label
+    census per activity band (feature = floor(log₂ events-before),
+    the frexp/binary-length discipline) — the class-balance table a
+    trainer reads before sampling.
+
+    Scale shape: pass 1 is the zero-shuffle max-ts combiner; pass 2
+    emits per-batch (user → n_before, n_after) count partials
+    (lossless combiner) through ONE user-bucketed exchange, where
+    each bucket finalizes labels vectorized and emits bounded
+    (band, churned, n_users) cells; single merge."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def max_ts(t: pa.Table) -> pd.DataFrame:
+        ts = (t["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        return pd.DataFrame({"mx": pd.Series([int(ts.max())],
+                                             dtype="int64")})
+
+    cutoff = (int(ds.map_batches(max_ts, batch_format="pyarrow")
+                  .to_pandas()["mx"].max())
+              - CHURN_WINDOW_HOURS * 3_600_000_000)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        ts = (t["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        before = ts < cutoff
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy(),
+                           "nb": before.astype(np.int64),
+                           "na": (~before).astype(np.int64)})
+             .groupby("u", as_index=False)
+             .agg(nb=("nb", "sum"), na=("na", "sum")))
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "nb": "int64", "na": "int64"})
+
+    def bucket_labels(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby("u", as_index=False)
+             .agg(nb=("nb", "sum"), na=("na", "sum")))
+        a = a[a["nb"] > 0]  # users born inside the label window
+        nb = a["nb"].to_numpy(np.int64)  # have no feature history
+        band = np.frexp(nb.astype(np.float64))[1] - 1
+        churned = (a["na"].to_numpy(np.int64) == 0).astype(np.int64)
+        out = (pd.DataFrame({"band": band, "churned": churned,
+                             "n": 1})
+               .groupby(["band", "churned"], as_index=False)
+               ["n"].sum())
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_labels, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["band", "churned"], as_index=False)
+               ["n"].sum().rename(columns={"n": "n_users"})
+               .sort_values(["band", "churned"])
+               .reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+CHURN_SQL = """
+WITH cut AS (
+  SELECT max(CAST(epoch_us(ts) AS BIGINT)) - %d AS c FROM events),
+u AS (
+  SELECT user_id,
+         sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                  < (SELECT c FROM cut) THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                  >= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS na
+  FROM events GROUP BY 1),
+l AS (
+  SELECT length(bin(CAST(nb AS BIGINT))) - 1 AS band,
+         CASE WHEN na = 0 THEN 1 ELSE 0 END AS churned
+  FROM u WHERE nb > 0)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(churned AS BIGINT) AS churned,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM l GROUP BY 1, 2 ORDER BY 1, 2
+""" % (CHURN_WINDOW_HOURS * 3_600_000_000)
+
+
+def funnel_latency_median(sf_dir):
+    """Funnel step latency — the EXACT median seconds from a click
+    to the SAME user's next purchase (the as-of pairing of
+    events_asof_click_view, then the radix selection instead of a
+    percentile sort): product analytics' time-to-convert number.
+    Pairs = every click matched to the first purchase at or after it
+    (unmatched clicks drop out); latency floor-seconds; median by
+    rank (N+1)//2 — the engine-shared selection rule throughout.
+
+    Scale shape: (user, ts, kind) rows ride ONE user-bucketed
+    exchange; each bucket pairs vectorized (searchsorted of click
+    times into the user-offset purchase timeline — no per-user loop)
+    and emits its bounded latency histogram in SECONDS bands
+    directly (latencies ≤ the data span, so the full-value histogram
+    is the bounded combiner; no second radix pass needed); the merge
+    walks the histogram to the exact median and reports n_pairs."""
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        kind = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        m = (kind == "click") | (kind == "purchase")
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy()[m],
+            "ts": (t["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))[m],
+            "is_click": (kind[m] == "click").astype(np.int64)})
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "ts": "int64",
+                         "is_click": "int64"})
+
+    # ONE reversed minimum.accumulate pairs every user at once with
+    # no compound-key arithmetic (a u*2^52+ts axis overflows int64
+    # once user_id ≥ 2^11): sort by (u, ts, purchase-last) so user
+    # segments are contiguous, take each position's nearest purchase
+    # position at-or-after it GLOBALLY — contiguity guarantees that
+    # position is the same user's iff the user has a later purchase,
+    # so one same-user mask finishes the as-of join exactly.
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        isp = 1 - g["is_click"].to_numpy(np.int64)
+        order = np.lexsort((isp, ts, u))  # same-ts click before buy
+        u, ts, isp = u[order], ts[order], isp[order]
+        n = len(u)
+        pos = np.where(isp == 1, np.arange(n), n)
+        nxt = np.minimum.accumulate(pos[::-1])[::-1]
+        ick = isp == 0
+        j = nxt[ick]
+        ok = j < n
+        same = u[j[ok]] == u[ick][ok]
+        sec = (ts[j[ok]][same] - ts[ick][ok][same]) // 1_000_000
+        out = (pd.DataFrame({"sec": sec})
+               .groupby("sec", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_hist, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("sec", as_index=False)["n"].sum()
+             .sort_values("sec").reset_index(drop=True))
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        med = int(g["sec"].iloc[int(np.searchsorted(
+            cum, (n + 1) // 2))])
+        return pd.DataFrame({
+            "n_pairs": pd.Series([n], dtype="int64"),
+            "median_latency_sec": pd.Series([med], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+FUNNEL_LATENCY_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')),
+pairs AS (
+  SELECT c.t AS ct,
+         (SELECT min(p.t) FROM e p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND p.t >= c.t) AS pt
+  FROM e c WHERE c.event_type = 'click'),
+lat AS (
+  SELECT (pt - ct) // 1000000 AS sec FROM pairs WHERE pt IS NOT NULL),
+n AS (SELECT count(*) AS n FROM lat)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_pairs,
+       CAST((SELECT sec FROM
+              (SELECT sec, row_number() OVER (ORDER BY sec) AS rn
+               FROM lat), n
+             WHERE rn = (n + 1) // 2) AS BIGINT)
+         AS median_latency_sec
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -15145,6 +15339,9 @@ QUERIES = {
                                       PARETO_SQL),
     "events_session_lifetable": (events_session_lifetable,
                                  LIFETABLE_SQL),
+    "user_churn_labels": (user_churn_labels, CHURN_SQL),
+    "funnel_latency_median": (funnel_latency_median,
+                              FUNNEL_LATENCY_SQL),
 }
 
 
