@@ -15277,6 +15277,163 @@ FROM r ORDER BY brand
 """ % (NEYMAN_BUDGET, NEYMAN_BUDGET, NEYMAN_BUDGET)
 
 
+def vocab_heaps_curve(sf_dir):
+    """Heaps'-law vocabulary-growth curve (Heaps '78 — the corpus-
+    scaling companion to vocab_zipf_spectrum's frequency spectrum):
+    distinct-vocabulary size after the first k documents, for k on a
+    power-of-two ladder plus N. The sequential-looking "distinct so
+    far" is really first-occurrence arithmetic — a term counts
+    toward vocab(k) iff min(doc_id) < k — so the curve distributes
+    as a min-combiner, not a scan. Uses the zipf query's augmented
+    token stream (doc tokens + the planted z_j power-law family) so
+    the curve is non-degenerate: z_j contributes min(2^j, k) terms
+    at prefix k, a true sublinear growth both engines replay.
+
+    Scale shape: per-batch term→min(doc_id) partials (idempotent
+    min combiner) ride ONE term-hash-bucketed exchange; each bucket
+    compares its finalized first-occurrences against the ≤64-rung
+    broadcast ladder and emits bounded (k, n) cells; single merge."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W = _exchange_buckets(sf_dir)
+
+    def mx(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"mx": pd.Series(
+            [int(t["doc_id"].to_numpy().max())], dtype="int64")})
+
+    n_docs = int(ds.map_batches(mx, batch_format="pyarrow")
+                 .to_pandas()["mx"].max()) + 1
+    ladder = sorted({1 << i for i in range(64) if (1 << i) < n_docs}
+                    | {n_docs})
+
+    def term_first(t: pa.Table) -> pd.DataFrame:
+        firsts: dict = {}
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            for tok in (txt or "").split(" "):
+                if firsts.get(tok, n_docs) > did:
+                    firsts[tok] = did
+            for j in range(ZIPF_J):
+                tok = "z%d_%d" % (j, did % (1 << j))
+                if firsts.get(tok, n_docs) > did:
+                    firsts[tok] = did
+        df = pd.DataFrame({"term": list(firsts.keys()),
+                           "fd": np.fromiter(firsts.values(),
+                                             np.int64, len(firsts))})
+        h = pd.util.hash_pandas_object(df["term"], index=False).values
+        df["_bucket"] = (h % np.uint64(W)).astype("int32")
+        return df
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("term")["fd"].min().to_numpy(np.int64)
+        return pd.DataFrame({
+            "prefix_docs": np.asarray(ladder, dtype=np.int64),
+            "n": [int((fd < k).sum()) for k in ladder]}).astype(
+                "int64")
+
+    per_bucket = (ds.map_batches(term_first, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_counts, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("prefix_docs", as_index=False)["n"].sum()
+               .rename(columns={"n": "vocab_size"})
+               .sort_values("prefix_docs").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+_HEAPS_AUG = "text || " + " || ".join(
+    "' z%d_' || CAST(doc_id %% %d AS VARCHAR)" % (j, 1 << j)
+    for j in range(ZIPF_J))
+
+HEAPS_SQL = """
+WITH aug AS (SELECT doc_id, %s AS text FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM aug),
+tf AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+lad AS (
+  SELECT DISTINCT k FROM (
+    SELECT CAST(power(2, i) AS BIGINT) AS k
+    FROM (SELECT unnest(generate_series(0, 50)) AS i), nd
+    WHERE power(2, i) < n
+    UNION ALL SELECT n FROM nd))
+SELECT CAST(k AS BIGINT) AS prefix_docs,
+       CAST((SELECT count(*) FROM tf WHERE fd < lad.k) AS BIGINT)
+         AS vocab_size
+FROM lad ORDER BY 1
+""" % _HEAPS_AUG
+
+
+def user_event_gini_impurity(sf_dir):
+    """Behavioral-diversity census — Gini impurity of each user's
+    event-type mix, kept EXACT as the rational 1 − Σ(cᵢ/n)² reported
+    in floored permille: impurity = (1000·(n² − Σcᵢ²)) // n². The
+    segmentation complement to customer_rfm_segments: 0‰ = single-
+    minded users, →800‰ = uniform over the 5 event types. Output is
+    the n_users histogram per distinct impurity value (≤1001 cells).
+
+    Scale shape: per-batch (user, type → n) count partials (lossless
+    combiner) ride ONE user-bucketed exchange; each bucket finalizes
+    Σcᵢ² per user vectorized (sort-free: groupby-sum of squares) and
+    emits bounded impurity-cell partials; single merge. n² fits
+    int64 to 3·10⁹ events per user."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy(),
+                           "k": t["event_type"].to_pylist(), "n": 1})
+             .groupby(["u", "k"], as_index=False)["n"].sum())
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "n": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["u", "k"], as_index=False)["n"].sum()
+        per_u = (a.assign(sq=a["n"] * a["n"])
+                 .groupby("u", as_index=False)
+                 .agg(n=("n", "sum"), sq=("sq", "sum")))
+        n = per_u["n"].to_numpy(np.int64)
+        sq = per_u["sq"].to_numpy(np.int64)
+        imp = 1000 * (n * n - sq) // (n * n)
+        out = (pd.DataFrame({"impurity_permille": imp})
+               .groupby("impurity_permille", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("impurity_permille", as_index=False)
+               ["n_users"].sum()
+               .sort_values("impurity_permille")
+               .reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+GINI_IMPURITY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+u AS (
+  SELECT user_id, sum(n) AS n, sum(n * n) AS sq
+  FROM c GROUP BY 1),
+i AS (
+  SELECT CAST(1000 * (n * n - sq) // (n * n) AS BIGINT)
+           AS impurity_permille
+  FROM u)
+SELECT impurity_permille, CAST(count(*) AS BIGINT) AS n_users
+FROM i GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -15544,6 +15701,9 @@ QUERIES = {
                               FUNNEL_LATENCY_SQL),
     "orders_price_drift": (orders_price_drift, DRIFT_SQL),
     "part_neyman_allocation": (part_neyman_allocation, NEYMAN_SQL),
+    "vocab_heaps_curve": (vocab_heaps_curve, HEAPS_SQL),
+    "user_event_gini_impurity": (user_event_gini_impurity,
+                                 GINI_IMPURITY_SQL),
 }
 
 
