@@ -15434,6 +15434,172 @@ FROM i GROUP BY 1 ORDER BY 1
 """
 
 
+def _auc_score_hist(sf_dir):
+    """Shared bounded (score, label) histogram for the model-eval
+    operators: a PLANTED noisy scorer s = 8·[returnflag='R'] +
+    orderkey%20 over lineitem (the synthesizer draws returnflag
+    independently of every numeric column — measured corr ≈ 0 — so a
+    non-degenerate evaluation needs a planted signal, the
+    vocab_zipf_spectrum / dup_passages precedent; in production the
+    score column is a real model output and this stage is a pruned
+    two-column read). Score domain is bounded (0..27), so the
+    histogram is a ≤56-cell lossless per-batch combiner — zero
+    shuffle, one merge block."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        okey = t["l_orderkey"].to_numpy()
+        y = (pc.equal(t["l_returnflag"], pa.scalar("R"))
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        s = 8 * y + okey % 20
+        out = (pd.DataFrame({"s": s, "y": y, "n": 1})
+               .groupby(["s", "y"], as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _auc_cells(df: pd.DataFrame) -> pd.DataFrame:
+    """Fold histogram partials into one ascending-score frame with
+    (np_, nn, cum_nn_below, cum_np_from) columns."""
+    g = (df.groupby(["s", "y"], as_index=False)["n"].sum()
+         .pivot_table(index="s", columns="y", values="n",
+                      fill_value=0, aggfunc="sum")
+         .reindex(columns=[0, 1], fill_value=0)
+         .rename(columns={0: "nn", 1: "np_"})
+         .reset_index().sort_values("s").reset_index(drop=True))
+    return g.astype("int64")
+
+
+def lineitem_model_auc(sf_dir):
+    """Exact ROC-AUC of a scorer against a binary label — the
+    model-evaluation primitive, computed as the Mann-Whitney U
+    statistic with MIDRANK tie handling kept integer by doubling:
+    2U = Σ_s n_pos(s)·(2·n_neg(<s) + n_neg(s)), AUC = U/(n_pos·n_neg)
+    reported as the floored ppm 10⁶·2U // (2·n_pos·n_neg), plus the
+    Gini coefficient 2·AUC−1 in the same grid. Ties matter: the
+    planted scorer has heavy overlap (score 8..19 reachable from both
+    classes), so an implementation that ignores midranks is visibly
+    wrong. Final arithmetic runs in Python ints (2U outgrows int64
+    near 10¹⁰ rows); SQL replays in HUGEINT.
+
+    Scale shape: bounded ≤56-cell (score, label) count partials —
+    lossless combiner, zero shuffle, one merge block; the score
+    column never enters an exchange."""
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = _auc_cells(df)
+        npos = [int(v) for v in g["np_"]]
+        nneg = [int(v) for v in g["nn"]]
+        tp, tn = sum(npos), sum(nneg)
+        u2, below = 0, 0
+        for p, q in zip(npos, nneg):
+            u2 += p * (2 * below + q)
+            below += q
+        auc = 1_000_000 * u2 // max(2 * tp * tn, 1)
+        return pd.DataFrame({"auc_ppm": [auc],
+                             "gini_ppm": [2 * auc - 1_000_000],
+                             "n_pos": [tp], "n_neg": [tn]}
+                            ).astype("int64")
+
+    return _merge_partials(_auc_score_hist(sf_dir), merge)
+
+
+MODEL_AUC_SQL = """
+WITH s AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         8 * CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+           + l_orderkey % 20 AS s
+  FROM lineitem),
+h AS (SELECT s, CAST(sum(y) AS BIGINT) AS np_,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM s GROUP BY 1),
+w AS (SELECT s, np_, nn,
+             coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS below
+      FROM h),
+t AS (SELECT CAST(sum(np_ * (2 * below + nn)) AS HUGEINT) AS u2,
+             CAST(sum(np_) AS HUGEINT) AS tp,
+             CAST(sum(nn) AS HUGEINT) AS tn
+      FROM w)
+SELECT CAST(1000000 * u2 // greatest(2 * tp * tn, 1) AS BIGINT)
+         AS auc_ppm,
+       CAST(2 * (1000000 * u2 // greatest(2 * tp * tn, 1))
+            - 1000000 AS BIGINT) AS gini_ppm,
+       CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg
+FROM t
+"""
+
+
+def lineitem_pr_curve(sf_dir):
+    """Precision-recall / F1 threshold sweep — the operating-point
+    table a deployment reads to pick its classification threshold:
+    for every threshold t in the bounded score domain, predict
+    positive iff score ≥ t and report the exact confusion counts plus
+    floored-permille precision, recall and F1 (F1 = 2000·tp //
+    (2·tp + fp + fn) — the harmonic mean kept in one integer
+    division). Same planted scorer as lineitem_model_auc, so the
+    sweep shows the full tradeoff: t=0 is recall 1000‰, t=20 is
+    precision 1000‰ (scores ≥20 are reachable only via the +8 class
+    shift).
+
+    Scale shape: the same ≤56-cell zero-shuffle histogram; the sweep
+    is suffix cumsums over ≤28 thresholds in the single merge
+    block."""
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = _auc_cells(df)
+        tp_tot, tn_tot = int(g["np_"].sum()), int(g["nn"].sum())
+        # suffix sums: predictions positive at threshold t are rows
+        # with score >= t
+        np_arr = g["np_"].to_numpy(np.int64)
+        nn_arr = g["nn"].to_numpy(np.int64)
+        tp = np_arr[::-1].cumsum()[::-1]
+        fp = nn_arr[::-1].cumsum()[::-1]
+        fn = tp_tot - tp
+        tn = tn_tot - fp
+        prec = 1000 * tp // np.maximum(tp + fp, 1)
+        rec = 1000 * tp // max(tp_tot, 1)
+        f1 = 2000 * tp // np.maximum(2 * tp + fp + fn, 1)
+        out = pd.DataFrame({"threshold": g["s"], "tp": tp, "fp": fp,
+                            "fn": fn, "tn": tn,
+                            "precision_permille": prec,
+                            "recall_permille": rec,
+                            "f1_permille": f1})
+        return out.sort_values("threshold").reset_index(drop=True) \
+                  .astype("int64")
+
+    return _merge_partials(_auc_score_hist(sf_dir), merge)
+
+
+PR_CURVE_SQL = """
+WITH s AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         8 * CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+           + l_orderkey % 20 AS s
+  FROM lineitem),
+h AS (SELECT s, CAST(sum(y) AS BIGINT) AS np_,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM s GROUP BY 1),
+t AS (SELECT CAST(sum(np_) AS BIGINT) AS tp_tot,
+             CAST(sum(nn) AS BIGINT) AS tn_tot FROM h),
+w AS (SELECT s AS threshold,
+             CAST(sum(np_) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+             CAST(sum(nn) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+      FROM h)
+SELECT threshold, tp, fp,
+       CAST(t.tp_tot - tp AS BIGINT) AS fn,
+       CAST(t.tn_tot - fp AS BIGINT) AS tn,
+       CAST(1000 * tp // greatest(tp + fp, 1) AS BIGINT)
+         AS precision_permille,
+       CAST(1000 * tp // greatest(t.tp_tot, 1) AS BIGINT)
+         AS recall_permille,
+       CAST(2000 * tp // greatest(2 * tp + fp + (t.tp_tot - tp), 1)
+            AS BIGINT) AS f1_permille
+FROM w, t ORDER BY threshold
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -15704,6 +15870,8 @@ QUERIES = {
     "vocab_heaps_curve": (vocab_heaps_curve, HEAPS_SQL),
     "user_event_gini_impurity": (user_event_gini_impurity,
                                  GINI_IMPURITY_SQL),
+    "lineitem_model_auc": (lineitem_model_auc, MODEL_AUC_SQL),
+    "lineitem_pr_curve": (lineitem_pr_curve, PR_CURVE_SQL),
 }
 
 
