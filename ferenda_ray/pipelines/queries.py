@@ -15600,6 +15600,86 @@ FROM w, t ORDER BY threshold
 """
 
 
+def events_chi2_independence(sf_dir):
+    """Chi-square independence audit of event type × hour-of-day —
+    the feature-independence check run before treating a categorical
+    pair as uncorrelated (and the contingency companion to
+    orders_price_drift's two-sample tests). The statistic is kept
+    cross-engine exact by DEFINING it cell-floored: each of the
+    (observed-type × observed-hour) cells contributes
+    floor(1000·(N·n_ij − r_i·c_j)² / (N·r_i·c_j)) — the classic
+    (O−E)²/E with both sides multiplied through by N so no float
+    expected-count ever exists — and the report is each type's milli
+    contribution summed over its 24 hour cells (the per-feature-value
+    attribution a drift dashboard plots). Zero-observed cells of the
+    dense margin cross DO contribute (n=0 ⇒ 1000·r·c // N), the
+    textbook requirement a sparse groupby silently violates. On this
+    synthesizer types and hours are independent by construction, so
+    the audit correctly reports noise-level values — the exact noise
+    is the data.
+
+    Scale shape: bounded ≤120-cell (type, hour) count partials —
+    lossless per-batch combiner, zero shuffle; the single merge block
+    densifies the margin cross and runs the quadratic arithmetic in
+    Python ints ((N·n)² outgrows int64 past ~3·10⁹ events; SQL
+    replays in HUGEINT)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        hrs = (t["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 3_600_000_000) % 24
+        out = (pd.DataFrame({"t": t["event_type"].to_pylist(),
+                             "h": hrs, "n": 1})
+               .groupby(["t", "h"], as_index=False)["n"].sum())
+        return out.astype({"h": "int64", "n": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.groupby(["t", "h"], as_index=False)["n"].sum()
+        obs = {(r.t, int(r.h)): int(r.n) for r in b.itertuples()}
+        rmarg = b.groupby("t")["n"].sum().to_dict()
+        cmarg = b.groupby("h")["n"].sum().to_dict()
+        N = int(b["n"].sum())
+        rows = []
+        for t, rn in sorted(rmarg.items()):
+            chi = 0
+            for h, cn in cmarg.items():
+                n = obs.get((t, int(h)), 0)
+                dev = N * n - int(rn) * int(cn)
+                chi += 1000 * dev * dev // (N * int(rn) * int(cn))
+            rows.append((t, int(rn), chi))
+        return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                           "chi2_milli"]
+                            ).astype({"n_events": "int64",
+                                      "chi2_milli": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+EVENTS_CHI2_SQL = """
+WITH b AS (
+  SELECT event_type AS t,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT t, CAST(sum(n) AS BIGINT) AS rn FROM b GROUP BY 1),
+c AS (SELECT h, CAST(sum(n) AS BIGINT) AS cn FROM b GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nt FROM b),
+d AS (SELECT r.t, r.rn, c.cn, coalesce(b.n, 0) AS n
+      FROM r CROSS JOIN c
+      LEFT JOIN b ON b.t = r.t AND b.h = c.h),
+cell AS (
+  SELECT t, rn,
+         1000 * (tot.nt * n - CAST(rn AS HUGEINT) * cn)
+              * (tot.nt * n - CAST(rn AS HUGEINT) * cn)
+           // (tot.nt * rn * cn) AS chi
+  FROM d, tot)
+SELECT t AS event_type, rn AS n_events,
+       CAST(sum(chi) AS BIGINT) AS chi2_milli
+FROM cell GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -15872,6 +15952,8 @@ QUERIES = {
                                  GINI_IMPURITY_SQL),
     "lineitem_model_auc": (lineitem_model_auc, MODEL_AUC_SQL),
     "lineitem_pr_curve": (lineitem_pr_curve, PR_CURVE_SQL),
+    "events_chi2_independence": (events_chi2_independence,
+                                 EVENTS_CHI2_SQL),
 }
 
 
