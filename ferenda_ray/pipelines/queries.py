@@ -15680,6 +15680,133 @@ FROM cell GROUP BY 1, 2 ORDER BY 1
 """
 
 
+def basket_rule_lift(sf_dir):
+    """Association-rule strength mining — the step AFTER
+    basket_part_pairs's support counting: the top-20 part pairs by
+    exact LIFT (T·n_ab / (n_a·n_b), >1 = bought together more than
+    independence predicts), reported with both directed confidences,
+    everything in floored integer grids (lift_ppm = 10⁶·T·n_ab //
+    (n_a·n_b); conf = 1000·n_ab // n_a) so ranking and ties replay
+    bit-for-bit in SQL. Raw lift explodes on singleton pairs, so the
+    rule universe is support ≥ BASKET_MINSUP — the standard A-Priori
+    pruning.
+
+    Scale shape: item supports n_a and the basket count T live on the
+    SMALL side (the part dimension), so they materialize once through
+    the okey-bucketed exchange (batch-local distinct combiner; an
+    order lives in exactly one bucket, so per-bucket item counts are
+    additive) and BROADCAST into the pair ranking. Pairs ride the
+    basket_part_pairs two-exchange shape — okey buckets self-join
+    baskets, a second pair-hash exchange totals support, prunes
+    minsup and scores lift map-side of the merge (a pair finalizes in
+    exactly one bucket, so per-bucket top-k is exact); the bounded
+    merge takes the global top-20 by (lift_ppm desc, p1, p2).
+    10⁶·T·n_ab outgrows int64 near 10¹³ baskets — Python ints in the
+    scorer, HUGEINT in SQL."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "pkey": t["l_partkey"].to_numpy()})
+        df = df.drop_duplicates()
+        h = pd.util.hash_pandas_object(df["okey"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    # pass 1: the small dimension — per-item basket counts + T,
+    # additive over okey buckets because a basket lives in one bucket
+    def bucket_items(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["okey", "pkey"]].drop_duplicates()
+        out = (g.groupby("pkey", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out = pd.concat(
+            [out, pd.DataFrame({"pkey": [-1],
+                                "n": [g["okey"].nunique()]})],
+            ignore_index=True)
+        return out.astype("int64")
+
+    item_rows = (li.map_batches(prep, batch_format="pyarrow")
+                 .groupby("_bucket")
+                 .map_groups(bucket_items, batch_format="pandas")
+                 .groupby("pkey").sum("n").to_pandas())
+    counts = dict(zip(item_rows["pkey"].astype(int),
+                      item_rows["sum(n)"].astype(int)))
+    n_baskets = counts.pop(-1)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["okey", "pkey"]].drop_duplicates()
+        j = g.merge(g, on="okey")
+        j = j[j["pkey_x"] < j["pkey_y"]]
+        out = (j.groupby(["pkey_x", "pkey_y"], as_index=False).size()
+               .rename(columns={"pkey_x": "p1", "pkey_y": "p2",
+                                "size": "support"}))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(
+            out["p1"] * np.int64(1_000_003) + out["p2"],
+            index=False).values
+        out["_b2"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p1", "p2"], as_index=False)["support"].sum()
+        g = g[g["support"] >= BASKET_MINSUP]
+        rows = []
+        for p1, p2, sup in g.itertuples(index=False):
+            na, nb = counts[int(p1)], counts[int(p2)]
+            lift = 1_000_000 * n_baskets * int(sup) // (na * nb)
+            rows.append((int(p1), int(p2), int(sup), lift,
+                         1000 * int(sup) // na, 1000 * int(sup) // nb))
+        out = pd.DataFrame(rows, columns=["p1", "p2", "support",
+                                          "lift_ppm",
+                                          "conf12_permille",
+                                          "conf21_permille"])
+        out = (out.sort_values(["lift_ppm", "p1", "p2"],
+                               ascending=[False, True, True])
+               .head(BASKET_TOPK))
+        return out.astype("int64")
+
+    per_pair = (li.map_batches(prep, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(bucket_pairs, batch_format="pandas")
+                .groupby("_b2")
+                .map_groups(bucket_score, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["lift_ppm", "p1", "p2"],
+                               ascending=[False, True, True])
+                .head(BASKET_TOPK).reset_index(drop=True)
+                .astype("int64"))
+
+    return _merge_partials(per_pair, final)
+
+
+BASKET_LIFT_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (SELECT CAST(count(DISTINCT l_orderkey) AS HUGEINT) AS nb
+      FROM b),
+i AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS support
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= %d)
+SELECT CAST(p.p1 AS BIGINT) AS p1, CAST(p.p2 AS BIGINT) AS p2,
+       p.support,
+       CAST(1000000 * t.nb * p.support
+            // (CAST(ia.n AS HUGEINT) * ib.n) AS BIGINT) AS lift_ppm,
+       CAST(1000 * p.support // ia.n AS BIGINT) AS conf12_permille,
+       CAST(1000 * p.support // ib.n AS BIGINT) AS conf21_permille
+FROM p, t
+JOIN i ia ON ia.l_partkey = p.p1
+JOIN i ib ON ib.l_partkey = p.p2
+ORDER BY lift_ppm DESC, p1, p2 LIMIT %d
+""" % (BASKET_MINSUP, BASKET_TOPK)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -15954,6 +16081,7 @@ QUERIES = {
     "lineitem_pr_curve": (lineitem_pr_curve, PR_CURVE_SQL),
     "events_chi2_independence": (events_chi2_independence,
                                  EVENTS_CHI2_SQL),
+    "basket_rule_lift": (basket_rule_lift, BASKET_LIFT_SQL),
 }
 
 
