@@ -15975,6 +15975,95 @@ FROM e
 """
 
 
+def kg_transitivity(sf_dir):
+    """Global clustering coefficient (transitivity) of the
+    co-citation graph — the one-number cohesion summary next to
+    kg_cocite_triangles' per-node counts: C = 3·triangles / wedges,
+    wedges = Σ_v d_v(d_v−1)/2, reported as the floored permille
+    1000·Σ_v tri_v // wedges (Σ_v tri_v is already 3T because each
+    triangle is counted at its three corners). A bibliometric
+    network's transitivity >> a random graph's is the small-world
+    signature (Watts-Strogatz '98).
+
+    Scale shape: rides the existing distributed machinery whole —
+    cocitation_pairs (two bucketed exchanges, hub-capped),
+    triangle_counts (wedge join + closing-edge semi-join),
+    graph.degrees (node-bucketed exchange of count partials); each
+    side reduces to a bounded scalar partial and only those scalars
+    reach the driver. Final quotient in Python ints (Σd² outgrows
+    int64 past ~10⁹-degree hubs)."""
+    from ..stages import graph
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir)).materialize()
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())])})
+
+    deg = graph.degrees(pairs.map_batches(flat_nodes,
+                                          batch_format="pyarrow"),
+                        "node")
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].to_numpy(np.int64)
+        return pd.DataFrame({"n_nodes": [len(d)],
+                             "wedges2": [int((d * (d - 1)).sum())]}
+                            ).astype("int64")
+
+    deg_tot = (deg.map_batches(deg_partial, batch_format="pandas")
+               .to_pandas().sum())
+    n_nodes, wedges = int(deg_tot["n_nodes"]), int(deg_tot["wedges2"]) // 2
+
+    tri_tot = (graph.triangle_counts(pairs)
+               .map_batches(lambda df: pd.DataFrame(
+                   {"t3": [int(df["n_triangles"].sum())]}),
+                   batch_format="pandas")
+               .to_pandas()["t3"].sum())
+    n_edges = pairs.count()
+
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_nodes], dtype="int64"),
+        "n_edges": pd.Series([int(n_edges)], dtype="int64"),
+        "n_wedges": pd.Series([wedges], dtype="int64"),
+        "n_triangles": pd.Series([int(tri_tot) // 3], dtype="int64"),
+        "transitivity_permille": pd.Series(
+            [1000 * int(tri_tot) // max(wedges, 1)], dtype="int64")})
+
+
+KG_TRANSITIVITY_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+pairs AS (
+  SELECT DISTINCT e1.dst AS a, e2.dst AS b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM pairs
+        UNION ALL SELECT b FROM pairs)
+  GROUP BY node),
+tri AS (
+  SELECT p1.a, p1.b, p2.b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.a = p1.b
+  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+agg AS (
+  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM pairs) AS n_edges,
+         (SELECT CAST(sum(d * (d - 1)) AS HUGEINT) // 2 FROM deg)
+           AS n_wedges,
+         (SELECT count(*) FROM tri) AS n_triangles)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(1000 * 3 * CAST(n_triangles AS HUGEINT)
+            // greatest(n_wedges, 1) AS BIGINT)
+         AS transitivity_permille
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -16254,6 +16343,7 @@ QUERIES = {
                                   JACKKNIFE_SQL),
     "orders_forecast_backtest": (orders_forecast_backtest,
                                  FORECAST_BACKTEST_SQL),
+    "kg_transitivity": (kg_transitivity, KG_TRANSITIVITY_SQL),
 }
 
 
