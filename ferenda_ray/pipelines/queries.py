@@ -16064,6 +16064,104 @@ FROM agg
 """
 
 
+GINI_BAND_CENTS = 100_000  # $1,000 revenue bins
+
+
+def customer_revenue_gini(sf_dir):
+    """Gini coefficient of customer revenue — the Lorenz-curve
+    inequality number completing the concentration triad
+    (customer_pareto_concentration = smallest 80% cover,
+    brand_revenue_hhi = Herfindahl, this = Gini). Exact Gini needs
+    every rank, so the statistic is DEFINED on $1,000-binned revenue
+    (the orders_price_drift binning precedent — binned Gini is the
+    exact Gini of the banded values, well-defined identically in both
+    engines): G = Σ_{i<j} n_i·n_j·(b_j−b_i) / (N·Σ n_b·b), computed
+    from ascending-band cumsums and floored to permille. Only
+    ordering customers exist in the fact table, so the population is
+    'customers with ≥1 order' — stated, not hidden.
+
+    Scale shape: per-batch (custkey → cents) partials (lossless
+    combiner) ride ONE custkey-bucketed exchange; each bucket bands
+    its finalized customers into bounded (band, n) cells (a customer
+    lives in one bucket, so cells are additive); the single merge
+    runs the pairwise-difference cumsum in Python ints (n_i·n_j·Δb
+    outgrows int64 past ~10⁹ customers)."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        p = (pd.DataFrame({"c": t["o_custkey"].to_numpy(),
+                           "cents": cents})
+             .groupby("c", as_index=False)["cents"].sum())
+        h = pd.util.hash_pandas_object(p["c"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"c": "int64", "cents": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_bands(g: pd.DataFrame) -> pd.DataFrame:
+        per_c = g.groupby("c", as_index=False)["cents"].sum()
+        band = per_c["cents"].to_numpy(np.int64) // GINI_BAND_CENTS
+        out = (pd.DataFrame({"band": band})
+               .groupby("band", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_bands, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df.groupby("band", as_index=False)["n"].sum()
+             .sort_values("band").reset_index(drop=True))
+        bands = [int(v) for v in b["band"]]
+        ns = [int(v) for v in b["n"]]
+        num, cn, cs = 0, 0, 0
+        for band, n in zip(bands, ns):
+            num += n * (band * cn - cs)
+            cn += n
+            cs += band * n
+        return pd.DataFrame({
+            "n_customers": pd.Series([cn], dtype="int64"),
+            "n_bands": pd.Series([len(bands)], dtype="int64"),
+            "gini_permille": pd.Series(
+                [1000 * num // max(cn * cs, 1)], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+CUSTOMER_GINI_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+b AS (SELECT cents // %d AS band, CAST(count(*) AS BIGINT) AS n
+      FROM r GROUP BY 1),
+w AS (SELECT band, n,
+             coalesce(sum(n) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cn,
+             coalesce(sum(band * n) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cs
+      FROM b),
+agg AS (SELECT CAST(sum(n * (band * cn - cs)) AS HUGEINT) AS num,
+               CAST(sum(n) AS HUGEINT) AS nt,
+               CAST(sum(band * n) AS HUGEINT) AS sb,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM w)
+SELECT CAST(nt AS BIGINT) AS n_customers,
+       nb AS n_bands,
+       CAST(1000 * num // greatest(nt * sb, 1) AS BIGINT)
+         AS gini_permille
+FROM agg
+""" % GINI_BAND_CENTS
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -16344,6 +16442,8 @@ QUERIES = {
     "orders_forecast_backtest": (orders_forecast_backtest,
                                  FORECAST_BACKTEST_SQL),
     "kg_transitivity": (kg_transitivity, KG_TRANSITIVITY_SQL),
+    "customer_revenue_gini": (customer_revenue_gini,
+                              CUSTOMER_GINI_SQL),
 }
 
 
