@@ -1,0 +1,221 @@
+"""Property tests for the session-14 evaluation/statistics operators:
+each distributed result is pinned against an independent brute-force
+recomputation on the same sf0.001 input (the SQL-parity harness checks
+engine agreement; these check the MATH). The brute forces deliberately
+use different algorithms from both engines — O(n²) pairwise loops,
+per-row Python iteration, set-based triangle enumeration — so a shared
+algorithmic mistake cannot pass."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _to_pd(obj):
+    return obj if isinstance(obj, pd.DataFrame) else obj.to_pandas()
+
+
+def _scores_labels():
+    t = pq.read_table(SF + "/lineitem.parquet",
+                      columns=["l_orderkey", "l_returnflag"])
+    y = (np.asarray(t["l_returnflag"].to_pylist()) == "R").astype(int)
+    s = 8 * y + t["l_orderkey"].to_numpy() % 20
+    return s, y
+
+
+def test_auc_matches_pairwise_brute_force(ray_session):
+    """AUC == the literal definition: over ALL (pos, neg) pairs,
+    count score_pos > score_neg as 1 and ties as ½ (doubled to stay
+    integer) — an O(n_pos·n_neg) loop via bincount comparison neither
+    engine runs."""
+    from ferenda_ray.pipelines.queries import lineitem_model_auc
+
+    out = _to_pd(lineitem_model_auc(SF)).iloc[0]
+    s, y = _scores_labels()
+    pos, neg = s[y == 1], s[y == 0]
+    u2 = 0
+    for p in pos:  # per-positive Python loop
+        u2 += 2 * int((neg < p).sum()) + int((neg == p).sum())
+    auc = 1_000_000 * u2 // (2 * len(pos) * len(neg))
+    assert int(out["auc_ppm"]) == auc
+    assert int(out["n_pos"]) == len(pos)
+    assert int(out["gini_ppm"]) == 2 * auc - 1_000_000
+    # the planted signal must be visible and imperfect
+    assert 700_000 < auc < 950_000
+
+
+def test_pr_curve_matches_per_threshold_loop(ray_session):
+    from ferenda_ray.pipelines.queries import lineitem_pr_curve
+
+    out = _to_pd(lineitem_pr_curve(SF)).set_index("threshold")
+    s, y = _scores_labels()
+    for t in sorted(set(s)):
+        pred = s >= t
+        tp = int((pred & (y == 1)).sum())
+        fp = int((pred & (y == 0)).sum())
+        fn = int((~pred & (y == 1)).sum())
+        row = out.loc[t]
+        assert (int(row["tp"]), int(row["fp"]), int(row["fn"])) == \
+            (tp, fp, fn)
+        assert int(row["f1_permille"]) == 2000 * tp // (2 * tp + fp + fn)
+    # monotone: recall non-increasing in threshold
+    rec = out.sort_index()["recall_permille"].to_numpy()
+    assert (np.diff(rec) <= 0).all()
+
+
+def test_chi2_matches_dense_contingency(ray_session):
+    """Per-type chi² == a dict-based dense-margin recomputation, and
+    the conservation property: every (type, hour) cell of the cross
+    appears exactly once including zero-observed cells."""
+    from ferenda_ray.pipelines.queries import events_chi2_independence
+
+    out = _to_pd(events_chi2_independence(SF)).set_index("event_type")
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["ts", "event_type"])
+    hrs = (t["ts"].to_numpy().astype("datetime64[us]")
+           .astype(np.int64) // 3_600_000_000) % 24
+    types = t["event_type"].to_pylist()
+    obs = {}
+    for ty, h in zip(types, hrs):  # per-row loop
+        obs[(ty, int(h))] = obs.get((ty, int(h)), 0) + 1
+    rm, cm = {}, {}
+    for (ty, h), n in obs.items():
+        rm[ty] = rm.get(ty, 0) + n
+        cm[h] = cm.get(h, 0) + n
+    N = sum(rm.values())
+    for ty, rn in rm.items():
+        chi = 0
+        for h, cn in cm.items():
+            n = obs.get((ty, h), 0)
+            dev = N * n - rn * cn
+            chi += 1000 * dev * dev // (N * rn * cn)
+        assert int(out.loc[ty, "chi2_milli"]) == chi
+        assert int(out.loc[ty, "n_events"]) == rn
+
+
+def test_jackknife_matches_group_loop(ray_session):
+    from ferenda_ray.pipelines.queries import (MOM_GROUPS,
+                                               orders_jackknife_variance)
+
+    out = _to_pd(orders_jackknife_variance(SF)).iloc[0]
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"])
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    groups = [int(hashlib.md5(str(int(k)).encode()).hexdigest()[:15],
+                  16) % MOM_GROUPS
+              for k in t["o_orderkey"].to_pylist()]
+    sums = [0] * MOM_GROUPS
+    ns = [0] * MOM_GROUPS
+    for g, c in zip(groups, cents):
+        sums[g] += int(c)
+        ns[g] += 1
+    N, S = sum(ns), sum(sums)
+    thetas = [1000 * (S - s) // (N - n) for s, n in zip(sums, ns)]
+    g = len(thetas)
+    st, st2 = sum(thetas), sum(v * v for v in thetas)
+    var = (g - 1) * (g * st2 - st * st) // (g * g)
+    assert int(out["jk_var"]) == var
+    assert int(out["jk_se_milli"]) == math.isqrt(var)
+    assert int(out["max_influence_milli"]) == \
+        max(abs(v - 1000 * S // N) for v in thetas)
+
+
+def test_backtest_matches_daily_loop(ray_session):
+    from ferenda_ray.pipelines.queries import orders_forecast_backtest
+
+    out = _to_pd(orders_forecast_backtest(SF)).iloc[0]
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    daily = {}
+    for d, c in zip(days, cents):
+        daily[int(d)] = daily.get(int(d), 0) + int(c)
+    lo, hi = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    e7 = sum(abs(xs[i] - xs[i - 7]) for i in range(7, len(xs)))
+    e1 = sum(abs(xs[i] - xs[i - 1]) for i in range(7, len(xs)))
+    n = len(xs) - 7
+    assert int(out["n_days"]) == n
+    assert int(out["mae7_cents"]) == e7 // n
+    assert int(out["mae1_cents"]) == e1 // n
+    assert int(out["skill_permille"]) == 1000 * e7 // max(e1, 1)
+
+
+def test_transitivity_matches_set_enumeration(ray_session):
+    """Transitivity == set-based triangle/wedge enumeration over the
+    co-citation pairs recomputed from the planted citation arithmetic
+    (doc_id % 3 / % 7 / % 5 families), and 0 ≤ C ≤ 1000."""
+    from ferenda_ray.pipelines.queries import kg_transitivity
+
+    out = _to_pd(kg_transitivity(SF)).iloc[0]
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id"])["doc_id"].to_pylist()
+    targets = {}
+    for did in docs:
+        tg = set()
+        if did % 3 == 0:
+            tg.add("rfc/%d" % (100 + did % 900))
+        if did % 7 == 0:
+            tg.add("rfc/2616")
+        if did % 5 == 1:
+            tg.add("s/%d" % (did % 50))
+        if tg:
+            targets[did] = tg
+    pairs = set()
+    for tg in targets.values():
+        st = sorted(tg)
+        for i in range(len(st)):
+            for j in range(i + 1, len(st)):
+                pairs.add((st[i], st[j]))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tri = 0
+    for a, b in pairs:
+        tri += len(adj[a] & adj[b])  # each triangle counted 3× (per edge)
+    tri //= 3
+    assert int(out["n_edges"]) == len(pairs)
+    assert int(out["n_nodes"]) == len(adj)
+    assert int(out["n_wedges"]) == wedges
+    assert int(out["n_triangles"]) == tri
+    assert int(out["transitivity_permille"]) == \
+        1000 * 3 * tri // max(wedges, 1)
+    assert 0 <= int(out["transitivity_permille"]) <= 1000
+
+
+def test_gini_matches_pairwise_brute_force(ray_session):
+    """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
+    the banded per-customer revenues (neither engine touches pairs)."""
+    from ferenda_ray.pipelines.queries import (GINI_BAND_CENTS,
+                                               customer_revenue_gini)
+
+    out = _to_pd(customer_revenue_gini(SF)).iloc[0]
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"])
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    rev = {}
+    for k, c in zip(t["o_custkey"].to_pylist(), cents):
+        rev[k] = rev.get(k, 0) + int(c)
+    bands = [v // GINI_BAND_CENTS for v in rev.values()]
+    n = len(bands)
+    num = 0
+    for i in range(n):
+        for j in range(n):
+            num += abs(bands[i] - bands[j])
+    num //= 2
+    gini = 1000 * num // max(n * sum(bands), 1)
+    assert int(out["n_customers"]) == n
+    assert int(out["gini_permille"]) == gini
+    assert 0 < gini < 1000  # non-degenerate inequality
