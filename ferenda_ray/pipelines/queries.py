@@ -16162,6 +16162,178 @@ FROM agg
 """ % GINI_BAND_CENTS
 
 
+def events_fano_overdispersion(sf_dir):
+    """Fano factor (variance-to-mean ratio) of daily event counts per
+    type — the overdispersion audit that decides whether arrivals are
+    Poisson (F≈1), bursty (F>1) or regularized (F<1) before anyone
+    fits a Poisson rate model (Fano '47; the burstiness companion to
+    user_interarrival_histogram). Exact via the integer-moment
+    identity: F_milli = 1000·(D·Σx² − S²) // (D·S) over the DENSIFIED
+    calendar — missing days are real zero-count days (the
+    orders_daily_acf1 rule) and silently dropping them inflates the
+    mean and deflates the variance.
+
+    Scale shape: bounded (type, day) count partials — lossless
+    per-batch combiner, zero shuffle (≤ types × calendar-days cells);
+    the single merge densifies per type and runs the moment
+    arithmetic in Python ints (D·Σx² outgrows int64 past ~10⁷ daily
+    events over decades)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        out = (pd.DataFrame({"t": t["event_type"].to_pylist(),
+                             "d": days, "n": 1})
+               .groupby(["t", "d"], as_index=False)["n"].sum())
+        return out.astype({"d": "int64", "n": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.groupby(["t", "d"], as_index=False)["n"].sum()
+        lo, hi = int(b["d"].min()), int(b["d"].max())
+        D = hi - lo + 1
+        rows = []
+        for ty, g in b.groupby("t"):
+            ns = [int(v) for v in g["n"]]
+            s = sum(ns)
+            s2 = sum(v * v for v in ns)  # zero days add 0 to both
+            fano = 1000 * (D * s2 - s * s) // (D * s)
+            rows.append((ty, D, s, fano))
+        out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                          "n_events", "fano_milli"])
+        return out.sort_values("event_type").reset_index(drop=True) \
+            .astype({"n_days": "int64", "n_events": "int64",
+                     "fano_milli": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+FANO_SQL = """
+WITH b AS (
+  SELECT event_type AS t,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+cal AS (SELECT max(d) - min(d) + 1 AS nd FROM b),
+m AS (SELECT t, CAST(sum(n) AS HUGEINT) AS s,
+             CAST(sum(n * n) AS HUGEINT) AS s2
+      FROM b GROUP BY 1)
+SELECT t AS event_type,
+       CAST(cal.nd AS BIGINT) AS n_days,
+       CAST(m.s AS BIGINT) AS n_events,
+       CAST(1000 * (cal.nd * m.s2 - m.s * m.s)
+            // (cal.nd * m.s) AS BIGINT) AS fano_milli
+FROM m, cal ORDER BY t
+"""
+
+
+def kg_degree_assortativity(sf_dir):
+    """Degree assortativity of the co-citation graph — do hubs attach
+    to hubs (r>0, social networks) or to leaves (r<0, technological
+    graphs; Newman '02)? Pearson r over edge-endpoint degree pairs is
+    kept cross-engine exact by NEVER taking the square root: each
+    undirected edge contributes both directions, the five integer
+    sufficient statistics (n, Σx, Σy=Σx, Σxy, Σx²) reduce to
+    num = n·Σxy − (Σx)² and var = n·Σx² − (Σx)², and the report is
+    the SIGNED r² ppm sign(num)·(10⁶·num² // var²) next to the raw
+    (num, var) pair — the events_value_trend exact-pair discipline
+    (r = num/var here because x and y are exchangeable, so
+    r² = num²/var²).
+
+    Scale shape: degrees ride one node-bucketed exchange
+    (graph.degrees); endpoint degrees join onto the pair list by two
+    hash-bucketed joins (stages.joins.bucket_join — the a-side and
+    b-side each co-locate once); the joined batches reduce to the
+    bounded five-statistic partial, zero further shuffle, Python-int
+    finalize (num² outgrows int64 immediately)."""
+    from ..stages import graph
+    from ..stages.joins import bucket_join
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir)).materialize()
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())])})
+
+    deg = graph.degrees(pairs.map_batches(flat_nodes,
+                                          batch_format="pyarrow"),
+                        "node").materialize()
+
+    ja = bucket_join(pairs, deg, left_on="a", right_on="node",
+                     suffix="_da")
+    jb = bucket_join(ja, deg, left_on="b", right_on="node",
+                     suffix="_db")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["deg"].to_numpy(np.int64)
+        db = df["deg_db"].to_numpy(np.int64)
+        # both directions of every undirected edge
+        sx = int(da.sum() + db.sum())
+        sxy = 2 * int((da * db).sum())
+        sx2 = int((da * da).sum() + (db * db).sum())
+        return pd.DataFrame({"n": [2 * len(df)], "sx": [sx],
+                             "sxy": [sxy], "sx2": [sx2]}
+                            ).astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx = int(df["sx"].sum())
+        sxy = int(df["sxy"].sum())
+        sx2 = int(df["sx2"].sum())
+        num = n * sxy - sx * sx
+        var = n * sx2 - sx * sx
+        sgn = 1 if num >= 0 else -1
+        r2 = sgn * (1_000_000 * num * num // max(var * var, 1))
+        return pd.DataFrame({
+            "n_endpoints": pd.Series([n], dtype="int64"),
+            "num": pd.Series([num], dtype="int64"),
+            "var": pd.Series([var], dtype="int64"),
+            "assort_r2_ppm_signed": pd.Series([r2], dtype="int64")})
+
+    return _merge_partials(
+        jb.map_batches(stats, batch_format="pandas"), merge)
+
+
+KG_ASSORTATIVITY_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+pairs AS (
+  SELECT DISTINCT e1.dst AS a, e2.dst AS b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM pairs
+        UNION ALL SELECT b FROM pairs)
+  GROUP BY node),
+ep AS (
+  SELECT da.d AS x, db.d AS y
+  FROM pairs JOIN deg da ON da.node = pairs.a
+             JOIN deg db ON db.node = pairs.b
+  UNION ALL
+  SELECT db.d, da.d
+  FROM pairs JOIN deg da ON da.node = pairs.a
+             JOIN deg db ON db.node = pairs.b),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sx2
+      FROM ep),
+f AS (SELECT n, n * sxy - sx * sx AS num,
+             n * sx2 - sx * sx AS var
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_endpoints,
+       CAST(num AS BIGINT) AS num,
+       CAST(var AS BIGINT) AS var,
+       CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+            * (1000000 * num * num
+               // greatest(var * var, 1)) AS BIGINT)
+         AS assort_r2_ppm_signed
+FROM f
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -16444,6 +16616,10 @@ QUERIES = {
     "kg_transitivity": (kg_transitivity, KG_TRANSITIVITY_SQL),
     "customer_revenue_gini": (customer_revenue_gini,
                               CUSTOMER_GINI_SQL),
+    "events_fano_overdispersion": (events_fano_overdispersion,
+                                   FANO_SQL),
+    "kg_degree_assortativity": (kg_degree_assortativity,
+                                KG_ASSORTATIVITY_SQL),
 }
 
 
