@@ -194,6 +194,81 @@ def test_transitivity_matches_set_enumeration(ray_session):
     assert 0 <= int(out["transitivity_permille"]) <= 1000
 
 
+def test_fano_matches_daily_dict_loop(ray_session):
+    """Fano == the textbook Var/Mean over the dense calendar, computed
+    per type with a per-row dict loop and float variance compared via
+    the same floored-milli grid."""
+    from ferenda_ray.pipelines.queries import events_fano_overdispersion
+
+    out = _to_pd(events_fano_overdispersion(SF)).set_index("event_type")
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["ts", "event_type"])
+    days = (t["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000)
+    per = {}
+    for ty, d in zip(t["event_type"].to_pylist(), days):
+        per.setdefault(ty, {})
+        per[ty][int(d)] = per[ty].get(int(d), 0) + 1
+    lo = int(days.min())
+    hi = int(days.max())
+    D = hi - lo + 1
+    for ty, dd in per.items():
+        xs = [dd.get(d, 0) for d in range(lo, hi + 1)]
+        s, s2 = sum(xs), sum(v * v for v in xs)
+        assert int(out.loc[ty, "fano_milli"]) == \
+            1000 * (D * s2 - s * s) // (D * s)
+        assert int(out.loc[ty, "n_days"]) == D
+        assert int(out.loc[ty, "n_events"]) == s
+
+
+def _cocite_pairs_brute():
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id"])["doc_id"].to_pylist()
+    pairs = set()
+    for did in docs:
+        tg = set()
+        if did % 3 == 0:
+            tg.add("rfc/%d" % (100 + did % 900))
+        if did % 7 == 0:
+            tg.add("rfc/2616")
+        if did % 5 == 1:
+            tg.add("s/%d" % (did % 50))
+        st = sorted(tg)
+        for i in range(len(st)):
+            for j in range(i + 1, len(st)):
+                pairs.add((st[i], st[j]))
+    return pairs
+
+
+def test_assortativity_matches_edge_loop(ray_session):
+    """Assortativity == a per-edge Python loop accumulating the five
+    sufficient statistics, with the sanity bound |r²| ≤ 10⁶."""
+    from ferenda_ray.pipelines.queries import kg_degree_assortativity
+
+    out = _to_pd(kg_degree_assortativity(SF)).iloc[0]
+    pairs = _cocite_pairs_brute()
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n = sx = sxy = sx2 = 0
+    for a, b in pairs:
+        for x, y in ((deg[a], deg[b]), (deg[b], deg[a])):
+            n += 1
+            sx += x
+            sxy += x * y
+            sx2 += x * x
+    num = n * sxy - sx * sx
+    var = n * sx2 - sx * sx
+    sgn = 1 if num >= 0 else -1
+    assert int(out["n_endpoints"]) == n
+    assert int(out["num"]) == num
+    assert int(out["var"]) == var
+    r2 = sgn * (1_000_000 * num * num // max(var * var, 1))
+    assert int(out["assort_r2_ppm_signed"]) == r2
+    assert abs(r2) <= 1_000_000
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
