@@ -16334,6 +16334,263 @@ FROM f
 """
 
 
+LTV_MONTH_DAYS = 30  # account-age month = 30-day grid (documented)
+
+
+def customer_cohort_ltv(sf_dir):
+    """Cohort LTV curves — the growth-analytics staple: customers
+    cohorted by the calendar YEAR of their first order, every later
+    order assigned to its account-age month ((day − first_day) // 30,
+    a deterministic grid both engines share), and each (cohort,
+    age_month) cell reports order count, revenue cents, the running
+    cumulative revenue and the per-customer LTV cum_cents //
+    cohort_size — the curve a finance team reads payback periods
+    from. Calendar year via datetime64[Y] arithmetic (no locale).
+
+    Scale shape: the customer dimension is the small side — per-batch
+    (custkey → min day) partials ride ONE custkey-bucketed exchange
+    and the narrow (custkey, first_day) table materializes once (4
+    int64s/customer, the RFM precedent) and BROADCASTS as the
+    first-order lookup; orders then tag map-side into bounded
+    (cohort_year, age_month) cells (≤ years × ~90 months), zero
+    further shuffle; the single merge runs the within-cohort
+    cumsum."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "orders")
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        p = (pd.DataFrame({"c": t["o_custkey"].to_numpy(),
+                           "d": days})
+             .groupby("c", as_index=False)["d"].min())
+        h = pd.util.hash_pandas_object(p["c"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"c": "int64", "d": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("c", as_index=False)["d"].min()
+                .astype("int64"))
+
+    first = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(bucket_first, batch_format="pandas")
+             .to_pandas())
+    first_day = dict(zip(first["c"].astype(int),
+                         first["d"].astype(int)))
+    # cohort sizes from the same narrow table
+    fy = (np.asarray(list(first_day.values()), np.int64)
+          .astype("datetime64[D]").astype("datetime64[Y]")
+          .astype(np.int64) + 1970)
+    cohort_size = pd.Series(fy).value_counts().to_dict()
+    lookup = ray.put(first_day)
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        fd = _ray.get(lookup)
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        firsts = np.asarray([fd[int(c)] for c in
+                             t["o_custkey"].to_pylist()], np.int64)
+        years = (firsts.astype("datetime64[D]")
+                 .astype("datetime64[Y]").astype(np.int64) + 1970)
+        age = (days - firsts) // LTV_MONTH_DAYS
+        out = (pd.DataFrame({"cohort_year": years, "age_month": age,
+                             "n": 1, "cents": cents})
+               .groupby(["cohort_year", "age_month"], as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cohort_year", "age_month"], as_index=False)
+             .agg(n_orders=("n", "sum"), cents=("cents", "sum"))
+             .sort_values(["cohort_year", "age_month"])
+             .reset_index(drop=True))
+        g["cum_cents"] = g.groupby("cohort_year")["cents"].cumsum()
+        sizes = g["cohort_year"].map(cohort_size).astype("int64")
+        g["n_customers"] = sizes
+        g["ltv_cents"] = g["cum_cents"] // sizes
+        return g.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+COHORT_LTV_SQL = """
+WITH f AS (
+  SELECT o_custkey,
+         CAST(min(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
+           AS fd
+  FROM orders GROUP BY 1),
+cs AS (
+  SELECT CAST(year(CAST(to_timestamp(fd * 86400) AS DATE))
+              AS BIGINT) AS cohort_year,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM f GROUP BY 1),
+o AS (
+  SELECT CAST(year(CAST(to_timestamp(f.fd * 86400) AS DATE))
+              AS BIGINT) AS cohort_year,
+         (CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000
+          - f.fd) // %d AS age_month,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN f ON f.o_custkey = o.o_custkey),
+g AS (
+  SELECT cohort_year, age_month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM o GROUP BY 1, 2)
+SELECT g.cohort_year, g.age_month, g.n_orders, g.cents,
+       CAST(sum(g.cents) OVER (PARTITION BY g.cohort_year
+              ORDER BY g.age_month) AS BIGINT) AS cum_cents,
+       cs.n_customers,
+       CAST(sum(g.cents) OVER (PARTITION BY g.cohort_year
+              ORDER BY g.age_month) // cs.n_customers AS BIGINT)
+         AS ltv_cents
+FROM g JOIN cs ON cs.cohort_year = g.cohort_year
+ORDER BY g.cohort_year, g.age_month
+""" % LTV_MONTH_DAYS
+
+
+def part_price_index(sf_dir):
+    """Laspeyres and Paasche price indices between the two halves of
+    the shipdate range — the econometrics primitive (CPI arithmetic)
+    asking 'did prices rise, holding the BASKET fixed?': per part and
+    period, unit price is the floored milli-grid 1000·cents // qty
+    (a documented grid — per-row prices are ratios, so a grid is the
+    only way integer arithmetic crosses engines), Laspeyres weights
+    by base-period quantities (1000·Σp₁q₀ // Σp₀q₀) and Paasche by
+    current (1000·Σp₁q₁ // Σp₀q₁), over parts traded in BOTH halves
+    (the matched-basket rule).
+
+    Scale shape: one zero-shuffle min/max pre-pass pins the midpoint
+    (the orders_price_drift discipline); (part, half → cents, qty)
+    partials ride ONE partkey-bucketed exchange; each bucket
+    finalizes its parts' per-period prices and emits ONE bounded
+    five-number partial (a part lives in exactly one bucket, so the
+    basket sums are additive); Python-int merge, HUGEINT oracle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_quantity",
+                        "l_extendedprice"])
+
+    def day_range(t: pa.Table) -> pd.DataFrame:
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"lo": pd.Series([int(d.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(d.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(day_range, batch_format="pyarrow").to_pandas()
+    mid = (int(r["lo"].min()) + int(r["hi"].max())) // 2
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        days = (t["l_shipdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        qty = pc.cast(pc.round(t["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64()).to_numpy()
+        p = (pd.DataFrame({"k": t["l_partkey"].to_numpy(),
+                           "h": (days > mid).astype(np.int64),
+                           "cents": cents, "qty": qty})
+             .groupby(["k", "h"], as_index=False)
+             .agg(cents=("cents", "sum"), qty=("qty", "sum")))
+        hh = pd.util.hash_pandas_object(p["k"], index=False).values
+        p["_bucket"] = (hh % np.uint64(buckets)).astype("int32")
+        return p.astype({"k": "int64", "h": "int64", "cents": "int64",
+                         "qty": "int64", "_bucket": "int32"})
+
+    def bucket_sums(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby(["k", "h"], as_index=False)
+             .agg(cents=("cents", "sum"), qty=("qty", "sum")))
+        w = a.pivot_table(index="k", columns="h",
+                          values=["cents", "qty"], aggfunc="sum")
+        w = w.reindex(columns=pd.MultiIndex.from_product(
+            [["cents", "qty"], [0, 1]]))
+        both = w.dropna()
+        if len(both) == 0:
+            z = [0] * 5
+        else:
+            c0 = both[("cents", 0)].to_numpy(np.int64)
+            c1 = both[("cents", 1)].to_numpy(np.int64)
+            q0 = both[("qty", 0)].to_numpy(np.int64)
+            q1 = both[("qty", 1)].to_numpy(np.int64)
+            p0 = 1000 * c0 // q0
+            p1 = 1000 * c1 // q1
+            z = [len(both), int((p1 * q0).sum()),
+                 int((p0 * q0).sum()), int((p1 * q1).sum()),
+                 int((p0 * q1).sum())]
+        return pd.DataFrame({"n_parts": [z[0]], "l_num": [z[1]],
+                             "l_den": [z[2]], "p_num": [z[3]],
+                             "p_den": [z[4]]}).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_sums, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ln, ld = int(df["l_num"].sum()), int(df["l_den"].sum())
+        pn, pdn = int(df["p_num"].sum()), int(df["p_den"].sum())
+        return pd.DataFrame({
+            "n_parts_both": pd.Series([int(df["n_parts"].sum())],
+                                      dtype="int64"),
+            "laspeyres_milli": pd.Series([1000 * ln // max(ld, 1)],
+                                         dtype="int64"),
+            "paasche_milli": pd.Series([1000 * pn // max(pdn, 1)],
+                                       dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+PRICE_INDEX_SQL = """
+WITH rng AS (
+  SELECT (min(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000)
+          + max(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000))
+         // 2 AS mid
+  FROM lineitem),
+b AS (
+  SELECT l_partkey AS k,
+         CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT)
+                   // 86400000000 > rng.mid
+              THEN 1 ELSE 0 END AS h,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem, rng GROUP BY 1, 2),
+w AS (
+  SELECT b0.k,
+         1000 * b0.cents // b0.qty AS p0,
+         1000 * b1.cents // b1.qty AS p1,
+         b0.qty AS q0, b1.qty AS q1
+  FROM b b0 JOIN b b1 ON b1.k = b0.k AND b0.h = 0 AND b1.h = 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p1 * q0) AS HUGEINT) AS ln_,
+             CAST(sum(p0 * q0) AS HUGEINT) AS ld,
+             CAST(sum(p1 * q1) AS HUGEINT) AS pn,
+             CAST(sum(p0 * q1) AS HUGEINT) AS pd_
+      FROM w)
+SELECT n AS n_parts_both,
+       CAST(1000 * ln_ // greatest(ld, 1) AS BIGINT)
+         AS laspeyres_milli,
+       CAST(1000 * pn // greatest(pd_, 1) AS BIGINT)
+         AS paasche_milli
+FROM s
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -16620,6 +16877,8 @@ QUERIES = {
                                    FANO_SQL),
     "kg_degree_assortativity": (kg_degree_assortativity,
                                 KG_ASSORTATIVITY_SQL),
+    "customer_cohort_ltv": (customer_cohort_ltv, COHORT_LTV_SQL),
+    "part_price_index": (part_price_index, PRICE_INDEX_SQL),
 }
 
 
