@@ -187,7 +187,31 @@ def run_bench() -> dict:
              ("customer_pareto_concentration",
               Q.customer_pareto_concentration),
              ("events_session_lifetable",
-              Q.events_session_lifetable)]
+              Q.events_session_lifetable),
+             ("user_churn_labels", Q.user_churn_labels),
+             ("funnel_latency_median", Q.funnel_latency_median),
+             ("orders_price_drift", Q.orders_price_drift),
+             ("part_neyman_allocation", Q.part_neyman_allocation),
+             ("vocab_heaps_curve", Q.vocab_heaps_curve),
+             ("user_event_gini_impurity",
+              Q.user_event_gini_impurity),
+             ("lineitem_model_auc", Q.lineitem_model_auc),
+             ("lineitem_pr_curve", Q.lineitem_pr_curve),
+             ("events_chi2_independence",
+              Q.events_chi2_independence),
+             ("basket_rule_lift", Q.basket_rule_lift),
+             ("orders_jackknife_variance",
+              Q.orders_jackknife_variance),
+             ("orders_forecast_backtest",
+              Q.orders_forecast_backtest),
+             ("kg_transitivity", Q.kg_transitivity),
+             ("customer_revenue_gini", Q.customer_revenue_gini),
+             ("events_fano_overdispersion",
+              Q.events_fano_overdispersion),
+             ("kg_degree_assortativity",
+              Q.kg_degree_assortativity),
+             ("customer_cohort_ltv", Q.customer_cohort_ltv),
+             ("part_price_index", Q.part_price_index)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
