@@ -16799,6 +16799,151 @@ FROM cap, cand, tot
 """
 
 
+ATTR_WINDOW_US = 48 * 3600 * 1_000_000  # 48-hour lookback
+
+
+def events_touch_attribution(sf_dir):
+    """Multi-touch attribution — the marketing-analytics question
+    'which channel gets credit for the purchase?', answered under the
+    three standard models at once: per channel (view/click), the
+    count of purchases whose FIRST touch in the 48 h lookback was
+    this channel, whose LAST touch was, and the LINEAR credit sum
+    (each of a purchase's k touches earns the floored 1000//k
+    permille — the floor is the defined grid, so credits sum to ≤1000
+    per purchase identically in both engines). Window is half-open
+    [t_p − W, t_p): a touch AT the purchase microsecond is the
+    purchase's own page-render, not a cause. Purchases with no touch
+    in window report as the '(none)' channel — the orphan rate a
+    media team reads before trusting the model. Ties on equal ts
+    break by event_id in both engines.
+
+    Scale shape: one user-bucketed exchange co-locates each user's
+    events; per bucket the purchases×touches window join is a
+    vectorized same-user merge (per-user event counts are bounded —
+    the basket self-join discipline), first/last fall out of one
+    (pid, ts, eid) sort, and the bucket emits a bounded ≤3-channel
+    census partial (a purchase lives in exactly one bucket)."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        kinds = t["event_type"].to_pylist()
+        keep = [i for i, k in enumerate(kinds)
+                if k in ("purchase", "view", "click")]
+        tt = t.take(keep)
+        df = pd.DataFrame({
+            "u": tt["user_id"].to_numpy(),
+            "ts": (tt["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64)),
+            "eid": tt["event_id"].to_numpy(),
+            "ch": tt["event_type"].to_pylist()})
+        h = pd.util.hash_pandas_object(df["u"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def bucket_census(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["ch"] == "purchase"][["u", "ts", "eid"]] \
+            .rename(columns={"ts": "pts", "eid": "pid"})
+        t = g[g["ch"] != "purchase"][["u", "ts", "eid", "ch"]]
+        j = p.merge(t, on="u")
+        j = j[(j["ts"] >= j["pts"] - ATTR_WINDOW_US)
+              & (j["ts"] < j["pts"])]
+        cells = {}
+
+        def bump(ch, col, val=1):
+            key = ch
+            if key not in cells:
+                cells[key] = [0, 0, 0]
+            cells[key][col] += val
+
+        if len(j):
+            j = j.sort_values(["pid", "ts", "eid"], kind="mergesort")
+            kk = j.groupby("pid")["eid"].transform("size") \
+                .to_numpy(np.int64)
+            for ch, n in (j.groupby("pid").head(1)["ch"]
+                          .value_counts().items()):
+                bump(ch, 0, int(n))
+            for ch, n in (j.groupby("pid").tail(1)["ch"]
+                          .value_counts().items()):
+                bump(ch, 1, int(n))
+            lin = pd.DataFrame({"ch": j["ch"].to_numpy(),
+                                "w": 1000 // kk})
+            for ch, s in lin.groupby("ch")["w"].sum().items():
+                bump(ch, 2, int(s))
+        orphans = len(p) - j["pid"].nunique() if len(j) else len(p)
+        if orphans:
+            bump("(none)", 0, orphans)
+            bump("(none)", 1, orphans)
+        out = pd.DataFrame(
+            [(ch, v[0], v[1], v[2]) for ch, v in cells.items()],
+            columns=["channel", "first_touch", "last_touch",
+                     "linear_permille"])
+        return out.astype({"first_touch": "int64",
+                           "last_touch": "int64",
+                           "linear_permille": "int64"})
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_census, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("channel", as_index=False)
+               .agg(first_touch=("first_touch", "sum"),
+                    last_touch=("last_touch", "sum"),
+                    linear_permille=("linear_permille", "sum"))
+               .sort_values("channel").reset_index(drop=True))
+        return out.astype({"first_touch": "int64",
+                           "last_touch": "int64",
+                           "linear_permille": "int64"})
+
+    return _merge_partials(per_bucket, merge)
+
+
+TOUCH_ATTR_SQL = """
+WITH p AS (
+  SELECT event_id AS pid, user_id AS u,
+         CAST(epoch_us(ts) AS BIGINT) AS pts
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS ts,
+         event_id AS eid, event_type AS ch
+  FROM events WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT p.pid, t.ch, t.ts, t.eid
+  FROM p JOIN t ON t.u = p.u
+    AND t.ts >= p.pts - %d AND t.ts < p.pts),
+r AS (
+  SELECT pid, ch,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY ts, eid) AS rn_a,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY ts DESC, eid DESC) AS rn_d,
+         CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS k
+  FROM j),
+ft AS (SELECT ch, CAST(count(*) AS BIGINT) AS n
+       FROM r WHERE rn_a = 1 GROUP BY 1),
+lt AS (SELECT ch, CAST(count(*) AS BIGINT) AS n
+       FROM r WHERE rn_d = 1 GROUP BY 1),
+lin AS (SELECT ch, CAST(sum(1000 // k) AS BIGINT) AS s
+        FROM r GROUP BY 1),
+orph AS (SELECT (SELECT count(*) FROM p)
+                - (SELECT count(DISTINCT pid) FROM j) AS n),
+chans AS (SELECT DISTINCT ch FROM j)
+SELECT ch AS channel,
+       coalesce(ft.n, 0) AS first_touch,
+       coalesce(lt.n, 0) AS last_touch,
+       coalesce(lin.s, 0) AS linear_permille
+FROM chans LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch)
+           LEFT JOIN lin USING (ch)
+UNION ALL
+SELECT '(none)', CAST(orph.n AS BIGINT), CAST(orph.n AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM orph WHERE orph.n > 0
+ORDER BY channel
+""" % ATTR_WINDOW_US
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -17089,6 +17234,8 @@ QUERIES = {
     "part_price_index": (part_price_index, PRICE_INDEX_SQL),
     "kg_rich_club": (kg_rich_club, KG_RICH_CLUB_SQL),
     "er_blocking_quality": (er_blocking_quality, ER_BLOCKING_SQL),
+    "events_touch_attribution": (events_touch_attribution,
+                                 TOUCH_ATTR_SQL),
 }
 
 
