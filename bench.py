@@ -211,7 +211,11 @@ def run_bench() -> dict:
              ("kg_degree_assortativity",
               Q.kg_degree_assortativity),
              ("customer_cohort_ltv", Q.customer_cohort_ltv),
-             ("part_price_index", Q.part_price_index)]
+             ("part_price_index", Q.part_price_index),
+             ("kg_rich_club", Q.kg_rich_club),
+             ("er_blocking_quality", Q.er_blocking_quality),
+             ("events_touch_attribution",
+              Q.events_touch_attribution)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

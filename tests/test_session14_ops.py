@@ -354,6 +354,111 @@ def test_price_index_matches_matched_basket_loop(ray_session):
     assert 800 < int(out["laspeyres_milli"]) < 1200
 
 
+def test_rich_club_matches_set_recount(ray_session):
+    """φ(k) ladder == a per-k set recount over the planted-arithmetic
+    pairs, plus the structural property E_k ≤ C(N_k, 2)."""
+    from ferenda_ray.pipelines.queries import kg_rich_club
+
+    out = _to_pd(kg_rich_club(SF))
+    pairs = _cocite_pairs_brute()
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for row in out.itertuples():
+        k = int(row.k)
+        club = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for a, b in pairs if a in club and b in club)
+        assert int(row.n_nodes) == len(club)
+        assert int(row.n_edges) == ek
+        assert ek <= len(club) * (len(club) - 1) // 2
+        assert int(row.phi_permille) == \
+            1000 * 2 * ek // (len(club) * (len(club) - 1))
+
+
+def test_blocking_quality_matches_direct_count(ray_session):
+    """Recall/reduction == direct recounts: truth pairs from the
+    zero-padded-name structure (edit-1 on equal-length names ==
+    single-digit substitution == |a−b| a power-of-ten digit swap),
+    candidates from the //1000 block census."""
+    from ferenda_ray.pipelines.queries import er_blocking_quality
+
+    out = _to_pd(er_blocking_quality(SF)).iloc[0]
+    keys = pq.read_table(SF + "/customer.parquet",
+                         columns=["c_custkey"])["c_custkey"] \
+        .to_pylist()
+    names = {k: "Customer#%09d" % k for k in keys}
+    truth = []
+    ks = sorted(keys)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            diff = sum(x != y for x, y in zip(names[a], names[b]))
+            if diff <= 1:
+                truth.append((a, b))
+    cap = sum(1 for a, b in truth if a // 1000 == b // 1000)
+    assert int(out["n_truth_pairs"]) == len(truth)
+    assert int(out["n_captured"]) == cap
+    assert int(out["recall_permille"]) == 1000 * cap // len(truth)
+    blocks = {}
+    for k in keys:
+        blocks[k // 1000] = blocks.get(k // 1000, 0) + 1
+    cand = sum(n * (n - 1) // 2 for n in blocks.values())
+    assert int(out["n_candidates"]) == cand
+    n = len(keys)
+    assert int(out["reduction_permille"]) == \
+        1000 * (n * (n - 1) // 2 - cand) // (n * (n - 1) // 2)
+
+
+def test_touch_attribution_matches_per_purchase_loop(ray_session):
+    """Attribution == a per-purchase Python loop with bisect windows,
+    plus conservation: Σ first_touch == Σ last_touch == n_purchases
+    (every purchase lands in exactly one first/last channel or
+    '(none)')."""
+    from ferenda_ray.pipelines.queries import (ATTR_WINDOW_US,
+                                               events_touch_attribution)
+
+    out = _to_pd(events_touch_attribution(SF)).set_index("channel")
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["event_id", "ts", "user_id",
+                               "event_type"])
+    ts = (t["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64))
+    rows = sorted(zip(t["user_id"].to_pylist(), ts,
+                      t["event_id"].to_pylist(),
+                      t["event_type"].to_pylist()),
+                  key=lambda r: (r[0], int(r[1]), r[2]))
+    touches = {}
+    purchases = []
+    for u, tt, eid, ch in rows:
+        if ch in ("view", "click"):
+            touches.setdefault(u, []).append((int(tt), eid, ch))
+        elif ch == "purchase":
+            purchases.append((u, int(tt)))
+    cells = {}
+
+    def bump(ch, col, v=1):
+        cells.setdefault(ch, [0, 0, 0])[col] += v
+
+    for u, pt in purchases:
+        win = [x for x in touches.get(u, [])
+               if pt - ATTR_WINDOW_US <= x[0] < pt]
+        if not win:
+            bump("(none)", 0)
+            bump("(none)", 1)
+            continue
+        win.sort()
+        bump(win[0][2], 0)
+        bump(win[-1][2], 1)
+        for _, _, ch in win:
+            bump(ch, 2, 1000 // len(win))
+    for ch, (f, l, s) in cells.items():
+        assert int(out.loc[ch, "first_touch"]) == f
+        assert int(out.loc[ch, "last_touch"]) == l
+        assert int(out.loc[ch, "linear_permille"]) == s
+    assert int(out["first_touch"].sum()) == len(purchases)
+    assert int(out["last_touch"].sum()) == len(purchases)
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
