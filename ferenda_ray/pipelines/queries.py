@@ -16944,6 +16944,194 @@ ORDER BY channel
 """ % ATTR_WINDOW_US
 
 
+FAIR_THRESHOLD = 14  # classify positive at planted score >= 14
+
+
+def lineitem_fairness_audit(sf_dir):
+    """Group-fairness audit of a classifier — the responsible-AI
+    release gate: per protected group (supplier cohort l_suppkey % 5,
+    a synthetic protected attribute on a real column), the three
+    quantities every fairness review reads: SELECTION RATE
+    (demographic parity), TPR and FPR (equalized odds, Hardt et al.
+    '16), each as exact floored permille. The classifier is the
+    planted scorer thresholded at ≥14 (the lineitem_model_auc rule);
+    score and group are independent by construction, so the audit
+    correctly reports near-equal rates — the exact per-group values
+    and their gaps are the data a dashboard plots.
+
+    Scale shape: bounded (group, y, ŷ) count partials — ≤20 cells,
+    lossless per-batch combiner, zero shuffle, one merge block of
+    integer divisions."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        okey = t["l_orderkey"].to_numpy()
+        y = (pc.equal(t["l_returnflag"], pa.scalar("R"))
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        s = 8 * y + okey % 20
+        out = (pd.DataFrame({"g": t["l_suppkey"].to_numpy() % 5,
+                             "y": y,
+                             "yh": (s >= FAIR_THRESHOLD)
+                             .astype(np.int64),
+                             "n": 1})
+               .groupby(["g", "y", "yh"], as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["g", "y", "yh"])["n"].sum()
+        rows = []
+        for g in sorted({k[0] for k in c.index}):
+            def n(y, yh):
+                return int(c.get((g, y, yh), 0))
+            tot = n(0, 0) + n(0, 1) + n(1, 0) + n(1, 1)
+            pos = n(1, 0) + n(1, 1)
+            neg = n(0, 0) + n(0, 1)
+            rows.append((int(g), tot,
+                         1000 * (n(0, 1) + n(1, 1)) // max(tot, 1),
+                         1000 * n(1, 1) // max(pos, 1),
+                         1000 * n(0, 1) // max(neg, 1)))
+        return pd.DataFrame(rows, columns=[
+            "grp", "n", "selection_permille", "tpr_permille",
+            "fpr_permille"]).astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+FAIRNESS_SQL = """
+WITH s AS (
+  SELECT l_suppkey %% 5 AS grp,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN 8 * (CASE WHEN l_returnflag = 'R'
+                             THEN 1 ELSE 0 END)
+                   + l_orderkey %% 20 >= %d
+              THEN 1 ELSE 0 END AS yh
+  FROM lineitem),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yh) AS BIGINT) AS sel,
+         CAST(sum(y * yh) AS BIGINT) AS tp,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum((1 - y) * yh) AS BIGINT) AS fp
+  FROM s GROUP BY 1)
+SELECT CAST(grp AS BIGINT) AS grp, n,
+       CAST(1000 * sel // greatest(n, 1) AS BIGINT)
+         AS selection_permille,
+       CAST(1000 * tp // greatest(pos, 1) AS BIGINT)
+         AS tpr_permille,
+       CAST(1000 * fp // greatest(n - pos, 1) AS BIGINT)
+         AS fpr_permille
+FROM g ORDER BY grp
+""" % FAIR_THRESHOLD
+
+
+CONFORMAL_ALPHA_PERMILLE = 100  # target 90% coverage
+
+
+def lineitem_conformal_threshold(sf_dir):
+    """Split-conformal calibration (Vovk '05 / Angelopoulos-Bates
+    '21) — the distribution-free coverage guarantee every deployed
+    scorer should ship with: a deterministic calibration split
+    (l_orderkey % 4 = 0, both engines replay it), nonconformity
+    u = 27 − score over calibration POSITIVES, threshold q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest u (the finite-sample corrected order
+    statistic — an off-by-one here silently voids the guarantee),
+    then the EMPIRICAL eval-set check: positive coverage (must
+    concentrate near ≥900‰) and the negative capture rate — the
+    efficiency price of the guarantee.
+
+    Scale shape: nonconformity lives on the bounded ≤28-value score
+    grid, so calibration is a zero-shuffle (u, split, y) count
+    histogram; the order statistic reads off a cumsum and the
+    coverage recount is the same histogram's other half — one pass,
+    one merge block."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        okey = t["l_orderkey"].to_numpy()
+        y = (pc.equal(t["l_returnflag"], pa.scalar("R"))
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        u = 27 - (8 * y + okey % 20)
+        out = (pd.DataFrame({"u": u, "cal": (okey // 20 % 4 == 0)
+                             .astype(np.int64), "y": y, "n": 1})
+               .groupby(["u", "cal", "y"], as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["u", "cal", "y"])["n"].sum()
+        cal = sorted((int(u), int(n)) for (u, cl, y), n in c.items()
+                     if cl == 1 and y == 1)
+        n_cal = sum(n for _, n in cal)
+        rank = -(-(n_cal + 1) * (1000 - CONFORMAL_ALPHA_PERMILLE)
+                 // 1000)  # ceil((n+1)(1-alpha))
+        rank = min(rank, n_cal)
+        cum, q = 0, max(u for u, _ in cal) if cal else 0
+        for u, n in cal:
+            cum += n
+            if cum >= rank:
+                q = u
+                break
+        ev_pos = sum(int(n) for (u, cl, y), n in c.items()
+                     if cl == 0 and y == 1)
+        ev_pos_cov = sum(int(n) for (u, cl, y), n in c.items()
+                         if cl == 0 and y == 1 and int(u) <= q)
+        ev_neg = sum(int(n) for (u, cl, y), n in c.items()
+                     if cl == 0 and y == 0)
+        # negatives scored by the same rule: u = 27 - s
+        ev_neg_cap = sum(int(n) for (u, cl, y), n in c.items()
+                         if cl == 0 and y == 0 and int(u) <= q)
+        return pd.DataFrame({
+            "n_cal": pd.Series([n_cal], dtype="int64"),
+            "q_hat": pd.Series([q], dtype="int64"),
+            "coverage_permille": pd.Series(
+                [1000 * ev_pos_cov // max(ev_pos, 1)], dtype="int64"),
+            "neg_capture_permille": pd.Series(
+                [1000 * ev_neg_cap // max(ev_neg, 1)],
+                dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+CONFORMAL_SQL = """
+WITH s AS (
+  SELECT 27 - (8 * (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               + l_orderkey %% 20) AS u,
+         CASE WHEN (l_orderkey // 20) %% 4 = 0 THEN 1 ELSE 0 END
+           AS cal,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+calpos AS (SELECT u, CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE cal = 1 AND y = 1 GROUP BY 1),
+nc AS (SELECT CAST(sum(n) AS BIGINT) AS n_cal FROM calpos),
+rk AS (SELECT least(-((-(n_cal + 1) * (1000 - %d)) // 1000),
+                    n_cal) AS r, n_cal FROM nc),
+q AS (SELECT min(u) AS q_hat FROM
+        (SELECT u, sum(n) OVER (ORDER BY u) AS cum FROM calpos),
+        rk
+      WHERE cum >= rk.r),
+ev AS (SELECT
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos,
+         CAST(sum(CASE WHEN y = 1 AND u <= q.q_hat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pos_cov,
+         CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS neg,
+         CAST(sum(CASE WHEN y = 0 AND u <= q.q_hat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS neg_cap
+       FROM s, q WHERE cal = 0)
+SELECT rk.n_cal AS n_cal,
+       CAST(q.q_hat AS BIGINT) AS q_hat,
+       CAST(1000 * ev.pos_cov // greatest(ev.pos, 1) AS BIGINT)
+         AS coverage_permille,
+       CAST(1000 * ev.neg_cap // greatest(ev.neg, 1) AS BIGINT)
+         AS neg_capture_permille
+FROM rk, q, ev
+""" % CONFORMAL_ALPHA_PERMILLE
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -17236,6 +17424,10 @@ QUERIES = {
     "er_blocking_quality": (er_blocking_quality, ER_BLOCKING_SQL),
     "events_touch_attribution": (events_touch_attribution,
                                  TOUCH_ATTR_SQL),
+    "lineitem_fairness_audit": (lineitem_fairness_audit,
+                                FAIRNESS_SQL),
+    "lineitem_conformal_threshold": (lineitem_conformal_threshold,
+                                     CONFORMAL_SQL),
 }
 
 
