@@ -215,7 +215,10 @@ def run_bench() -> dict:
              ("kg_rich_club", Q.kg_rich_club),
              ("er_blocking_quality", Q.er_blocking_quality),
              ("events_touch_attribution",
-              Q.events_touch_attribution)]
+              Q.events_touch_attribution),
+             ("lineitem_fairness_audit", Q.lineitem_fairness_audit),
+             ("lineitem_conformal_threshold",
+              Q.lineitem_conformal_threshold)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

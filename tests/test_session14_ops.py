@@ -459,6 +459,74 @@ def test_touch_attribution_matches_per_purchase_loop(ray_session):
     assert int(out["last_touch"].sum()) == len(purchases)
 
 
+def test_fairness_audit_matches_per_row_loop(ray_session):
+    """Per-group rates == a per-row dict loop, plus conservation:
+    group sizes sum to the table size and every rate ∈ [0, 1000]."""
+    from ferenda_ray.pipelines.queries import (FAIR_THRESHOLD,
+                                               lineitem_fairness_audit)
+
+    out = _to_pd(lineitem_fairness_audit(SF)).set_index("grp")
+    t = pq.read_table(SF + "/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey",
+                               "l_returnflag"])
+    agg = {}
+    for ok, sk, rf in zip(t["l_orderkey"].to_pylist(),
+                          t["l_suppkey"].to_pylist(),
+                          t["l_returnflag"].to_pylist()):
+        g = sk % 5
+        y = 1 if rf == "R" else 0
+        yh = 1 if 8 * y + ok % 20 >= FAIR_THRESHOLD else 0
+        n, sel, tp, pos, fp = agg.get(g, (0, 0, 0, 0, 0))
+        agg[g] = (n + 1, sel + yh, tp + y * yh, pos + y,
+                  fp + (1 - y) * yh)
+    for g, (n, sel, tp, pos, fp) in agg.items():
+        row = out.loc[g]
+        assert int(row["n"]) == n
+        assert int(row["selection_permille"]) == 1000 * sel // n
+        assert int(row["tpr_permille"]) == 1000 * tp // pos
+        assert int(row["fpr_permille"]) == 1000 * fp // (n - pos)
+    assert int(out["n"].sum()) == len(t)
+    for c in ("selection_permille", "tpr_permille", "fpr_permille"):
+        assert out[c].between(0, 1000).all()
+
+
+def test_conformal_guarantee_holds(ray_session):
+    """The conformal threshold == a full-sort order statistic over
+    the calibration positives, and the marginal guarantee holds on
+    the exchangeable eval set: coverage ≥ 1000 − α (up to the
+    discrete-grid step, checked exactly via the recount)."""
+    from ferenda_ray.pipelines.queries import (
+        CONFORMAL_ALPHA_PERMILLE, lineitem_conformal_threshold)
+
+    out = _to_pd(lineitem_conformal_threshold(SF)).iloc[0]
+    t = pq.read_table(SF + "/lineitem.parquet",
+                      columns=["l_orderkey", "l_returnflag"])
+    cal_u, ev_pos_u, ev_neg_u = [], [], []
+    for ok, rf in zip(t["l_orderkey"].to_pylist(),
+                      t["l_returnflag"].to_pylist()):
+        y = 1 if rf == "R" else 0
+        u = 27 - (8 * y + ok % 20)
+        if ok // 20 % 4 == 0:
+            if y:
+                cal_u.append(u)
+        elif y:
+            ev_pos_u.append(u)
+        else:
+            ev_neg_u.append(u)
+    cal_u.sort()
+    n = len(cal_u)
+    rank = -(-(n + 1) * (1000 - CONFORMAL_ALPHA_PERMILLE) // 1000)
+    q = cal_u[min(rank, n) - 1]
+    assert int(out["n_cal"]) == n
+    assert int(out["q_hat"]) == q
+    cov = 1000 * sum(1 for u in ev_pos_u if u <= q) // len(ev_pos_u)
+    assert int(out["coverage_permille"]) == cov
+    assert cov >= 1000 - CONFORMAL_ALPHA_PERMILLE  # the guarantee
+    cap = 1000 * sum(1 for u in ev_neg_u if u <= q) // len(ev_neg_u)
+    assert int(out["neg_capture_permille"]) == cap
+    assert cap < cov  # the set is informative, not vacuous
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
