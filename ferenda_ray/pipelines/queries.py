@@ -17132,6 +17132,197 @@ FROM rk, q, ev
 """ % CONFORMAL_ALPHA_PERMILLE
 
 
+def events_cuped_reduction(sf_dir):
+    """CUPED variance-reduction audit (Deng et al. WSDM'13) — the
+    experimentation-platform question 'how much experiment runtime
+    does the pre-period covariate buy?': per user, X = pre-midpoint
+    value sum and Y = post-midpoint value sum (whole-unit integer
+    grid), θ = cov/var reported as the exact integer pair
+    (θ_num, θ_den) = (n·Σxy − ΣxΣy, n·Σx² − (Σx)²) — the
+    events_value_trend discipline — and the headline variance
+    reduction r² in ppm, 10⁶·num² // (varx·vary), all Python-int
+    (num² reaches ~10²⁹ at sf0.01; HUGEINT oracle). Here the only
+    X↔Y link is per-user activity rate, so the audit honestly reports
+    a few-permille reduction — the number that tells a team CUPED is
+    NOT worth it for this metric.
+
+    Scale shape: one zero-shuffle min/max pre-pass pins the midpoint;
+    per-batch (user → x, y) sum partials (lossless combiner) ride ONE
+    user-bucketed exchange; each bucket reduces its finalized users
+    to a bounded six-statistic partial, single Python-int merge."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def ts_range(t: pa.Table) -> pd.DataFrame:
+        x = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        return pd.DataFrame({"lo": pd.Series([int(x.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(x.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(ts_range, batch_format="pyarrow").to_pandas()
+    mid = (int(r["lo"].min()) + int(r["hi"].max())) // 2
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        ts = (t["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        v = pc.cast(pc.round(t["value"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        pre = ts <= mid
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy(),
+                           "x": np.where(pre, v, 0),
+                           "y": np.where(pre, 0, v)})
+             .groupby("u", as_index=False).agg(x=("x", "sum"),
+                                               y=("y", "sum")))
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "x": "int64", "y": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("u", as_index=False).agg(x=("x", "sum"),
+                                               y=("y", "sum"))
+        x = a["x"].to_numpy(np.int64)
+        y = a["y"].to_numpy(np.int64)
+        return pd.DataFrame({"n": [len(a)], "sx": [int(x.sum())],
+                             "sy": [int(y.sum())],
+                             "sxy": [int((x * y).sum())],
+                             "sx2": [int((x * x).sum())],
+                             "sy2": [int((y * y).sum())]}
+                            ).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_stats, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx, sy = int(df["sx"].sum()), int(df["sy"].sum())
+        sxy = int(df["sxy"].sum())
+        sx2, sy2 = int(df["sx2"].sum()), int(df["sy2"].sum())
+        num = n * sxy - sx * sy
+        vx = n * sx2 - sx * sx
+        vy = n * sy2 - sy * sy
+        r2 = 1_000_000 * num * num // max(vx * vy, 1)
+        return pd.DataFrame({
+            "n_users": pd.Series([n], dtype="int64"),
+            "theta_num": pd.Series([num], dtype="int64"),
+            "theta_den": pd.Series([vx], dtype="int64"),
+            "var_reduction_ppm": pd.Series([r2], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+CUPED_SQL = """
+WITH rng AS (
+  SELECT (min(CAST(epoch_us(ts) AS BIGINT))
+          + max(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid
+  FROM events),
+u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) <= rng.mid
+                       THEN CAST(round(value) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) > rng.mid
+                       THEN CAST(round(value) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events, rng GROUP BY 1),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sx2,
+             CAST(sum(y * y) AS HUGEINT) AS sy2
+      FROM u),
+f AS (SELECT n, n * sxy - sx * sy AS num,
+             n * sx2 - sx * sx AS vx,
+             n * sy2 - sy * sy AS vy
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(num AS BIGINT) AS theta_num,
+       CAST(vx AS BIGINT) AS theta_den,
+       CAST(1000000 * num * num // greatest(vx * vy, 1) AS BIGINT)
+         AS var_reduction_ppm
+FROM f
+"""
+
+
+def events_srm_check(sf_dir):
+    """Sample-ratio-mismatch check — the first gate every experiment
+    readout runs (Fabijan et al. '19: an SRM invalidates everything
+    downstream): users md5-hash into two arms (the deterministic
+    assignment discipline — a modulo on sequential ids is EXACTLY
+    balanced by construction and tests nothing), and the 1-dof χ²
+    against the 50/50 design is the exact integer
+    1000·(n₀−n₁)² // (n₀+n₁), flagged at the 3.841 critical value.
+    On an honest assignment the statistic is binomial noise — the
+    audit passing IS the result.
+
+    Scale shape: distinct users need one user-bucketed exchange
+    (batch-local distinct is not a user census); each bucket emits
+    its two arm counts (a user lives in one bucket), bounded 2-cell
+    merge."""
+    import hashlib
+
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({"u": t["user_id"].to_numpy()}) \
+            .drop_duplicates()
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "_bucket": "int32"})
+
+    def bucket_arms(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["u"].drop_duplicates()
+        arms = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15],
+                 16) % 2 for u in us), np.int64, len(us))
+        return pd.DataFrame({"n0": [int((arms == 0).sum())],
+                             "n1": [int((arms == 1).sum())]}
+                            ).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_arms, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n0, n1 = int(df["n0"].sum()), int(df["n1"].sum())
+        chi2 = 1000 * (n0 - n1) * (n0 - n1) // max(n0 + n1, 1)
+        return pd.DataFrame({
+            "n_arm0": pd.Series([n0], dtype="int64"),
+            "n_arm1": pd.Series([n1], dtype="int64"),
+            "srm_chi2_milli": pd.Series([chi2], dtype="int64"),
+            "srm_flag": pd.Series([1 if chi2 > 3841 else 0],
+                                  dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+SRM_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 2 AS arm
+      FROM u),
+c AS (SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n0,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1
+      FROM a)
+SELECT n0 AS n_arm0, n1 AS n_arm1,
+       CAST(1000 * (n0 - n1) * (n0 - n1)
+            // greatest(n0 + n1, 1) AS BIGINT) AS srm_chi2_milli,
+       CAST(CASE WHEN 1000 * (n0 - n1) * (n0 - n1)
+                      // greatest(n0 + n1, 1) > 3841
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM c
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -17428,6 +17619,8 @@ QUERIES = {
                                 FAIRNESS_SQL),
     "lineitem_conformal_threshold": (lineitem_conformal_threshold,
                                      CONFORMAL_SQL),
+    "events_cuped_reduction": (events_cuped_reduction, CUPED_SQL),
+    "events_srm_check": (events_srm_check, SRM_SQL),
 }
 
 
