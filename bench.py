@@ -218,7 +218,9 @@ def run_bench() -> dict:
               Q.events_touch_attribution),
              ("lineitem_fairness_audit", Q.lineitem_fairness_audit),
              ("lineitem_conformal_threshold",
-              Q.lineitem_conformal_threshold)]
+              Q.lineitem_conformal_threshold),
+             ("events_cuped_reduction", Q.events_cuped_reduction),
+             ("events_srm_check", Q.events_srm_check)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -527,6 +527,64 @@ def test_conformal_guarantee_holds(ray_session):
     assert cap < cov  # the set is informative, not vacuous
 
 
+def test_cuped_matches_per_user_loop(ray_session):
+    """CUPED statistics == a per-event dict loop, with the Cauchy-
+    Schwarz bound var_reduction ≤ 10⁶ and θ_den > 0."""
+    from ferenda_ray.pipelines.queries import events_cuped_reduction
+
+    out = _to_pd(events_cuped_reduction(SF)).iloc[0]
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["ts", "user_id", "value"])
+    ts = (t["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64))
+    mid = (int(ts.min()) + int(ts.max())) // 2
+    vals = np.floor(t["value"].to_numpy() + 0.5).astype(np.int64)
+    acc = {}
+    for u, tt, v in zip(t["user_id"].to_pylist(), ts, vals):
+        x, y = acc.get(u, (0, 0))
+        if int(tt) <= mid:
+            x += int(v)
+        else:
+            y += int(v)
+        acc[u] = (x, y)
+    n = len(acc)
+    sx = sum(x for x, _ in acc.values())
+    sy = sum(y for _, y in acc.values())
+    sxy = sum(x * y for x, y in acc.values())
+    sx2 = sum(x * x for x, _ in acc.values())
+    sy2 = sum(y * y for _, y in acc.values())
+    num = n * sxy - sx * sy
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    assert int(out["n_users"]) == n
+    assert int(out["theta_num"]) == num
+    assert int(out["theta_den"]) == vx
+    r2 = 1_000_000 * num * num // max(vx * vy, 1)
+    assert int(out["var_reduction_ppm"]) == r2
+    assert 0 <= r2 <= 1_000_000 and vx > 0
+
+
+def test_srm_matches_direct_assignment(ray_session):
+    """SRM == the direct md5 assignment recount; on an honest
+    assignment the flag must be 0 (the audit passing IS the
+    result)."""
+    from ferenda_ray.pipelines.queries import events_srm_check
+
+    out = _to_pd(events_srm_check(SF)).iloc[0]
+    users = set(pq.read_table(SF + "/events.parquet",
+                              columns=["user_id"])["user_id"]
+                .to_pylist())
+    arms = [int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15],
+                16) % 2 for u in users]
+    n1 = sum(arms)
+    n0 = len(arms) - n1
+    assert (int(out["n_arm0"]), int(out["n_arm1"])) == (n0, n1)
+    chi2 = 1000 * (n0 - n1) ** 2 // (n0 + n1)
+    assert int(out["srm_chi2_milli"]) == chi2
+    assert int(out["srm_flag"]) == (1 if chi2 > 3841 else 0)
+    assert int(out["srm_flag"]) == 0
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
