@@ -17323,6 +17323,314 @@ FROM c
 """
 
 
+DUP_PAY_PLANT_MOD = 37      # every 37th order double-submits
+DUP_PAY_CLONE_BASE = 10 ** 9
+DUP_PAY_WINDOW_DAYS = 7
+
+
+def orders_duplicate_payments(sf_dir):
+    """Duplicate-payment detector with a planted validation set — the
+    AP/fraud audit 'same payer, same amount, days apart' cannot be
+    demonstrated on this synthesizer (continuous prices: measured 0
+    natural collisions even on a $100 grid), so every 37th order
+    PLANTS a double-submission (clone key +10⁹, same customer and
+    cents, next day — the bloom_fpr_audit detector-validation
+    discipline) and the detector's recall against the plant is the
+    reported result, next to the natural-pair count (0 here; >0 in
+    production is the finding).
+
+    Scale shape: plants are map-side row emission; candidate pairs
+    ride ONE custkey-bucketed exchange and each bucket self-merges on
+    (custkey, cents) — the same-key join is tiny because amounts
+    collide rarely (that rarity is WHY the detector works) — then
+    filters the ±7-day window; bounded count partials, single
+    merge."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        c = t["o_custkey"].to_numpy()
+        d = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"k": k, "c": c, "d": d, "cents": cents})
+        plant = df[df["k"] % DUP_PAY_PLANT_MOD == 0].copy()
+        plant["k"] = plant["k"] + DUP_PAY_CLONE_BASE
+        plant["d"] = plant["d"] + 1
+        df = pd.concat([df, plant], ignore_index=True)
+        h = pd.util.hash_pandas_object(df["c"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df.astype({"k": "int64", "c": "int64", "d": "int64",
+                          "cents": "int64", "_bucket": "int32"})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on=["c", "cents"])
+        j = j[(j["k_x"] < j["k_y"])
+              & ((j["d_x"] - j["d_y"]).abs()
+                 <= DUP_PAY_WINDOW_DAYS)]
+        clone = (j["k_y"] >= DUP_PAY_CLONE_BASE) \
+            | (j["k_x"] >= DUP_PAY_CLONE_BASE)
+        n_plant = int((g.loc[g["k"] < DUP_PAY_CLONE_BASE, "k"]
+                       % DUP_PAY_PLANT_MOD == 0).sum())
+        return pd.DataFrame({
+            "n_pairs": [len(j)],
+            "n_clone_pairs": [int(clone.sum())],
+            "n_natural_pairs": [int((~clone).sum())],
+            "n_planted": [n_plant]}).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = int(df["n_pairs"].sum())
+        clones = int(df["n_clone_pairs"].sum())
+        nat = int(df["n_natural_pairs"].sum())
+        planted = int(df["n_planted"].sum())
+        return pd.DataFrame({
+            "n_planted": pd.Series([planted], dtype="int64"),
+            "n_pairs": pd.Series([pairs], dtype="int64"),
+            "n_natural_pairs": pd.Series([nat], dtype="int64"),
+            "recall_permille": pd.Series(
+                [1000 * clones // max(planted, 1)], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+DUP_PAY_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+o AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT k + %d, c, d + 1, cents FROM base WHERE k %% %d = 0),
+p AS (
+  SELECT a.k AS ka, b.k AS kb
+  FROM o a JOIN o b
+    ON a.c = b.c AND a.cents = b.cents AND a.k < b.k
+   AND abs(a.d - b.d) <= %d),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN ka >= %d OR kb >= %d
+                       THEN 1 ELSE 0 END) AS BIGINT) AS clones
+  FROM p),
+pl AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM base WHERE k %% %d = 0)
+SELECT pl.n AS n_planted,
+       agg.n_pairs,
+       CAST(agg.n_pairs - agg.clones AS BIGINT) AS n_natural_pairs,
+       CAST(1000 * agg.clones // greatest(pl.n, 1) AS BIGINT)
+         AS recall_permille
+FROM agg, pl
+""" % (DUP_PAY_CLONE_BASE, DUP_PAY_PLANT_MOD, DUP_PAY_WINDOW_DAYS,
+       DUP_PAY_CLONE_BASE, DUP_PAY_CLONE_BASE, DUP_PAY_PLANT_MOD)
+
+
+SKETCH_BINS = 256
+
+
+def orders_quantile_sketch_audit(sf_dir):
+    """Quantile-sketch accuracy audit — before trusting an
+    equi-width-histogram quantile estimator (the shape every
+    approximate engine ships), measure its error against the exact
+    order statistics ON THIS DISTRIBUTION: p50/p90/p99 of order
+    cents, estimate = linear interpolation inside the crossing
+    256-bin cell (all integer: lo + width·(rank−cum_below) //
+    bin_count), exact = the true rank-⌈qN⌉ value, error reported in
+    ppm of the exact (measured ~240 ppm at p50 — permille floors a
+    256-bin sketch's error to zero). The join_sample_estimate /
+    embed_squant_recall discipline: the estimator's deviation IS the
+    data.
+
+    Scale shape: one zero-shuffle min/max pre-pass sizes the bins;
+    per-batch partials carry BOTH the bounded 256-cell sketch and the
+    distinct-cents exact histogram (price-domain bounded, the
+    orders_price_drift argument); single merge reads both off
+    cumsums."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                            pa.scalar(100.0)),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy()
+
+    def rng(t: pa.Table) -> pd.DataFrame:
+        x = cents_of(t)
+        return pd.DataFrame({"lo": pd.Series([int(x.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(x.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(rng, batch_format="pyarrow").to_pandas()
+    lo, hi = int(r["lo"].min()), int(r["hi"].max())
+    width = max((hi - lo + SKETCH_BINS) // SKETCH_BINS, 1)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = cents_of(t)
+        out = (pd.DataFrame({"cents": x, "n": 1})
+               .groupby("cents", as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("cents", as_index=False)["n"].sum()
+             .sort_values("cents").reset_index(drop=True))
+        vals = g["cents"].to_numpy(np.int64)
+        cnts = g["n"].to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        bins = (vals - lo) // width
+        bdf = (pd.DataFrame({"b": bins, "n": cnts})
+               .groupby("b", as_index=False)["n"].sum())
+        bb = bdf["b"].to_numpy(np.int64)
+        bn = bdf["n"].to_numpy(np.int64)
+        bcum = bn.cumsum()
+        rows = []
+        for qpm in (500, 900, 990):
+            rank = -(-qpm * n // 1000)  # ceil(q*N)
+            exact = int(vals[np.searchsorted(cum, rank)])
+            i = int(np.searchsorted(bcum, rank))
+            below = int(bcum[i - 1]) if i else 0
+            blo = lo + int(bb[i]) * width
+            est = blo + width * (rank - below) // int(bn[i])
+            rows.append((qpm, exact, est,
+                         1_000_000 * abs(est - exact) // exact))
+        return pd.DataFrame(rows, columns=[
+            "q_permille", "exact_cents", "sketch_cents",
+            "err_ppm"]).astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+SKETCH_AUDIT_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+rng AS (SELECT min(v) AS lo, max(v) AS hi,
+               CAST(count(*) AS BIGINT) AS n FROM c),
+w AS (SELECT greatest((hi - lo + %d) // %d, 1) AS width FROM rng),
+q AS (SELECT unnest([500, 900, 990]) AS qpm),
+rk AS (SELECT qpm, -((-qpm * rng.n) // 1000) AS rank
+       FROM q, rng),
+ex AS (
+  SELECT rk.qpm, min(t.v) AS exact_cents
+  FROM rk JOIN (SELECT v, sum(1) OVER (ORDER BY v) AS cum
+                FROM c) t ON t.cum >= rk.rank
+  GROUP BY 1),
+bh AS (SELECT (v - rng.lo) // w.width AS b,
+              CAST(count(*) AS BIGINT) AS n
+       FROM c, rng, w GROUP BY 1),
+bc AS (SELECT b, n, sum(n) OVER (ORDER BY b) AS cum,
+              coalesce(sum(n) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS below
+       FROM bh),
+est AS (
+  SELECT rk.qpm,
+         min(rng.lo + bc.b * w.width
+             + w.width * (rk.rank - bc.below) // bc.n)
+           AS sketch_cents
+  FROM rk, rng, w, bc
+  WHERE bc.cum >= rk.rank AND bc.below < rk.rank
+  GROUP BY 1)
+SELECT ex.qpm AS q_permille, ex.exact_cents,
+       CAST(est.sketch_cents AS BIGINT) AS sketch_cents,
+       CAST(1000000 * abs(est.sketch_cents - ex.exact_cents)
+            // ex.exact_cents AS BIGINT) AS err_ppm
+FROM ex JOIN est ON est.qpm = ex.qpm
+ORDER BY 1
+""" % (SKETCH_BINS, SKETCH_BINS)
+
+
+TS_GRID_SHIFT = 20  # Theil-Sen slopes on the 2^-20 grid
+
+
+def orders_theil_sen_trend(sf_dir):
+    """Theil-Sen robust trend of daily revenue (Theil '50 / Sen '68)
+    — the median of all C(D,2) pairwise slopes, the trend estimate a
+    single outlier day cannot move (the robust companion to
+    events_value_trend's OLS and the CUSUM detector). Slopes are
+    ratios, so the statistic is DEFINED on the 2⁻²⁰ grid with the
+    sign peeled before flooring (sign·((|Δc| << 20) // Δd) —
+    toward-zero in both engines; Python floors negatives where DuckDB
+    truncates, the repo's recorded division hazard), and the median
+    is the exact rank-(M+1)//2 order statistic of the grid values.
+
+    Scale shape: the (day, cents) table is a bounded-domain per-batch
+    combiner — zero shuffle; the single merge densifies the calendar
+    and builds all pairwise slopes vectorized (D² int64 for this
+    corpus' ~6½ years ≈ 46 MB — past ~10⁴ days switch to the
+    two-pass radix selection over the slope grid)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"d": days, "cents": cents})
+               .groupby("d", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", as_index=False)["cents"].sum()
+        lo, hi = int(g["d"].min()), int(g["d"].max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[g["d"].to_numpy(np.int64) - lo] = \
+            g["cents"].to_numpy(np.int64)
+        d = len(x)
+        i, j = np.triu_indices(d, k=1)
+        dc = x[j] - x[i]
+        dd = (j - i).astype(np.int64)
+        key = np.sign(dc) * ((np.abs(dc) << TS_GRID_SHIFT) // dd)
+        key.sort()
+        m = len(key)
+        med = int(key[(m + 1) // 2 - 1])
+        return pd.DataFrame({
+            "n_days": pd.Series([d], dtype="int64"),
+            "n_pairs": pd.Series([m], dtype="int64"),
+            "slope_q20": pd.Series([med], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+THEIL_SEN_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM d),
+                                (SELECT max(d) FROM d))) AS d),
+x AS (SELECT cal.d, coalesce(dd.c, 0) AS c
+      FROM cal LEFT JOIN d dd ON dd.d = cal.d),
+p AS (
+  SELECT CASE WHEN b.c - a.c >= 0 THEN 1 ELSE -1 END
+           * ((abs(b.c - a.c) * %d) // (b.d - a.d)) AS key
+  FROM x a JOIN x b ON b.d > a.d),
+r AS (SELECT key, row_number() OVER (ORDER BY key) AS rn,
+             count(*) OVER () AS m
+      FROM p)
+SELECT CAST((SELECT count(*) FROM x) AS BIGINT) AS n_days,
+       CAST(m AS BIGINT) AS n_pairs,
+       CAST(key AS BIGINT) AS slope_q20
+FROM r WHERE rn = (m + 1) // 2
+""" % (1 << TS_GRID_SHIFT)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -17621,6 +17929,12 @@ QUERIES = {
                                      CONFORMAL_SQL),
     "events_cuped_reduction": (events_cuped_reduction, CUPED_SQL),
     "events_srm_check": (events_srm_check, SRM_SQL),
+    "orders_duplicate_payments": (orders_duplicate_payments,
+                                  DUP_PAY_SQL),
+    "orders_quantile_sketch_audit": (orders_quantile_sketch_audit,
+                                     SKETCH_AUDIT_SQL),
+    "orders_theil_sen_trend": (orders_theil_sen_trend,
+                               THEIL_SEN_SQL),
 }
 
 
