@@ -220,7 +220,14 @@ def run_bench() -> dict:
              ("lineitem_conformal_threshold",
               Q.lineitem_conformal_threshold),
              ("events_cuped_reduction", Q.events_cuped_reduction),
-             ("events_srm_check", Q.events_srm_check)]
+             ("events_srm_check", Q.events_srm_check),
+             ("orders_duplicate_payments",
+              Q.orders_duplicate_payments),
+             ("orders_quantile_sketch_audit",
+              Q.orders_quantile_sketch_audit),
+             ("orders_theil_sen_trend", Q.orders_theil_sen_trend),
+             ("orders_fulfillment_leadtime",
+              Q.orders_fulfillment_leadtime)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

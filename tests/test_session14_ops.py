@@ -585,6 +585,119 @@ def test_srm_matches_direct_assignment(ray_session):
     assert int(out["srm_flag"]) == 0
 
 
+def test_duplicate_payments_recall_is_total(ray_session):
+    """Every planted clone differs from its original by exactly
+    (key +10⁹, day +1) with identical custkey/cents, so the detector
+    must reach recall ≥ 1000‰ (clone pairs ≥ planted; natural pairs
+    measured zero on this synthesizer)."""
+    from ferenda_ray.pipelines.queries import (DUP_PAY_PLANT_MOD,
+                                               orders_duplicate_payments)
+
+    out = _to_pd(orders_duplicate_payments(SF)).iloc[0]
+    keys = pq.read_table(SF + "/orders.parquet",
+                         columns=["o_orderkey"])["o_orderkey"] \
+        .to_pylist()
+    planted = sum(1 for k in keys if k % DUP_PAY_PLANT_MOD == 0)
+    assert int(out["n_planted"]) == planted
+    assert int(out["recall_permille"]) >= 1000
+    assert int(out["n_natural_pairs"]) == 0
+    assert int(out["n_pairs"]) >= planted
+
+
+def test_sketch_audit_matches_full_sort(ray_session):
+    """Exact quantiles == full-sort order statistics; the sketch
+    estimate must sit inside the crossing bin (|est − exact| <
+    bin width) and err_ppm must replay from the two columns."""
+    from ferenda_ray.pipelines.queries import (
+        SKETCH_BINS, orders_quantile_sketch_audit)
+
+    out = _to_pd(orders_quantile_sketch_audit(SF))
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_totalprice"])
+    cents = np.sort(np.floor(t["o_totalprice"].to_numpy() * 100.0
+                             + 0.5).astype(np.int64))
+    n = len(cents)
+    lo, hi = int(cents[0]), int(cents[-1])
+    width = max((hi - lo + SKETCH_BINS) // SKETCH_BINS, 1)
+    for row in out.itertuples():
+        rank = -(-int(row.q_permille) * n // 1000)
+        assert int(row.exact_cents) == int(cents[rank - 1])
+        assert abs(int(row.sketch_cents) - int(row.exact_cents)) \
+            <= width
+        assert int(row.err_ppm) == 1_000_000 * abs(
+            int(row.sketch_cents) - int(row.exact_cents)) \
+            // int(row.exact_cents)
+
+
+def test_theil_sen_matches_pairwise_median(ray_session):
+    """The grid median == an O(D²) per-pair Python recomputation,
+    and robustness: Theil-Sen of the zero-densified daily series
+    ignores a single planted spike that moves the mean slope."""
+    from ferenda_ray.pipelines.queries import (TS_GRID_SHIFT,
+                                               orders_theil_sen_trend)
+
+    out = _to_pd(orders_theil_sen_trend(SF)).iloc[0]
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    daily = {}
+    for d, c in zip(days, cents):
+        daily[int(d)] = daily.get(int(d), 0) + int(c)
+    lo, hi = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    keys = []
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            dc = xs[j] - xs[i]
+            sgn = 1 if dc >= 0 else -1
+            keys.append(sgn * ((abs(dc) << TS_GRID_SHIFT)
+                               // (j - i)))
+    keys.sort()
+    m = len(keys)
+    assert int(out["n_days"]) == len(xs)
+    assert int(out["n_pairs"]) == m
+    assert int(out["slope_q20"]) == keys[(m + 1) // 2 - 1]
+
+
+def test_leadtime_matches_full_sort(ray_session):
+    """Per-priority lead stats == full-sort order statistics over a
+    per-order dict recomputation, plus p90 ≥ median and conservation:
+    Σ n_orders == orders with ≥1 lineitem."""
+    from ferenda_ray.pipelines.queries import orders_fulfillment_leadtime
+
+    out = _to_pd(orders_fulfillment_leadtime(SF)).set_index("priority")
+    li = pq.read_table(SF + "/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"])
+    od = pq.read_table(SF + "/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"])
+    ship = {}
+    sdays = (li["l_shipdate"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+    for k, d in zip(li["l_orderkey"].to_pylist(), sdays):
+        ship[k] = min(ship.get(k, 1 << 60), int(d))
+    odays = (od["o_orderdate"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+    per_pri = {}
+    for k, d, p in zip(od["o_orderkey"].to_pylist(), odays,
+                       od["o_orderpriority"].to_pylist()):
+        if k in ship:
+            per_pri.setdefault(p, []).append(ship[k] - int(d))
+    for p, leads in per_pri.items():
+        leads.sort()
+        n = len(leads)
+        row = out.loc[p]
+        assert int(row["n_orders"]) == n
+        assert int(row["median_days"]) == leads[(n + 1) // 2 - 1]
+        assert int(row["p90_days"]) == leads[(9 * n + 9) // 10 - 1]
+        assert int(row["max_days"]) == leads[-1]
+        assert int(row["p90_days"]) >= int(row["median_days"])
+    assert int(out["n_orders"].sum()) == len(ship)
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
