@@ -17751,6 +17751,159 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+LDIV_L = 3  # required distinct sensitive values per QI group
+
+
+def doc_l_diversity(sf_dir):
+    """l-diversity audit (Machanavajjhala '07) — the governance screen
+    k-anonymity misses: a group can be large yet leak its SENSITIVE
+    attribute if every member shares it (the homogeneity attack).
+    QI = (source, length band), sensitive = lang; a group is safe iff
+    it contains ≥ l distinct langs. Reports the census (groups,
+    below-l groups, rows at risk, minimum diversity) plus the
+    diversity histogram n_groups per distinct-lang count — the figure
+    a privacy review plots.
+
+    Scale shape: the (QI, lang) space is bounded (sources × bands ×
+    5 langs), so per-batch count partials are a lossless combiner —
+    zero shuffle; distinct-lang counts per QI finalize in the one
+    merge block. Unbounded QIs ride one QI-bucketed exchange, the
+    doc_k_anonymity contract."""
+    ds = _read(sf_dir, "documents",
+               columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas().astype(object),
+            "band": t["n_chars"].to_numpy() // KANON_BAND,
+            "lang": t["lang"].to_pandas().astype(object)})
+        out = (df.groupby(["source", "band", "lang"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return out.astype({"band": "int64", "n": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "band", "lang"], as_index=False)
+             ["n"].sum())
+        per_qi = (g.groupby(["source", "band"])
+                  .agg(div=("lang", "nunique"), rows=("n", "sum")))
+        low = per_qi[per_qi["div"] < LDIV_L]
+        return pd.DataFrame({
+            "n_groups": pd.Series([len(per_qi)], dtype="int64"),
+            "low_div_groups": pd.Series([len(low)], dtype="int64"),
+            "rows_at_risk": pd.Series([int(low["rows"].sum())],
+                                      dtype="int64"),
+            "min_diversity": pd.Series([int(per_qi["div"].min())],
+                                       dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+L_DIVERSITY_SQL = """
+WITH g AS (
+  SELECT source, n_chars // %d AS band,
+         CAST(count(DISTINCT lang) AS BIGINT) AS div,
+         CAST(count(*) AS BIGINT) AS rows_
+  FROM documents GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN div < %d THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_div_groups,
+       CAST(coalesce(sum(CASE WHEN div < %d THEN rows_ END), 0)
+            AS BIGINT) AS rows_at_risk,
+       CAST(min(div) AS BIGINT) AS min_diversity
+FROM g
+""" % (KANON_BAND, LDIV_L, LDIV_L)
+
+
+def orders_dow_anova(sf_dir):
+    """One-way ANOVA effect size (η²) of weekday on order value —
+    does the calendar EXPLAIN revenue variance, or merely wiggle it?
+    η² = SS_between/SS_total, kept cross-engine exact by the
+    declared per-term floor: num = Σ_d (N·S_d² // n_d) − S²,
+    den = N·Σx² − S², η²_permille = 1000·num // den (sum-of-floors
+    is the defined statistic — the events_chi2_independence
+    discipline). The inferential companion to
+    orders_dow_seasonality's descriptive index: a big index with
+    η² ≈ 0 means the weekday 'pattern' is noise.
+
+    Scale shape: bounded 7-cell (dow → n, Σx, Σx²) moment combiner —
+    zero shuffle; Python-int merge (N·S_d² reaches ~10²⁷ at sf0.01),
+    HUGEINT oracle."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        s2 = cents * cents  # ≤ 3.6·10¹⁵ per row — fits int64
+        # Σs2 per batch does NOT safely fit int64 (overflows past
+        # ~2500 max-price rows), so the partial carries it split into
+        # 26-bit-shifted halves whose per-batch sums stay bounded
+        out = (pd.DataFrame({"dow": days % 7, "n": 1, "s": cents,
+                             "s2h": s2 >> 26,
+                             "s2l": s2 & ((1 << 26) - 1)})
+               .groupby("dow", as_index=False)
+               .agg(n=("n", "sum"), s=("s", "sum"),
+                    s2h=("s2h", "sum"), s2l=("s2l", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # fold partials in Python ints: Σx² crosses 9.2·10¹⁸ (int64
+        # max) already at sf0.01, so a pandas int64 groupby-sum wraps
+        # silently (caught by the oracle at sf0.01, green at sf0.001)
+        acc: dict[int, list[int]] = {}
+        for dow, n, s, s2h, s2l in df[
+                ["dow", "n", "s", "s2h", "s2l"]].itertuples(
+                index=False):
+            a = acc.setdefault(int(dow), [0, 0, 0])
+            a[0] += int(n)
+            a[1] += int(s)
+            a[2] += (int(s2h) << 26) + int(s2l)
+        ns = [a[0] for a in acc.values()]
+        ss = [a[1] for a in acc.values()]
+        N = sum(ns)
+        S = sum(ss)
+        sx2 = sum(a[2] for a in acc.values())
+        num = sum(N * s * s // n for n, s in zip(ns, ss)) - S * S
+        den = N * sx2 - S * S
+        return pd.DataFrame({
+            "n_orders": pd.Series([N], dtype="int64"),
+            "eta2_permille": pd.Series([1000 * num // max(den, 1)],
+                                       dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+DOW_ANOVA_SQL = """
+WITH d AS (
+  SELECT (CAST(epoch_us(o_orderdate) AS BIGINT)
+          // 86400000000) % 7 AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders),
+g AS (SELECT dow, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS s2
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nt,
+               CAST(sum(s) AS HUGEINT) AS st,
+               CAST(sum(s2) AS HUGEINT) AS sx2 FROM g),
+f AS (SELECT (SELECT sum(tot.nt * g.s * g.s // g.n)
+              FROM g, tot) - tot.st * tot.st AS num,
+             tot.nt * tot.sx2 - tot.st * tot.st AS den,
+             tot.nt AS nt
+      FROM tot)
+SELECT CAST(nt AS BIGINT) AS n_orders,
+       CAST(1000 * num // greatest(den, 1) AS BIGINT)
+         AS eta2_permille
+FROM f
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -18057,6 +18210,8 @@ QUERIES = {
                                THEIL_SEN_SQL),
     "orders_fulfillment_leadtime": (orders_fulfillment_leadtime,
                                     LEADTIME_SQL),
+    "doc_l_diversity": (doc_l_diversity, L_DIVERSITY_SQL),
+    "orders_dow_anova": (orders_dow_anova, DOW_ANOVA_SQL),
 }
 
 
