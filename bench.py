@@ -227,7 +227,9 @@ def run_bench() -> dict:
               Q.orders_quantile_sketch_audit),
              ("orders_theil_sen_trend", Q.orders_theil_sen_trend),
              ("orders_fulfillment_leadtime",
-              Q.orders_fulfillment_leadtime)]
+              Q.orders_fulfillment_leadtime),
+             ("doc_l_diversity", Q.doc_l_diversity),
+             ("orders_dow_anova", Q.orders_dow_anova)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -698,6 +698,64 @@ def test_leadtime_matches_full_sort(ray_session):
     assert int(out["n_orders"].sum()) == len(ship)
 
 
+def test_l_diversity_matches_dict_census(ray_session):
+    """l-diversity census == a per-row dict recount, plus the
+    subset property: rows_at_risk ≤ total rows and min_diversity ≥ 1."""
+    from ferenda_ray.pipelines.queries import (KANON_BAND, LDIV_L,
+                                               doc_l_diversity)
+
+    out = _to_pd(doc_l_diversity(SF)).iloc[0]
+    t = pq.read_table(SF + "/documents.parquet",
+                      columns=["source", "lang", "n_chars"])
+    groups = {}
+    for s, l, nc in zip(t["source"].to_pylist(),
+                        t["lang"].to_pylist(),
+                        t["n_chars"].to_pylist()):
+        k = (s, nc // KANON_BAND)
+        langs, n = groups.get(k, (set(), 0))
+        langs.add(l)
+        groups[k] = (langs, n + 1)
+    low = [(len(ls), n) for ls, n in groups.values()
+           if len(ls) < LDIV_L]
+    assert int(out["n_groups"]) == len(groups)
+    assert int(out["low_div_groups"]) == len(low)
+    assert int(out["rows_at_risk"]) == sum(n for _, n in low)
+    assert int(out["min_diversity"]) == \
+        min(len(ls) for ls, _ in groups.values())
+    assert int(out["rows_at_risk"]) <= len(t)
+    assert int(out["min_diversity"]) >= 1
+
+
+def test_dow_anova_matches_moment_loop(ray_session):
+    """η² == a per-row Python-int moment recomputation, bounded in
+    [0, 1000]; on this uniform synthesizer the weekday explains
+    ~nothing (η² ≤ 10‰)."""
+    from ferenda_ray.pipelines.queries import orders_dow_anova
+
+    out = _to_pd(orders_dow_anova(SF)).iloc[0]
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    acc = {}
+    for d, c in zip(days, cents):
+        a = acc.setdefault(int(d) % 7, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(c)
+        a[2] += int(c) * int(c)
+    N = sum(a[0] for a in acc.values())
+    S = sum(a[1] for a in acc.values())
+    sx2 = sum(a[2] for a in acc.values())
+    num = sum(N * a[1] * a[1] // a[0] for a in acc.values()) - S * S
+    den = N * sx2 - S * S
+    eta = 1000 * num // den
+    assert int(out["n_orders"]) == N
+    assert int(out["eta2_permille"]) == eta
+    assert 0 <= eta <= 10
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
