@@ -17904,6 +17904,181 @@ FROM f
 """
 
 
+def orders_runs_test(sf_dir):
+    """Wald-Wolfowitz runs test on daily revenue — the randomness
+    audit that catches serial dependence a mean/variance summary
+    hides (too FEW runs = trending/sticky days, too MANY =
+    oscillation): days sign as above/below the exact daily-revenue
+    median (equal-to-median days drop, the textbook rule), R = runs
+    counted over the DENSE calendar, and the z² statistic kept
+    integer by cross-multiplication: with e = R·n − (n + 2·n₊·n₋),
+    z²_milli = 1000·e²·(n−1) // (2·n₊·n₋·(2·n₊·n₋ − n)) — no float
+    mean/variance of R ever exists. The randomness sibling of
+    orders_daily_acf1 (ACF measures linear lag-1; runs catch any
+    sign-level stickiness).
+
+    Scale shape: the (day, cents) table is a bounded-domain per-batch
+    combiner — zero shuffle; the single merge densifies, takes the
+    exact median by full sort of the ≤calendar-size daily array, and
+    counts runs vectorized; Python-int statistic (e²·n outgrows int64
+    past ~10⁶ days)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"d": days, "cents": cents})
+               .groupby("d", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", as_index=False)["cents"].sum()
+        lo, hi = int(g["d"].min()), int(g["d"].max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[g["d"].to_numpy(np.int64) - lo] = \
+            g["cents"].to_numpy(np.int64)
+        s = np.sort(x)
+        med = int(s[(len(s) + 1) // 2 - 1])  # lower median, exact
+        signs = x[x != med] > med
+        npos = int(signs.sum())
+        nneg = len(signs) - npos
+        n = npos + nneg
+        runs = 1 + int((signs[1:] != signs[:-1]).sum()) if n else 0
+        e = runs * n - (n + 2 * npos * nneg)
+        den = 2 * npos * nneg * (2 * npos * nneg - n)
+        z2 = 1000 * e * e * (n - 1) // max(den, 1)
+        return pd.DataFrame({
+            "n_days_used": pd.Series([n], dtype="int64"),
+            "n_runs": pd.Series([runs], dtype="int64"),
+            "n_pos": pd.Series([npos], dtype="int64"),
+            "n_neg": pd.Series([nneg], dtype="int64"),
+            "z2_milli": pd.Series([z2], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+RUNS_TEST_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM d),
+                                (SELECT max(d) FROM d))) AS d),
+x AS (SELECT cal.d, coalesce(dd.c, 0) AS c
+      FROM cal LEFT JOIN d dd ON dd.d = cal.d),
+med AS (
+  SELECT c AS m FROM
+    (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+            count(*) OVER () AS n FROM x)
+  WHERE rn = (n + 1) // 2),
+s AS (SELECT d, CASE WHEN c > med.m THEN 1 ELSE 0 END AS sgn
+      FROM x, med WHERE c <> med.m),
+r AS (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev FROM s),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sgn) AS BIGINT) AS npos,
+         CAST(sum(CASE WHEN prev IS NULL OR sgn <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM r),
+f AS (SELECT n, runs, npos, n - npos AS nneg,
+             CAST(runs AS HUGEINT) * n
+               - (n + 2 * CAST(npos AS HUGEINT) * (n - npos)) AS e,
+             2 * CAST(npos AS HUGEINT) * (n - npos)
+               * (2 * CAST(npos AS HUGEINT) * (n - npos) - n)
+               AS den
+      FROM agg)
+SELECT n AS n_days_used, runs AS n_runs, npos AS n_pos,
+       CAST(nneg AS BIGINT) AS n_neg,
+       CAST(1000 * e * e * (n - 1) // greatest(den, 1) AS BIGINT)
+         AS z2_milli
+FROM f
+"""
+
+
+POWER_Z_SUM_MILLI = 2802  # z_{alpha/2}=1.960 + z_{beta}=0.842 (80% @ 5%)
+POWER_MDE_PCT = 5         # detect a 5% lift
+
+
+def events_power_analysis(sf_dir):
+    """Experiment power analysis — the 'how long must this test run'
+    number every platform computes before launch: required sample
+    size per arm n = 2·(z_{α/2}+z_β)²·σ²/δ² for 80% power at 5%
+    significance against a 5%-of-mean MDE, every term on a declared
+    integer grid (z-sum 2802 milli; σ² = floor(10⁶·(N·Σx²−S²)/N²)
+    milli²; δ = mean_milli // 20; ceil division for n). Closes the
+    experimentation family: SRM gates validity, CUPED buys variance,
+    this prices the runtime.
+
+    Scale shape: one bounded three-moment combiner (n, Σx, Σx²) with
+    the Σx² int64-split of orders_dow_anova — zero shuffle,
+    Python-int merge, HUGEINT oracle."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = pc.cast(pc.round(t["value"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        v2 = v * v
+        return pd.DataFrame({
+            "n": [len(v)], "s": [int(v.sum())],
+            "s2h": [int((v2 >> 26).sum())],
+            "s2l": [int((v2 & ((1 << 26) - 1)).sum())]}
+            ).astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        s = int(df["s"].sum())
+        s2 = (int(df["s2h"].sum()) << 26) + int(df["s2l"].sum())
+        mean_milli = 1000 * s // n
+        var_milli2 = 1_000_000 * (n * s2 - s * s) // (n * n)
+        delta_milli = mean_milli // (100 // POWER_MDE_PCT)
+        num = 2 * POWER_Z_SUM_MILLI * POWER_Z_SUM_MILLI * var_milli2
+        den = max(1_000_000 * delta_milli * delta_milli, 1)
+        # ceil written POSITIVELY: -(-a//b) floors in Python but
+        # truncates in DuckDB (the recorded division hazard)
+        n_req = (num + den - 1) // den
+        return pd.DataFrame({
+            "n_events": pd.Series([n], dtype="int64"),
+            "mean_milli": pd.Series([mean_milli], dtype="int64"),
+            "var_milli2": pd.Series([var_milli2], dtype="int64"),
+            "delta_milli": pd.Series([delta_milli], dtype="int64"),
+            "n_required_per_arm": pd.Series([n_req], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+POWER_SQL = """
+WITH v AS (SELECT CAST(round(value) AS BIGINT) AS x FROM events),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS s2
+      FROM v),
+m AS (SELECT n, 1000 * s // n AS mean_milli,
+             1000000 * (n * s2 - s * s) // (n * n) AS var_milli2
+      FROM s),
+f AS (SELECT n, mean_milli, var_milli2,
+             mean_milli // %d AS delta_milli
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(mean_milli AS BIGINT) AS mean_milli,
+       CAST(var_milli2 AS BIGINT) AS var_milli2,
+       CAST(delta_milli AS BIGINT) AS delta_milli,
+       CAST((2 * %d * %d * var_milli2
+             + greatest(1000000 * delta_milli * delta_milli, 1) - 1)
+            // greatest(1000000 * delta_milli * delta_milli, 1)
+            AS BIGINT) AS n_required_per_arm
+FROM f
+""" % (100 // POWER_MDE_PCT, POWER_Z_SUM_MILLI, POWER_Z_SUM_MILLI)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -18212,6 +18387,8 @@ QUERIES = {
                                     LEADTIME_SQL),
     "doc_l_diversity": (doc_l_diversity, L_DIVERSITY_SQL),
     "orders_dow_anova": (orders_dow_anova, DOW_ANOVA_SQL),
+    "orders_runs_test": (orders_runs_test, RUNS_TEST_SQL),
+    "events_power_analysis": (events_power_analysis, POWER_SQL),
 }
 
 
