@@ -229,7 +229,9 @@ def run_bench() -> dict:
              ("orders_fulfillment_leadtime",
               Q.orders_fulfillment_leadtime),
              ("doc_l_diversity", Q.doc_l_diversity),
-             ("orders_dow_anova", Q.orders_dow_anova)]
+             ("orders_dow_anova", Q.orders_dow_anova),
+             ("orders_runs_test", Q.orders_runs_test),
+             ("events_power_analysis", Q.events_power_analysis)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -756,6 +756,70 @@ def test_dow_anova_matches_moment_loop(ray_session):
     assert 0 <= eta <= 10
 
 
+def test_runs_test_matches_sequential_loop(ray_session):
+    """Runs count == a day-by-day Python loop over the dense series,
+    with the partition identity n_pos + n_neg == days not at the
+    median and 1 ≤ R ≤ n."""
+    from ferenda_ray.pipelines.queries import orders_runs_test
+
+    out = _to_pd(orders_runs_test(SF)).iloc[0]
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    daily = {}
+    for d, c in zip(days, cents):
+        daily[int(d)] = daily.get(int(d), 0) + int(c)
+    lo, hi = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    med = sorted(xs)[(len(xs) + 1) // 2 - 1]
+    signs = [1 if v > med else 0 for v in xs if v != med]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    npos = sum(signs)
+    n = len(signs)
+    assert int(out["n_days_used"]) == n
+    assert int(out["n_runs"]) == runs
+    assert int(out["n_pos"]) == npos
+    assert int(out["n_neg"]) == n - npos
+    e = runs * n - (n + 2 * npos * (n - npos))
+    den = 2 * npos * (n - npos) * (2 * npos * (n - npos) - n)
+    # sf0.001's sparse calendar has median day = 0 revenue, so one
+    # sign class can be empty — the query guards den with max(.., 1)
+    assert int(out["z2_milli"]) == \
+        1000 * e * e * (n - 1) // max(den, 1)
+    assert 1 <= runs <= n
+
+
+def test_power_analysis_matches_moment_loop(ray_session):
+    """Sample size == a Python-int moment recomputation, plus the
+    scaling law: doubling the MDE must cut n_required ~4× (checked
+    via the closed form on the same moments)."""
+    from ferenda_ray.pipelines.queries import (POWER_Z_SUM_MILLI,
+                                               events_power_analysis)
+
+    out = _to_pd(events_power_analysis(SF)).iloc[0]
+    t = pq.read_table(SF + "/events.parquet", columns=["value"])
+    v = np.floor(t["value"].to_numpy() + 0.5).astype(np.int64)
+    n = len(v)
+    s = int(v.sum())
+    s2 = sum(int(x) * int(x) for x in v)
+    mean_milli = 1000 * s // n
+    var_milli2 = 1_000_000 * (n * s2 - s * s) // (n * n)
+    delta = mean_milli // 20
+    den = 1_000_000 * delta * delta
+    num = 2 * POWER_Z_SUM_MILLI ** 2 * var_milli2
+    assert int(out["n_events"]) == n
+    assert int(out["mean_milli"]) == mean_milli
+    assert int(out["var_milli2"]) == var_milli2
+    assert int(out["delta_milli"]) == delta
+    assert int(out["n_required_per_arm"]) == (num + den - 1) // den
+    n2 = (num + 1_000_000 * (2 * delta) ** 2 - 1) \
+        // (1_000_000 * (2 * delta) ** 2)
+    assert 3 * n2 <= int(out["n_required_per_arm"]) <= 4 * n2 + 4
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
