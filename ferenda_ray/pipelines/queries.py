@@ -18079,6 +18079,207 @@ FROM f
 """ % (100 // POWER_MDE_PCT, POWER_Z_SUM_MILLI, POWER_Z_SUM_MILLI)
 
 
+BOT_CV2_FLAG_MILLI = 200  # CV² below this = suspiciously regular
+
+
+def user_bot_score_census(sf_dir):
+    """Bot/automation detection census — the abuse-team heuristic
+    that a HUMAN's inter-event gaps are bursty (exponential gaps have
+    CV² = 1) while scripted traffic is metronomic (CV² → 0): per user
+    with ≥2 gaps, CV² of second-grid gaps as the exact integer
+    cv2_milli = 1000·(k·Σg² − S²) // S², flagged below 200‰, and the
+    output is the ≤51-cell histogram of 100‰ CV² bands plus the flag
+    count — the census a rate-limiting review reads, never a
+    per-user dump.
+
+    Scale shape: (user, ts) rides the user_interarrival_histogram
+    exchange; each bucket sorts within user, diffs, and reduces its
+    users vectorized to bounded band cells (a user lives in one
+    bucket, so cells are additive); single merge. Σg² fits int64 to
+    ~10⁶ month-scale gaps per user."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))})
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "ts": "int64"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts"], kind="mergesort")
+        u = g["u"].to_numpy()
+        ts = g["ts"].to_numpy()
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] // 1_000_000
+        gu = u[1:][same]
+        df = pd.DataFrame({"u": gu, "g": gaps, "g2": gaps * gaps})
+        agg = (df.groupby("u")
+               .agg(k=("g", "size"), s=("g", "sum"),
+                    s2=("g2", "sum")))
+        agg = agg[(agg["k"] >= 2) & (agg["s"] > 0)]
+        k = agg["k"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        s2 = agg["s2"].to_numpy(np.int64)
+        cv2 = 1000 * (k * s2 - s * s) // (s * s)
+        band = np.minimum(cv2 // 100, 50)
+        out = (pd.DataFrame({"band": band,
+                             "flag": (cv2 < BOT_CV2_FLAG_MILLI)
+                             .astype(np.int64)})
+               .groupby("band", as_index=False)
+               .agg(n_users=("band", "size"),
+                    n_flagged=("flag", "sum")))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("band", as_index=False)
+               .agg(n_users=("n_users", "sum"),
+                    n_flagged=("n_flagged", "sum"))
+               .sort_values("band").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+BOT_CENSUS_SQL = """
+WITH e AS (
+  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS ts
+  FROM events),
+g AS (
+  SELECT u, (ts - lag(ts) OVER (PARTITION BY u ORDER BY ts))
+            // 1000000 AS gap
+  FROM e),
+a AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT least(CAST(1000 * (k * s2 - s * s) // (s * s) AS BIGINT)
+               // 100, 50) AS band,
+         CASE WHEN 1000 * (k * s2 - s * s) // (s * s) < %d
+              THEN 1 ELSE 0 END AS flag
+  FROM a WHERE k >= 2 AND s > 0)
+SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(flag) AS BIGINT) AS n_flagged
+FROM c GROUP BY 1 ORDER BY 1
+""" % BOT_CV2_FLAG_MILLI
+
+
+def brand_share_shift(sf_dir):
+    """Brand share-shift report — the BI staple behind every 'who is
+    winning the category' review: per brand, revenue share (permille)
+    in the first vs second half of the shipdate range and the signed
+    shift, computed on exact cents so ranking and signs replay
+    bit-for-bit. The drift detector's per-dimension sibling:
+    orders_price_drift says THAT the distribution moved; this says
+    WHO gained.
+
+    Scale shape: the part→brand map is the small dimension —
+    materialized once and broadcast (the PIT-join discipline);
+    lineitem then reduces map-side to bounded (brand, half) cent
+    cells (≤ 25×2), zero shuffle, one merge block of permille
+    arithmetic."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    brand_map = dict(zip(part["p_partkey"].astype(int),
+                         part["p_brand"]))
+    lookup = ray.put(brand_map)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice"])
+
+    def day_range(t: pa.Table) -> pd.DataFrame:
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"lo": pd.Series([int(d.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(d.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(day_range, batch_format="pyarrow").to_pandas()
+    mid = (int(r["lo"].min()) + int(r["hi"].max())) // 2
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        bm = _ray.get(lookup)
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        brands = [bm[int(k)] for k in t["l_partkey"].to_pylist()]
+        out = (pd.DataFrame({"brand": brands,
+                             "h": (d > mid).astype(np.int64),
+                             "cents": cents})
+               .groupby(["brand", "h"], as_index=False)["cents"]
+               .sum())
+        return out.astype({"h": "int64", "cents": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["brand", "h"])["cents"].sum()
+        tot = {0: int(g.xs(0, level="h").sum()),
+               1: int(g.xs(1, level="h").sum())}
+        rows = []
+        for brand in sorted({k[0] for k in g.index}):
+            b0 = int(g.get((brand, 0), 0))
+            b1 = int(g.get((brand, 1), 0))
+            s0 = 1000 * b0 // max(tot[0], 1)
+            s1 = 1000 * b1 // max(tot[1], 1)
+            rows.append((brand, s0, s1, s1 - s0))
+        return pd.DataFrame(rows, columns=[
+            "brand", "share_before_permille", "share_after_permille",
+            "shift_permille"]).astype(
+            {"share_before_permille": "int64",
+             "share_after_permille": "int64",
+             "shift_permille": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+BRAND_SHIFT_SQL = """
+WITH rng AS (
+  SELECT (min(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000)
+          + max(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000))
+         // 2 AS mid
+  FROM lineitem),
+b AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                   // 86400000000 > rng.mid THEN 1 ELSE 0 END AS h,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, rng
+  GROUP BY 1, 2),
+tot AS (SELECT h, CAST(sum(cents) AS BIGINT) AS t FROM b GROUP BY 1),
+w AS (
+  SELECT br.brand,
+         CAST(1000 * coalesce(b0.cents, 0)
+              // greatest(t0.t, 1) AS BIGINT) AS s0,
+         CAST(1000 * coalesce(b1.cents, 0)
+              // greatest(t1.t, 1) AS BIGINT) AS s1
+  FROM (SELECT DISTINCT brand FROM b) br
+  LEFT JOIN b b0 ON b0.brand = br.brand AND b0.h = 0
+  LEFT JOIN b b1 ON b1.brand = br.brand AND b1.h = 1
+  CROSS JOIN (SELECT t FROM tot WHERE h = 0) t0
+  CROSS JOIN (SELECT t FROM tot WHERE h = 1) t1)
+SELECT brand, s0 AS share_before_permille,
+       s1 AS share_after_permille,
+       CAST(s1 - s0 AS BIGINT) AS shift_permille
+FROM w ORDER BY brand
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -18389,6 +18590,9 @@ QUERIES = {
     "orders_dow_anova": (orders_dow_anova, DOW_ANOVA_SQL),
     "orders_runs_test": (orders_runs_test, RUNS_TEST_SQL),
     "events_power_analysis": (events_power_analysis, POWER_SQL),
+    "user_bot_score_census": (user_bot_score_census,
+                              BOT_CENSUS_SQL),
+    "brand_share_shift": (brand_share_shift, BRAND_SHIFT_SQL),
 }
 
 
