@@ -231,7 +231,9 @@ def run_bench() -> dict:
              ("doc_l_diversity", Q.doc_l_diversity),
              ("orders_dow_anova", Q.orders_dow_anova),
              ("orders_runs_test", Q.orders_runs_test),
-             ("events_power_analysis", Q.events_power_analysis)]
+             ("events_power_analysis", Q.events_power_analysis),
+             ("user_bot_score_census", Q.user_bot_score_census),
+             ("brand_share_shift", Q.brand_share_shift)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -820,6 +820,82 @@ def test_power_analysis_matches_moment_loop(ray_session):
     assert 3 * n2 <= int(out["n_required_per_arm"]) <= 4 * n2 + 4
 
 
+def test_bot_census_matches_per_user_loop(ray_session):
+    """CV² census == a per-user Python loop over sorted gaps, with
+    conservation: Σ n_users == users with ≥2 positive-sum gaps."""
+    from ferenda_ray.pipelines.queries import (BOT_CV2_FLAG_MILLI,
+                                               user_bot_score_census)
+
+    out = _to_pd(user_bot_score_census(SF)).set_index("band")
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["user_id", "ts"])
+    ts = (t["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64))
+    per = {}
+    for u, x in zip(t["user_id"].to_pylist(), ts):
+        per.setdefault(u, []).append(int(x))
+    cells = {}
+    scored = 0
+    for u, xs in per.items():
+        xs.sort()
+        gaps = [(b - a) // 1_000_000
+                for a, b in zip(xs, xs[1:])]
+        k = len(gaps)
+        s = sum(gaps)
+        if k < 2 or s <= 0:
+            continue
+        scored += 1
+        s2 = sum(g * g for g in gaps)
+        cv2 = 1000 * (k * s2 - s * s) // (s * s)
+        band = min(cv2 // 100, 50)
+        n, f = cells.get(band, (0, 0))
+        cells[band] = (n + 1, f + (1 if cv2 < BOT_CV2_FLAG_MILLI
+                                   else 0))
+    for band, (n, f) in cells.items():
+        assert int(out.loc[band, "n_users"]) == n
+        assert int(out.loc[band, "n_flagged"]) == f
+    assert int(out["n_users"].sum()) == scored
+
+
+def test_brand_shift_matches_dict_loop(ray_session):
+    """Share shift == a per-row dict recomputation, with the
+    zero-sum property: Σ shares per half ≈ 1000 (floor slack < #brands)
+    and Σ shift ∈ (−25, 25)."""
+    from ferenda_ray.pipelines.queries import brand_share_shift
+
+    out = _to_pd(brand_share_shift(SF)).set_index("brand")
+    li = pq.read_table(SF + "/lineitem.parquet",
+                       columns=["l_partkey", "l_shipdate",
+                                "l_extendedprice"])
+    part = pq.read_table(SF + "/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    bm = dict(zip(part["p_partkey"].to_pylist(),
+                  part["p_brand"].to_pylist()))
+    days = (li["l_shipdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    mid = (int(days.min()) + int(days.max())) // 2
+    cents = np.floor(li["l_extendedprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    acc = {}
+    tot = [0, 0]
+    for k, d, c in zip(li["l_partkey"].to_pylist(), days, cents):
+        h = 1 if int(d) > mid else 0
+        b = bm[k]
+        cur = acc.setdefault(b, [0, 0])
+        cur[h] += int(c)
+        tot[h] += int(c)
+    for b, (c0, c1) in acc.items():
+        s0 = 1000 * c0 // tot[0]
+        s1 = 1000 * c1 // tot[1]
+        row = out.loc[b]
+        assert int(row["share_before_permille"]) == s0
+        assert int(row["share_after_permille"]) == s1
+        assert int(row["shift_permille"]) == s1 - s0
+    for col in ("share_before_permille", "share_after_permille"):
+        assert 1000 - len(out) < int(out[col].sum()) <= 1000
+    assert abs(int(out["shift_permille"].sum())) < len(out)
+
+
 def test_gini_matches_pairwise_brute_force(ray_session):
     """Binned Gini == the O(n²) pairwise |x_a − x_b| definition over
     the banded per-customer revenues (neither engine touches pairs)."""
