@@ -18280,6 +18280,85 @@ FROM w ORDER BY brand
 """
 
 
+def lang_tokenizer_fertility(sf_dir):
+    """Tokenizer fertility per language — the LLM-pipeline statistic
+    (tokens emitted per whitespace word) that decides whether a
+    tokenizer taxes some languages more than others (the compression
+    disparity every multilingual training report tables): the
+    distributed-BPE tokenizer trains once on the corpus (bounded
+    word-count exchange, the doc_bpe_tokens machinery), and fertility
+    = 1000·Σ bpe_tokens // Σ words per lang, exact on the permille
+    grid. The SQL oracle replays BPE training AND encoding through
+    the unrolled-CTE oracle and aggregates the same ratio.
+
+    Scale shape: merges broadcast once; the scoring pass is a
+    per-actor-cached zero-shuffle encode that reduces map-side to
+    bounded (lang → words, tokens) cells — text never leaves the map
+    task; single merge block."""
+    import ray
+
+    from ..stages import bpe as bpestage
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"])
+    merges = bpestage.train_bpe(docs, BPE_MERGES)
+    ref = ray.put(merges)
+
+    class Fertility:
+        def __init__(self):
+            self.merges = ray.get(ref)
+            self._cache: dict = {}
+
+        def _n(self, w: str) -> int:
+            n = self._cache.get(w)
+            if n is None:
+                n = len(bpestage.apply_merges(w, self.merges))
+                self._cache[w] = n
+            return n
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cells: dict = {}
+            for lang, text in zip(t["lang"].to_pylist(),
+                                  t["text"].to_pylist()):
+                words = bpestage._WORD_RE.findall(text or "")
+                a = cells.setdefault(lang, [0, 0])
+                a[0] += len(words)
+                a[1] += sum(self._n(w) for w in words)
+            return pd.DataFrame(
+                [(k, v[0], v[1]) for k, v in cells.items()],
+                columns=["lang", "w", "t"]).astype({"w": "int64",
+                                                    "t": "int64"})
+
+    per_batch = docs.map_batches(
+        Fertility, batch_format="pyarrow",
+        concurrency=bpestage._pool_size())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("lang", as_index=False)
+             .agg(n_words=("w", "sum"), n_bpe_tokens=("t", "sum"))
+             .sort_values("lang").reset_index(drop=True))
+        g["fertility_milli"] = (1000 * g["n_bpe_tokens"]
+                                // g["n_words"].clip(lower=1))
+        return g.astype({"n_words": "int64", "n_bpe_tokens": "int64",
+                         "fertility_milli": "int64"})
+
+    return _merge_partials(per_batch, merge)
+
+
+FERTILITY_SQL = """
+SELECT d.lang,
+       CAST(sum(len(regexp_extract_all(d.text, '\\S+')))
+            AS BIGINT) AS n_words,
+       CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(1000 * sum(b.n_bpe_tokens)
+            // greatest(sum(len(regexp_extract_all(d.text,
+                                                   '\\S+'))), 1)
+            AS BIGINT) AS fertility_milli
+FROM documents d JOIN (%s) b ON b.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1
+""" % DOC_BPE_SQL
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -18593,6 +18672,8 @@ QUERIES = {
     "user_bot_score_census": (user_bot_score_census,
                               BOT_CENSUS_SQL),
     "brand_share_shift": (brand_share_shift, BRAND_SHIFT_SQL),
+    "lang_tokenizer_fertility": (lang_tokenizer_fertility,
+                                 FERTILITY_SQL),
 }
 
 
