@@ -233,7 +233,9 @@ def run_bench() -> dict:
              ("orders_runs_test", Q.orders_runs_test),
              ("events_power_analysis", Q.events_power_analysis),
              ("user_bot_score_census", Q.user_bot_score_census),
-             ("brand_share_shift", Q.brand_share_shift)]
+             ("brand_share_shift", Q.brand_share_shift),
+             ("lang_tokenizer_fertility",
+              Q.lang_tokenizer_fertility)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -921,3 +921,29 @@ def test_gini_matches_pairwise_brute_force(ray_session):
     assert int(out["n_customers"]) == n
     assert int(out["gini_permille"]) == gini
     assert 0 < gini < 1000  # non-degenerate inequality
+
+
+def test_fertility_structural_properties(ray_session):
+    """Fertility bounds and conservation (the SQL oracle already
+    replays BPE independently; this pins the invariants): every
+    lang's fertility ∈ [1000, 1000·max_word_len], token count ≥ word
+    count, and Σ n_words == the corpus whitespace-token count."""
+    import re
+
+    from ferenda_ray.pipelines.queries import lang_tokenizer_fertility
+
+    out = _to_pd(lang_tokenizer_fertility(SF))
+    t = pq.read_table(SF + "/documents.parquet",
+                      columns=["text", "lang"])
+    words = {}
+    maxlen = 0
+    for lang, text in zip(t["lang"].to_pylist(),
+                          t["text"].to_pylist()):
+        ws = re.findall(r"\S+", text or "")
+        words[lang] = words.get(lang, 0) + len(ws)
+        maxlen = max([maxlen] + [len(w) for w in ws])
+    for row in out.itertuples():
+        assert int(row.n_words) == words[row.lang]
+        assert int(row.n_bpe_tokens) >= int(row.n_words)
+        assert 1000 <= int(row.fertility_milli) <= 1000 * maxlen
+    assert int(out["n_words"].sum()) == sum(words.values())
