@@ -235,7 +235,8 @@ def run_bench() -> dict:
              ("user_bot_score_census", Q.user_bot_score_census),
              ("brand_share_shift", Q.brand_share_shift),
              ("lang_tokenizer_fertility",
-              Q.lang_tokenizer_fertility)]
+              Q.lang_tokenizer_fertility),
+             ("orders_stl_strength", Q.orders_stl_strength)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -18359,6 +18359,126 @@ GROUP BY 1 ORDER BY 1
 """ % DOC_BPE_SQL
 
 
+def orders_stl_strength(sf_dir):
+    """Seasonality-strength decomposition (the STL-shaped measure
+    Hyndman-Athanasopoulos ch. 3 popularized: F_s = 1 −
+    Var(remainder)/Var(detrended)) of daily revenue — the one number
+    that says whether the weekly pattern is STRUCTURE or noise,
+    capping the time-series family (trend slope → CUSUM → ACF → runs
+    → this). Every step is a declared integer grid: trend = the
+    7-day centered moving average floored (edges dropped), seasonal
+    s_w = the per-weekday mean of the detrended series with the SIGN
+    PEELED before flooring (detrended values go negative — Python
+    floors, DuckDB truncates, the recorded hazard), remainder =
+    detrended − s_w, and F_s in permille from the two integer
+    variance forms (n·Σe²−(Σe)² over n·Σr²−(Σr)²), clipped at 0.
+    Also reports the seasonal amplitude max(s_w) − min(s_w) in cents.
+
+    Scale shape: the bounded (day, cents) combiner — zero shuffle;
+    the single merge densifies and runs the decomposition vectorized
+    over the ≤calendar-size array; Python-int variances (Σe²
+    outgrows int64 past ~10⁵ high-revenue days)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"d": days, "cents": cents})
+               .groupby("d", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", as_index=False)["cents"].sum()
+        lo, hi = int(g["d"].min()), int(g["d"].max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[g["d"].to_numpy(np.int64) - lo] = \
+            g["cents"].to_numpy(np.int64)
+        if len(x) < 8:
+            return pd.DataFrame({"n_days_used": [0],
+                                 "strength_permille": [0],
+                                 "seasonal_amplitude_cents": [0]}
+                                ).astype("int64")
+        k = np.ones(7, np.int64)
+        trend = np.convolve(x, k, mode="valid") // 7  # x>=0: floor ok
+        days = np.arange(lo + 3, hi - 2, dtype=np.int64)
+        r = x[3:-3] - trend
+        dows = days % 7
+        s = {}
+        for w in range(7):
+            vals = r[dows == w]
+            tot = int(vals.sum())
+            n = len(vals)
+            if n:
+                sgn = 1 if tot >= 0 else -1
+                s[w] = sgn * (abs(tot) // n)  # toward-zero, declared
+            else:
+                s[w] = 0
+        e = r - np.asarray([s[int(w)] for w in dows], np.int64)
+        n = len(r)
+        sr = [int(v) for v in r]
+        se = [int(v) for v in e]
+        vr = n * sum(v * v for v in sr) - sum(sr) ** 2
+        ve = n * sum(v * v for v in se) - sum(se) ** 2
+        strength = max(0, 1000 - 1000 * ve // max(vr, 1))
+        amp = max(s.values()) - min(s.values())
+        return pd.DataFrame({
+            "n_days_used": pd.Series([n], dtype="int64"),
+            "strength_permille": pd.Series([strength], dtype="int64"),
+            "seasonal_amplitude_cents": pd.Series([amp],
+                                                  dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+STL_STRENGTH_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM d),
+                                (SELECT max(d) FROM d))) AS d),
+x AS (SELECT cal.d, coalesce(dd.c, 0) AS c
+      FROM cal LEFT JOIN d dd ON dd.d = cal.d),
+w AS (SELECT d, c,
+             sum(c) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS k7
+      FROM x),
+r AS (SELECT d, d % 7 AS dow, c - s7 // 7 AS r
+      FROM w WHERE k7 = 7),
+s AS (SELECT dow,
+             CASE WHEN sum(r) >= 0
+                  THEN sum(r) // count(*)
+                  ELSE -((-sum(r)) // count(*)) END AS sw
+      FROM r GROUP BY 1),
+e AS (SELECT r.r, r.r - s.sw AS e
+      FROM r JOIN s ON s.dow = r.dow),
+agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(r) AS HUGEINT) AS sr,
+               CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sr2,
+               CAST(sum(e) AS HUGEINT) AS se,
+               CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS se2
+        FROM e),
+f AS (SELECT n, n * sr2 - sr * sr AS vr,
+             n * se2 - se * se AS ve
+      FROM agg)
+SELECT CAST(n AS BIGINT) AS n_days_used,
+       CAST(greatest(0, 1000 - 1000 * ve // greatest(vr, 1))
+            AS BIGINT) AS strength_permille,
+       CAST((SELECT max(sw) - min(sw) FROM s) AS BIGINT)
+         AS seasonal_amplitude_cents
+FROM f
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -18674,6 +18794,7 @@ QUERIES = {
     "brand_share_shift": (brand_share_shift, BRAND_SHIFT_SQL),
     "lang_tokenizer_fertility": (lang_tokenizer_fertility,
                                  FERTILITY_SQL),
+    "orders_stl_strength": (orders_stl_strength, STL_STRENGTH_SQL),
 }
 
 

@@ -947,3 +947,44 @@ def test_fertility_structural_properties(ray_session):
         assert int(row.n_bpe_tokens) >= int(row.n_words)
         assert 1000 <= int(row.fertility_milli) <= 1000 * maxlen
     assert int(out["n_words"].sum()) == sum(words.values())
+
+
+def test_stl_strength_matches_sequential_decomposition(ray_session):
+    """The decomposition == a day-by-day Python recomputation of
+    trend → seasonal → remainder on the same declared grids, and
+    0 ≤ F_s ≤ 1000."""
+    from ferenda_ray.pipelines.queries import orders_stl_strength
+
+    out = _to_pd(orders_stl_strength(SF)).iloc[0]
+    t = pq.read_table(SF + "/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+    daily = {}
+    for d, c in zip(days, cents):
+        daily[int(d)] = daily.get(int(d), 0) + int(c)
+    lo, hi = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    rs, dows = [], []
+    for i in range(3, len(xs) - 3):
+        trend = sum(xs[i - 3:i + 4]) // 7
+        rs.append(xs[i] - trend)
+        dows.append((lo + i) % 7)
+    sw = {}
+    for w in range(7):
+        vals = [r for r, d in zip(rs, dows) if d == w]
+        tot = sum(vals)
+        sgn = 1 if tot >= 0 else -1
+        sw[w] = sgn * (abs(tot) // len(vals)) if vals else 0
+    es = [r - sw[d] for r, d in zip(rs, dows)]
+    n = len(rs)
+    vr = n * sum(v * v for v in rs) - sum(rs) ** 2
+    ve = n * sum(v * v for v in es) - sum(es) ** 2
+    strength = max(0, 1000 - 1000 * ve // max(vr, 1))
+    assert int(out["n_days_used"]) == n
+    assert int(out["strength_permille"]) == strength
+    assert int(out["seasonal_amplitude_cents"]) == \
+        max(sw.values()) - min(sw.values())
+    assert 0 <= strength <= 1000
