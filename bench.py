@@ -236,7 +236,8 @@ def run_bench() -> dict:
              ("brand_share_shift", Q.brand_share_shift),
              ("lang_tokenizer_fertility",
               Q.lang_tokenizer_fertility),
-             ("orders_stl_strength", Q.orders_stl_strength)]
+             ("orders_stl_strength", Q.orders_stl_strength),
+             ("kg_component_census", Q.kg_component_census)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

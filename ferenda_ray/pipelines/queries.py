@@ -18479,6 +18479,119 @@ FROM f
 """
 
 
+def kg_component_census(sf_dir):
+    """Connectivity-health dashboard of the co-citation graph — the
+    two numbers a web-graph report leads with: the GIANT-COMPONENT
+    share (what fraction of total degree mass the largest connected
+    component holds — the Broder-bowtie headline) and the
+    fragmentation HHI of per-component degree mass (10⁶·Σ(d_c)² //
+    (2m)² ppm — 10⁶ = one monolithic component, →0 = dust), plus the
+    component count. Degree mass rather than node count weights
+    components by their actual linkage.
+
+    Scale shape: CC labels come from the existing hash-to-min
+    distributed machinery; degrees join onto labels via bucket_join
+    over materialized inputs; per-component degree sums finalize in
+    ONE label-bucketed exchange whose buckets emit bounded partials
+    (Σ(d_c)², max d_c, count — each additive/max-combinable because a
+    component lives in exactly one bucket); Python-int merge
+    (Σ(d_c)² outgrows int64 immediately at web scale)."""
+    from ..stages import graph
+    from ..stages.canonicalize import connected_components_distributed
+    from ..stages.joins import bucket_join
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir)).materialize()
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"uri_a": t["a"], "uri_b": t["b"]})
+
+    labels = connected_components_distributed(
+        pairs.map_batches(as_edges, batch_format="pyarrow")) \
+        .materialize()
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())])})
+
+    deg = graph.degrees(pairs.map_batches(flat_nodes,
+                                          batch_format="pyarrow"),
+                        "node").materialize()
+    j = bucket_join(deg, labels, left_on="node", right_on="node",
+                    suffix="_l")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        p = (df.groupby("label", as_index=False)["deg"].sum())
+        from ..stages.graph import _hash64
+        p["_bucket"] = (_hash64(p["label"].astype(str))
+                        % np.uint64(64)).astype("int32")
+        return p
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("label")["deg"].sum()
+        vals = [int(v) for v in c]
+        return pd.DataFrame({
+            "sumsq_h": [sum(v * v for v in vals) >> 62],
+            "sumsq_l": [sum(v * v for v in vals) & ((1 << 62) - 1)],
+            "mx": [max(vals)], "nc": [len(vals)],
+            "total": [sum(vals)]}).astype("int64")
+
+    per_bucket = (j.map_batches(prep, batch_format="pandas")
+                  .groupby("_bucket")
+                  .map_groups(bucket_stats, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        sumsq = sum((int(h) << 62) + int(l) for h, l in
+                    zip(df["sumsq_h"], df["sumsq_l"]))
+        mx = int(df["mx"].max())
+        nc = int(df["nc"].sum())
+        total = int(df["total"].sum())  # = 2m
+        return pd.DataFrame({
+            "n_components": pd.Series([nc], dtype="int64"),
+            "giant_share_permille": pd.Series(
+                [1000 * mx // max(total, 1)], dtype="int64"),
+            "fragmentation_hhi_ppm": pd.Series(
+                [1_000_000 * sumsq // max(total * total, 1)],
+                dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+KG_COMPONENT_CENSUS_SQL = f"""
+WITH RECURSIVE edges AS ({_CITE_EDGES_SQL}),
+pairs AS (SELECT DISTINCT e1.dst AS a, e2.dst AS b
+          FROM edges e1 JOIN edges e2
+            ON e1.src = e2.src AND e1.dst < e2.dst),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nds AS (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nds
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM pairs
+        UNION ALL SELECT b FROM pairs)
+  GROUP BY node),
+comp AS (
+  SELECT cc.component, CAST(sum(deg.d) AS HUGEINT) AS dc
+  FROM cc JOIN deg ON deg.node = cc.node
+  GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(max(dc) AS HUGEINT) AS mx,
+               CAST(sum(dc * dc) AS HUGEINT) AS sumsq,
+               CAST(sum(dc) AS HUGEINT) AS total
+        FROM comp)
+SELECT nc AS n_components,
+       CAST(1000 * mx // greatest(total, 1) AS BIGINT)
+         AS giant_share_permille,
+       CAST(1000000 * sumsq // greatest(total * total, 1) AS BIGINT)
+         AS fragmentation_hhi_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -18795,6 +18908,8 @@ QUERIES = {
     "lang_tokenizer_fertility": (lang_tokenizer_fertility,
                                  FERTILITY_SQL),
     "orders_stl_strength": (orders_stl_strength, STL_STRENGTH_SQL),
+    "kg_component_census": (kg_component_census,
+                            KG_COMPONENT_CENSUS_SQL),
 }
 
 

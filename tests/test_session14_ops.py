@@ -988,3 +988,41 @@ def test_stl_strength_matches_sequential_decomposition(ray_session):
     assert int(out["seasonal_amplitude_cents"]) == \
         max(sw.values()) - min(sw.values())
     assert 0 <= strength <= 1000
+
+
+def test_component_census_matches_union_find(ray_session):
+    """Census == a plain union-find over the planted-arithmetic
+    pairs (an algorithm neither engine uses), plus the HHI bound:
+    giant_share² ≤ HHI ≤ giant_share·1000 (in ppm terms)."""
+    from ferenda_ray.pipelines.queries import kg_component_census
+
+    out = _to_pd(kg_component_census(SF)).iloc[0]
+    pairs = _cocite_pairs_brute()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    deg = {}
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        parent[find(a)] = find(b)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    comp = {}
+    for n, d in deg.items():
+        comp[find(n)] = comp.get(find(n), 0) + d
+    total = sum(comp.values())
+    mx = max(comp.values())
+    hhi = 1_000_000 * sum(v * v for v in comp.values()) \
+        // (total * total)
+    assert int(out["n_components"]) == len(comp)
+    assert int(out["giant_share_permille"]) == 1000 * mx // total
+    assert int(out["fragmentation_hhi_ppm"]) == hhi
+    gs = int(out["giant_share_permille"])
+    assert gs * gs <= hhi + 1 and hhi <= gs * 1000 + 1000
