@@ -237,7 +237,10 @@ def run_bench() -> dict:
              ("lang_tokenizer_fertility",
               Q.lang_tokenizer_fertility),
              ("orders_stl_strength", Q.orders_stl_strength),
-             ("kg_component_census", Q.kg_component_census)]
+             ("kg_component_census", Q.kg_component_census),
+             ("customer_purchase_dispersion",
+              Q.customer_purchase_dispersion),
+             ("part_markup_census", Q.part_markup_census)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

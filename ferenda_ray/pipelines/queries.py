@@ -18592,6 +18592,144 @@ FROM agg
 """
 
 
+def customer_purchase_dispersion(sf_dir):
+    """Purchase-count dispersion — the model-selection audit run
+    before fitting a buy-till-you-die CLV model (BG/NBD assumes
+    per-customer Poisson purchasing with Gamma heterogeneity, i.e.
+    OVER-dispersed counts): the orders-per-customer histogram plus
+    the exact dispersion index D_milli = 1000·(n·Σk² − (Σk)²) //
+    (n·Σk) (Poisson ⇒ 1000; >1000 ⇒ the Gamma mixing NBD needs;
+    <1000 ⇒ regular buyers, use a different model). The
+    customer-side sibling of events_fano_overdispersion.
+
+    Scale shape: per-batch (custkey → count) partials ride ONE
+    custkey-bucketed exchange; buckets emit the bounded count
+    histogram plus three moment cells (additive — a customer
+    finalizes in one bucket); Python-int merge."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = (pd.DataFrame({"c": t["o_custkey"].to_numpy(), "n": 1})
+             .groupby("c", as_index=False)["n"].sum())
+        h = pd.util.hash_pandas_object(p["c"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"c": "int64", "n": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.groupby("c")["n"].sum().to_numpy(np.int64)
+        hist = (pd.DataFrame({"k": k})
+                .groupby("k", as_index=False).size()
+                .rename(columns={"size": "n_customers"}))
+        hist["s"] = hist["k"] * hist["n_customers"]
+        hist["s2"] = hist["k"] * hist["k"] * hist["n_customers"]
+        return hist.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby("k", as_index=False)
+             .agg(n_customers=("n_customers", "sum"),
+                  s=("s", "sum"), s2=("s2", "sum"))
+             .sort_values("k").reset_index(drop=True))
+        n = int(h["n_customers"].sum())
+        s = int(h["s"].sum())
+        s2 = int(h["s2"].sum())
+        d = 1000 * (n * s2 - s * s) // max(n * s, 1)
+        out = h[["k", "n_customers"]].copy()
+        out["dispersion_milli"] = d
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+PURCHASE_DISPERSION_SQL = """
+WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+           FROM orders GROUP BY 1),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(k) AS HUGEINT) AS s,
+             CAST(sum(k * k) AS HUGEINT) AS s2
+      FROM c)
+SELECT c.k, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(1000 * (m.n * m.s2 - m.s * m.s)
+            // greatest(m.n * m.s, 1) AS BIGINT)
+         AS dispersion_milli
+FROM c, m GROUP BY 1, 3 ORDER BY 1
+"""
+
+
+MARKUP_BAND_PERMILLE = 100  # 10%-wide markup bands
+
+
+def part_markup_census(sf_dir):
+    """Markup-vs-list-price audit — the procurement screen for lines
+    sold off list: per lineitem, unit price on the exact milli grid
+    (1000·cents // qty) against the part's retail list price, markup
+    = 1000·unit_milli // retail_milli banded in 10% cells (band =
+    markup // 100, capped at 30) — the census that surfaces both
+    systematic underpricing and the fat tail of list-busting lines.
+
+    Scale shape: the part→retail map is the small dimension,
+    broadcast once (the brand_share_shift discipline); everything
+    else is a zero-shuffle bounded ≤31-cell band census."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_retailprice"]).to_pandas()
+    retail = {int(k): int(round(v * 1000))
+              for k, v in zip(part["p_partkey"],
+                              part["p_retailprice"])}
+    lookup = ray.put(retail)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        rp = _ray.get(lookup)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        qty = pc.cast(pc.round(t["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64()).to_numpy()
+        unit_milli = 10 * cents // np.maximum(qty, 1)
+        rr = np.asarray([rp[int(k)] for k in
+                         t["l_partkey"].to_pylist()], np.int64)
+        markup = 1000 * unit_milli // np.maximum(rr, 1)
+        band = np.minimum(markup // MARKUP_BAND_PERMILLE, 30)
+        out = (pd.DataFrame({"band": band})
+               .groupby("band", as_index=False).size()
+               .rename(columns={"size": "n_lines"}))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("band", as_index=False)["n_lines"].sum()
+                .sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+MARKUP_CENSUS_SQL = """
+WITH l AS (
+  SELECT 10 * CAST(round(l_extendedprice * 100) AS BIGINT)
+           // greatest(CAST(round(l_quantity) AS BIGINT), 1)
+           AS unit_milli,
+         CAST(round(p.p_retailprice * 1000) AS BIGINT) AS retail
+  FROM lineitem JOIN part p ON p.p_partkey = lineitem.l_partkey),
+b AS (SELECT least(1000 * unit_milli // greatest(retail, 1)
+                   // %d, 30) AS band
+      FROM l)
+SELECT band, CAST(count(*) AS BIGINT) AS n_lines
+FROM b GROUP BY 1 ORDER BY 1
+""" % MARKUP_BAND_PERMILLE
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -18910,6 +19048,9 @@ QUERIES = {
     "orders_stl_strength": (orders_stl_strength, STL_STRENGTH_SQL),
     "kg_component_census": (kg_component_census,
                             KG_COMPONENT_CENSUS_SQL),
+    "customer_purchase_dispersion": (customer_purchase_dispersion,
+                                     PURCHASE_DISPERSION_SQL),
+    "part_markup_census": (part_markup_census, MARKUP_CENSUS_SQL),
 }
 
 

@@ -1026,3 +1026,57 @@ def test_component_census_matches_union_find(ray_session):
     assert int(out["fragmentation_hhi_ppm"]) == hhi
     gs = int(out["giant_share_permille"])
     assert gs * gs <= hhi + 1 and hhi <= gs * 1000 + 1000
+
+
+def test_purchase_dispersion_matches_dict_loop(ray_session):
+    """Histogram + dispersion == a per-order dict recount, with the
+    customer-count conservation and the over-dispersion check the
+    statistic exists for."""
+    from ferenda_ray.pipelines.queries import customer_purchase_dispersion
+
+    out = _to_pd(customer_purchase_dispersion(SF))
+    t = pq.read_table(SF + "/orders.parquet", columns=["o_custkey"])
+    counts = {}
+    for c in t["o_custkey"].to_pylist():
+        counts[c] = counts.get(c, 0) + 1
+    hist = {}
+    for k in counts.values():
+        hist[k] = hist.get(k, 0) + 1
+    n = len(counts)
+    s = sum(counts.values())
+    s2 = sum(k * k for k in counts.values())
+    d = 1000 * (n * s2 - s * s) // (n * s)
+    assert len(out) == len(hist)
+    for row in out.itertuples():
+        assert hist[int(row.k)] == int(row.n_customers)
+        assert int(row.dispersion_milli) == d
+    assert int(out["n_customers"].sum()) == n
+
+
+def test_markup_census_matches_per_line_loop(ray_session):
+    """Band census == a per-line recomputation on the same grids,
+    with line-count conservation."""
+    from ferenda_ray.pipelines.queries import (MARKUP_BAND_PERMILLE,
+                                               part_markup_census)
+
+    out = _to_pd(part_markup_census(SF)).set_index("band")
+    li = pq.read_table(SF + "/lineitem.parquet",
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice"])
+    part = pq.read_table(SF + "/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    rp = {k: int(round(v * 1000))
+          for k, v in zip(part["p_partkey"].to_pylist(),
+                          part["p_retailprice"].to_pylist())}
+    cells = {}
+    for k, q, e in zip(li["l_partkey"].to_pylist(),
+                       li["l_quantity"].to_pylist(),
+                       li["l_extendedprice"].to_pylist()):
+        unit = 10 * int(np.floor(e * 100 + 0.5)) \
+            // max(int(np.floor(q + 0.5)), 1)
+        band = min(1000 * unit // max(rp[k], 1)
+                   // MARKUP_BAND_PERMILLE, 30)
+        cells[band] = cells.get(band, 0) + 1
+    for band, nl in cells.items():
+        assert int(out.loc[band, "n_lines"]) == nl
+    assert int(out["n_lines"].sum()) == len(li)
