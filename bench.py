@@ -240,7 +240,8 @@ def run_bench() -> dict:
              ("kg_component_census", Q.kg_component_census),
              ("customer_purchase_dispersion",
               Q.customer_purchase_dispersion),
-             ("part_markup_census", Q.part_markup_census)]
+             ("part_markup_census", Q.part_markup_census),
+             ("supplier_sla_compliance", Q.supplier_sla_compliance)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -18730,6 +18730,113 @@ FROM b GROUP BY 1 ORDER BY 1
 """ % MARKUP_BAND_PERMILLE
 
 
+SLA_DAYS = 365          # a line is compliant if shipped within a year
+SLA_BAND_PERMILLE = 100  # 10%-wide compliance bands
+
+
+def supplier_sla_compliance(sf_dir):
+    """Per-supplier ship-SLA compliance census — the vendor-scorecard
+    question (which suppliers actually ship inside the contracted
+    window?) answered as a census, never a per-supplier dump: each
+    line's lead = ship day − order day, compliant iff ≤ 365 days,
+    per-supplier compliance = 1000·n_ok // n floored, and the output
+    is the supplier count per 10%-compliance band plus each band's
+    total line volume (so a review sees whether the laggards are
+    low-volume noise or real exposure).
+
+    Scale shape: lines join their order date through ONE
+    orderkey-bucketed exchange (orders side carries (okey, day),
+    lineitem side (okey, suppkey, ship day) — an order finalizes in
+    one bucket); per-supplier (n, n_ok) partials are additive ACROSS
+    okey buckets (the dimension is the bounded supplier table), so
+    the second exchange is unnecessary — buckets emit supplier cells
+    and the single merge scores and bands."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        p = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                          "supp": t["l_suppkey"].to_numpy(),
+                          "ship": d, "oday": np.int64(-1)})
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"okey": "int64", "supp": "int64",
+                         "ship": "int64", "oday": "int64",
+                         "_bucket": "int32"})
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        d = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        p = pd.DataFrame({"okey": t["o_orderkey"].to_numpy(),
+                          "supp": np.int64(-1),
+                          "ship": np.int64(-1), "oday": d})
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"okey": "int64", "supp": "int64",
+                         "ship": "int64", "oday": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["oday"] >= 0][["okey", "oday"]]
+        lines = g[g["supp"] >= 0][["okey", "supp", "ship"]]
+        j = lines.merge(orders, on="okey")
+        if not len(j):
+            return pd.DataFrame({"supp": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "n_ok": pd.Series([], dtype="int64")})
+        ok = ((j["ship"] - j["oday"]) <= SLA_DAYS).astype(np.int64)
+        out = (pd.DataFrame({"supp": j["supp"].to_numpy(), "n": 1,
+                             "n_ok": ok})
+               .groupby("supp", as_index=False)
+               .agg(n=("n", "sum"), n_ok=("n_ok", "sum")))
+        return out.astype("int64")
+
+    per_bucket = (li.map_batches(prep_li, batch_format="pyarrow")
+                  .union(od.map_batches(prep_od,
+                                        batch_format="pyarrow"))
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df.groupby("supp", as_index=False)
+             .agg(n=("n", "sum"), n_ok=("n_ok", "sum")))
+        comp = 1000 * s["n_ok"].to_numpy(np.int64) \
+            // s["n"].to_numpy(np.int64)
+        band = np.minimum(comp // SLA_BAND_PERMILLE, 10)
+        out = (pd.DataFrame({"band": band,
+                             "n_lines": s["n"].to_numpy(np.int64)})
+               .groupby("band", as_index=False)
+               .agg(n_suppliers=("band", "size"),
+                    n_lines=("n_lines", "sum"))
+               .sort_values("band").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+SLA_COMPLIANCE_SQL = """
+WITH j AS (
+  SELECT l.l_suppkey AS supp,
+         CASE WHEN CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                   // 86400000000
+                 - CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                   // 86400000000 <= %d
+              THEN 1 ELSE 0 END AS ok
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+s AS (SELECT supp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ok) AS BIGINT) AS n_ok
+      FROM j GROUP BY 1),
+b AS (SELECT least(1000 * n_ok // n // %d, 10) AS band, n FROM s)
+SELECT band, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(n) AS BIGINT) AS n_lines
+FROM b GROUP BY 1 ORDER BY 1
+""" % (SLA_DAYS, SLA_BAND_PERMILLE)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -19051,6 +19158,8 @@ QUERIES = {
     "customer_purchase_dispersion": (customer_purchase_dispersion,
                                      PURCHASE_DISPERSION_SQL),
     "part_markup_census": (part_markup_census, MARKUP_CENSUS_SQL),
+    "supplier_sla_compliance": (supplier_sla_compliance,
+                                SLA_COMPLIANCE_SQL),
 }
 
 

@@ -1080,3 +1080,40 @@ def test_markup_census_matches_per_line_loop(ray_session):
     for band, nl in cells.items():
         assert int(out.loc[band, "n_lines"]) == nl
     assert int(out["n_lines"].sum()) == len(li)
+
+
+def test_sla_compliance_matches_dict_join(ray_session):
+    """Band census == a dict-join recount per line, with supplier
+    and line conservation across bands."""
+    from ferenda_ray.pipelines.queries import (SLA_BAND_PERMILLE,
+                                               SLA_DAYS,
+                                               supplier_sla_compliance)
+
+    out = _to_pd(supplier_sla_compliance(SF)).set_index("band")
+    li = pq.read_table(SF + "/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey",
+                                "l_shipdate"])
+    od = pq.read_table(SF + "/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate"])
+    odays = dict(zip(od["o_orderkey"].to_pylist(),
+                     od["o_orderdate"].to_numpy()
+                     .astype("datetime64[D]").astype(np.int64)))
+    ship = (li["l_shipdate"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64))
+    per = {}
+    for k, s, d in zip(li["l_orderkey"].to_pylist(),
+                       li["l_suppkey"].to_pylist(), ship):
+        n, ok = per.get(s, (0, 0))
+        per[s] = (n + 1,
+                  ok + (1 if int(d) - int(odays[k]) <= SLA_DAYS
+                        else 0))
+    cells = {}
+    for s, (n, ok) in per.items():
+        band = min(1000 * ok // n // SLA_BAND_PERMILLE, 10)
+        ns, nl = cells.get(band, (0, 0))
+        cells[band] = (ns + 1, nl + n)
+    for band, (ns, nl) in cells.items():
+        assert int(out.loc[band, "n_suppliers"]) == ns
+        assert int(out.loc[band, "n_lines"]) == nl
+    assert int(out["n_suppliers"].sum()) == len(per)
+    assert int(out["n_lines"].sum()) == len(li)
