@@ -241,7 +241,8 @@ def run_bench() -> dict:
              ("customer_purchase_dispersion",
               Q.customer_purchase_dispersion),
              ("part_markup_census", Q.part_markup_census),
-             ("supplier_sla_compliance", Q.supplier_sla_compliance)]
+             ("supplier_sla_compliance", Q.supplier_sla_compliance),
+             ("cm_error_audit", Q.cm_error_audit)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -18837,6 +18837,110 @@ FROM b GROUP BY 1 ORDER BY 1
 """ % (SLA_DAYS, SLA_BAND_PERMILLE)
 
 
+def cm_error_audit(sf_dir):
+    """Count-Min point-query error audit — the measurement that
+    completes the sketch-audit family (bloom_fpr_audit for
+    membership, orderkey_join_sample_estimate for sampling,
+    orders_quantile_sketch_audit for quantiles, this for
+    frequencies): every user's CM estimate (min over the 4 hash
+    rows) against the true count, error = est − true (one-sided ≥ 0
+    by construction — a NEGATIVE error anywhere means the sketch is
+    broken), reported as the error histogram in absolute counts plus
+    n_exact and the max overestimate. The 64-wide sketch is
+    deliberately small so collisions bite at test scales — the ε
+    tradeoff as data, the bloom_fpr discipline.
+
+    Scale shape: pass 1 builds the bounded 4×64 cell table (fixed
+    size at any input) and broadcasts it; pass 2 computes true
+    per-user counts through ONE user-bucketed exchange and probes the
+    broadcast sketch map-side of the merge, emitting bounded error
+    cells (a user finalizes in one bucket)."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        rows, cols, cnts = [], [], []
+        for u, n in vc.items():
+            for r in range(CM_DEPTH):
+                rows.append(r)
+                cols.append(_cm_col(r, u))
+                cnts.append(int(n))
+        return (pd.DataFrame({"row_id": rows, "col_id": cols,
+                              "cnt": cnts})
+                .groupby(["row_id", "col_id"], as_index=False)
+                ["cnt"].sum().astype("int64"))
+
+    cells_df = (ds.map_batches(cell_partial, batch_format="pandas")
+                .to_pandas()
+                .groupby(["row_id", "col_id"])["cnt"].sum())
+    cells = {(int(r), int(c)): int(v)
+             for (r, c), v in cells_df.items()}
+    ref = ray.put(cells)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy(), "n": 1})
+             .groupby("u", as_index=False)["n"].sum())
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "n": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_errors(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        cm = _ray.get(ref)
+        per = g.groupby("u", as_index=False)["n"].sum()
+        errs = []
+        for u, true in per.itertuples(index=False):
+            est = min(cm.get((r, _cm_col(r, int(u))), 0)
+                      for r in range(CM_DEPTH))
+            errs.append(int(est) - int(true))
+        out = (pd.DataFrame({"err": errs})
+               .groupby("err", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_errors, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby("err", as_index=False)["n_users"].sum()
+             .sort_values("err").reset_index(drop=True))
+        return h.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+CM_ERROR_SQL = """
+WITH cells AS (
+  SELECT r.row_id,
+         CAST(concat('0x', substr(md5(concat(r.row_id, ':',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           %% 64 AS col_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, %d)) AS row_id) r
+  GROUP BY 1, 2),
+truth AS (SELECT user_id AS u, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+est AS (
+  SELECT t.u, t.n,
+         min(c.cnt) AS est
+  FROM truth t
+  CROSS JOIN (SELECT unnest(generate_series(0, %d)) AS row_id) r
+  JOIN cells c ON c.row_id = r.row_id
+    AND c.col_id = CAST(concat('0x', substr(md5(concat(r.row_id,
+          ':', CAST(t.u AS VARCHAR))), 1, 15)) AS BIGINT) %% 64
+  GROUP BY 1, 2)
+SELECT CAST(est - n AS BIGINT) AS err,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM est GROUP BY 1 ORDER BY 1
+""" % (CM_DEPTH - 1, CM_DEPTH - 1)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -19160,6 +19264,7 @@ QUERIES = {
     "part_markup_census": (part_markup_census, MARKUP_CENSUS_SQL),
     "supplier_sla_compliance": (supplier_sla_compliance,
                                 SLA_COMPLIANCE_SQL),
+    "cm_error_audit": (cm_error_audit, CM_ERROR_SQL),
 }
 
 

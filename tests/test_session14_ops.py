@@ -1117,3 +1117,33 @@ def test_sla_compliance_matches_dict_join(ray_session):
         assert int(out.loc[band, "n_lines"]) == nl
     assert int(out["n_suppliers"].sum()) == len(per)
     assert int(out["n_lines"].sum()) == len(li)
+
+
+def test_cm_error_audit_one_sided_and_exact(ray_session):
+    """Count-Min's contract: every error ≥ 0 (a negative error means
+    the sketch is broken), and the histogram == a dict rebuild of the
+    sketch probed per user (sf0.001's 15 users over width 64 collide
+    nowhere, so the audit must report ALL-exact there — the scale
+    where it bites is sf0.01, covered by the oracle)."""
+    from ferenda_ray.pipelines.queries import (CM_DEPTH, _cm_col,
+                                               cm_error_audit)
+
+    out = _to_pd(cm_error_audit(SF))
+    t = pq.read_table(SF + "/events.parquet", columns=["user_id"])
+    truth = {}
+    for u in t["user_id"].to_pylist():
+        truth[u] = truth.get(u, 0) + 1
+    cells = {}
+    for u, n in truth.items():
+        for r in range(CM_DEPTH):
+            k = (r, _cm_col(r, u))
+            cells[k] = cells.get(k, 0) + n
+    hist = {}
+    for u, n in truth.items():
+        est = min(cells[(r, _cm_col(r, u))] for r in range(CM_DEPTH))
+        hist[est - n] = hist.get(est - n, 0) + 1
+    assert (out["err"] >= 0).all()
+    assert len(out) == len(hist)
+    for row in out.itertuples():
+        assert hist[int(row.err)] == int(row.n_users)
+    assert int(out["n_users"].sum()) == len(truth)
