@@ -242,7 +242,8 @@ def run_bench() -> dict:
               Q.customer_purchase_dispersion),
              ("part_markup_census", Q.part_markup_census),
              ("supplier_sla_compliance", Q.supplier_sla_compliance),
-             ("cm_error_audit", Q.cm_error_audit)]
+             ("cm_error_audit", Q.cm_error_audit),
+             ("orderkey_gap_audit", Q.orderkey_gap_audit)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -18941,6 +18941,92 @@ FROM est GROUP BY 1 ORDER BY 1
 """ % (CM_DEPTH - 1, CM_DEPTH - 1)
 
 
+def orderkey_gap_audit(sf_dir):
+    """Keyspace-fragmentation audit — the sequence-health check an
+    ingest pipeline runs on a supposedly-dense surrogate key (gaps =
+    lost batches, compaction debt, or deliberate sharded allocators):
+    key count, span, missing-key count, the LARGEST gap and the gap
+    COUNT, all without a global sort — the distributed max-gap
+    decomposition: keys hash into fixed-width RANGE buckets
+    (key // W), each bucket sorts locally and emits (min, max, n,
+    max internal gap, internal gap count); the bounded merge splices
+    consecutive buckets' boundary gaps (range bucketing makes bucket
+    order == key order, the orders_zorder locality argument). The
+    ordinal sibling of lineitem_sequence_audit's per-order taxonomy.
+
+    Scale shape: one min/max pre-pass sizes W; ONE range-bucketed
+    exchange of batch-local distinct keys; bounded per-bucket summary
+    rows; single merge."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def rng(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        return pd.DataFrame({"lo": pd.Series([int(k.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(k.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(rng, batch_format="pyarrow").to_pandas()
+    lo, hi = int(r["lo"].min()), int(r["hi"].max())
+    width = max((hi - lo) // 64 + 1, 1)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({"k": t["o_orderkey"].to_numpy()}) \
+            .drop_duplicates()
+        p["_bucket"] = ((p["k"] - lo) // width).astype("int32")
+        return p.astype({"k": "int64", "_bucket": "int32"})
+
+    def bucket_summary(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["k"].drop_duplicates().to_numpy(np.int64))
+        d = np.diff(k)
+        return pd.DataFrame({
+            "bmin": [int(k[0])], "bmax": [int(k[-1])],
+            "n": [len(k)],
+            "mx_gap": [int(d.max()) if len(d) else 0],
+            "n_gaps": [int((d > 1).sum())]}).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_summary, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values("bmin").reset_index(drop=True)
+        n = int(s["n"].sum())
+        mx = int(s["mx_gap"].max())
+        ng = int(s["n_gaps"].sum())
+        bmax = s["bmax"].to_numpy(np.int64)
+        bmin = s["bmin"].to_numpy(np.int64)
+        if len(s) > 1:
+            bound = bmin[1:] - bmax[:-1]
+            mx = max(mx, int(bound.max()))
+            ng += int((bound > 1).sum())
+        span = int(bmax[-1]) - int(bmin[0]) + 1
+        return pd.DataFrame({
+            "n_keys": pd.Series([n], dtype="int64"),
+            "span": pd.Series([span], dtype="int64"),
+            "n_missing": pd.Series([span - n], dtype="int64"),
+            "max_gap": pd.Series([mx], dtype="int64"),
+            "n_gaps": pd.Series([ng], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+ORDERKEY_GAP_SQL = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+d AS (SELECT k, k - lag(k) OVER (ORDER BY k) AS gap FROM k),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(max(k) - min(k) + 1 AS BIGINT) AS span,
+               CAST(coalesce(max(gap), 0) AS BIGINT) AS mx,
+               CAST(sum(CASE WHEN gap > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ng
+        FROM d)
+SELECT n AS n_keys, span,
+       CAST(span - n AS BIGINT) AS n_missing,
+       mx AS max_gap, ng AS n_gaps
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -19265,6 +19351,7 @@ QUERIES = {
     "supplier_sla_compliance": (supplier_sla_compliance,
                                 SLA_COMPLIANCE_SQL),
     "cm_error_audit": (cm_error_audit, CM_ERROR_SQL),
+    "orderkey_gap_audit": (orderkey_gap_audit, ORDERKEY_GAP_SQL),
 }
 
 

@@ -1147,3 +1147,24 @@ def test_cm_error_audit_one_sided_and_exact(ray_session):
     for row in out.itertuples():
         assert hist[int(row.err)] == int(row.n_users)
     assert int(out["n_users"].sum()) == len(truth)
+
+
+def test_gap_audit_matches_full_sort(ray_session):
+    """Gap audit == a full-sort diff recount (the machinery the
+    distributed range-bucket decomposition exists to avoid), plus
+    span conservation n_keys + n_missing == span."""
+    from ferenda_ray.pipelines.queries import orderkey_gap_audit
+
+    out = _to_pd(orderkey_gap_audit(SF)).iloc[0]
+    keys = sorted(set(pq.read_table(SF + "/orders.parquet",
+                                    columns=["o_orderkey"])
+                      ["o_orderkey"].to_pylist()))
+    diffs = [b - a for a, b in zip(keys, keys[1:])]
+    assert int(out["n_keys"]) == len(keys)
+    assert int(out["span"]) == keys[-1] - keys[0] + 1
+    assert int(out["n_missing"]) == \
+        keys[-1] - keys[0] + 1 - len(keys)
+    assert int(out["max_gap"]) == (max(diffs) if diffs else 0)
+    assert int(out["n_gaps"]) == sum(1 for d in diffs if d > 1)
+    assert int(out["n_keys"]) + int(out["n_missing"]) == \
+        int(out["span"])
