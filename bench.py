@@ -243,7 +243,9 @@ def run_bench() -> dict:
              ("part_markup_census", Q.part_markup_census),
              ("supplier_sla_compliance", Q.supplier_sla_compliance),
              ("cm_error_audit", Q.cm_error_audit),
-             ("orderkey_gap_audit", Q.orderkey_gap_audit)]
+             ("orderkey_gap_audit", Q.orderkey_gap_audit),
+             ("events_stickiness_ratio",
+              Q.events_stickiness_ratio)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

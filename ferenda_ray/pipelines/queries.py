@@ -19027,6 +19027,99 @@ FROM agg
 """
 
 
+def events_stickiness_ratio(sf_dir):
+    """DAU/WAU stickiness — the product-health headline (what share
+    of the weekly audience shows up on a given day; ~1000 = a daily
+    habit, ~143 = once-a-week usage): per day, the exact distinct
+    daily actives, the exact trailing-7-day distinct actives, and
+    1000·DAU // WAU, reported for every day with a full 7-day
+    history. Distinct counts are not additive across days, so WAU is
+    computed by the events_sliding_dau expansion: a user-day
+    contributes to exactly 7 trailing windows — bounded 7×, dedup per
+    (user, window) restores exactness.
+
+    Scale shape: batch-local distinct (user, day) pairs ride ONE
+    user-bucketed exchange; each bucket dedups exactly (a user lives
+    in one bucket), emits (day, dau) partials and the 7-window
+    expansion's (window, wau) partials — both additive across
+    buckets; one bounded merge joins the two calendars."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "d": (t["ts"].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64) // 86_400_000_000)})
+        p = p.drop_duplicates()
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "d": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["u", "d"]].drop_duplicates()
+        dau = (g.groupby("d", as_index=False).size()
+               .rename(columns={"d": "day", "size": "n"}))
+        dau["kind"] = 0
+        u = np.repeat(g["u"].to_numpy(np.int64), 7)
+        w = (np.repeat(g["d"].to_numpy(np.int64), 7)
+             + np.tile(np.arange(7, dtype=np.int64), len(g)))
+        wau = (pd.DataFrame({"u": u, "day": w}).drop_duplicates()
+               .groupby("day", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        wau["kind"] = 1
+        out = pd.concat([dau[["day", "kind", "n"]],
+                         wau[["day", "kind", "n"]]],
+                        ignore_index=True)
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["day", "kind"], as_index=False)["n"].sum())
+        dau = g[g["kind"] == 0].set_index("day")["n"]
+        wau = g[g["kind"] == 1].set_index("day")["n"]
+        lo = int(dau.index.min())
+        rows = []
+        for day in sorted(dau.index):
+            if day < lo + 6:
+                continue  # no full 7-day history
+            d = int(dau[day])
+            w = int(wau.get(day, 0))
+            rows.append((int(day), d, w, 1000 * d // max(w, 1)))
+        return pd.DataFrame(rows, columns=[
+            "day", "dau", "wau", "stickiness_permille"]
+            ).astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+  FROM events),
+dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        FROM ud GROUP BY 1),
+wexp AS (
+  SELECT DISTINCT ud.u, ud.d + off.o AS day
+  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)
+    off),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        FROM wexp GROUP BY 1),
+lo AS (SELECT min(d) AS lo FROM ud)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(1000 * dau.dau // greatest(wau.wau, 1) AS BIGINT)
+         AS stickiness_permille
+FROM dau JOIN wau ON wau.day = dau.day, lo
+WHERE dau.day >= lo.lo + 6
+ORDER BY dau.day
+"""
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -19352,6 +19445,8 @@ QUERIES = {
                                 SLA_COMPLIANCE_SQL),
     "cm_error_audit": (cm_error_audit, CM_ERROR_SQL),
     "orderkey_gap_audit": (orderkey_gap_audit, ORDERKEY_GAP_SQL),
+    "events_stickiness_ratio": (events_stickiness_ratio,
+                                STICKINESS_SQL),
 }
 
 

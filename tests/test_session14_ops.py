@@ -1168,3 +1168,29 @@ def test_gap_audit_matches_full_sort(ray_session):
     assert int(out["n_gaps"]) == sum(1 for d in diffs if d > 1)
     assert int(out["n_keys"]) + int(out["n_missing"]) == \
         int(out["span"])
+
+
+def test_stickiness_matches_set_loop(ray_session):
+    """DAU/WAU == per-day set recomputation, with the structural
+    bounds DAU ≤ WAU and 0 < stickiness ≤ 1000."""
+    from ferenda_ray.pipelines.queries import events_stickiness_ratio
+
+    out = _to_pd(events_stickiness_ratio(SF)).set_index("day")
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["user_id", "ts"])
+    days = (t["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000)
+    by_day = {}
+    for u, d in zip(t["user_id"].to_pylist(), days):
+        by_day.setdefault(int(d), set()).add(u)
+    lo = min(by_day)
+    for day, row in out.iterrows():
+        dau = len(by_day.get(day, set()))
+        wau = len(set().union(*(by_day.get(d, set())
+                                for d in range(day - 6, day + 1))))
+        assert int(row["dau"]) == dau
+        assert int(row["wau"]) == wau
+        assert int(row["stickiness_permille"]) == 1000 * dau // wau
+        assert dau <= wau
+        assert 0 < int(row["stickiness_permille"]) <= 1000
+    assert out.index.min() == lo + 6
