@@ -245,7 +245,8 @@ def run_bench() -> dict:
              ("cm_error_audit", Q.cm_error_audit),
              ("orderkey_gap_audit", Q.orderkey_gap_audit),
              ("events_stickiness_ratio",
-              Q.events_stickiness_ratio)]
+              Q.events_stickiness_ratio),
+             ("events_slo_burn_rate", Q.events_slo_burn_rate)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -19120,6 +19120,69 @@ ORDER BY dau.day
 """
 
 
+SLO_ERROR_BUDGET_PERMILLE = 10  # 99% success SLO
+
+
+def events_slo_burn_rate(sf_dir):
+    """SLO error-budget burn rate — the SRE alerting primitive
+    (Google SRE workbook ch. 5): against a 99% success objective,
+    each day's burn rate = (error share) / (budget share), exact as
+    burn_milli = 1000·1000·n_err // (n·B) with B = 10‰ — 1000 means
+    burning budget exactly at the sustainable rate, 14,000 is the
+    classic page-now threshold. Reports every day plus the
+    cumulative budget consumed month-to-date (window = the data's
+    calendar), so both fast-burn and slow-burn alerts read off one
+    table.
+
+    Scale shape: bounded (day → n, n_err) count partials — lossless
+    per-batch combiner, zero shuffle; the single merge computes
+    rates and the running cumulative."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        err = (pc.equal(t["event_type"], pa.scalar("error"))
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        out = (pd.DataFrame({"day": days, "n": 1, "n_err": err})
+               .groupby("day", as_index=False)
+               .agg(n=("n", "sum"), n_err=("n_err", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day", as_index=False)
+             .agg(n=("n", "sum"), n_err=("n_err", "sum"))
+             .sort_values("day").reset_index(drop=True))
+        b = SLO_ERROR_BUDGET_PERMILLE
+        g["burn_milli"] = (1_000_000 * g["n_err"]
+                           // (g["n"].clip(lower=1) * b))
+        cum_err = g["n_err"].cumsum()
+        cum_n = g["n"].cumsum()
+        g["cum_budget_used_milli"] = (1_000_000 * cum_err
+                                      // (cum_n.clip(lower=1) * b))
+        return g.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+SLO_BURN_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM events GROUP BY 1)
+SELECT day, n, n_err,
+       CAST(1000000 * n_err // (greatest(n, 1) * %d) AS BIGINT)
+         AS burn_milli,
+       CAST(1000000 * sum(n_err) OVER (ORDER BY day)
+            // (greatest(sum(n) OVER (ORDER BY day), 1) * %d)
+            AS BIGINT) AS cum_budget_used_milli
+FROM d ORDER BY day
+""" % (SLO_ERROR_BUDGET_PERMILLE, SLO_ERROR_BUDGET_PERMILLE)
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -19447,6 +19510,7 @@ QUERIES = {
     "orderkey_gap_audit": (orderkey_gap_audit, ORDERKEY_GAP_SQL),
     "events_stickiness_ratio": (events_stickiness_ratio,
                                 STICKINESS_SQL),
+    "events_slo_burn_rate": (events_slo_burn_rate, SLO_BURN_SQL),
 }
 
 

@@ -1194,3 +1194,34 @@ def test_stickiness_matches_set_loop(ray_session):
         assert dau <= wau
         assert 0 < int(row["stickiness_permille"]) <= 1000
     assert out.index.min() == lo + 6
+
+
+def test_slo_burn_matches_daily_loop(ray_session):
+    """Burn rates == a per-day dict recount; the cumulative column
+    is monotone-smoothing (ends at the all-time rate) and the error
+    type's ~20% share makes the audit read ~20x budget — asserted."""
+    from ferenda_ray.pipelines.queries import (
+        SLO_ERROR_BUDGET_PERMILLE, events_slo_burn_rate)
+
+    out = _to_pd(events_slo_burn_rate(SF))
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["ts", "event_type"])
+    days = (t["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000)
+    acc = {}
+    for d, ty in zip(days, t["event_type"].to_pylist()):
+        n, e = acc.get(int(d), (0, 0))
+        acc[int(d)] = (n + 1, e + (1 if ty == "error" else 0))
+    b = SLO_ERROR_BUDGET_PERMILLE
+    cum_n = cum_e = 0
+    for row in out.sort_values("day").itertuples():
+        n, e = acc[int(row.day)]
+        assert (int(row.n), int(row.n_err)) == (n, e)
+        assert int(row.burn_milli) == 1_000_000 * e // (n * b)
+        cum_n += n
+        cum_e += e
+        assert int(row.cum_budget_used_milli) == \
+            1_000_000 * cum_e // (cum_n * b)
+    # the synthetic ~20% error share burns ~20x the 1% budget
+    assert int(out["cum_budget_used_milli"].iloc[-1]) > 10_000
+    assert len(out) == len(acc)
