@@ -246,7 +246,9 @@ def run_bench() -> dict:
              ("orderkey_gap_audit", Q.orderkey_gap_audit),
              ("events_stickiness_ratio",
               Q.events_stickiness_ratio),
-             ("events_slo_burn_rate", Q.events_slo_burn_rate)]
+             ("events_slo_burn_rate", Q.events_slo_burn_rate),
+             ("brand_return_rate", Q.brand_return_rate),
+             ("events_bounce_rate", Q.events_bounce_rate)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

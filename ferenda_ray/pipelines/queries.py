@@ -19183,6 +19183,165 @@ FROM d ORDER BY day
 """ % (SLO_ERROR_BUDGET_PERMILLE, SLO_ERROR_BUDGET_PERMILLE)
 
 
+def brand_return_rate(sf_dir):
+    """Return rate by brand — the vendor-quality scorecard (which
+    brands come back?): per brand, line count, returned-line count
+    (l_returnflag = 'R') and the exact permille rate, plus the rate's
+    delta from the global rate so over/under-performers read
+    directly. Returns are drawn independently of brand in this
+    synthesizer, so deltas are binomial noise — the exact noise is
+    the data (the fairness-audit stance).
+
+    Scale shape: part→brand broadcast once (the brand_share_shift
+    discipline); bounded (brand → n, n_ret) cells, zero shuffle, one
+    merge block."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_map = dict(zip(part["p_partkey"].astype(int),
+                         part["p_brand"]))
+    lookup = ray.put(brand_map)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_returnflag"])
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        bm = _ray.get(lookup)
+        ret = (pc.equal(t["l_returnflag"], pa.scalar("R"))
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        brands = [bm[int(k)] for k in t["l_partkey"].to_pylist()]
+        out = (pd.DataFrame({"brand": brands, "n": 1, "n_ret": ret})
+               .groupby("brand", as_index=False)
+               .agg(n=("n", "sum"), n_ret=("n_ret", "sum")))
+        return out.astype({"n": "int64", "n_ret": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("brand", as_index=False)
+             .agg(n=("n", "sum"), n_ret=("n_ret", "sum"))
+             .sort_values("brand").reset_index(drop=True))
+        glob = 1000 * int(g["n_ret"].sum()) // int(g["n"].sum())
+        g["rate_permille"] = 1000 * g["n_ret"] // g["n"]
+        g["delta_permille"] = g["rate_permille"] - glob
+        return g.astype({"n": "int64", "n_ret": "int64",
+                         "rate_permille": "int64",
+                         "delta_permille": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+BRAND_RETURN_SQL = """
+WITH b AS (
+  SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ret
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1),
+g AS (SELECT CAST(1000 * sum(n_ret) // sum(n) AS BIGINT) AS glob
+      FROM b)
+SELECT brand, n, n_ret,
+       CAST(1000 * n_ret // n AS BIGINT) AS rate_permille,
+       CAST(1000 * n_ret // n - g.glob AS BIGINT) AS delta_permille
+FROM b, g ORDER BY brand
+"""
+
+
+BOUNCE_GAP_US = 1_800_000_000  # the 30-min session rule
+
+
+def events_bounce_rate(sf_dir):
+    """Session bounce rate per day — the engagement headline next to
+    stickiness: sessions under the 30-minute-gap rule (the
+    events_sessions contract), a BOUNCE is a single-event session,
+    each session dated by its first event's day, and the report is
+    per-day sessions, bounces and the exact permille rate.
+
+    Scale shape: (user, ts) rides the interarrival user-bucketed
+    exchange; each bucket sorts within user, marks session starts
+    vectorized (gap > 30 min), derives per-session lengths from
+    consecutive start indices (a user's events co-locate, so session
+    boundaries never cross buckets) and emits bounded (day →
+    sessions, bounces) cells; single merge."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))})
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "ts": "int64"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts"], kind="mergesort")
+        u = g["u"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.ones(len(g), dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > BOUNCE_GAP_US
+        start = new_user | gap
+        idx = np.flatnonzero(start)
+        lengths = np.diff(np.append(idx, len(g)))
+        days = ts[idx] // 86_400_000_000
+        out = (pd.DataFrame({"day": days,
+                             "n_sessions": 1,
+                             "n_bounces": (lengths == 1)
+                             .astype(np.int64)})
+               .groupby("day", as_index=False)
+               .agg(n_sessions=("n_sessions", "sum"),
+                    n_bounces=("n_bounces", "sum")))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day", as_index=False)
+             .agg(n_sessions=("n_sessions", "sum"),
+                  n_bounces=("n_bounces", "sum"))
+             .sort_values("day").reset_index(drop=True))
+        g["bounce_permille"] = (1000 * g["n_bounces"]
+                                // g["n_sessions"].clip(lower=1))
+        return g.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+BOUNCE_RATE_SQL = """
+WITH e AS (
+  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS ts
+  FROM events),
+m AS (
+  SELECT u, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY u ORDER BY ts)
+                   IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY u ORDER BY ts)
+                   > %d
+              THEN 1 ELSE 0 END AS start
+  FROM e),
+s AS (SELECT u, ts, sum(start) OVER (PARTITION BY u ORDER BY ts)
+             AS sid
+      FROM m),
+sess AS (
+  SELECT u, sid, min(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS len
+  FROM s GROUP BY 1, 2),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bounces
+      FROM sess GROUP BY 1)
+SELECT day, n_sessions, n_bounces,
+       CAST(1000 * n_bounces // greatest(n_sessions, 1) AS BIGINT)
+         AS bounce_permille
+FROM d ORDER BY day
+""" % BOUNCE_GAP_US
+
+
 QUERIES = {
     "q1_pricing": (q1_pricing, Q1_SQL),
     "doc_stats_by_lang": (doc_stats_by_lang, DOC_STATS_SQL),
@@ -19511,6 +19670,8 @@ QUERIES = {
     "events_stickiness_ratio": (events_stickiness_ratio,
                                 STICKINESS_SQL),
     "events_slo_burn_rate": (events_slo_burn_rate, SLO_BURN_SQL),
+    "brand_return_rate": (brand_return_rate, BRAND_RETURN_SQL),
+    "events_bounce_rate": (events_bounce_rate, BOUNCE_RATE_SQL),
 }
 
 

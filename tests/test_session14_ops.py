@@ -1225,3 +1225,72 @@ def test_slo_burn_matches_daily_loop(ray_session):
     # the synthetic ~20% error share burns ~20x the 1% budget
     assert int(out["cum_budget_used_milli"].iloc[-1]) > 10_000
     assert len(out) == len(acc)
+
+
+def test_brand_return_rate_matches_dict_loop(ray_session):
+    """Rates == a per-line dict recount; deltas sum near zero and
+    line counts conserve."""
+    from ferenda_ray.pipelines.queries import brand_return_rate
+
+    out = _to_pd(brand_return_rate(SF)).set_index("brand")
+    li = pq.read_table(SF + "/lineitem.parquet",
+                       columns=["l_partkey", "l_returnflag"])
+    part = pq.read_table(SF + "/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    bm = dict(zip(part["p_partkey"].to_pylist(),
+                  part["p_brand"].to_pylist()))
+    acc = {}
+    for k, rf in zip(li["l_partkey"].to_pylist(),
+                     li["l_returnflag"].to_pylist()):
+        n, r = acc.get(bm[k], (0, 0))
+        acc[bm[k]] = (n + 1, r + (1 if rf == "R" else 0))
+    tot_n = sum(n for n, _ in acc.values())
+    tot_r = sum(r for _, r in acc.values())
+    glob = 1000 * tot_r // tot_n
+    for b, (n, r) in acc.items():
+        row = out.loc[b]
+        assert (int(row["n"]), int(row["n_ret"])) == (n, r)
+        assert int(row["rate_permille"]) == 1000 * r // n
+        assert int(row["delta_permille"]) == 1000 * r // n - glob
+    assert int(out["n"].sum()) == len(li)
+    # per-brand deltas are UNWEIGHTED deviations from the global
+    # rate, so they need not sum to zero across unequal brand sizes;
+    # binomial noise stays well inside +-100 permille at these n
+    assert out["delta_permille"].abs().max() < 100
+
+
+def test_bounce_rate_matches_per_user_loop(ray_session):
+    """Sessions/bounces == a per-user sequential loop with the same
+    30-min rule; bounce rate bounded and session-count conservation
+    against the sequential recount."""
+    from ferenda_ray.pipelines.queries import (BOUNCE_GAP_US,
+                                               events_bounce_rate)
+
+    out = _to_pd(events_bounce_rate(SF)).set_index("day")
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["user_id", "ts"])
+    ts = (t["ts"].to_numpy().astype("datetime64[us]")
+          .astype(np.int64))
+    per = {}
+    for u, x in zip(t["user_id"].to_pylist(), ts):
+        per.setdefault(u, []).append(int(x))
+    cells = {}
+    for u, xs in per.items():
+        xs.sort()
+        sess = []
+        for i, x in enumerate(xs):
+            if i == 0 or x - xs[i - 1] > BOUNCE_GAP_US:
+                sess.append([x])
+            else:
+                sess[-1].append(x)
+        for s in sess:
+            day = s[0] // 86_400_000_000
+            n, bcount = cells.get(day, (0, 0))
+            cells[day] = (n + 1, bcount + (1 if len(s) == 1 else 0))
+    for day, (n, bc) in cells.items():
+        row = out.loc[day]
+        assert (int(row["n_sessions"]), int(row["n_bounces"])) == \
+            (n, bc)
+        assert int(row["bounce_permille"]) == 1000 * bc // n
+    assert int(out["n_sessions"].sum()) == \
+        sum(n for n, _ in cells.values())
