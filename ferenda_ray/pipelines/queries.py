@@ -16693,7 +16693,7 @@ ks AS (
            (SELECT CAST(max(d) AS BIGINT) FROM deg) - 1)) AS k),
 nk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
        FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
-ek AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+ek AS (SELECT ks.k, CAST(count(e.mindeg) AS BIGINT) AS n_edges
        FROM ks LEFT JOIN (
          SELECT least(da.d, db.d) AS mindeg
          FROM pairs JOIN deg da ON da.node = pairs.a
@@ -17106,7 +17106,7 @@ WITH s AS (
 calpos AS (SELECT u, CAST(count(*) AS BIGINT) AS n
            FROM s WHERE cal = 1 AND y = 1 GROUP BY 1),
 nc AS (SELECT CAST(sum(n) AS BIGINT) AS n_cal FROM calpos),
-rk AS (SELECT least(-((-(n_cal + 1) * (1000 - %d)) // 1000),
+rk AS (SELECT least(((n_cal + 1) * (1000 - %d) + 999) // 1000,
                     n_cal) AS r, n_cal FROM nc),
 q AS (SELECT min(u) AS q_hat FROM
         (SELECT u, sum(n) OVER (ORDER BY u) AS cum FROM calpos),
@@ -17519,7 +17519,7 @@ rng AS (SELECT min(v) AS lo, max(v) AS hi,
                CAST(count(*) AS BIGINT) AS n FROM c),
 w AS (SELECT greatest((hi - lo + %d) // %d, 1) AS width FROM rng),
 q AS (SELECT unnest([500, 900, 990]) AS qpm),
-rk AS (SELECT qpm, -((-qpm * rng.n) // 1000) AS rank
+rk AS (SELECT qpm, (qpm * rng.n + 999) // 1000 AS rank
        FROM q, rng),
 ex AS (
   SELECT rk.qpm, min(t.v) AS exact_cents
@@ -18679,9 +18679,14 @@ def part_markup_census(sf_dir):
 
     part = _read(sf_dir, "part",
                  columns=["p_partkey", "p_retailprice"]).to_pandas()
-    retail = {int(k): int(round(v * 1000))
-              for k, v in zip(part["p_partkey"],
-                              part["p_retailprice"])}
+    retail_milli = pc.cast(
+        pc.round(pc.multiply(pa.array(part["p_retailprice"],
+                                      type=pa.float64()),
+                             pa.scalar(1000.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64()).to_numpy()
+    retail = {int(k): int(v)
+              for k, v in zip(part["p_partkey"], retail_milli)}
     lookup = ray.put(retail)
     ds = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_quantity", "l_extendedprice"])
