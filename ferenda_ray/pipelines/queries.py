@@ -32,6 +32,7 @@ from ..stages.dedup import (
 )
 from ..stages.similarity import knn_brute_force
 from ..stages.canonicalize import connected_components_distributed
+from ..stages import joins
 from . import corpus, facets
 from .kg import kg_pipeline
 
@@ -3368,10 +3369,10 @@ def q15_top_supplier(sf_dir):
     semantics). Revenue partials are integer cents combined per batch;
     the per-supplier merge, the global max, and the tie filter all
     happen in ONE coalesced block (suppliers are a bounded dimension);
-    supplier names attach via a broadcast dict — the lineitem table
-    never shuffles."""
-    import ray
-
+    supplier names resolve AFTER the tie filter via
+    ``joins.resolve_keys`` — the k winning keys stream-filter the
+    supplier table map-side, so neither lineitem nor the supplier
+    dimension ever materializes on the driver."""
     li = _read(sf_dir, "lineitem",
                columns=["l_suppkey", "l_extendedprice", "l_discount",
                         "l_shipdate"])
@@ -3391,25 +3392,22 @@ def q15_top_supplier(sf_dir):
                             "rev": cents})
         return out.groupby("l_suppkey", as_index=False)["rev"].sum()
 
-    names_ref = ray.put({
-        int(r["s_suppkey"]): r["s_name"]
-        for r in _read(sf_dir, "supplier",
-                       columns=["s_suppkey", "s_name"]).take_all()})
-
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
         g = df.groupby("l_suppkey", as_index=False)["rev"].sum()
         g["rev"] = g["rev"].astype("int64")
         top = g[g["rev"] == g["rev"].max()].copy()
-        names = _ray.get(names_ref)
-        top["s_name"] = top["l_suppkey"].map(names)
         top["l_suppkey"] = top["l_suppkey"].astype("int64")
         return (top.rename(columns={"l_suppkey": "s_suppkey",
                                     "rev": "total_revenue_cents"})
-                [["s_suppkey", "s_name", "total_revenue_cents"]])
+                [["s_suppkey", "total_revenue_cents"]])
 
-    return _merge_partials(
-        li.map_batches(part, batch_format="pyarrow"), merge)
+    top = _merge_partials(
+        li.map_batches(part, batch_format="pyarrow"), merge).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", top["s_suppkey"], "s_name")
+    top["s_name"] = top["s_suppkey"].map(names).astype(object)
+    return top[["s_suppkey", "s_name", "total_revenue_cents"]]
 
 
 Q15_TOP_SUPPLIER_SQL = """
@@ -3492,11 +3490,11 @@ def q18_large_orders(sf_dir):
     discipline), so each bucket holds every qty partial AND the
     detail row of its orderkeys and can finalize the HAVING, the
     join-back, and its LOCAL top-100 — exact because an order lives
-    in exactly one bucket. Customer names attach from a broadcast
-    dict (bounded dimension) inside the one-block final merge.
-    Integer quantity units + cents keep both engines bit-equal."""
-    import ray
-
+    in exactly one bucket. Customer names resolve AFTER the global
+    top-100 via ``joins.resolve_keys`` (<=100 keys stream-filter the
+    customer table; no whole-dimension driver collect at 10^9
+    customers). Integer quantity units + cents keep both engines
+    bit-equal."""
     buckets = _exchange_buckets(sf_dir, "lineitem")
     COLS = ["okey", "qty", "ckey", "cents", "odate_us", "_bucket",
             "_side"]
@@ -3538,11 +3536,6 @@ def q18_large_orders(sf_dir):
             j[c] = j[c].astype("int64")
         return j[["okey", "qty", "ckey", "cents", "odate_us"]]
 
-    names_ref = ray.put({
-        int(r["c_custkey"]): r["c_name"]
-        for r in _read(sf_dir, "customer",
-                       columns=["c_custkey", "c_name"]).take_all()})
-
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_quantity"])
     od = _read(sf_dir, "orders",
@@ -3554,20 +3547,24 @@ def q18_large_orders(sf_dir):
                   .map_groups(bucket_top, batch_format="pandas"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
         top = (df.sort_values(["cents", "odate_us", "okey"],
                               ascending=[False, True, True])
                .head(100).reset_index(drop=True))
-        names = _ray.get(names_ref)
-        return pd.DataFrame({
-            "c_name": top["ckey"].map(names).astype(object),
-            "c_custkey": top["ckey"].astype("int64"),
-            "o_orderkey": top["okey"].astype("int64"),
-            "o_orderdate": top["odate_us"].astype("datetime64[us]"),
-            "total_cents": top["cents"].astype("int64"),
-            "sum_qty": top["qty"].astype("int64")})
+        for c in ("okey", "qty", "ckey", "cents", "odate_us"):
+            top[c] = top[c].astype("int64")
+        return top
 
-    return _merge_partials(per_bucket, final)
+    top = _merge_partials(per_bucket, final).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "c_custkey", top["ckey"], "c_name")
+    return pd.DataFrame({
+        "c_name": top["ckey"].map(names).astype(object),
+        "c_custkey": top["ckey"].astype("int64"),
+        "o_orderkey": top["okey"].astype("int64"),
+        "o_orderdate": top["odate_us"].astype("datetime64[us]"),
+        "total_cents": top["cents"].astype("int64"),
+        "sum_qty": top["qty"].astype("int64")})
 
 
 Q18_SQL = """
@@ -3861,11 +3858,12 @@ def q21_blame_supplier(sf_dir):
     exchange. An order's complete supplier set lives in exactly one
     bucket, so each bucket evaluates the whole correlated predicate
     (n_supp ≥ 2 ∧ n_late == 1 ∧ this supplier late) vectorized and
-    emits bounded (suppkey → numwait) count partials — supplier is a
-    dimension, so the final name-attach + top-20 merge is one
-    dimension-scale block (names from a broadcast dict, q18 style)."""
-    import ray
-
+    emits bounded (suppkey → numwait) count partials. The final merge
+    keeps only the CANDIDATE set — suppliers whose numwait ties or
+    beats the 20th largest (s_name is the tie-break, so ties must
+    survive to the name resolution) — and ``joins.resolve_keys``
+    stream-filters the supplier table for just those keys; the
+    dimension never collects to the driver."""
     buckets = _exchange_buckets(sf_dir, "lineitem")
     COLS = ["okey", "skey", "ship_us", "odate_us", "_bucket", "_side"]
     late_us = np.int64(Q21_LATE_DAYS) * 86_400_000_000
@@ -3909,11 +3907,6 @@ def q21_blame_supplier(sf_dir):
         return pd.DataFrame({"skey": out["skey"].astype("int64"),
                              "numwait": out["size"].astype("int64")})
 
-    names_ref = ray.put({
-        int(r["s_suppkey"]): r["s_name"]
-        for r in _read(sf_dir, "supplier",
-                       columns=["s_suppkey", "s_name"]).take_all()})
-
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_shipdate"])
     od = _read(sf_dir, "orders",
@@ -3923,19 +3916,28 @@ def q21_blame_supplier(sf_dir):
     per_bucket = (tagged.groupby("_bucket")
                   .map_groups(bucket_blame, batch_format="pandas"))
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby("skey", as_index=False)["numwait"].sum()
-        names = _ray.get(names_ref)
-        agg["s_name"] = agg["skey"].map(names).astype(object)
-        agg = (agg.sort_values(["numwait", "s_name"],
-                               ascending=[False, True])
-               .head(20).reset_index(drop=True))
-        return pd.DataFrame({
-            "s_name": agg["s_name"].astype(object),
-            "numwait": agg["numwait"].astype("int64")})
+        agg = agg.sort_values("numwait", ascending=False)
+        if len(agg) > 20:
+            thresh = agg["numwait"].iloc[19]
+            agg = agg[agg["numwait"] >= thresh]
+        agg = agg.reset_index(drop=True)
+        agg["skey"] = agg["skey"].astype("int64")
+        agg["numwait"] = agg["numwait"].astype("int64")
+        return agg[["skey", "numwait"]]
 
-    return _merge_partials(per_bucket, final)
+    cand = _merge_partials(per_bucket, candidates).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", cand["skey"], "s_name")
+    cand["s_name"] = cand["skey"].map(names).astype(object)
+    cand = (cand.sort_values(["numwait", "s_name"],
+                             ascending=[False, True])
+            .head(20).reset_index(drop=True))
+    return pd.DataFrame({
+        "s_name": cand["s_name"].astype(object),
+        "numwait": cand["numwait"].astype("int64")})
 
 
 Q21_SQL = """
@@ -4146,11 +4148,10 @@ def q10_returned_customers(sf_dir):
     union (the scrub/decontaminate DAG discipline). The second
     exchange finalizes per-customer revenue and takes a LOCAL top-20
     (exact: a customer's whole revenue lives in one bucket); bounded
-    partials coalesce in the single merge block where names attach
-    from a broadcast customer dict (q18 contract — bucket-join it at
-    10⁹ customers)."""
-    import ray
-
+    partials coalesce in the single merge block; the 20 winning
+    custkeys then resolve names via ``joins.resolve_keys`` (map-side
+    stream filter of the customer table — no whole-dimension driver
+    collect at 10⁹ customers)."""
     buckets = _exchange_buckets(sf_dir, "lineitem")
     COLS = ["okey", "ckey", "cents", "_bucket", "_side"]
     lo_us = int(np.datetime64(Q10_DATE_LO, "us").astype(np.int64))
@@ -4202,11 +4203,6 @@ def q10_returned_customers(sf_dir):
             top[c] = top[c].astype("int64")
         return top[["ckey", "cents"]]
 
-    names_ref = ray.put({
-        int(r["c_custkey"]): r["c_name"]
-        for r in _read(sf_dir, "customer",
-                       columns=["c_custkey", "c_name"]).take_all()})
-
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_returnflag",
                         "l_extendedprice"])
@@ -4220,17 +4216,21 @@ def q10_returned_customers(sf_dir):
                 .map_groups(bucket_top, batch_format="pandas"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
         top = (df.sort_values(["cents", "ckey"],
                               ascending=[False, True])
                .head(20).reset_index(drop=True))
-        names = _ray.get(names_ref)
-        return pd.DataFrame({
-            "c_custkey": top["ckey"].astype("int64"),
-            "c_name": top["ckey"].map(names).astype(object),
-            "revenue_cents": top["cents"].astype("int64")})
+        for c in ("ckey", "cents"):
+            top[c] = top[c].astype("int64")
+        return top[["ckey", "cents"]]
 
-    return _merge_partials(per_cust, final)
+    top = _merge_partials(per_cust, final).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "c_custkey", top["ckey"], "c_name")
+    return pd.DataFrame({
+        "c_custkey": top["ckey"].astype("int64"),
+        "c_name": top["ckey"].map(names).astype(object),
+        "revenue_cents": top["cents"].astype("int64")})
 
 
 Q10_SQL = """
@@ -4255,10 +4255,10 @@ def q7_nation_volume(sf_dir):
     ATTRIBUTES (supplier nation, customer nation) must propagate
     through a fact×fact join before a bounded rollup.
 
-    Scale shape: both nation attributes resolve via broadcast dicts
-    BEFORE the exchange (supplier⋈nation and customer⋈nation are
-    dimension-side lookups — the customer arm carries the q5
-    bucket-join contract at 10⁹ customers), and the nation-pair filter
+    Scale shape: the supplier nation resolves via a broadcast dict
+    BEFORE the exchange; the customer arm goes through
+    ``joins.attach_dim`` (broadcast ≤ threshold, bucketed hash join
+    above — forced-path tested), and the nation-pair filter
     prunes map-side, so only matching rows enter the ONE
     orderkey-bucketed tagged exchange; lineitem pre-reduces per batch
     to (okey, supp_nation, year) → cents partials (lossless combiner).
@@ -4283,17 +4283,39 @@ def q7_nation_volume(sf_dir):
                 for r in _read(sf_dir, "supplier",
                                columns=["s_suppkey",
                                         "s_nationkey"]).take_all()}
-    cust_nat = {int(r["c_custkey"]): nat_name[int(r["c_nationkey"])]
-                for r in _read(sf_dir, "customer",
-                               columns=["c_custkey",
-                                        "c_nationkey"]).take_all()}
     # pair rule shared with the SQL oracle: nation of the lowest
     # suppkey, and of the lowest suppkey in a DIFFERENT nation
     by_key = sorted(supp_nat)
     nat_a = supp_nat[by_key[0]]
     nat_b = next(supp_nat[k] for k in by_key if supp_nat[k] != nat_a)
     pair = {nat_a, nat_b}
-    supp_ref, cust_ref = ray.put(supp_nat), ray.put(cust_nat)
+    supp_ref = ray.put(supp_nat)
+
+    # customer arm: nationkey→name resolves from the 25-row nation
+    # dict map-side, the pair filter prunes BEFORE the dispatch, and
+    # attach_dim broadcasts custkey→nation below the threshold /
+    # bucket-joins above it (10⁹-customer contract, forced-path
+    # tested)
+    pair_keys = sorted(k for k, v in nat_name.items() if v in pair)
+    names_by_key = dict(nat_name)
+
+    def cust_pair(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(
+            t["c_nationkey"],
+            value_set=pa.array(pair_keys,
+                               type=t.schema.field("c_nationkey").type)))
+        nm = pa.array([names_by_key[int(k)]
+                       for k in t["c_nationkey"].to_pylist()],
+                      type=pa.string())
+        return pa.table({"c_custkey": t["c_custkey"], "cnat": nm})
+
+    cust_ds = (_read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+               .map_batches(cust_pair, batch_format="pyarrow"))
+    od_tagged = joins.attach_dim(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust_ds, "o_custkey", "c_custkey", "cnat", out_col="nat",
+        how="inner")
 
     def prep_li(t: pa.Table) -> pd.DataFrame:
         import ray as _ray
@@ -4317,13 +4339,9 @@ def q7_nation_volume(sf_dir):
         return _tag_bucket(p, buckets, 0, COLS)
 
     def prep_od(t: pa.Table) -> pd.DataFrame:
-        import ray as _ray
-        cn = _ray.get(cust_ref)
-        nat = pd.Series(t["o_custkey"].to_numpy()).map(cn)
-        keep = nat.isin(pair).to_numpy()
-        okey = t["o_orderkey"].to_numpy()[keep]
+        okey = t["o_orderkey"].to_numpy()
         p = pd.DataFrame({"okey": okey.astype("int64"),
-                          "nat": pd.Series(nat.to_numpy()[keep],
+                          "nat": pd.Series(t["nat"].to_pylist(),
                                            dtype=object),
                           "year": np.zeros(len(okey), np.int64),
                           "cents": np.zeros(len(okey), np.int64)})
@@ -4349,9 +4367,9 @@ def q7_nation_volume(sf_dir):
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_shipdate",
                         "l_extendedprice"])
-    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     tagged = (li.map_batches(prep_li, batch_format="pyarrow")
-              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+              .union(od_tagged.map_batches(prep_od,
+                                           batch_format="pyarrow")))
     per_bucket = (tagged.groupby("_bucket")
                   .map_groups(bucket_vol, batch_format="pandas"))
 
@@ -4478,10 +4496,8 @@ def q2_min_cost_supplier(sf_dir):
     computes the rational rank and takes the per-part argmin
     vectorized (groupby-idxmin over sorted keys), then keeps its
     LOCAL 100 lowest partkeys; bounded partials coalesce in the one
-    merge block where supplier names attach from a broadcast dict
-    (dimension contract, q18 style)."""
-    import ray
-
+    merge block, and the ≤100 winning suppkeys resolve names via
+    ``joins.resolve_keys`` (no whole-dimension driver collect)."""
     buckets = _exchange_buckets(sf_dir, "lineitem")
 
     def part(t: pa.Table) -> pd.DataFrame:
@@ -4513,11 +4529,6 @@ def q2_min_cost_supplier(sf_dir):
             "skey": best["skey"].astype("int64"),
             "avg_milli": best["avg_milli"].astype("int64")})
 
-    names_ref = ray.put({
-        int(r["s_suppkey"]): r["s_name"]
-        for r in _read(sf_dir, "supplier",
-                       columns=["s_suppkey", "s_name"]).take_all()})
-
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_suppkey", "l_extendedprice"])
     per_bucket = (li.map_batches(part, batch_format="pyarrow")
@@ -4525,17 +4536,21 @@ def q2_min_cost_supplier(sf_dir):
                                                  batch_format="pandas"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
         top = (df.sort_values("pkey").head(100)
                .reset_index(drop=True))
-        names = _ray.get(names_ref)
-        return pd.DataFrame({
-            "l_partkey": top["pkey"].astype("int64"),
-            "s_suppkey": top["skey"].astype("int64"),
-            "s_name": top["skey"].map(names).astype(object),
-            "avg_milli": top["avg_milli"].astype("int64")})
+        for c in ("pkey", "skey", "avg_milli"):
+            top[c] = top[c].astype("int64")
+        return top
 
-    return _merge_partials(per_bucket, final)
+    top = _merge_partials(per_bucket, final).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", top["skey"], "s_name")
+    return pd.DataFrame({
+        "l_partkey": top["pkey"].astype("int64"),
+        "s_suppkey": top["skey"].astype("int64"),
+        "s_name": top["skey"].map(names).astype(object),
+        "avg_milli": top["avg_milli"].astype("int64")})
 
 
 Q2_SQL = """
@@ -5005,8 +5020,11 @@ def q5_local_suppliers(sf_dir):
 
     Scale shape: region→nation→(customer, supplier) are the star's
     dimension arms — region/nation/supplier broadcast as dicts;
-    customer broadcasts its custkey→nationkey map (at 10⁹ customers
-    this arm flips to joins.bucket_join, the q3_shipping contract).
+    the customer arm goes through ``joins.attach_dim``, which
+    broadcasts the custkey→nationkey map below
+    ``joins.DIM_BROADCAST_THRESHOLD`` and switches to a bucketed
+    hash join above it (forced-path equality tested), so 10⁹
+    customers never materialize on the driver.
     The fact-side large×large leg is ONE orderkey-bucketed exchange
     carrying both sides tagged: filtered orders enter as
     (okey, customer-nation), lineitem as per-batch partial
@@ -5025,17 +5043,37 @@ def q5_local_suppliers(sf_dir):
     asia = set(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"])
     nat = nat[nat["n_regionkey"].isin(asia)]
     n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(n2name)]
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    region_nats = sorted(int(k) for k in n2name)
     sup = _read(sf_dir, "supplier",
                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
     s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
-    ref = ray.put((c2n, s2n, n2name))
+    ref = ray.put((s2n, n2name))
     buckets = _exchange_buckets(sf_dir, "lineitem")
     lo, hi = np.datetime64(Q5_LO), np.datetime64(Q5_HI)
     COLS = ["okey", "suppkey", "cents", "c_nat", "_bucket", "_side"]
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            t["c_nationkey"],
+            value_set=pa.array(region_nats,
+                               type=t.schema.field("c_nationkey").type)))
+
+    cust_f = (_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"])
+              .map_batches(cust_in_region, batch_format="pyarrow"))
+
+    def od_window(t: pa.Table) -> pa.Table:
+        od_np = t["o_orderdate"].to_numpy()
+        keep = (od_np >= lo) & (od_np < hi)
+        return t.select(["o_orderkey", "o_custkey"]).filter(
+            pa.array(keep))
+
+    od_f = (_read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(od_window, batch_format="pyarrow"))
+    od_tagged = joins.attach_dim(od_f, cust_f, "o_custkey",
+                                 "c_custkey", "c_nationkey",
+                                 out_col="c_nat", how="inner")
 
     def prep_li(t: pa.Table) -> pd.DataFrame:
         disc = pc.multiply(t["l_extendedprice"],
@@ -5052,20 +5090,16 @@ def q5_local_suppliers(sf_dir):
         return _tag_bucket(p, buckets, 0, COLS)
 
     def prep_od(t: pa.Table) -> pd.DataFrame:
-        c2n_, _, _ = ray.get(ref)
-        df = t.to_pandas()
-        od = df["o_orderdate"].to_numpy()
-        nats = df["o_custkey"].map(c2n_)
-        m = (od >= lo) & (od < hi) & nats.notna().to_numpy()
+        n = t.num_rows
         p = pd.DataFrame({
-            "okey": df["o_orderkey"].to_numpy()[m],
-            "suppkey": np.full(int(m.sum()), -1, np.int64),
-            "cents": np.zeros(int(m.sum()), np.int64),
-            "c_nat": nats.to_numpy()[m].astype(np.int64)})
+            "okey": t["o_orderkey"].to_numpy(),
+            "suppkey": np.full(n, -1, np.int64),
+            "cents": np.zeros(n, np.int64),
+            "c_nat": t["c_nat"].to_numpy().astype(np.int64)})
         return _tag_bucket(p, buckets, 1, COLS)
 
     def bucket_rev(g: pd.DataFrame) -> pd.DataFrame:
-        _, s2n_, n2name_ = ray.get(ref)
+        s2n_, n2name_ = ray.get(ref)
         li_ = g[g["_side"] == 0][["okey", "suppkey", "cents"]]
         od_ = g[g["_side"] == 1][["okey", "c_nat"]]
         j = li_.merge(od_, on="okey", how="inner")
@@ -5080,10 +5114,9 @@ def q5_local_suppliers(sf_dir):
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                         "l_discount"])
-    od = _read(sf_dir, "orders",
-               columns=["o_orderkey", "o_custkey", "o_orderdate"])
     tagged = (li.map_batches(prep_li, batch_format="pyarrow")
-              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+              .union(od_tagged.map_batches(prep_od,
+                                           batch_format="pyarrow")))
     per_bucket = (tagged.groupby("_bucket")
                   .map_groups(bucket_rev, batch_format="pandas"))
 
@@ -5482,31 +5515,19 @@ def segment_price_median(sf_dir):
     |segments|·2^14 cells — still a lossless combiner), one walk per
     segment pins its ceil(N_g/2) rank to a bucket + residual, pass 2
     histograms full values inside only the selected (segment,
-    bucket) cells. The segment dimension attaches from a broadcast
-    custkey→segment dict (the q18 contract; bucket_join at 10⁹
-    customers).
+    bucket) cells. The segment dimension attaches through
+    ``joins.attach_dim`` (broadcast ≤ threshold, bucketed hash join
+    at 10⁹ customers — forced-path tested).
 
     Ranks are ceil(N/2) with value-ties, so SQL's per-partition
     row_number replays rank→value engine-independently."""
-    import ray
-
-    seg_ref = ray.put({
-        int(r["c_custkey"]): r["c_mktsegment"]
-        for r in _read(sf_dir, "customer",
-                       columns=["c_custkey", "c_mktsegment"])
-        .take_all()})
-
     def seg_cents(t: pa.Table) -> pd.DataFrame:
-        import ray as _ray
-        seg = _ray.get(seg_ref)
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
                                              pa.scalar(100.0)),
                                  round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy()
         return pd.DataFrame({
-            "seg": pd.Series([seg[int(k)] for k in
-                              t["o_custkey"].to_pylist()],
-                             dtype=object),
+            "seg": pd.Series(t["seg"].to_pylist(), dtype=object),
             "v": cents})
 
     def hist_hi(t: pa.Table) -> pd.DataFrame:
@@ -5518,8 +5539,12 @@ def segment_price_median(sf_dir):
         out["n"] = out["n"].astype("int64")
         return out
 
-    ds = _read(sf_dir, "orders",
-               columns=["o_custkey", "o_totalprice"])
+    ds = joins.attach_dim(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_mktsegment"]),
+        "o_custkey", "c_custkey", "c_mktsegment", out_col="seg",
+        how="inner")
     h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
           .to_pandas()
           .groupby(["seg", "hi"], as_index=False)["n"].sum())
@@ -5597,39 +5622,87 @@ def source_embedding_coherence(sf_dir):
     zero shuffle at any corpus size."""
     import ray
 
-    # dimension attaches map-side: the (doc_id → source) dict is the
-    # narrow broadcast arm (q18 contract; bucket_join with an Arrow
-    # list carrier at 10⁹ docs). The embedding column itself never
-    # enters an exchange — object-ndarray columns can't ride the
-    # pandas sort exchange (the ragged-TensorArray pitfall).
-    src_ref = ray.put({
-        int(r["doc_id"]): r["source"]
-        for r in _read(sf_dir, "documents",
-                       columns=["doc_id", "source"]).take_all()})
+    # dimension dispatch (the verify_jaccard contract): the
+    # (doc_id → source) arm broadcasts as a dict ≤ threshold; above
+    # it, each embedding row first QUANTIZES to flat int64 scalar
+    # columns (vec_id, s2, c0..cD) — a carrier that CAN ride the
+    # bucketed exchange (object-ndarray columns can't, the
+    # ragged-TensorArray pitfall) — then attach_dim joins the source
+    # on, and a downstream per-batch combiner re-bounds the rows.
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    docs_dim = _read(sf_dir, "documents",
+                     columns=["doc_id", "source"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-        if len(df) == 0:
-            cols = {"source": pd.Series(dtype=object),
-                    "n": pd.Series(dtype="int64"),
-                    "s2": pd.Series(dtype="int64")}
-            cols.update({"c%d" % d: pd.Series(dtype="int64")
-                         for d in range(EMB_DIM)})
-            return pd.DataFrame(cols)
-        s2n = _ray.get(src_ref)
+    def _quant(df: pd.DataFrame) -> np.ndarray:
         m = np.stack([np.asarray(v, dtype=np.float64) * EMB_QUANT
                       for v in df["embedding"]])
-        q = (np.floor(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
-        out = pd.DataFrame({
-            "source": [s2n[int(k)] for k in df["vec_id"]],
-            "n": np.ones(len(df), np.int64),
-            "s2": (q * q).sum(axis=1)})
-        for d in range(EMB_DIM):
-            out["c%d" % d] = q[:, d]
-        p = out.groupby("source", as_index=False).sum()
-        p["source"] = p["source"].astype(object)
-        return p
+        return (np.floor(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+
+    def _empty_partial() -> pd.DataFrame:
+        cols = {"source": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "s2": pd.Series(dtype="int64")}
+        cols.update({"c%d" % d: pd.Series(dtype="int64")
+                     for d in range(EMB_DIM)})
+        return pd.DataFrame(cols)
+
+    n_docs_dim = docs_dim.count()
+    if n_docs_dim <= joins.DIM_BROADCAST_THRESHOLD:
+        src_ref = ray.put({
+            int(r["doc_id"]): r["source"]
+            for r in docs_dim.take_all()})
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+            if len(df) == 0:
+                return _empty_partial()
+            s2n = _ray.get(src_ref)
+            q = _quant(df)
+            out = pd.DataFrame({
+                "source": [s2n[int(k)] for k in df["vec_id"]],
+                "n": np.ones(len(df), np.int64),
+                "s2": (q * q).sum(axis=1)})
+            for d in range(EMB_DIM):
+                out["c%d" % d] = q[:, d]
+            p = out.groupby("source", as_index=False).sum()
+            p["source"] = p["source"].astype(object)
+            return p
+
+        partials = emb.map_batches(partial, batch_format="pandas")
+    else:
+        def quantize(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                cols = {"vec_id": pd.Series(dtype="int64"),
+                        "n": pd.Series(dtype="int64"),
+                        "s2": pd.Series(dtype="int64")}
+                cols.update({"c%d" % d: pd.Series(dtype="int64")
+                             for d in range(EMB_DIM)})
+                return pd.DataFrame(cols)
+            q = _quant(df)
+            out = pd.DataFrame({
+                "vec_id": df["vec_id"].to_numpy().astype("int64"),
+                "n": np.ones(len(df), np.int64),
+                "s2": (q * q).sum(axis=1)})
+            for d in range(EMB_DIM):
+                out["c%d" % d] = q[:, d]
+            return out
+
+        flat = emb.map_batches(quantize, batch_format="pandas")
+        tagged = joins.attach_dim(flat, docs_dim, "vec_id", "doc_id",
+                                  "source", out_col="source",
+                                  how="inner")
+
+        def by_source(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return _empty_partial()
+            p = (df.drop(columns=["vec_id"])
+                 .groupby("source", as_index=False).sum())
+            p["source"] = p["source"].astype(object)
+            cols = ["source", "n", "s2"] + ["c%d" % d
+                                            for d in range(EMB_DIM)]
+            return p[cols]
+
+        partials = tagged.map_batches(by_source, batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("source", as_index=False).sum()
@@ -5652,8 +5725,7 @@ def source_embedding_coherence(sf_dir):
         out["coherence_milli"] = out["coherence_milli"].astype("int64")
         return out
 
-    return _merge_partials(
-        emb.map_batches(partial, batch_format="pandas"), final)
+    return _merge_partials(partials, final)
 
 
 SOURCE_COHERENCE_SQL = """
@@ -9058,12 +9130,22 @@ nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
 
 
 def _kg_edges(sf_dir):
-    e = facets.citation_edges(_kg(sf_dir)["triples"])
+    """Citation edge list, derived from the cached flagship triples
+    ONCE per sf_dir and materialized (narrow src/dst — bounded by
+    mention volume): the graph family calls this 10+ times per
+    harness run, and unions like ``e.union(e.rev)`` would otherwise
+    re-execute the citation_edges subtree twice per query."""
+    cache = _kg(sf_dir)
+    if "_edges" not in cache:
+        e = facets.citation_edges(cache["triples"])
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t["source_url"], "dst": t["target_url"]})
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["source_url"],
+                             "dst": t["target_url"]})
 
-    return e.map_batches(rename, batch_format="pyarrow")
+        cache["_edges"] = (e.map_batches(rename, batch_format="pyarrow")
+                           .materialize())
+    return cache["_edges"]
 
 
 PR_ITERS, PR_SCALE = 2, 10 ** 12
@@ -10513,8 +10595,11 @@ def q8_market_share(sf_dir):
     factor is non-degenerate and the SQL oracle replays the rule.
 
     Scale shape: part-type filter and supplier→nation map broadcast
-    (filtered-dimension / q5 contract — the customer arm flips to a
-    bucket join at 10⁹ rows); lineitem pre-reduces per batch to
+    (filtered-dimension / q5 contract); the customer arm is a
+    SEMI-join of orders against the region's customers through
+    ``joins.membership_join`` (keyset broadcast ≤ threshold, Bloom +
+    exact hash-partitioned recheck above — forced-path tested);
+    lineitem pre-reduces per batch to
     (okey → total_cents, nation_cents) — a lossless combiner —
     before the single orderkey-bucketed tagged exchange against
     region+window-filtered orders (okey, year). Each bucket joins
@@ -10537,17 +10622,37 @@ def q8_market_share(sf_dir):
     pt = _read(sf_dir, "part",
                columns=["p_partkey", "p_type"]).to_pandas()
     pkeys = set(pt.loc[pt["p_type"] == Q8_TYPE, "p_partkey"].astype(int))
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
-    ckeys = set(cust.loc[cust["c_nationkey"].isin(region_nk),
-                         "c_custkey"].astype(int))
-    ref = ray.put((pkeys, s2n, target_nk, ckeys))
+    ref = ray.put((pkeys, s2n, target_nk))
     buckets = _exchange_buckets(sf_dir, "lineitem")
     lo, hi = np.datetime64(Q8_LO), np.datetime64(Q8_HI)
     COLS = ["okey", "cents", "nat_cents", "year", "_bucket", "_side"]
 
+    region_list = sorted(region_nk)
+
+    def cust_region(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(
+            t["c_nationkey"],
+            value_set=pa.array(region_list,
+                               type=t.schema.field("c_nationkey").type)))
+        return t.select(["c_custkey"])
+
+    cust_keys = (_read(sf_dir, "customer",
+                       columns=["c_custkey", "c_nationkey"])
+                 .map_batches(cust_region, batch_format="pyarrow"))
+
+    def od_window(t: pa.Table) -> pa.Table:
+        od_np = t["o_orderdate"].to_numpy()
+        keep = (od_np >= lo) & (od_np < hi)
+        return t.filter(pa.array(keep))
+
+    od_member = joins.membership_join(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(od_window, batch_format="pyarrow"),
+        "o_custkey", cust_keys, keys_col="c_custkey", mode="semi")
+
     def prep_li(t: pa.Table) -> pd.DataFrame:
-        pkeys_, s2n_, tnk, _ = ray.get(ref)
+        pkeys_, s2n_, tnk = ray.get(ref)
         disc = pc.multiply(t["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
         cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
@@ -10568,16 +10673,12 @@ def q8_market_share(sf_dir):
         return _tag_bucket(p, buckets, 0, COLS)
 
     def prep_od(t: pa.Table) -> pd.DataFrame:
-        _, _, _, ckeys_ = ray.get(ref)
         od = t["o_orderdate"].to_numpy()
-        ck = t["o_custkey"].to_numpy()
         okey = t["o_orderkey"].to_numpy()
-        m = ((od >= lo) & (od < hi)
-             & pd.Series(ck).isin(ckeys_).to_numpy())
-        yr = (od[m].astype("datetime64[Y]").astype(np.int64) + 1970)
-        p = pd.DataFrame({"okey": okey[m],
-                          "cents": np.zeros(int(m.sum()), np.int64),
-                          "nat_cents": np.zeros(int(m.sum()), np.int64),
+        yr = (od.astype("datetime64[Y]").astype(np.int64) + 1970)
+        p = pd.DataFrame({"okey": okey,
+                          "cents": np.zeros(len(okey), np.int64),
+                          "nat_cents": np.zeros(len(okey), np.int64),
                           "year": yr.astype(np.int64)})
         return _tag_bucket(p, buckets, 1, COLS)
 
@@ -10595,10 +10696,9 @@ def q8_market_share(sf_dir):
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_partkey",
                         "l_extendedprice", "l_discount"])
-    od = _read(sf_dir, "orders",
-               columns=["o_orderkey", "o_custkey", "o_orderdate"])
     tagged = (li.map_batches(prep_li, batch_format="pyarrow")
-              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+              .union(od_member.map_batches(prep_od,
+                                           batch_format="pyarrow")))
     per_bucket = (tagged.groupby("_bucket")
                   .map_groups(bucket_share, batch_format="pandas"))
 
@@ -11224,10 +11324,9 @@ def q20_excess_suppliers(sf_dir):
     matters, so no broadcast); each bucket finalizes sums, applies
     the exact integer 2·Σqty > avail predicate and emits (skey,
     n_excess) partials — additive because a (pkey, skey) pair lives
-    in exactly one bucket; supplier names attach from a broadcast
-    dimension dict in the bounded merge."""
-    import ray
-
+    in exactly one bucket; names resolve for EXACTLY the result's
+    suppkeys via ``joins.resolve_keys`` (the key set is the output
+    itself — never the whole dimension)."""
     buckets = _exchange_buckets(sf_dir, "lineitem")
     COLS = ["pkey", "skey", "q", "_bucket", "_side"]
 
@@ -11261,11 +11360,6 @@ def q20_excess_suppliers(sf_dir):
                .agg(excess_parts=("pkey", "nunique")))
         return out.astype("int64")
 
-    names_ref = ray.put({
-        int(r["s_suppkey"]): r["s_name"]
-        for r in _read(sf_dir, "supplier",
-                       columns=["s_suppkey", "s_name"]).take_all()})
-
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_suppkey", "l_quantity"])
     part = _read(sf_dir, "part",
@@ -11277,19 +11371,21 @@ def q20_excess_suppliers(sf_dir):
                   .map_groups(bucket_excess, batch_format="pandas"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
         out = (df.groupby("skey", as_index=False)
                ["excess_parts"].sum()
                .sort_values(["excess_parts", "skey"],
                             ascending=[False, True])
                .reset_index(drop=True))
-        names = _ray.get(names_ref)
-        return pd.DataFrame({
-            "s_suppkey": out["skey"].astype("int64"),
-            "s_name": out["skey"].map(names).astype(object),
-            "excess_parts": out["excess_parts"].astype("int64")})
+        return out.astype("int64")
 
-    return _merge_partials(per_bucket, final)
+    out = _merge_partials(per_bucket, final).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", out["skey"], "s_name")
+    return pd.DataFrame({
+        "s_suppkey": out["skey"].astype("int64"),
+        "s_name": out["skey"].map(names).astype(object),
+        "excess_parts": out["excess_parts"].astype("int64")})
 
 
 Q20_SQL = """
@@ -11702,44 +11798,41 @@ def region_revenue_share(sf_dir):
     child metric divides by the parent aggregate. Exercises the full
     region→nation→supplier dimension chain over the fact table.
 
-    Scale shape: the three dimension arms are genuinely small
-    (region/nation/supplier) so they broadcast as composed dicts via
-    ray.put (the q18 dimension contract — at 10⁹ suppliers the
-    supplier arm switches to joins.bucket_join); fact batches emit
+    Scale shape: region/nation are genuinely bounded (25/5 rows) and
+    broadcast as dicts; the supplier arm goes through
+    ``joins.attach_dim`` (broadcast ≤ threshold, bucketed hash join
+    at 10⁹ suppliers — forced-path tested); fact batches emit
     bounded (nation) cents partials — a lossless combiner — and the
     parent totals + shares derive in the one coalesced merge block.
-    Zero data shuffle; exact integer permille."""
-    import ray
-
-    sup = {int(r["s_suppkey"]): int(r["s_nationkey"])
-           for r in _read(sf_dir, "supplier",
-                          columns=["s_suppkey", "s_nationkey"])
-           .take_all()}
+    Exact integer permille."""
     nat = {int(r["n_nationkey"]): (r["n_name"], int(r["n_regionkey"]))
            for r in _read(sf_dir, "nation").take_all()}
     reg = {int(r["r_regionkey"]): r["r_name"]
            for r in _read(sf_dir, "region").take_all()}
-    s2n_ref = ray.put({sk: nat[nk][0] for sk, nk in sup.items()})
+    nk2name = {nk: name for nk, (name, _) in nat.items()}
     n2r = {name: reg[rk] for name, rk in nat.values()}
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        import ray as _ray
-        s2n = _ray.get(s2n_ref)
         cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
                                              pa.scalar(100.0)),
                                  round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy()
         df = pd.DataFrame({
-            "nation": pd.Series([s2n[int(k)] for k in
-                                 t["l_suppkey"].to_pylist()],
+            "nation": pd.Series([nk2name[int(k)] for k in
+                                 t["snat"].to_pylist()],
                                 dtype=object),
             "cents": cents})
         out = df.groupby("nation", as_index=False)["cents"].sum()
         out["cents"] = out["cents"].astype("int64")
         return out
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_suppkey", "l_extendedprice"])
+    li = joins.attach_dim(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice"]),
+        _read(sf_dir, "supplier",
+              columns=["s_suppkey", "s_nationkey"]),
+        "l_suppkey", "s_suppkey", "s_nationkey", out_col="snat",
+        how="inner")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         n = df.groupby("nation", as_index=False)["cents"].sum()
@@ -14103,26 +14196,26 @@ def orders_pit_dimension_join(sf_dir):
     Output = revenue rollup by EFFECTIVE segment — provably
     different from the current-version rollup.
 
-    Scale shape: the dimension broadcasts once as (custkey → segment
-    index) plus the sorted segment list (q18 contract — bucket_join
-    at 10⁹ customers); the version lookup is a map-side searchsorted
-    against the broadcast boundary array, so the PIT join is ZERO
-    shuffle; bounded (segment, n, cents) combiner, one merge."""
-    import ray
-
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    segs = sorted(cust["c_mktsegment"].unique().tolist())
+    Scale shape: the segment VOCABULARY (bounded, ≤ segments) comes
+    from a per-batch distinct pre-pass; the per-customer base segment
+    attaches through ``joins.attach_dim`` (broadcast ≤ threshold,
+    bucketed hash join at 10⁹ customers — forced-path tested); the
+    version lookup is a map-side searchsorted against the closure's
+    boundary array, so everything past the attach is ZERO shuffle;
+    bounded (segment, n, cents) combiner, one merge."""
+    cust_ds = _read(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"])
+    seg_vocab = (cust_ds.map_batches(
+        lambda t: pa.table(
+            {"s": pc.unique(t["c_mktsegment"])}),
+        batch_format="pyarrow").to_pandas())
+    segs = sorted(seg_vocab["s"].unique().tolist())
     seg_idx = {s: i for i, s in enumerate(segs)}
-    dim_ref = ray.put({int(r.c_custkey): seg_idx[r.c_mktsegment]
-                       for r in cust.itertuples()})
     bounds = np.array([np.datetime64(b, "D").astype(np.int64)
                        for b in PIT_BOUNDS], dtype=np.int64)
     nseg = len(segs)
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        import ray as _ray
-        dim = _ray.get(dim_ref)
         ck = t["o_custkey"].to_numpy()
         days = (t["o_orderdate"].to_numpy()
                 .astype("datetime64[D]").astype(np.int64))
@@ -14130,8 +14223,8 @@ def orders_pit_dimension_join(sf_dir):
                                              pa.scalar(100.0)),
                                  round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy()
-        base = np.fromiter((dim[int(k)] for k in ck), np.int64,
-                           len(ck))
+        base = np.fromiter((seg_idx[s] for s in
+                            t["seg"].to_pylist()), np.int64, len(ck))
         shift = np.where(ck % PIT_MOD == 0,
                          np.searchsorted(bounds, days, side="right"),
                          0)
@@ -14151,8 +14244,11 @@ def orders_pit_dimension_join(sf_dir):
             "n_orders": g["n_orders"].astype("int64"),
             "cents": g["cents"].astype("int64")})
 
-    ds = _read(sf_dir, "orders",
-               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    ds = joins.attach_dim(
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+        cust_ds, "o_custkey", "c_custkey", "c_mktsegment",
+        out_col="seg", how="inner")
     return _merge_partials(
         ds.map_batches(partial, batch_format="pyarrow"), merge)
 
@@ -15691,11 +15787,13 @@ def basket_rule_lift(sf_dir):
     rule universe is support ≥ BASKET_MINSUP — the standard A-Priori
     pruning.
 
-    Scale shape: item supports n_a and the basket count T live on the
-    SMALL side (the part dimension), so they materialize once through
+    Scale shape: item supports n_a and the basket count T come off
     the okey-bucketed exchange (batch-local distinct combiner; an
     order lives in exactly one bucket, so per-bucket item counts are
-    additive) and BROADCAST into the pair ranking. Pairs ride the
+    additive) and DISPATCH on size: ≤ joins.DIM_BROADCAST_THRESHOLD
+    they fold driver-side and broadcast into the pair ranking; above
+    it they total in a bucketed second exchange and join onto the
+    pruned pairs via attach_dim (forced-path tested). Pairs ride the
     basket_part_pairs two-exchange shape — okey buckets self-join
     baskets, a second pair-hash exchange totals support, prunes
     minsup and scores lift map-side of the merge (a pair finalizes in
@@ -15727,16 +15825,47 @@ def basket_rule_lift(sf_dir):
         return out.astype("int64")
 
     # per-bucket partials are additive (a basket lives in one okey
-    # bucket); the part dimension is small, so the final fold is a
-    # driver-side pandas groupby — a second Ray-native groupby here
-    # measured 44 s of pure exchange overhead on 0.8 MB of partials
-    item_rows = (li.map_batches(prep, batch_format="pyarrow")
-                 .groupby("_bucket")
-                 .map_groups(bucket_items, batch_format="pandas")
-                 .to_pandas())
-    folded = item_rows.groupby("pkey")["n"].sum()
-    counts = {int(k): int(v) for k, v in folded.items()}
-    n_baskets = counts.pop(-1)
+    # bucket). Threshold dispatch (the verify_jaccard contract):
+    # partial rows ≤ joins.DIM_BROADCAST_THRESHOLD → driver-side
+    # pandas fold + broadcast counts dict (a second Ray-native
+    # groupby measured 44 s of pure exchange overhead on 0.8 MB of
+    # partials); above → bucketed second exchange + attach_dim joins
+    # for n_a/n_b, so 10⁹ parts never materialize on the driver.
+    partial_items = (li.map_batches(prep, batch_format="pyarrow")
+                     .groupby("_bucket")
+                     .map_groups(bucket_items, batch_format="pandas")
+                     .materialize())
+    driver_fold = (partial_items.count()
+                   <= joins.DIM_BROADCAST_THRESHOLD)
+    counts: dict = {}
+    n_baskets = 0
+    counts_ds = None
+    if driver_fold:
+        folded = partial_items.to_pandas().groupby("pkey")["n"].sum()
+        counts = {int(k): int(v) for k, v in folded.items()}
+        n_baskets = counts.pop(-1)
+    else:
+        def tag_pkey(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            h = pd.util.hash_pandas_object(df["pkey"],
+                                           index=False).values
+            df["_b3"] = (h % np.uint64(buckets)).astype("int32")
+            return df
+
+        def sum_items(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("pkey", as_index=False)["n"].sum()
+            return out.astype("int64")
+
+        counts_all = (partial_items
+                      .map_batches(tag_pkey, batch_format="pandas")
+                      .groupby("_b3")
+                      .map_groups(sum_items, batch_format="pandas")
+                      .materialize())
+        n_baskets = int(counts_all.map_batches(
+            lambda df: df[df["pkey"] == -1],
+            batch_format="pandas").to_pandas()["n"].sum())
+        counts_ds = counts_all.map_batches(
+            lambda df: df[df["pkey"] != -1], batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["okey", "pkey"]].drop_duplicates()
@@ -15753,12 +15882,11 @@ def basket_rule_lift(sf_dir):
         out["_b2"] = (h % np.uint64(buckets)).astype("int32")
         return out
 
-    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.groupby(["p1", "p2"], as_index=False)["support"].sum()
-        g = g[g["support"] >= BASKET_MINSUP]
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        """(p1, p2, support, na, nb) → scored local top-k."""
         sup = g["support"].to_numpy(np.int64)
-        na = g["p1"].map(counts).to_numpy(np.int64)
-        nb = g["p2"].map(counts).to_numpy(np.int64)
+        na = g["na"].to_numpy(np.int64)
+        nb = g["nb"].to_numpy(np.int64)
         if (len(sup) == 0
                 or (1_000_000 * n_baskets * int(sup.max()) < 2 ** 63
                     and int(na.max()) * int(nb.max()) < 2 ** 63)):
@@ -15780,11 +15908,41 @@ def basket_rule_lift(sf_dir):
                .head(BASKET_TOPK))
         return out.astype("int64")
 
-    per_pair = (li.map_batches(prep, batch_format="pyarrow")
-                .groupby("_bucket")
-                .map_groups(bucket_pairs, batch_format="pandas")
-                .groupby("_b2")
-                .map_groups(bucket_score, batch_format="pandas"))
+    def bucket_totals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p1", "p2"], as_index=False)["support"].sum()
+        g = g[g["support"] >= BASKET_MINSUP]
+        return g.astype("int64")[["p1", "p2", "support"]]
+
+    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+        g = bucket_totals(g)
+        g = g.assign(na=g["p1"].map(counts).astype("int64"),
+                     nb=g["p2"].map(counts).astype("int64"))
+        return _score(g)
+
+    if driver_fold:
+        per_pair = (li.map_batches(prep, batch_format="pyarrow")
+                    .groupby("_bucket")
+                    .map_groups(bucket_pairs, batch_format="pandas")
+                    .groupby("_b2")
+                    .map_groups(bucket_score, batch_format="pandas"))
+    else:
+        # two-exchange pair subtree materializes (pruned by minsup —
+        # bounded) before the attach_dim exchanges: the documented
+        # three-exchange DAG-shape mitigation
+        pair_totals = (li.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(bucket_pairs, batch_format="pandas")
+                       .groupby("_b2")
+                       .map_groups(bucket_totals,
+                                   batch_format="pandas")
+                       .materialize())
+        with_na = joins.attach_dim(pair_totals, counts_ds, "p1",
+                                   "pkey", "n", out_col="na",
+                                   how="inner")
+        with_nb = joins.attach_dim(with_na, counts_ds, "p2",
+                                   "pkey", "n", out_col="nb",
+                                   how="inner")
+        per_pair = with_nb.map_batches(_score, batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values(["lift_ppm", "p1", "p2"],

@@ -36,8 +36,15 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+# Dimension rows at or below this count broadcast as a Python dict
+# (ray.put once, read per task); above it the lookup switches to a
+# bucketed hash join. Tests monkeypatch this to 0 to force the
+# distributed path (mirrors dedup.driver_threshold).
+DIM_BROADCAST_THRESHOLD = 5_000_000
 
 
 def _hash64(series: pd.Series) -> np.ndarray:
@@ -133,7 +140,8 @@ def _exact_membership_filter(rows_ds, key_col: str, keys_ds, keys_col: str,
 
 
 def membership_join(rows_ds, key_col: str, keys_ds, keys_col: str | None = None,
-                    mode: str = "anti", broadcast_threshold: int = 5_000_000,
+                    mode: str = "anti",
+                    broadcast_threshold: int | None = None,
                     bloom_fp: float = 0.01, force_bloom: bool = False,
                     num_buckets: int = 64):
     """Anti/semi join of ``rows_ds`` against the key side.
@@ -149,6 +157,8 @@ def membership_join(rows_ds, key_col: str, keys_ds, keys_col: str | None = None,
     """
     import ray
 
+    if broadcast_threshold is None:
+        broadcast_threshold = DIM_BROADCAST_THRESHOLD
     keys_col = keys_col or key_col
     keep_members = (mode == "semi")
     n_keys = keys_ds.count()
@@ -358,3 +368,119 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str | None = None,
                           how="inner" if how == "inner" else "left")
 
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def resolve_keys(dim_ds, key_col: str, keys, value_col: str) -> dict:
+    """Resolve a SMALL key set (a top-k result, O(100) keys) against
+    an arbitrarily large dimension table WITHOUT collecting the
+    dimension: the k keys broadcast once (``ray.put``), the dimension
+    streams through a map-side ``pc.is_in`` semi-filter (zero
+    shuffle), and only the <=k matching rows return to the driver.
+
+    This replaces the ``{key: name for r in dim.take_all()}``
+    whole-dimension collect (a ~100 GB driver materialization at 10^9
+    customers) for post-top-k name decoration (reference shape: the
+    label-resolution lookups of facet.py:259-281 applied after the
+    ranking, not before): at any dimension size the cost is one
+    pruned two-column scan that moves k rows.
+    """
+    import ray
+
+    keylist = list(dict.fromkeys(keys))
+    if not keylist:
+        return {}
+    ref = ray.put(keylist)
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, value_col])
+        if t.num_rows == 0:
+            return t
+        vs = pa.array(ray.get(ref), type=t.schema.field(key_col).type)
+        return t.filter(pc.is_in(t[key_col], value_set=vs))
+
+    rows = dim_ds.map_batches(flt, batch_format="pyarrow").take_all()
+    return {r[key_col]: r[value_col] for r in rows}
+
+
+def attach_dim(fact_ds, dim_ds, fact_key: str, dim_key: str,
+               dim_val: str, out_col: str | None = None,
+               how: str = "inner", broadcast_threshold: int | None = None,
+               num_buckets: int = 64):
+    """Attach ONE dimension attribute column to fact rows, dispatching
+    on dimension size (the ``verify_jaccard`` threshold contract):
+
+    - dim rows <= threshold (default ``DIM_BROADCAST_THRESHOLD``):
+      collect ``{key: value}`` once, ``ray.put``, tag map-side —
+      zero shuffle, the broadcast-dimension fast path;
+    - above (or threshold forced to 0 in tests): ``bucket_join`` —
+      both sides hash-bucket on the key and meet in ONE exchange;
+      nothing materializes on the driver.
+
+    how="inner" drops fact rows without a dimension match (the
+    filtering lookup the q5/q7 star arms use); how="left" keeps them
+    with a null attribute. Both paths return identical rows — the
+    forced-path tests assert it.
+    """
+    import ray
+
+    if broadcast_threshold is None:
+        broadcast_threshold = DIM_BROADCAST_THRESHOLD
+    out_col = out_col or dim_val
+
+    def _arrow_type(t):
+        # pandas-block datasets report numpy dtypes / object here
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    fact_schema = fact_ds.schema()
+    fact_cols = list(fact_schema.names)
+    dim_schema = dim_ds.schema()
+    val_type = _arrow_type(
+        dict(zip(dim_schema.names, dim_schema.types))[dim_val])
+    target = pa.schema(
+        [(n, _arrow_type(t)) for n, t in zip(fact_schema.names,
+                                             fact_schema.types)]
+        + [(out_col, val_type)])
+
+    n_dim = dim_ds.count()
+    if n_dim <= broadcast_threshold:
+        dim_df = dim_ds.to_pandas()
+        ref = ray.put(dict(zip(dim_df[dim_key], dim_df[dim_val])))
+
+        def tag(df: pd.DataFrame) -> pa.Table:
+            df = df.reset_index(drop=True)
+            lut = ray.get(ref)
+            vals = df[fact_key].map(lut)
+            if how == "inner":
+                keep = vals.notna().to_numpy()
+                df = df[keep].reset_index(drop=True)
+                vals = vals[keep].reset_index(drop=True)
+            cols = {c: df[c] for c in fact_cols}
+            cols[out_col] = vals
+            out = pd.DataFrame(cols)
+            return pa.Table.from_pandas(out, schema=target,
+                                        preserve_index=False)
+
+        return fact_ds.map_batches(tag, batch_format="pandas")
+
+    dim_narrow = dim_ds.select_columns([dim_key, dim_val])
+    joined = bucket_join(fact_ds, dim_narrow, left_on=fact_key,
+                         right_on=dim_key, how=how,
+                         num_buckets=num_buckets)
+    joined_val = dim_val + "_r" if dim_val in fact_cols else dim_val
+
+    def restore(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        cols = {c: df[c] for c in fact_cols}
+        cols[out_col] = df[joined_val]
+        out = pd.DataFrame(cols)
+        if len(out) == 0:
+            return target.empty_table()
+        return pa.Table.from_pandas(out, schema=target,
+                                    preserve_index=False)
+
+    return joined.map_batches(restore, batch_format="pandas")
