@@ -1,0 +1,5294 @@
+"""Relational / operator queries (TPC-H shapes, doc stats, fulltext, sampling,
+sketches) — SQL-oracled."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ...functions import firstletter
+from ...stages import text_analysis
+from ...stages.dedup import (
+    embedding_neardup_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from ...stages.similarity import knn_brute_force
+from ...stages.canonicalize import connected_components_distributed
+from ...stages import joins
+from .. import corpus, facets
+from ..kg import kg_pipeline
+from ._shared import (
+    CLONE_OFFSET,
+    _exchange_buckets,
+    _merge_partials,
+    _read,
+    _tag_bucket,
+)
+
+
+# ---------------------------------------------------------------------
+# relational / operator queries (SQL-oracled)
+# ---------------------------------------------------------------------
+
+def q1_pricing(sf_dir):
+    """TPC-H Q1-style pricing summary: groupby + multi-aggregate
+    (prune at the read: only 5 of 11 lineitem columns leave storage)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # per-row rounding to integer cents → order-independent sums
+        # that match any engine bit-for-bit
+        # half_away_from_zero = SQL round() semantics (pyarrow defaults
+        # to banker's rounding, which disagrees with DuckDB on .5)
+        cents = pc.round(pc.multiply(disc_price, pa.scalar(100.0)),
+                         round_mode="half_towards_infinity")
+        t = t.append_column("cents", pc.cast(cents, pa.int64()))
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            disc_price_cents=("cents", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            disc_price_cents=("disc_price_cents", "sum"),
+            count_order=("count_order", "sum"))
+        g["sum_qty"] = g["sum_qty"].round(2)
+        g["disc_price_cents"] = g["disc_price_cents"].astype("int64")
+        g["count_order"] = g["count_order"].astype("int64")
+        return g
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS disc_price_cents,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def doc_stats_by_lang(sf_dir):
+    """stats groupby-count (wsgiapp.stats shape) over documents."""
+    from ray.data.aggregate import Count, Sum
+
+    return (_read(sf_dir, "documents", columns=["lang", "n_chars"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
+DOC_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_token_counts(sf_dir):
+    """token counting per lang, BOTH conventions (whitespace and the
+    BPE-ish \\w+|[^\\w\\s]+ regex — the same RE2-compatible pattern the
+    oracle runs) — partial counts inside map_batches, tiny groupby
+    after."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = text_analysis.token_counts(t)
+        df = t.select(["lang", "ws_tokens", "bpeish_tokens"]).to_pandas()
+        g = df.groupby("lang", as_index=False)[
+            ["ws_tokens", "bpeish_tokens"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"sum(ws_tokens)": "total_tokens",
+                                  "sum(bpeish_tokens)": "bpeish_total"})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").sum(["ws_tokens", "bpeish_tokens"])
+            .map_batches(rename, batch_format="pandas"))
+
+
+DOC_TOKENS_SQL = """
+SELECT lang, cast(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         AS total_tokens,
+       cast(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')))
+            AS BIGINT) AS bpeish_total
+FROM documents GROUP BY lang
+"""
+
+
+def doc_quality(sf_dir):
+    """per-doc char/token metrics (quality-scoring signals)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def metrics(t: pa.Table) -> pa.Table:
+        t = text_analysis.token_counts(t)
+        texts = t["text"].to_pylist()
+        chars = [len(x or "") for x in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars_text": pa.array(chars, pa.int64()),
+            "n_tokens": t["ws_tokens"],
+        })
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id, length(text) AS n_chars_text,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens
+FROM documents
+"""
+
+
+def doc_quality_filter(sf_dir):
+    """quality gates as a filter (C4-style): keep docs with ≥5 tokens
+    and mean token length in [2, 12]."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = text_analysis.quality_metrics(t)
+        t = text_analysis.quality_filter(t, min_tokens=5,
+                                         min_mean_token_len=2.0,
+                                         max_mean_token_len=12.0)
+        return t.select(["doc_id"])
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+DOC_QUALITY_FILTER_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) AS alpha_len
+  FROM documents
+)
+SELECT doc_id FROM m
+WHERE n_tokens >= 5
+  AND alpha_len >= 2.0 * n_tokens
+  AND alpha_len <= 12.0 * n_tokens
+"""
+
+
+def fulltext_search(sf_dir):
+    """fulltext query over the documents (the reference's fulltext
+    index SELECT shape, fulltextindex.py:395-683): docs containing
+    ALL query terms, ranked by total term frequency; deterministic
+    (doc_id) tie-break; top 20."""
+    terms = ("merge", "join")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id, out_score = [], []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            counts = [sum(1 for w in toks if w == term) for term in terms]
+            if all(c > 0 for c in counts):
+                out_id.append(i)
+                out_score.append(sum(counts))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_score, pa.int64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "doc_id"], descending=[True, False]).limit(20))
+
+
+FULLTEXT_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text, '\\S+'), t -> t = 'merge'))
+           AS c1,
+         len(list_filter(regexp_extract_all(text, '\\S+'), t -> t = 'join'))
+           AS c2
+  FROM documents
+)
+SELECT doc_id, cast(c1 + c2 AS BIGINT) AS score FROM m
+WHERE c1 > 0 AND c2 > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def fulltext_indexed_search(sf_dir):
+    """The same ranked AND query as ``fulltext_search``, served from
+    the MATERIALIZED inverted index (sources/ftindex — the reference's
+    Whoosh/ES index artifact, fulltextindex.py:395-683): postings
+    hive-partitioned by term-hash bucket, built once per corpus with
+    an idempotent _SUCCESS/tmp-swap, and the query read planned over
+    ONLY the 2 query terms' bucket directories — 14 of 16 posting
+    shares never leave storage. Oracle shared with fulltext_search
+    (identical result contract proves index == scan)."""
+    import os
+
+    from ...sources import ftindex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = "/tmp/ferenda_ray_ftidx/%s_b%d" % (
+        os.path.basename(sf_dir.rstrip("/")), ftindex.DEFAULT_BUCKETS)
+    ftindex.build_inverted_index(docs, idx)
+    return ftindex.indexed_term_search(idx, ("merge", "join"), k=20)
+
+
+FT_DELTA_REPL_MOD, FT_DELTA_NEW_MOD = 31, 37
+FT_DELTA_NEW_OFF = 10_000_000
+
+
+def fulltext_delta_search(sf_dir):
+    """The SAME ranked AND query served from an INCREMENTALLY
+    MAINTAINED index: the base index of ``fulltext_indexed_search``
+    is upgraded by ``ftindex.merge_index_delta`` with a deterministic
+    delta crawl — doc_id %% 31 re-crawled with changed text (UPSERT:
+    their old postings are superseded), doc_id %% 37 spawning brand-new
+    docs under key+10⁷ — and the query runs against the merged
+    VERSION (the base stays immutable; LSM/segment-merge discipline,
+    fulltextindex.py update semantics). The oracle reconstructs the
+    post-delta corpus in SQL and replays the scan query, so equality
+    proves merge(index, δ) == index(apply(corpus, δ)) — the index
+    twin of orders_ivm_counts' Δ-law.
+
+    Scale point: the merge pays ONLY the delta's tokenization plus a
+    zero-shuffle drop-filter stream of the base postings — never a
+    re-index of the corpus."""
+    import os
+
+    from ...sources import ftindex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    base = "/tmp/ferenda_ray_ftidx/%s_b%d" % (
+        os.path.basename(sf_dir.rstrip("/")), ftindex.DEFAULT_BUCKETS)
+    ftindex.build_inverted_index(docs, base)
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, tx in zip(ids, texts):
+            if i % FT_DELTA_REPL_MOD == 0:   # re-crawl: changed text
+                out_id.append(int(i))
+                out_tx.append((tx or "") + " merge deltaterm")
+            if i % FT_DELTA_NEW_MOD == 0:    # brand-new document
+                out_id.append(int(i) + FT_DELTA_NEW_OFF)
+                out_tx.append((tx or "") + " merge join")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    delta = docs.map_batches(delta_rows, batch_format="pyarrow")
+    # the re-crawl manifest IS the superseded-key list (bounded by
+    # the delta batch, never by the corpus)
+    replaced = [int(r["doc_id"]) for r in
+                _read(sf_dir, "documents", columns=["doc_id"])
+                .take_all() if r["doc_id"] % FT_DELTA_REPL_MOD == 0]
+    merged = "%s_delta_v1" % base
+    ftindex.merge_index_delta(base, delta, merged,
+                              replaced_keys=replaced)
+    return ftindex.indexed_term_search(merged, ("merge", "join"), k=20)
+
+
+FT_DELTA_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id %% %d = 0
+              THEN text || ' merge deltaterm' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + %d, text || ' merge join'
+  FROM documents WHERE doc_id %% %d = 0),
+m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text, '\\S+'),
+                         t -> t = 'merge')) AS c1,
+         len(list_filter(regexp_extract_all(text, '\\S+'),
+                         t -> t = 'join')) AS c2
+  FROM corpus)
+SELECT doc_id, CAST(c1 + c2 AS BIGINT) AS score FROM m
+WHERE c1 > 0 AND c2 > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""" % (FT_DELTA_REPL_MOD, FT_DELTA_NEW_OFF, FT_DELTA_NEW_MOD)
+
+
+def _bm25_scored(sf_dir):
+    """Shared BM25 scorer (the single copy of the Okapi arithmetic,
+    consumed by ``bm25_search`` and the RRF hybrid's lexical leg):
+    returns the UNSORTED zero-shuffle scored dataset
+    (doc_id, score > 0) for the fixed two-term query.
+
+    Scale shape: TWO streaming passes. Pass 1 reduces the corpus to
+    FOUR integers (N docs, Σdl, df per query term) via per-batch
+    partials and one bounded merge row — the only exchange. Pass 2 is
+    a zero-shuffle map-side scorer with the four constants closed
+    over (broadcast-by-closure; at 100 TB the constants ride the task
+    spec).
+
+    Exactness discipline: k1=6/5 and b=3/4 are kept RATIONAL — the
+    per-term fraction tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) is
+    cross-multiplied by 10·Σdl into pure integers:
+    22·tf·S / (10·tf·S + 3·S + 9·dl·N), S=Σdl. The idf is the RSJ
+    odds (N−df+½)/(df+½) in fixed-point micro-units — the classic
+    idf's pre-log argument, a per-term monotone transform kept
+    integer so the oracle replays every floor division bit-exactly
+    (swap in ln() where cross-term calibration matters more than
+    exact replay). OR semantics."""
+    terms = ("merge", "join")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        n, s = len(texts), 0
+        df = [0] * len(terms)
+        for txt in texts:
+            toks = (txt or "").split()
+            s += len(toks)
+            for j, term in enumerate(terms):
+                if term in toks:
+                    df[j] += 1
+        row = {"n": [n], "s": [s]}
+        row.update({"df%d" % j: [df[j]] for j in range(len(terms))})
+        return pd.DataFrame(row)
+
+    merged = _merge_partials(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        lambda g: g.sum().to_frame().T).take(1)[0]
+    N, S = int(merged["n"]), int(merged["s"])
+    idf = [((2 * N - 2 * int(merged["df%d" % j]) + 1) * 1_000_000)
+           // (2 * int(merged["df%d" % j]) + 1) for j in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id, out_score = [], []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            dl = len(toks)
+            sc = 0
+            for j, term in enumerate(terms):
+                tf = toks.count(term)
+                if tf:
+                    sc += (idf[j] * (22 * tf * S)) \
+                        // (10 * tf * S + 3 * S + 9 * dl * N)
+            if sc > 0:
+                out_id.append(i)
+                out_score.append(sc)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_score, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_search(sf_dir):
+    """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi) over the
+    documents table — the scoring upgrade over ``fulltext_search``'s
+    raw term-frequency rank (fulltextindex.py:395-683 SELECT shape).
+    Arithmetic and scale shape live in ``_bm25_scored``; this entry
+    adds the global (score desc, doc_id) top-20 of the tiny
+    qualifying set."""
+    return (_bm25_scored(sf_dir)
+            .sort(["score", "doc_id"], descending=[True, False]).limit(20))
+
+
+# the CTE chain replaying _bm25_scored bit-exactly — the single SQL
+# copy, shared by BM25_SQL and RRF_HYBRID_SQL
+_BM25_CTES = """toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+d AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, t -> t = 'merge')) AS tf1,
+         len(list_filter(w, t -> t = 'join'))  AS tf2
+  FROM toks
+),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(dl) AS HUGEINT) AS s,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df2
+  FROM d
+),
+idf AS (
+  SELECT ((2 * n - 2 * df1 + 1) * 1000000) // (2 * df1 + 1) AS idf1,
+         ((2 * n - 2 * df2 + 1) * 1000000) // (2 * df2 + 1) AS idf2,
+         n, s
+  FROM g
+),
+lexall0 AS (
+  SELECT d.doc_id, CAST(
+      CASE WHEN tf1 > 0 THEN (idf1 * (22 * tf1 * s))
+           // (10 * tf1 * s + 3 * s + 9 * dl * n) ELSE 0 END
+    + CASE WHEN tf2 > 0 THEN (idf2 * (22 * tf2 * s))
+           // (10 * tf2 * s + 3 * s + 9 * dl * n) ELSE 0 END
+    AS BIGINT) AS score
+  FROM d, idf
+  WHERE tf1 > 0 OR tf2 > 0
+),
+lexall AS (
+  -- score > 0, not tf > 0: _bm25_scored emits only positive scores,
+  -- and a df ≈ N term floors its idf to 0 at large N — keep the two
+  -- engines' qualifying sets identical
+  SELECT doc_id, score FROM lexall0 WHERE score > 0
+)"""
+
+BM25_SQL = """
+WITH %s
+SELECT doc_id, score FROM lexall
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""" % _BM25_CTES
+
+
+RRF_KK, RRF_POOL, RRF_TOP = 60, 50, 10
+RRF_UNIT = 10 ** 12  # fixed-point 1/(k+rank) unit — exact in int64
+# embedding quantization family (shared with kmeans / semantic dedup /
+# MMR below — defined here because RRF_HYBRID_SQL bakes the scale in
+# at module-build time)
+EMB_K, EMB_ITERS, EMB_SCALE = 8, 2, 1000
+
+
+def rrf_hybrid_search(sf_dir):
+    """Hybrid retrieval fused by Reciprocal Rank Fusion (Cormack,
+    Clarke & Büttcher, SIGIR'09): the lexical leg is the shared BM25
+    scorer (``_bm25_scored``, documents table) and the semantic leg
+    is exact-integer squared-L2 against vec_id 0's quantized
+    embedding (embeddings table, doc_id ≡ vec_id); each leg
+    contributes floor(10¹²/(60 + rank)) for its 1-based rank within
+    its top-``RRF_POOL``, absent legs contribute 0, and the fused
+    top-``RRF_TOP`` is ordered (rrf desc, doc_id asc).
+
+    Scale shape: BOTH legs are zero-shuffle map passes emitting only
+    per-batch partial top-pool rows tagged by leg (lexical keeps
+    (score desc, doc_id) candidates, semantic keeps (dist asc,
+    vec_id) candidates against the broadcast quantized query), so the
+    union holds ≤ 2·blocks·pool rows and the global rank assignment +
+    fusion runs once in a single bounded merge block — the classic
+    partial-top-k shape of ``mmr_search``/``top_cited``. RRF itself
+    is rank-only (no score calibration across legs), which is why the
+    floor-division fixed point replays bit-exactly in the SQL oracle:
+    ranks are integers, units are integers, ties break on doc_id in
+    both engines. Reference parity: fulltextindex.py:159-170 returns
+    relevance-ordered hits from ONE index; fusing a lexical and an
+    embedding index is the modern RAG/retrieval upgrade of that
+    surface, new-design per the brief."""
+    from ...stages import clustering
+
+    lex = _bm25_scored(sf_dir)
+
+    def lex_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        sc = t["score"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -sc))[:RRF_POOL]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "kind": pa.array(np.zeros(len(order), np.int64()), pa.int64()),
+            "val": pa.array(sc[order], pa.int64())})
+
+    eds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrow = (eds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+        batch_format="pyarrow").to_pandas())
+    qv = np.floor(np.asarray(list(qrow["embedding"])[0], dtype=np.float64)
+                  * EMB_SCALE).astype(np.int64)
+    qds = clustering.quantize_vectors(eds, scale=EMB_SCALE)
+
+    def sem_part(t: pa.Table) -> pa.Table:
+        m = clustering._qmatrix(t["qv"])
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        keep = ids != 0
+        m, ids = m[keep], ids[keep]
+        diff = m - qv[None, :]
+        qd = np.einsum("ij,ij->i", diff, diff)
+        order = np.lexsort((ids, qd))[:RRF_POOL]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "kind": pa.array(np.ones(len(order), np.int64()), pa.int64()),
+            "val": pa.array(qd[order], pa.int64())})
+
+    parts = (lex.map_batches(lex_part, batch_format="pyarrow")
+             .union(qds.map_batches(sem_part, batch_format="pyarrow")))
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        lexd = (df[df["kind"] == 0]
+                .sort_values(["val", "doc_id"], ascending=[False, True])
+                .head(RRF_POOL))
+        semd = (df[df["kind"] == 1]
+                .sort_values(["val", "doc_id"], ascending=[True, True])
+                .head(RRF_POOL))
+        score: dict = {}
+        lex_rank: dict = {}
+        sem_rank: dict = {}
+        for r, d in enumerate(lexd["doc_id"].tolist(), 1):
+            lex_rank[d] = r
+            score[d] = score.get(d, 0) + RRF_UNIT // (RRF_KK + r)
+        for r, d in enumerate(semd["doc_id"].tolist(), 1):
+            sem_rank[d] = r
+            score[d] = score.get(d, 0) + RRF_UNIT // (RRF_KK + r)
+        top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP]
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top],
+             "lex_rank": [lex_rank.get(d, 0) for d, _ in top],
+             "sem_rank": [sem_rank.get(d, 0) for d, _ in top],
+             "rrf": [s for _, s in top]}).astype("int64")
+
+    return _merge_partials(parts, fuse)
+
+
+RRF_HYBRID_SQL = """
+WITH %s,
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER
+           (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+  FROM lexall QUALIFY r <= %d
+),
+qe AS (SELECT list_transform(embedding,
+         x -> FLOOR(CAST(x AS DOUBLE) * %d)) AS v
+       FROM embeddings WHERE vec_id = 0),
+bv AS (SELECT vec_id, list_transform(embedding,
+         x -> FLOOR(CAST(x AS DOUBLE) * %d)) AS v
+       FROM embeddings WHERE vec_id <> 0),
+sd AS (SELECT vec_id,
+         CAST(list_inner_product(bv.v, bv.v)
+              + list_inner_product(qe.v, qe.v)
+              - 2 * list_inner_product(bv.v, qe.v) AS BIGINT) AS dist
+       FROM bv, qe),
+sem AS (
+  SELECT vec_id AS doc_id, CAST(row_number() OVER
+           (ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS r
+  FROM sd QUALIFY r <= %d
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         COALESCE(lex.r, 0) AS lex_rank,
+         COALESCE(sem.r, 0) AS sem_rank,
+         COALESCE(%d // (%d + lex.r), 0)
+           + COALESCE(%d // (%d + sem.r), 0) AS rrf
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank, CAST(rrf AS BIGINT) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT %d
+""" % (_BM25_CTES, RRF_POOL, EMB_SCALE, EMB_SCALE, RRF_POOL,
+       RRF_UNIT, RRF_KK, RRF_UNIT, RRF_KK, RRF_TOP)
+
+
+BOTTOMK = 32
+
+
+def user_bottomk_sample(sf_dir, k: int = BOTTOMK):
+    """Bottom-k (KMV) sketch over distinct events.user_id: the k
+    minimum md5 hashes of the distinct keys — simultaneously a
+    UNIFORM k-sample of users (hash order is independent of the data)
+    and the K-Minimum-Values distinct-count estimator
+    (Bar-Yossef et al. RANDOM'02: D ≈ (k−1)/h_(k)).
+
+    Scale shape: each batch reduces to its local bottom-k over its
+    distinct keys (bounded combiner — k rows out per batch no matter
+    the input), and the partials coalesce into ONE tiny merge block
+    that dedups and re-takes the bottom k; the exchange moves k·blocks
+    hashes, never the key column. Both engines share md5 hex exactly,
+    and fixed-width lowercase hex compares lexicographically as the
+    integer hash, so the SQL oracle is a direct ORDER BY replay."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.unique(df["user_id"])
+        out = pd.DataFrame({
+            "user_id": pd.Series(ids, dtype="int64"),
+            "h": [hashlib.md5(str(int(u)).encode()).hexdigest()
+                  for u in ids]})
+        return (out.drop_duplicates("h")
+                .sort_values("h", kind="mergesort").head(k))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("h").sort_values("h", kind="mergesort")
+        return g.head(k).reset_index(drop=True)
+
+    return _merge_partials(ds.map_batches(partial, batch_format="pandas"),
+                           merge)
+
+
+USER_BOTTOMK_SQL = """
+SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+FROM (SELECT DISTINCT user_id FROM events)
+ORDER BY h ASC LIMIT %d
+""" % BOTTOMK
+
+
+def doc_fingerprint(sf_dir):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        t = text_analysis.fingerprint(t)
+        return t.select(["doc_id", "fp_md5"])
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+DOC_FP_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+def doc_exact_dedup(sf_dir):
+    """exact dedup stats: one row per distinct text
+    (canonical = min doc_id, n_copies)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pd.DataFrame:
+        t = text_analysis.fingerprint(t)
+        df = t.select(["doc_id", "fp_md5"]).to_pandas()
+        h = pd.util.hash_pandas_object(df["fp_md5"], index=False).values
+        df["_bucket"] = (h % np.uint64(64)).astype("int32")
+        return df
+
+    def rep(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("fp_md5", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return out[["doc_id", "n_copies"]]
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(rep, batch_format="pandas"))
+
+
+DOC_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+"""
+
+
+NORM_CLONE_MOD, NORM_CLONE_OFFSET = 5, 1_000_000
+
+
+def doc_normalized_dedup(sf_dir):
+    """CCNet-style aggressive-normalization dedup (Wenzek et al.
+    LREC'20 §4.1): documents are keyed by md5 of lowercase text with
+    digits squashed to '0', punctuation stripped and whitespace
+    collapsed — catching case/digit/punctuation variants that exact
+    dedup (``doc_exact_dedup``) cannot. The corpus has no such
+    variants by construction, so every doc_id%5==0 document gets a
+    PLANTED variant (doc_id+1e6, uppercased, '5'→'7', ' ***'
+    appended — all erased by the normalization chain) built from the
+    same arithmetic in both engines; the planted-clone convention of
+    ``cross_source_contamination``/``simhash_planted_recall``.
+
+    Scale shape: the normalization chain and the md5 key are
+    zero-shuffle map-side work; only (key, doc_id, raw_md5) triples
+    reach ONE key-hash-bucketed exchange where each group reduces to
+    (min doc_id, n_copies, n_raw_variants); dup groups only are
+    emitted. Text never crosses the exchange."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+")
+    punct = re.compile(r"[^a-z0-9 \t\n\r]")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy()
+        texts = pd.Series(t["text"].to_pylist(), dtype=object)
+        m = ids % NORM_CLONE_MOD == 0
+        all_ids = np.concatenate(
+            [ids, ids[m] + NORM_CLONE_OFFSET])
+        clones = (texts[m].str.replace("5", "7", regex=False)
+                  .str.upper() + " ***")
+        all_txt = pd.concat([texts, clones], ignore_index=True)
+        norm = (all_txt.str.lower()
+                .str.replace(r"[0-9]", "0", regex=True))
+        norm = norm.map(lambda s: ws.sub(" ", punct.sub("", s)).strip())
+        nk = [hashlib.md5(s.encode()).hexdigest() for s in norm]
+        rk = [hashlib.md5(s.encode()).hexdigest() for s in all_txt]
+        df = pd.DataFrame({"doc_id": all_ids.astype("int64"),
+                           "nk": pd.Series(nk, dtype=object),
+                           "rk": pd.Series(rk, dtype=object)})
+        h = pd.util.hash_pandas_object(df["nk"], index=False).values
+        df["_bucket"] = (h % np.uint64(64)).astype("int32")
+        return df
+
+    def rep(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("nk", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"),
+            n_variants=("rk", "nunique"))
+        out = out[out["n_copies"] > 1]
+        for c in ("doc_id", "n_copies", "n_variants"):
+            out[c] = out[c].astype("int64")
+        return out[["doc_id", "n_copies", "n_variants"]]
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(rep, batch_format="pandas"))
+
+
+NORM_DEDUP_SQL = """
+WITH everything AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + %d,
+         upper(regexp_replace(text, '5', '7', 'g')) || ' ***'
+  FROM documents WHERE doc_id %% %d = 0),
+keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(
+             lower(text), '[0-9]', '0', 'g'),
+             '[^a-z0-9 \t\n\r]', '', 'g'), '\\s+', ' ', 'g'))) AS nk,
+         md5(text) AS rk
+  FROM everything)
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+       count(DISTINCT rk) AS n_variants
+FROM keyed GROUP BY nk HAVING count(*) > 1
+""" % (NORM_CLONE_OFFSET, NORM_CLONE_MOD)
+
+
+def snapshot_dedup(sf_dir):
+    """Cross-snapshot (incremental-crawl) exact dedup: drop every
+    new-snapshot document whose CONTENT hash already exists in the
+    previous snapshot — the 'only process what the last crawl didn't
+    have' step of a rolling 100-TB ingest. Snapshots are doc_id
+    arithmetic (old = doc_id%2==0, new = doc_id%3==0; their overlap
+    doc_id%6==0 carries byte-identical text). The anti-join runs
+    through joins.membership_join with force_bloom=True, so the
+    ORACLED path here is the scale path — Bloom prefilter plus exact
+    hash-partitioned recheck of the maybe-member rows — not the
+    small-side broadcast shortcut."""
+    import hashlib
+
+    from ...stages.joins import membership_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def snapshot(mod: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            t = t.filter(pa.array(ids % mod == 0))
+            h = [hashlib.md5((x or "").encode()).hexdigest()
+                 for x in t["text"].to_pylist()]
+            return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                             "h": pa.array(h, pa.string())})
+        return fn
+
+    old = docs.map_batches(snapshot(2), batch_format="pyarrow")
+    new = docs.map_batches(snapshot(3), batch_format="pyarrow")
+    kept = membership_join(new, "h", old.select_columns(["h"]), "h",
+                           mode="anti", force_bloom=True)
+    return kept.select_columns(["doc_id", "source"])
+
+
+SNAPSHOT_DEDUP_SQL = """
+WITH old AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+new AS (SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % 3 = 0)
+SELECT n.doc_id, n.source FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.h)
+"""
+
+
+def toc_firstletter(sf_dir):
+    """toc_pagesets semantics over documents: firstletter of the
+    derived title (first 3 words uppercased — same rule as the page
+    synthesizer) → doc counts."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def letters(t: pa.Table) -> pa.Table:
+        vals = []
+        for text in t["text"].to_pylist():
+            words = (text or "").split()
+            title = " ".join(words[:3]).upper()
+            vals.append(firstletter(title))
+        return pa.table({"value": pa.array(vals, pa.string()),
+                         "doc_id": t["doc_id"]})
+
+    return (ds.map_batches(letters, batch_format="pyarrow")
+            .groupby("value").count()
+            .map_batches(lambda df: df.rename(columns={"count()": "n_docs"}),
+                         batch_format="pandas"))
+
+
+TOC_SQL = """
+WITH t AS (
+  SELECT lower(array_to_string(list_slice(regexp_extract_all(text, '\\S+'), 1, 3), ' ')) AS tl
+  FROM documents
+), k AS (
+  SELECT regexp_replace(CASE WHEN tl LIKE 'the %' THEN substr(tl, 5) ELSE tl END,
+                        '[^a-z0-9]', '', 'g') AS key
+  FROM t
+)
+SELECT CASE WHEN key = '' THEN '-' ELSE substr(key, 1, 1) END AS value,
+       count(*) AS n_docs
+FROM k GROUP BY 1
+"""
+
+
+def meta_triples_docs(sf_dir):
+    """flat_map triple emission from document metadata columns."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        sources = t["source"].to_pylist()
+        subj, pred, obj = [], [], []
+        for i, lang, src in zip(ids, langs, sources):
+            s = "doc:%d" % i
+            subj += [s, s]
+            pred += ["dcterms:language", "dcterms:source"]
+            obj += [lang, src]
+        return pa.table({"subj": pa.array(subj), "pred": pa.array(pred),
+                         "obj": pa.array(obj)})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+META_TRIPLES_SQL = """
+SELECT 'doc:' || doc_id AS subj, 'dcterms:language' AS pred, lang AS obj FROM documents
+UNION ALL
+SELECT 'doc:' || doc_id, 'dcterms:source', source FROM documents
+"""
+
+
+def top_sources(sf_dir):
+    """top-k after shuffle (analyze_article_citations shape)."""
+    ds = _read(sf_dir, "documents", columns=["source"])
+    return (ds.groupby("source").count()
+            .map_batches(lambda df: df.rename(columns={"count()": "n"}),
+                         batch_format="pandas")
+            .sort(["n", "source"], descending=[True, False]).limit(10))
+
+
+TOP_SOURCES_SQL = """
+SELECT source, count(*) AS n FROM documents
+GROUP BY source ORDER BY n DESC, source ASC LIMIT 10
+"""
+
+
+def top_docs_per_source(sf_dir, k: int = 3):
+    """Per-source top-k curation: keep the k longest (by token count)
+    documents of every source — the best-k-per-domain selection step
+    of a training-data pipeline. Scale shape: per-BATCH partial top-k
+    per source (local combiner — at most k rows per (batch, source)
+    reach the exchange, never the corpus), then a per-source merge
+    top-k. Deterministic: ties break on doc_id ascending."""
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def partial_topk(t: pa.Table) -> pd.DataFrame:
+        t = text_analysis.token_counts(t)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(),
+            "source": t["source"].to_pylist(),
+            "n_tokens": t["ws_tokens"].to_numpy(),
+        })
+        df = df.sort_values(["source", "n_tokens", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return g[["doc_id", "source", "n_tokens", "rank"]]
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("source").map_groups(merge_topk, batch_format="pandas"))
+
+
+TOP_DOCS_PER_SOURCE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents)
+SELECT doc_id, source, n_tokens, rank FROM (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS rank
+  FROM t) WHERE rank <= 3
+"""
+
+
+def sample_per_source(sf_dir, n: int = 5):
+    """Deterministic stratified sample: n docs per source, chosen by
+    md5(doc_id) order — seedless and stable across runs, engines and
+    partitionings (no PRNG state to ship to workers). Same scale
+    shape as top_docs_per_source: per-batch partial selection keeps
+    only n rows per (batch, source) ahead of the exchange."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial_pick(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        df = pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "source": pd.Series(t["source"].to_pylist(), dtype="object"),
+            "h": pd.Series([hashlib.md5(str(i).encode()).hexdigest()
+                            for i in ids], dtype="object"),
+        })
+        df = df.sort_values(["source", "h"], kind="mergesort")
+        return df.groupby("source", sort=False).head(n)
+
+    def merge_pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("h", kind="mergesort").head(n)
+        return g[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    return (ds.map_batches(partial_pick, batch_format="pyarrow")
+            .groupby("source").map_groups(merge_pick, batch_format="pandas"))
+
+
+SAMPLE_PER_SOURCE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS r
+  FROM documents) WHERE r <= 5
+"""
+
+
+WPS_K = 32
+
+
+def doc_weighted_sample(sf_dir, k: int = WPS_K):
+    """Deterministic WEIGHTED priority sample (the Efraimidis &
+    Spirakis IPL'06 one-pass shape): k docs with minimum priority =
+    (hash · 10⁶) // weight, weight = n_chars — heavier docs draw
+    proportionally smaller priorities, so inclusion probability grows
+    with weight (the exponential-race form min hᵢ/wᵢ; the
+    floor-division integer surrogate replaces u^(1/w) so both engines
+    replay the SAME sample — the md5-as-randomness convention of
+    ``sample_per_source``/``user_bottomk_sample``). The hash keeps 10
+    hex digits (2⁴⁰) so the scaled numerator stays well inside int64;
+    ties break on doc_id.
+
+    Scale shape: per-batch bounded partial bottom-k (≤ k rows leave
+    each batch regardless of size), one tiny single-block merge — the
+    KMV discipline; no exchange ever carries the corpus."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        ws = t["n_chars"].to_pylist()
+        rows = []
+        for i, w in zip(ids, ws):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:10], 16)
+            w = max(int(w), 1)
+            rows.append((i, w, (h * 1_000_000) // w))
+        df = pd.DataFrame(rows, columns=["doc_id", "n_chars", "prio"])
+        return (df.sort_values(["prio", "doc_id"]).head(k)
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64",
+                         "prio": "int64"}))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["prio", "doc_id"]).head(k)
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64",
+                         "prio": "int64"}))
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"), merge)
+
+
+DOC_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, GREATEST(n_chars, 1) AS n_chars,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+                 AS BIGINT) * 1000000 // GREATEST(n_chars, 1)
+            AS BIGINT) AS prio
+FROM documents
+ORDER BY prio ASC, doc_id ASC LIMIT %d
+""" % WPS_K
+
+
+def mixture_sample(sf_dir, weights=None):
+    """Deterministic source-mixture sampling (Pile/Dolma-style data
+    mixing): given integer mixture weights w_s, pick per-source quotas
+    k_s = (M * w_s) // W with W = Σw and M = min_s (n_s * W) // w_s —
+    the largest total the corpus can serve at the target mixture
+    without oversampling any source (waterfill). Each source's k_s
+    docs are then selected by md5(doc_id) order: seedless, stable
+    across runs, engines and partitionings. All quota math is integer,
+    so the SQL oracle recomputes it bit-exactly.
+
+    Default weights derive from the synthetic source name
+    (1 + src_index % 4) purely so the testdata's uniform sources get a
+    NON-trivial mixture; real use passes ``weights={source: int}``.
+
+    Scale shape: one tiny per-source count groupby (sources ≪ docs)
+    feeds driver-side quota math; quotas broadcast in the UDF closure;
+    per-batch partial pick caps rows per (batch, source) at k_s ahead
+    of the single per-source exchange."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = (ds.groupby("source")
+              .aggregate(Count(alias_name="n_s")).to_pandas())
+    if weights is None:
+        weights = {s: 1 + int(s[3:]) % 4 for s in counts["source"]}
+    # a source with weight 0 — or absent from the dict — is excluded
+    # from the mixture AND from the waterfill min (it can't bind M)
+    pos = {s: w for s, w in weights.items() if w > 0}
+    W = sum(pos.values())
+    present = [(s, int(n)) for s, n in zip(counts["source"], counts["n_s"])
+               if s in pos]
+    M = min((n * W) // pos[s] for s, n in present) if present else 0
+    quotas = {s: (M * w) // W for s, w in pos.items()}
+
+    def pick(df: pd.DataFrame, final: bool) -> pd.DataFrame:
+        if "h" not in df.columns:
+            df = df.assign(h=pd.Series(
+                [hashlib.md5(str(i).encode()).hexdigest()
+                 for i in df["doc_id"]], index=df.index, dtype="object"))
+        df = df.sort_values(["source", "h"], kind="mergesort")
+        cc = df.groupby("source", sort=False).cumcount()
+        lim = df["source"].map(quotas).fillna(0).astype("int64")
+        df = df[cc < lim]
+        return (df[["doc_id", "source"]].astype(
+            {"doc_id": "int64", "source": "object"}) if final else df)
+
+    def partial_pick(t: pa.Table) -> pd.DataFrame:
+        # typed construction: empty batches must carry the same block
+        # schema as full ones (CLAUDE.md one-schema-per-stage rule)
+        return pick(pd.DataFrame({
+            "doc_id": pd.Series(t["doc_id"].to_pylist(), dtype="int64"),
+            "source": pd.Series(t["source"].to_pylist(), dtype="object"),
+        }), final=False)
+
+    return (ds.map_batches(partial_pick, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(lambda g: pick(g, final=True),
+                        batch_format="pandas"))
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH w AS (
+  SELECT source, count(*) AS n_s,
+         1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS wt
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w),
+m AS (SELECT CAST(min((n_s * W) // wt) AS BIGINT) AS M FROM w, tot),
+q AS (SELECT source, CAST((M * wt) // W AS BIGINT) AS k FROM w, tot, m),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.k
+"""
+
+
+def source_token_quantiles(sf_dir):
+    """EXACT per-source token-count quantiles (p50/p90) without ever
+    shuffling raw per-doc values: token counts have a bounded small
+    domain, so a per-batch (source, value) -> count histogram is a
+    lossless combiner; the exchange moves histograms, the merge sums
+    them and reads the quantile off the cumulative counts. Quantile
+    convention pinned to integer arithmetic on BOTH sides (0-based
+    index q*(n-1) computed as (9*(n-1))//10 etc. — no float floor at
+    engine boundaries)."""
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial_hist(t: pa.Table) -> pd.DataFrame:
+        t = text_analysis.token_counts(t)
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "v": t["ws_tokens"].to_numpy()})
+        g = df.groupby(["source", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def merge_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g.groupby("v", as_index=False)["cnt"].sum()
+             .sort_values("v", kind="mergesort"))
+        counts = h["cnt"].to_numpy()
+        values = h["v"].to_numpy()
+        cum = counts.cumsum()
+        n = int(cum[-1])
+
+        def pick(idx0):
+            return int(values[int((cum > idx0).argmax())])
+
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": [n],
+            "p50_tokens": [pick((n - 1) // 2)],
+            "p90_tokens": [pick((9 * (n - 1)) // 10)],
+        })
+
+    return (ds.map_batches(partial_hist, batch_format="pyarrow")
+            .groupby("source").map_groups(merge_quantiles,
+                                          batch_format="pandas"))
+
+
+SOURCE_QUANTILES_SQL = """
+WITH t AS (
+  SELECT source, len(regexp_extract_all(text, '\\S+')) AS v
+  FROM documents),
+r AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t)
+SELECT source, max(n) AS n_docs,
+       max(CASE WHEN rn = 1 + (n - 1) // 2 THEN v END) AS p50_tokens,
+       max(CASE WHEN rn = 1 + (9 * (n - 1)) // 10 THEN v END) AS p90_tokens
+FROM r GROUP BY source
+"""
+
+
+def quantile_band_docs(sf_dir):
+    """Data-driven length gate: keep documents whose token count sits
+    inside their OWN source's [p50, p90] band (the per-domain
+    adaptive version of C4/Gopher's fixed length bounds). Scale
+    shape: the exact per-source quantiles come from the histogram
+    combiner (source_token_quantiles — the exchange moves (source,
+    value, count) histograms, never per-doc values); the band table
+    is one row per source — a bounded driver pull broadcast back via
+    ray.put — and the gate itself is a zero-shuffle map-side
+    filter."""
+    import ray
+
+    bands = {r["source"]: (r["p50_tokens"], r["p90_tokens"])
+             for r in source_token_quantiles(sf_dir).take_all()}
+    ref = ray.put(bands)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = text_analysis.token_counts(t)
+        b = ray.get(ref)
+        srcs = t["source"].to_pylist()
+        toks = t["ws_tokens"].to_numpy()
+        keep = [s in b and b[s][0] <= v <= b[s][1]
+                for s, v in zip(srcs, toks)]
+        t = t.filter(pa.array(keep))
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "ws_tokens": t["ws_tokens"]})
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+QUANTILE_BAND_SQL = """
+WITH q AS (%s)
+SELECT d.doc_id, d.source,
+       len(regexp_extract_all(d.text, '\\S+')) AS ws_tokens
+FROM documents d JOIN q ON q.source = d.source
+WHERE len(regexp_extract_all(d.text, '\\S+'))
+      BETWEEN q.p50_tokens AND q.p90_tokens
+""" % SOURCE_QUANTILES_SQL
+
+
+CHI2_MICRO = 10 ** 6
+
+
+MAD_K_NUM, MAD_K_DEN = 29652, 10000  # 2 · 1.4826 in 1e4 fixed point
+
+
+def doc_length_outliers(sf_dir):
+    """Robust per-source outlier gate on document length (the
+    Iglewicz–Hoaglin modified z-score rule at |z| > 2): flag docs
+    with |n_chars − median| > 2·1.4826·MAD, the constant entering as
+    the exact 29652/10000 cross-multiplication so no float crosses
+    the engine boundary; median and MAD share the repo's 0-based
+    (n−1)//2 index convention.
+
+    Scale shape: MAD derives from the SAME bounded-domain
+    (source, n_chars)→count histogram that yields the median (the
+    source_token_quantiles combiner — the deviation histogram is the
+    value histogram folded around the median), so ONE histogram
+    exchange computes both statistics; the per-source (med, mad)
+    table is a bounded pull broadcast via ray.put and the flag pass
+    is a zero-shuffle map-side filter. Output: flagged
+    (doc_id, source, n_chars, med, mad)."""
+    import ray
+
+    ds0 = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial_hist(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "v": t["n_chars"].to_numpy()})
+        g = df.groupby(["source", "v"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def merge_stats(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g.groupby("v", as_index=False)["cnt"].sum()
+             .sort_values("v", kind="mergesort"))
+        counts = h["cnt"].to_numpy()
+        values = h["v"].to_numpy()
+        n = int(counts.sum())
+
+        def pick(vals, cnts, idx0):
+            cum = cnts.cumsum()
+            return int(vals[int((cum > idx0).argmax())])
+
+        med = pick(values, counts, (n - 1) // 2)
+        dev = pd.DataFrame({"d": np.abs(values - med), "cnt": counts})
+        dh = (dev.groupby("d", as_index=False)["cnt"].sum()
+              .sort_values("d", kind="mergesort"))
+        mad = pick(dh["d"].to_numpy(), dh["cnt"].to_numpy(),
+                   (n - 1) // 2)
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "med": [med], "mad": [mad]})
+
+    stats = {r["source"]: (int(r["med"]), int(r["mad"]))
+             for r in (ds0.map_batches(partial_hist,
+                                       batch_format="pyarrow")
+                       .groupby("source")
+                       .map_groups(merge_stats, batch_format="pandas")
+                       ).take_all()}
+    ref = ray.put(stats)
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string()),
+                            ("n_chars", pa.int64()),
+                            ("med", pa.int64()), ("mad", pa.int64())])
+
+    def gate(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        srcs = t["source"].to_pylist()
+        nc = t["n_chars"].to_numpy().astype(np.int64)
+        med = np.fromiter((st[s][0] for s in srcs), np.int64, len(srcs))
+        mad = np.fromiter((st[s][1] for s in srcs), np.int64, len(srcs))
+        keep = MAD_K_DEN * np.abs(nc - med) > MAD_K_NUM * mad
+        # Arrow out with an explicit schema: an all-filtered batch
+        # must not emit a schema-less empty pandas block
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[keep], pa.int64()),
+            "source": pa.array([s for s, k in zip(srcs, keep) if k],
+                               pa.string()),
+            "n_chars": pa.array(nc[keep], pa.int64()),
+            "med": pa.array(med[keep], pa.int64()),
+            "mad": pa.array(mad[keep], pa.int64())}, schema=out_schema)
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+DOC_LENGTH_OUTLIERS_SQL = """
+WITH r AS (
+  SELECT source, n_chars AS v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+med AS (SELECT source, max(CASE WHEN rn = 1 + (n - 1) // 2 THEN v END)
+          AS med FROM r GROUP BY source),
+dv AS (
+  SELECT r.source, abs(r.v - m.med) AS d,
+         row_number() OVER (PARTITION BY r.source
+                            ORDER BY abs(r.v - m.med)) AS rn,
+         count(*) OVER (PARTITION BY r.source) AS n
+  FROM r JOIN med m ON m.source = r.source),
+mad AS (SELECT source, max(CASE WHEN rn = 1 + (n - 1) // 2 THEN d END)
+          AS mad FROM dv GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars,
+       CAST(m.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad
+FROM documents d
+JOIN med m ON m.source = d.source
+JOIN mad a ON a.source = d.source
+WHERE %d * abs(d.n_chars - m.med) > %d * a.mad
+""" % (MAD_K_DEN, MAD_K_NUM)
+
+
+def source_vocab_overlap(sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic next to source_term_divergence (χ² asks 'does this
+    source drift from the mixture'; this asks 'which sources share a
+    lexicon'). Output per source pair (a < b): intersection size,
+    union size, and Jaccard in exact integer milli-units
+    (inter·1000)//union.
+
+    Scale shape: per-batch batch-local distinct (source, term) pairs,
+    ONE term-hash-bucketed exchange; inside each bucket a vectorized
+    self-merge per term emits bounded ≤ sources² pair counts plus
+    per-source partial vocabulary sizes (every distinct term lives in
+    exactly one bucket, so bucket partials sum exactly); one bounded
+    single-block merge finishes the Jaccard arithmetic. Raw documents
+    never cross the exchange — only (source, term) distinct pairs."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    W = _exchange_buckets(sf_dir)
+
+    def st_partial(t: pa.Table) -> pd.DataFrame:
+        rows = set()
+        for s, txt in zip(t["source"].to_pylist(),
+                          t["text"].to_pylist()):
+            for term in set((txt or "").split(" ")):
+                rows.add((s, term))
+        df = pd.DataFrame(sorted(rows), columns=["source", "term"])
+        h = pd.util.hash_pandas_object(df["term"], index=False).values
+        df["_bucket"] = (h % np.uint64(W)).astype("int32")
+        return df
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "term"])
+        m = g.merge(g, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        pr = (m.groupby(["source_x", "source_y"], as_index=False)
+              .agg(n=("term", "size")))
+        pr.columns = ["a", "b", "n"]
+        szg = g.groupby("source", as_index=False).agg(n=("term", "size"))
+        sz = pd.DataFrame({"a": szg["source"], "b": "", "n": szg["n"]})
+        out = pd.concat([pr, sz], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out[["a", "b", "n"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["a", "b"], as_index=False)["n"].sum()
+        szs = dict(zip(agg.loc[agg["b"] == "", "a"],
+                       agg.loc[agg["b"] == "", "n"]))
+        pr = agg[agg["b"] != ""]
+        inter = pr["n"].to_numpy(np.int64)
+        union = (pr["a"].map(szs).to_numpy(np.int64)
+                 + pr["b"].map(szs).to_numpy(np.int64) - inter)
+        out = pd.DataFrame({
+            "source_a": pr["a"].to_numpy(),
+            "source_b": pr["b"].to_numpy(),
+            "inter": inter,
+            "union_sz": union,
+            "jacc_milli": inter * 1000 // union})
+        return (out.sort_values(["source_a", "source_b"])
+                .reset_index(drop=True)
+                .astype({"inter": "int64", "union_sz": "int64",
+                         "jacc_milli": "int64"}))
+
+    partials = (ds.map_batches(st_partial, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(bucket_counts, batch_format="pandas"))
+    return _merge_partials(partials, final)
+
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS term
+    FROM documents)),
+sz AS (SELECT source, count(*) AS c FROM st GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS inter
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY source_a, source_b)
+SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+       CAST(za.c + zb.c - inter AS BIGINT) AS union_sz,
+       CAST(inter * 1000 // (za.c + zb.c - inter) AS BIGINT)
+         AS jacc_milli
+FROM pr
+JOIN sz za ON za.source = source_a
+JOIN sz zb ON zb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+def source_term_divergence(sf_dir):
+    """Domain-shift detector: per-source χ² divergence of the unigram
+    term distribution against the whole corpus (the 'is this domain's
+    vocabulary drifting from the mixture' quality signal). EXACT
+    integer arithmetic end to end: each χ² term is
+    ((o·N − n_s·n_w)² · 10⁶) // (N · n_s · n_w) — a single rational
+    floored once, computed in Python bigints here and HUGEINT in the
+    oracle, so no float crosses the engine boundary. Scale shape: the
+    exchange carries (source, term, count) partials — bounded by
+    sources × vocabulary — merged in one vectorized block; zero cells
+    (a source never using a term) are filled in at the merge, as χ²
+    requires."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(w=df["text"].str.split(" "))
+              .explode("w")[["source", "w"]])
+        g = ex.groupby(["source", "w"]).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "w"], as_index=False)["cnt"].sum()
+        ns = g.groupby("source")["cnt"].sum().to_dict()
+        nw = g.groupby("w")["cnt"].sum().to_dict()
+        obs = {(s, w): int(c) for s, w, c in
+               zip(g["source"], g["w"], g["cnt"])}
+        n = int(g["cnt"].sum())
+        rows = []
+        for s in sorted(ns):
+            chi2 = 0
+            for w in sorted(nw):
+                o = obs.get((s, w), 0)
+                d = (o * n - int(ns[s]) * int(nw[w]))
+                chi2 += (d * d * CHI2_MICRO) // (n * int(ns[s]) * int(nw[w]))
+            rows.append((s, chi2))
+        return pd.DataFrame({"source": [r[0] for r in rows],
+                             "chi2_micro": pd.Series(
+                                 [r[1] for r in rows], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pandas"), merge)
+
+
+SOURCE_CHI2_SQL = """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+o AS (SELECT source, w, count(*) AS o FROM t GROUP BY source, w),
+ns AS (SELECT source, count(*) AS n_s FROM t GROUP BY source),
+nw AS (SELECT w, count(*) AS n_w FROM t GROUP BY w),
+tot AS (SELECT count(*) AS n FROM t),
+cells AS (SELECT ns.source, nw.w, ns.n_s, nw.n_w, COALESCE(o.o, 0) AS o
+          FROM ns CROSS JOIN nw
+          LEFT JOIN o ON o.source = ns.source AND o.w = nw.w)
+SELECT source,
+       CAST(sum((CAST(o AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_w)
+                * (CAST(o AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_w)
+                * %d // (CAST(n AS HUGEINT) * n_s * n_w)) AS BIGINT)
+           AS chi2_micro
+FROM cells, tot GROUP BY source
+""" % CHI2_MICRO
+
+
+def cross_source_contamination(sf_dir):
+    """Benchmark-contamination / cross-split-leakage detector: every
+    document whose exact text also appears under a DIFFERENT source.
+    The raw table has no cross-source duplicates, so (planted-oracle
+    convention, cf. simhash_planted_recall) the query clones
+    doc_id % 7 == 0 into a synthetic 'heldout' source and the detector
+    must recover exactly the planted originals + clones. Scale shape:
+    map-side md5 fingerprint, fingerprints hash-bucketed (64 groups,
+    never one Ray group per fingerprint), per-bucket nunique(source)
+    filter — only (fp, doc_id, source) triples reach the exchange,
+    never text."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def plant_and_fp(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        oi, osrc, otxt = list(ids), list(srcs), list(texts)
+        for i, txt in zip(ids, texts):
+            if i % 7 == 0:
+                oi.append(i + CLONE_OFFSET)
+                osrc.append("heldout")
+                otxt.append(txt)
+        fps = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+               for x in otxt]
+        df = pd.DataFrame({"fp": fps, "doc_id": oi, "source": osrc})
+        df["_b"] = (pd.util.hash_pandas_object(df["fp"], index=False)
+                    % 64).astype("int32")
+        return df
+
+    def leaked(g: pd.DataFrame) -> pd.DataFrame:
+        ns = g.groupby("fp")["source"].transform("nunique")
+        out = g.loc[ns > 1, ["doc_id", "source"]]
+        if not len(out):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype="object")})
+        return out.astype({"doc_id": "int64"})
+
+    return (ds.map_batches(plant_and_fp, batch_format="pyarrow")
+            .groupby("_b").map_groups(leaked, batch_format="pandas"))
+
+
+CONTAMINATION_SQL = """
+SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, 'heldout' AS source
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+HLL_P = 8  # 256 registers; HLL σ ≈ 1.04/√256 ≈ 6.5 %
+
+
+def _hll_rank_cols(ids):
+    """ids → parallel (bucket, rank) lists. Hash = first 15 hex chars
+    of md5(str(id)) parsed as a 60-bit integer — an avalanche hash
+    BOTH engines share exactly (DuckDB: CAST('0x'||substr(md5(..),
+    1,15) AS BIGINT) — verified bit-identical to hashlib). Low
+    HLL_P bits bucket; rank = leading-zero count + 1 in the remaining
+    52-bit window."""
+    import hashlib
+
+    buckets, ranks = [], []
+    w = 60 - HLL_P
+    for u in ids:
+        h = int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+        rem = h >> HLL_P
+        buckets.append(h % (1 << HLL_P))
+        ranks.append(w - rem.bit_length() + 1 if rem else w + 1)
+    return buckets, ranks
+
+
+def hll_estimate(registers: dict, p: int = HLL_P) -> float:
+    """Standard HyperLogLog estimator (Flajolet et al. '07) with the
+    small-range linear-counting correction; absent buckets count as
+    rank 0."""
+    import math
+
+    m = 1 << p
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if b not in registers)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return e
+
+
+def hll_user_registers(sf_dir):
+    """Mergeable distinct-count sketch (HyperLogLog register state)
+    over events.user_id. Scale shape: each batch reduces to ≤256
+    (bucket, max_rank) ints — the exchange moves registers, never
+    ids, and registers merge by max (associative/commutative, so any
+    partial aggregation tree is exact). The register state is pure
+    integer arithmetic over a hash both engines share, so the SQL
+    oracle recomputes it EXACTLY; the float estimator on top is unit
+    tested separately (test_hll: accuracy bound + merge law)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b, r = _hll_rank_cols(pd.unique(df["user_id"]))  # hash once/id
+        out = pd.DataFrame({"bucket": pd.Series(b, dtype="int64"),
+                            "max_rank": pd.Series(r, dtype="int64")})
+        return out.groupby("bucket", as_index=False)["max_rank"].max()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False)["max_rank"].max()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket").map_groups(merge, batch_format="pandas"))
+
+
+HLL_REGISTERS_SQL = """
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events),
+r AS (SELECT hv % 256 AS bucket, hv // 256 AS rem FROM h)
+SELECT bucket,
+       max(CASE WHEN rem = 0 THEN 53
+                ELSE 52 - length(printf('%b', rem)) + 1 END) AS max_rank
+FROM r GROUP BY bucket
+"""
+
+
+CM_DEPTH = 4   # independent hash rows
+CM_WIDTH = 64  # counters per row; ε ≈ e/64, δ ≈ e^-4
+
+
+def _cm_col(row: int, key) -> int:
+    """Column index of ``key`` in hash row ``row`` — md5 over
+    'row:key', same 60-bit parse the HLL sketch uses, shared
+    bit-exactly with the SQL oracle."""
+    import hashlib
+
+    h = hashlib.md5(("%d:%d" % (row, int(key))).encode()).hexdigest()
+    return int(h[:15], 16) % CM_WIDTH
+
+
+def cm_point_estimate(cells: dict, key) -> int:
+    """Count-Min point query: min over rows of the key's cell (absent
+    cell = 0). Never underestimates the true count."""
+    return min(cells.get((r, _cm_col(r, key)), 0) for r in range(CM_DEPTH))
+
+
+def cm_user_counts(sf_dir):
+    """Mergeable frequency sketch (Count-Min, Cormode & Muthukrishnan
+    '05) of per-user event counts. Scale shape: each batch reduces to
+    ≤ CM_DEPTH·CM_WIDTH (row, col, count) cells — counters merge by
+    SUM (associative/commutative), so the exchange moves a fixed-size
+    sketch regardless of input size. Cell state is exact integer
+    counting over the shared md5-derived column hash, so the SQL
+    oracle recomputes every cell EXACTLY; the point-query estimator's
+    one-sided error guarantee is unit tested (test_cm_sketch)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()  # count once per unique id
+        rows, cols, cnts = [], [], []
+        for u, n in vc.items():
+            for r in range(CM_DEPTH):
+                rows.append(r)
+                cols.append(_cm_col(r, u))
+                cnts.append(int(n))
+        out = pd.DataFrame({"row_id": pd.Series(rows, dtype="int64"),
+                            "col_id": pd.Series(cols, dtype="int64"),
+                            "cnt": pd.Series(cnts, dtype="int64")})
+        return out.groupby(["row_id", "col_id"], as_index=False)["cnt"].sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["row_id", "col_id"], as_index=False)["cnt"].sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("row_id").map_groups(merge, batch_format="pandas"))
+
+
+CM_COUNTS_SQL = """
+WITH g AS (
+  SELECT r.row_id,
+         CAST(concat('0x', substr(md5(concat(r.row_id, ':',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS col_id
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS row_id) r)
+SELECT row_id, col_id, count(*) AS cnt
+FROM g GROUP BY row_id, col_id
+"""
+
+
+def user_hll_by_type(sf_dir):
+    """Per-GROUP mergeable distinct-count sketch: HyperLogLog register
+    state per event_type (the 'distinct users per segment' question a
+    100-TB log answers without an exact-distinct exchange). Scale
+    shape: each batch reduces to ≤ types × 2^HLL_P (event_type,
+    bucket, max_rank) rows; registers merge by max
+    (associative/commutative), and the merged key space is bounded
+    (types × 256), so the final merge is one vectorized block
+    (_merge_partials). Same shared md5-derived hash as
+    hll_user_registers, so the SQL oracle recomputes every register
+    EXACTLY; the float estimator on top is unit tested in test_hll."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[["event_type", "user_id"]].drop_duplicates()
+        uids = pd.unique(pairs["user_id"])
+        b, r = _hll_rank_cols(uids)  # hash once per unique id
+        hmap = pd.DataFrame({"user_id": uids,
+                             "bucket": pd.Series(b, dtype="int64"),
+                             "max_rank": pd.Series(r, dtype="int64")})
+        out = pairs.merge(hmap, on="user_id")[
+            ["event_type", "bucket", "max_rank"]]
+        return out.groupby(["event_type", "bucket"],
+                           as_index=False)["max_rank"].max()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "bucket"],
+                       as_index=False)["max_rank"].max()
+        g["bucket"] = g["bucket"].astype("int64")
+        g["max_rank"] = g["max_rank"].astype("int64")
+        return g
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pandas"), merge)
+
+
+USER_HLL_BY_TYPE_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events),
+r AS (SELECT event_type, hv % 256 AS bucket, hv // 256 AS rem FROM h)
+SELECT event_type, bucket,
+       max(CASE WHEN rem = 0 THEN 53
+                ELSE 52 - length(printf('%b', rem)) + 1 END) AS max_rank
+FROM r GROUP BY event_type, bucket
+"""
+
+
+HH_CAP = 4000  # φ = 1/4000 of all trigram occurrences
+
+
+def heavy_hitter_grams(sf_dir):
+    """EXACT heavy-hitter trigrams (count·cap > N) via the two-phase
+    pigeonhole / Misra–Gries pattern (stages/transform.heavy_hitters):
+    phase 1 never shuffles the gram space — per-block partial counts,
+    < cap candidates per block by construction; phase 2 exact-counts
+    only the broadcast candidate set and applies the exact global
+    filter. A plain groupby alternative moves every distinct gram
+    (16k here, billions on a real crawl) through an exchange; this
+    moves |candidates|. Result is bit-identical to the SQL HAVING."""
+    from ...stages.transform import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t["text"].to_pylist():
+            ws = (txt or "").split(" ")
+            out.extend("%s %s %s" % (ws[i], ws[i + 1], ws[i + 2])
+                       for i in range(len(ws) - 2))
+        return pa.table({"gram": pa.array(out, pa.string())})
+
+    return heavy_hitters(ds.map_batches(grams, batch_format="pyarrow"),
+                         "gram", cap=HH_CAP)
+
+
+HH_GRAMS_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+t AS (SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+      FROM w, unnest(range(1, len(ws) - 1)) AS r(i))
+SELECT gram, count(*) AS cnt FROM t GROUP BY gram
+HAVING count(*) * %d > (SELECT count(*) FROM t)
+""" % HH_CAP
+
+
+PMI_MINC, PMI_SCALE, PMI_TOPN = 3, 1000, 20
+
+
+def collocation_pmi(sf_dir):
+    """Top-N collocations by pointwise mutual information over
+    whitespace bigrams (Church & Hanks, CL'90): lift(x,y) =
+    P(xy) / (P(x)·P(y)) = cxy·N / (cx·cy), kept as the EXACT integer
+    floor(cxy · N · PMI_SCALE / (cx · cy)) so ranking needs no float
+    log (log is monotone — ordering by lift IS ordering by PMI).
+
+    Scale shape: ONE pass over text emits per-batch PARTIAL counts
+    for unigrams and bigrams together (a Counter combiner — the
+    exchange moves batch-vocabulary rows, never tokens; the two gram
+    kinds share one namespace because unigrams never contain a space
+    and bigrams always do); one hash groupby sums; the count table is
+    materialized once (the checkpointed vocabulary — modest even at
+    web scale); bigrams below PMI_MINC are dropped BEFORE any join;
+    the survivors pick up their member-term counts via two bucketed
+    hash joins (stages/joins.bucket_join — no broadcast of the
+    unigram vocabulary); scoring is vectorized map-side and only
+    per-batch top-PMI_TOPN partials reach the final bounded merge.
+    N (total tokens) is a single bounded aggregate. int64 is safe at
+    test scale (cxy·N·SCALE < 2⁶³); a 100-TB run would widen the
+    score to Python ints / HUGEINT in the same merge.
+    Reference parity: new-design text-analysis operator alongside
+    heavy_hitter_grams / doc_tfidf_terms."""
+    from collections import Counter
+
+    from ...stages.joins import bucket_join
+
+    width = _exchange_buckets(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            ws = (txt or "").split(" ")
+            cnt.update(ws)
+            cnt.update("%s %s" % (ws[i], ws[i + 1])
+                       for i in range(len(ws) - 1))
+        return pa.table({"gram": pa.array(list(cnt.keys()), pa.string()),
+                         "n": pa.array(list(cnt.values()), pa.int64())})
+
+    counts = (ds.map_batches(gram_partials, batch_format="pyarrow")
+              .groupby("gram").sum("n")
+              .map_batches(lambda df: df.rename(columns={"sum(n)": "cnt"}),
+                           batch_format="pandas")
+              .materialize())
+
+    def _is_bigram(t: pa.Table, want: bool) -> pa.Table:
+        has_space = pc.not_equal(pc.find_substring(t["gram"], " "), -1)
+        return t.filter(has_space if want else pc.invert(has_space))
+
+    n_tokens = int(
+        counts.map_batches(lambda t: _is_bigram(t, False),
+                           batch_format="pyarrow").sum("cnt"))
+
+    big = counts.map_batches(
+        lambda t: (lambda f: pa.table({
+            "gram": f["gram"],
+            "x": pc.list_element(pc.split_pattern(f["gram"], " "), 0),
+            "y": pc.list_element(pc.split_pattern(f["gram"], " "), 1),
+            "cxy": f["cnt"]}))(
+                _is_bigram(t, True).filter(
+                    pc.greater_equal(_is_bigram(t, True)["cnt"],
+                                     PMI_MINC))),
+        batch_format="pyarrow")
+
+    def _uni_as(key: str, cname: str):
+        return counts.map_batches(
+            lambda t, k=key, c=cname: (lambda u: pa.table(
+                {k: u["gram"], c: u["cnt"]}))(_is_bigram(t, False)),
+            batch_format="pyarrow")
+
+    j = bucket_join(big, _uni_as("x", "cx"), left_on="x",
+                    num_buckets=width)
+    j = bucket_join(j, _uni_as("y", "cy"), left_on="y",
+                    num_buckets=width)
+
+    def score_topn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"gram": pd.Series(dtype="object"),
+                                 "cxy": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="int64")})
+        cxy = df["cxy"].to_numpy(np.int64)
+        cx = df["cx"].to_numpy(np.int64)
+        cy = df["cy"].to_numpy(np.int64)
+        score = cxy * np.int64(n_tokens) * np.int64(PMI_SCALE) // (cx * cy)
+        out = pd.DataFrame({
+            "gram": df["gram"].to_numpy(),
+            "cxy": pd.Series(cxy, dtype="int64"),
+            "score": pd.Series(score, dtype="int64")})
+        out = out.sort_values(["score", "gram"], ascending=[False, True],
+                              kind="mergesort")
+        return out.head(PMI_TOPN).reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["score", "gram"], ascending=[False, True],
+                             kind="mergesort")
+              .head(PMI_TOPN).reset_index(drop=True))
+        df["rank"] = pd.Series(range(1, len(df) + 1), dtype="int64")
+        df["cxy"] = df["cxy"].astype("int64")
+        df["score"] = df["score"].astype("int64")
+        return df[["rank", "gram", "cxy", "score"]]
+
+    return _merge_partials(
+        j.map_batches(score_topn, batch_format="pandas"), final)
+
+
+COLLOCATION_PMI_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+u AS (SELECT ws[i] AS term FROM w, unnest(range(1, len(ws) + 1)) AS r(i)),
+uc AS (SELECT term, count(*) AS c FROM u GROUP BY term),
+n AS (SELECT count(*) AS n FROM u),
+bg AS (SELECT ws[i] AS x, ws[i + 1] AS y
+       FROM w, unnest(range(1, len(ws))) AS r(i)),
+bc AS (SELECT x, y, count(*) AS cxy FROM bg GROUP BY x, y
+       HAVING count(*) >= %d),
+sc AS (SELECT bc.x || ' ' || bc.y AS gram, bc.cxy,
+              CAST(bc.cxy * n.n * %d // (ux.c * uy.c) AS BIGINT) AS score
+       FROM bc CROSS JOIN n
+       JOIN uc ux ON ux.term = bc.x
+       JOIN uc uy ON uy.term = bc.y)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, gram) AS BIGINT) AS rank,
+       gram, CAST(cxy AS BIGINT) AS cxy, score
+FROM sc ORDER BY score DESC, gram LIMIT %d
+""" % (PMI_MINC, PMI_SCALE, PMI_TOPN)
+
+
+def name_edit1_pairs(sf_dir):
+    """Edit-distance-1 similarity self-join over customer names —
+    EXACT, via FastSS deletion-neighborhood signatures
+    (stages/dedup.edit1_join_pairs): map-side signature explode,
+    signature-hash-bucketed candidate grouping, O(len) verify, pair
+    dedup exchange. Oracle = brute-force levenshtein self-join."""
+    from ...stages.dedup import edit1_join_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return edit1_join_pairs(ds, text_col="c_name", key_col="c_custkey")
+
+
+NAME_EDIT1_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def er_customer_clusters(sf_dir):
+    """End-to-end entity resolution (the Fellegi-Sunter pipeline
+    shape: blocking → pairwise match → clustering → canonical id)
+    over customer names, composing three already-oracled stages into
+    one lazy DAG: FastSS deletion-1 blocking with O(len) verify
+    (EXACT edit-distance-1 match, ``dedup.edit1_join_pairs``) →
+    hash-to-min distributed CC over the match graph
+    (``canonicalize.connected_components_distributed``) → canonical
+    id = min custkey per cluster. Output (c_custkey, canon_key) for
+    every clustered (non-singleton) customer. Keys ride the CC
+    machinery zero-padded to fixed width so lexicographic min ==
+    numeric min; the oracle recomputes TRUE reachability closure
+    over the brute-force levenshtein pair graph with a recursive
+    CTE (the kg_cocite_communities discipline — no planted
+    construction)."""
+    from ...stages.canonicalize import connected_components_distributed
+    from ...stages.dedup import edit1_join_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    pairs = edit1_join_pairs(ds, text_col="c_name", key_col="c_custkey")
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        # lexicographic min == numeric min only while keys fit the
+        # fixed pad width (utf8_lpad does NOT truncate) — fail loud
+        # rather than silently mis-canonicalize
+        if len(t) and int(pc.max(t["key_b"]).as_py()) >= 10 ** 12:
+            raise ValueError("custkey exceeds the 12-digit pad width")
+        a = pc.utf8_lpad(pc.cast(t["key_a"], pa.string()), 12, "0")
+        b = pc.utf8_lpad(pc.cast(t["key_b"], pa.string()), 12, "0")
+        return pa.table({"uri_a": a, "uri_b": b})
+
+    labels = connected_components_distributed(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+    return labels.map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["node"].astype("int64"),
+            "canon_key": df["label"].astype("int64")}),
+        batch_format="pandas")
+
+
+ER_CLUSTERS_SQL = """
+WITH RECURSIVE pr AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+nds AS (SELECT u AS node FROM sym UNION SELECT v FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nds
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node)
+SELECT CAST(node AS BIGINT) AS c_custkey,
+       CAST(min(lab) AS BIGINT) AS canon_key
+FROM reach GROUP BY node
+"""
+
+
+def doc_tfidf_terms(sf_dir, k: int = 3):
+    """Per-document top-k TF-IDF keyword extraction in two linear
+    passes: (1) document frequencies — per-batch (term, n-docs-
+    containing) partials merged in ONE vocabulary-sized groupby and
+    broadcast via ray.put (vocabulary << corpus; each doc is one row,
+    so batch-local distinct-doc counts sum globally with no dedup
+    exchange); (2) map-side tf + top-k — entirely doc-local, zero
+    shuffle. The score is the integer surrogate (tf*N)//df — exact in
+    any engine, so no float idf crosses the oracle boundary; ties
+    break on term ascending."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        counts: dict = {}
+        for txt in t["text"].to_pylist():
+            for term in set((txt or "").split()):
+                counts[term] = counts.get(term, 0) + 1
+        return pd.DataFrame({
+            "term": pd.Series(list(counts), dtype="object"),
+            "df": pd.Series(list(counts.values()), dtype="int64")})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("term").sum("df").to_pandas())
+    dfm = dict(zip(df_tbl["term"], df_tbl["sum(df)"]))
+    n_docs = int(ds.count())
+    ref = ray.put((dfm, n_docs))
+
+    def topk(t: pa.Table) -> pd.DataFrame:
+        dfm_, n = ray.get(ref)
+        od, ot, os_, orank = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            tf: dict = {}
+            for term in (txt or "").split():
+                tf[term] = tf.get(term, 0) + 1
+            scored = sorted(((-((c * n) // dfm_[term]), term)
+                             for term, c in tf.items()))[:k]
+            for r, (neg, term) in enumerate(scored, 1):
+                od.append(did)
+                ot.append(term)
+                os_.append(-neg)
+                orank.append(r)
+        return pd.DataFrame({
+            "doc_id": pd.Series(od, dtype="int64"),
+            "term": pd.Series(ot, dtype="object"),
+            "score": pd.Series(os_, dtype="int64"),
+            "rank": pd.Series(orank, dtype="int64")})
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+DOC_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+r AS (
+  SELECT tf.doc_id, tf.term, (tf.tf * n.n) // df.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY (tf.tf * n.n) // df.df DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+"""
+
+
+def events_windows(sf_dir):
+    """tumbling 1-hour windows per event_type: count + rounded sum."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h").astype(str)
+        # integer milli-units: per-row rounding is engine-stable,
+        # integer sums are order-independent
+        df["value_milli"] = (df["value"] * 1000).round().astype("int64")
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("value_milli", "size"), sum_value_milli=("value_milli", "sum"))
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["window_start", "event_type"],
+                       as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_milli=("sum_value_milli", "sum"))
+        g["n_events"] = g["n_events"].astype("int64")
+        g["sum_value_milli"] = g["sum_value_milli"].astype("int64")
+        return g
+
+    return _merge_partials(
+        ds.map_batches(bucket, batch_format="pandas"), merge)
+
+
+EVENTS_WINDOWS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(cast(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+def latest_event_per_user(sf_dir):
+    """latest-per-key (groupby.max_by shape; ties broken by event_id).
+    Two-phase: per-batch winner per user (combiner), then per-bucket
+    winner — winner-of-winners is exact, only one row per (batch,
+    user) ever shuffles, and the groupby key is an int bucket, not one
+    Ray group per user."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ascending=False,
+                            kind="mergesort").drop_duplicates("user_id")
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=False,
+                          kind="mergesort").drop_duplicates("user_id")
+        return g[["user_id", "event_id", "event_type"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_sessions(sf_dir):
+    """gap-based sessionization (session = events of one user with
+    < 30 min between consecutive events; the streaming-shaped
+    windowing pattern: partition by key, sort by ts within group).
+    Output: one row per session."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    GAP = pd.Timedelta(minutes=30)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # all events of each user co-located in this bucket; the gap
+        # scan is vectorized across ALL users at once (groupby.diff),
+        # never one Ray group (or one pandas frame) per user
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = g.groupby("user_id")["ts"].diff()
+        sid = (d.isna() | (d > GAP)).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        ).reset_index(drop=True)
+        out["session_no"] = out.groupby("user_id").cumcount() + 1
+        # explicit %f so zero-microsecond values still print 6 digits
+        # (str(Timestamp) drops them; DuckDB strftime does not)
+        out["start_ts"] = out["start_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        out["end_ts"] = out["end_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return out[["user_id", "session_no", "n_events", "start_ts", "end_ts"]]
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(sessions, batch_format="pandas"))
+
+
+EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, cast(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+FROM s GROUP BY user_id, session_no
+"""
+
+
+PATHS_TOPN = 5
+
+
+def events_session_paths(sf_dir):
+    """Clickstream path mining: the top-5 most frequent 3-step
+    event-type paths WITHIN a session (the events_sessions 30-min-gap
+    convention, same (ts, event_id) ordering) — the sequential-pattern
+    complement of the funnel's fixed pattern.
+
+    Scale shape: one user-bucketed exchange co-locates each user's
+    events; inside the bucket the session split (groupby.diff) and
+    the trigram shift are vectorized across all users at once, and
+    the bucket emits only its bounded ≤ types³ path counts; the
+    single merge block sums and takes the global top-5 (count desc,
+    path asc). The SQL oracle replays sessionization with the shared
+    lag/sum window recipe and trigrams as two rank self-joins."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    GAP = pd.Timedelta(minutes=30)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = g.groupby("user_id")["ts"].diff()
+        sid = (d.isna() | (d > GAP)).cumsum().to_numpy()
+        et = g["event_type"].to_numpy()
+        ok = (sid[:-2] == sid[1:-1]) & (sid[1:-1] == sid[2:]) \
+            if len(et) >= 3 else np.zeros(0, bool)
+        a, b, c = et[:-2][ok], et[1:-1][ok], et[2:][ok]
+        path = pd.Series([f"{x}>{y}>{z}" for x, y, z in zip(a, b, c)],
+                         dtype="object")
+        out = (pd.DataFrame({"path": path})
+               .groupby("path", as_index=False).agg(n=("path", "size")))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("path", as_index=False)["n"].sum()
+               .sort_values(["n", "path"], ascending=[False, True],
+                            kind="mergesort")
+               .head(PATHS_TOPN).reset_index(drop=True))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (ds.map_batches(add_bucket, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(paths, batch_format="pandas"))
+    return _merge_partials(partials, final)
+
+
+EVENTS_SESSION_PATHS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS sid
+  FROM o),
+r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM s),
+tri AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+           AS path
+  FROM r a
+  JOIN r b ON b.user_id = a.user_id AND b.sid = a.sid
+          AND b.rn = a.rn + 1
+  JOIN r c ON c.user_id = a.user_id AND c.sid = a.sid
+          AND c.rn = a.rn + 2)
+SELECT path, count(*) AS n FROM tri
+GROUP BY path ORDER BY n DESC, path ASC LIMIT %d
+""" % PATHS_TOPN
+
+
+def events_funnel(sf_dir):
+    """Ordered conversion-funnel stage per user (view → click →
+    purchase, each step strictly after the previous one's FIRST
+    occurrence) — sequence-pattern matching, the windowing family's
+    third shape next to sessions and as-of. All events of a user
+    co-locate in one hash bucket; inside the bucket every step is
+    vectorized across users at once (filter + groupby-min + map),
+    never a per-user loop. Output: (user_id, funnel_stage 0-3)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g[g["event_type"] == "view"]
+              .groupby("user_id")["ts"].min())
+        g = g.assign(_t1=g["user_id"].map(t1))
+        t2 = (g[(g["event_type"] == "click") & (g["ts"] > g["_t1"])]
+              .groupby("user_id")["ts"].min())
+        g = g.assign(_t2=g["user_id"].map(t2))
+        t3 = (g[(g["event_type"] == "purchase") & (g["ts"] > g["_t2"])]
+              .groupby("user_id")["ts"].min())
+        users = pd.Index(g["user_id"].unique(), name="user_id")
+        stage = (users.isin(t1.index).astype("int64")
+                 + users.isin(t2.index)
+                 + users.isin(t3.index))
+        return pd.DataFrame({"user_id": users.to_numpy(),
+                             "funnel_stage": stage})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(funnel, batch_format="pandas"))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+def events_retention(sf_dir):
+    """Weekly cohort retention matrix: cohort = the ISO-epoch week of
+    a user's FIRST event; a cell (cohort_week, week_offset) counts the
+    users from that cohort active offset weeks later — the classic
+    growth-analytics triangle. Scale shape: per-batch distinct
+    (user, week) pairs (combiner), ONE user-bucketed exchange where
+    each user's cohort and offsets are computed vectorized across all
+    users in the bucket, then the bounded (weeks × weeks) cell counts
+    merge in a single block. Week arithmetic is integer days-since-
+    epoch // 7 — identical in pandas and DuckDB."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "wk": days // 7})
+        out = out.drop_duplicates()
+        out["_bucket"] = (out["user_id"] % 64).astype("int32")
+        return out
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        cohort = g.groupby("user_id")["wk"].min()
+        co = g["user_id"].map(cohort)
+        out = pd.DataFrame({"cohort_week": co.astype("int64"),
+                            "week_offset": (g["wk"] - co).astype("int64")})
+        cnt = (out.groupby(["cohort_week", "week_offset"]).size()
+               .reset_index(name="n_users"))
+        cnt["n_users"] = cnt["n_users"].astype("int64")
+        return cnt
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort_week", "week_offset"],
+                       as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return _merge_partials(
+        (ds.map_batches(pairs, batch_format="pandas")
+         .groupby("_bucket").map_groups(cells, batch_format="pandas")),
+        merge)
+
+
+def events_markov_transitions(sf_dir):
+    """Event-type transition matrix (Markov bigrams over each user's
+    time-ordered stream — the behavioral statistic sequence models
+    train on). All events of a user co-locate in one hash bucket; the
+    transition scan is ONE vectorized shift over the bucket sorted by
+    (user, ts, event_id) — never a per-user loop; the (from, to)
+    counts are bounded by types² and merge in a single block."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].shift() == g["user_id"]
+        out = pd.DataFrame({"from_type": g["event_type"].shift()[same],
+                            "to_type": g["event_type"][same]})
+        cnt = (out.groupby(["from_type", "to_type"]).size()
+               .reset_index(name="n"))
+        cnt["n"] = cnt["n"].astype("int64")
+        return cnt
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return _merge_partials(
+        (ds.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_bucket").map_groups(trans, batch_format="pandas")),
+        merge)
+
+
+DEBOUNCE_US = 300_000_000  # 300 s
+
+
+def events_debounce(sf_dir):
+    """Stream de-duplication (debounce): drop every event that repeats
+    its user's immediately-preceding event's type within 300 s — the
+    double-click / retry-storm collapse step run before any
+    behavioral statistic. Raw-predecessor semantics (each event
+    compares to the previous RAW event, the LAG-expressible
+    convention), identical in both engines.
+
+    Scale shape: all of a user's events co-locate in one hash bucket;
+    the predecessor comparison is ONE vectorized shift over the
+    bucket sorted by (user, ts, event_id) — the markov-transition
+    discipline; survivors stream out, nothing aggregates."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (df["user_id"] % 64).astype("int32")
+        return df
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same_user = (g["user_id"].shift() == g["user_id"]).to_numpy()
+        same_type = (g["event_type"].shift() == g["event_type"]).to_numpy()
+        close = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            close[1:] = (ts_us[1:] - ts_us[:-1]) <= DEBOUNCE_US
+        drop = same_user & same_type & close
+        out = g.loc[~drop, ["event_id", "user_id", "ts", "event_type"]]
+        return out.reset_index(drop=True)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(keep, batch_format="pandas"))
+
+
+EVENTS_DEBOUNCE_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(event_type) OVER w AS ptype,
+         lag(ts) OVER w AS pts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts, event_type FROM o
+WHERE ptype IS NULL OR ptype <> event_type
+   OR date_diff('microsecond', pts, ts) > %d
+""" % DEBOUNCE_US
+
+
+EVENTS_MARKOV_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
+EVENTS_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events),
+coh AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week, uw.wk - c.cohort AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN coh c USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+def events_cumulative_users(sf_dir):
+    """Per-feature adoption curves: cumulative distinct users per
+    (event_type, epoch day) — for each feature and day, how many
+    distinct users have used that feature on or before that day.
+    Running count-distinct is computed by FIRST-SEEN factoring:
+    cumulative distinct ≡ cumulative sum of first-seen counts, so no
+    unbounded distinct state ever exists — per-batch
+    min-day-per-(type, user) combiner, ONE user-bucketed exchange
+    computing each (type, user)'s global first day vectorized per
+    bucket, bounded (≤ types × days) first-seen counts per bucket,
+    single-block merge with an exact per-type integer cumulative sum.
+    Day arithmetic is days-since-epoch (the events_retention
+    convention at day grain, identical in pandas and DuckDB)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def firstday_partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "user_id": df["user_id"].to_numpy(),
+                            "d": days})
+        out = out.groupby(["event_type", "user_id"],
+                          as_index=False)["d"].min()
+        out["_bucket"] = (out["user_id"] % 64).astype("int32")
+        return out
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby(["event_type", "user_id"],
+                          as_index=False)["d"].min()
+        c = (first.groupby(["event_type", "d"], as_index=False)
+             .agg(n_new=("user_id", "size")))
+        c["d"] = c["d"].astype("int64")
+        c["n_new"] = c["n_new"].astype("int64")
+        return c
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "d"], as_index=False)["n_new"]
+             .sum().sort_values(["event_type", "d"])
+             .reset_index(drop=True))
+        g["d"] = g["d"].astype("int64")
+        g["n_new"] = g["n_new"].astype("int64")
+        g["cum_users"] = (g.groupby("event_type")["n_new"].cumsum()
+                          .astype("int64"))
+        return g
+
+    partials = (ds.map_batches(firstday_partial, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(bucket_counts, batch_format="pandas"))
+    return _merge_partials(partials, merge)
+
+
+EVENTS_CUMULATIVE_SQL = """
+WITH uw AS (
+  SELECT event_type, user_id,
+         min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d
+  FROM events GROUP BY event_type, user_id),
+c AS (SELECT event_type, d, count(*) AS n_new FROM uw
+      GROUP BY event_type, d)
+SELECT event_type, d, n_new,
+       CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY d)
+            AS BIGINT) AS cum_users
+FROM c ORDER BY event_type, d
+"""
+
+
+DECAY_CAP = 62  # 2^-63 of an int64 milli-unit is identically 0
+
+
+def events_decayed_user_score(sf_dir):
+    """Recency-weighted per-user engagement score with exponential
+    day-grain decay: score(u) = Σ_e milli(value) >> age_days(e) —
+    weight 2^(−age) realized as an arithmetic right shift so decay is
+    EXACT integer floor arithmetic (no float exp crosses the oracle
+    boundary), ages measured back from the corpus' max event day
+    (data-derived ⇒ deterministic) and capped at 62 where an int64
+    milli-unit is already 0. The sample-reweighting shape a
+    freshness-weighted training-data mixer runs.
+
+    Scale shape: pass 1 reduces the corpus to ONE integer (max day)
+    via bounded partials; pass 2 computes each event's term map-side
+    (zero shuffle, the reference day rides the task spec) with
+    per-batch partial sums per user, then ONE user-bucketed exchange
+    finalizes — raw events never cross an exchange."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def maxday(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        return pd.DataFrame({"d": [int(days.max())]})
+
+    ref_day = int(_merge_partials(
+        ds.map_batches(maxday, batch_format="pandas"),
+        lambda g: pd.DataFrame({"d": [int(g["d"].max())]})
+    ).take(1)[0]["d"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        age = np.minimum(ref_day - days, DECAY_CAP)
+        # half-up at milli precision == SQL round() for positive values
+        vm = np.floor(df["value"].to_numpy() * 1000.0 + 0.5) \
+            .astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "s": vm >> age})
+        p = out.groupby("user_id", as_index=False)["s"].sum()
+        p["_bucket"] = (p["user_id"] % 64).astype("int32")
+        return p
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)["s"].sum()
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "decayed_milli": out["s"].astype("int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(merge, batch_format="pandas"))
+
+
+EVENTS_DECAYED_SQL = """
+WITH ref AS (
+  SELECT max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+    AS rd FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+         LEAST(rd - datediff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+               %d) AS age
+  FROM events, ref)
+SELECT user_id, CAST(sum(vm >> age) AS BIGINT) AS decayed_milli
+FROM e GROUP BY user_id
+""" % DECAY_CAP
+
+
+def events_trending_window(sf_dir):
+    """Sliding-window trend detection: for each event_type, the
+    3-day sliding window (RANGE semantics — gap days count as zero,
+    the window is [d−2, d] in day VALUES, not in rows) with the
+    highest event count; ties take the earliest window end. The
+    burst-detection complement of ``events_windows``' tumbling
+    aggregate — the shape a feed/monitoring surface runs over an
+    append-only stream.
+
+    Scale shape: per-batch partial (event_type, day) counts bound the
+    partials at types × days rows regardless of input size, and the
+    sliding window + argmax runs vectorized once in the single merge
+    block (prefix sums + searchsorted per type — no per-day Python
+    loop); no exchange ever carries raw events. Day arithmetic is
+    days-since-epoch, identical in pandas and DuckDB."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "d": days})
+        return out.groupby(["event_type", "d"], as_index=False).agg(
+            n=("d", "size"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["event_type", "d"], as_index=False)["n"].sum()
+             .sort_values(["event_type", "d"]).reset_index(drop=True))
+        rows = []
+        for et, g in c.groupby("event_type", sort=True):
+            days = g["d"].to_numpy()
+            cum = np.concatenate(([0], np.cumsum(g["n"].to_numpy())))
+            lo = np.searchsorted(days, days - 2, side="left")
+            w = cum[1:] - cum[lo]
+            best = np.lexsort((days, -w))[0]
+            rows.append((et, int(days[best]), int(w[best])))
+        return pd.DataFrame(rows, columns=["event_type", "d", "w_count"]) \
+            .astype({"d": "int64", "w_count": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pandas"), merge)
+
+
+EVENTS_TRENDING_SQL = """
+WITH c AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events GROUP BY event_type, d),
+w AS (
+  SELECT event_type, CAST(d AS BIGINT) AS d,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS w_count
+  FROM c)
+SELECT event_type, d, w_count FROM w
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY w_count DESC, d ASC) = 1
+ORDER BY event_type
+"""
+
+
+def events_asof_click_view(sf_dir):
+    """as-of join (Ray Data has no native one — composed per the
+    brief): each click event picks the most recent view event of the
+    same user at or before the click. (user_id, ts) is unique in the
+    corpus, so the winner is deterministic. DuckDB's ASOF JOIN is the
+    oracle."""
+    from ...stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def of_type(et):
+        def flt(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.equal(t["event_type"], et))
+                    .select(["event_id", "ts", "user_id"]))
+        return flt
+
+    clicks = ev.map_batches(of_type("click"), batch_format="pyarrow")
+    views = ev.map_batches(of_type("view"), batch_format="pyarrow")
+    out = asof_join(clicks, views, on="ts", by="user_id", how="inner")
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "click_ts": pd.Series(dtype="object"),
+                "view_id": pd.Series(dtype="int64"),
+                "view_ts": pd.Series(dtype="object")})
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "click_id": df["event_id"].astype("int64"),
+            "click_ts": df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "view_id": df["event_id_r"].astype("int64"),
+            "view_ts": df["ts_r"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")})
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       v.event_id AS view_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def events_range_pairs(sf_dir):
+    """band/range self-join: ordered event pairs of the same user
+    within 60 seconds (sorted two-pointer per bucket, never a cross
+    product)."""
+    from ...stages.joins import range_join_pairs
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = range_join_pairs(ev, on="ts", by="user_id",
+                           window=pd.Timedelta(seconds=60))
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "key_a" not in df.columns:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "event_id_a": pd.Series(dtype="int64"),
+                "event_id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id_a": df["key_a"].astype("int64"),
+            "event_id_b": df["key_b"].astype("int64")})
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+EVENTS_RANGE_SQL = """
+SELECT e1.user_id AS user_id, e1.event_id AS event_id_a,
+       e2.event_id AS event_id_b
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+"""
+
+
+def user_event_pivot(sf_dir):
+    """facet pivot shape: per user, count per event_type (wide).
+    Two-phase partial pivot (vectorized pivot_table per batch) + one
+    bucket groupby summing partials — sums of partial counts are exact."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    ncols = ["n_" + et for et in EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="user_id", columns="event_type",
+                             values="event_type", aggfunc="size",
+                             fill_value=0)
+        piv = piv.reindex(columns=list(EVENT_TYPES), fill_value=0)
+        piv.columns = ncols
+        piv = piv.astype("int64").reset_index()
+        piv["_bucket"] = (piv["user_id"] % 64).astype("int32")
+        return piv
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)[ncols].sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+USER_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def events_type_stats(sf_dir):
+    """count-distinct after local dedup combiner (stats semantics)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cd(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": [int(g["user_id"].nunique())],
+        })
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("event_type").map_groups(cd, batch_format="pandas"))
+
+
+EVENTS_TYPE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def brand_revenue(sf_dir):
+    """TPC-H Q9-flavored profit rollup exercising the part dimension:
+    lineitem ⋈ part on partkey (NEITHER side broadcast — the part
+    table is the mid-size dimension that outgrows a ray.put dict long
+    before lineitem does, so both travel joins.bucket_join), revenue
+    in per-row-rounded integer cents (the q1 discipline) aggregated
+    per p_brand with a per-batch combiner before one tiny grouped
+    merge. Reads prune to 3 + 2 columns."""
+    from ...stages.joins import bucket_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        c = pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "cents": pc.cast(c, pa.int64())})
+
+    joined = bucket_join(li.map_batches(cents, batch_format="pyarrow"),
+                         part, left_on="l_partkey",
+                         right_on="p_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_items=("cents", "size"))
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("p_brand", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_items=("n_items", "sum"))
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    return _merge_partials(
+        joined.map_batches(partial, batch_format="pandas"), merge)
+
+
+BRAND_REVENUE_SQL = """
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
+def segment_order_revenue(sf_dir):
+    """TPC-H Q3-shaped 3-table pipeline: BUILDING-segment customers ⋈
+    pre-1998 orders ⋈ lineitem, revenue per order in integer cents.
+    Join strategy by side size: the FILTERED customer key set gates
+    orders via joins.membership_join (semi mode — broadcast set under
+    the threshold, Bloom-prefilter + exact recheck above it, so the
+    same code survives 10^9 customers); orders⋈lineitem is the
+    large×large leg (bucket_join, neither side broadcast); filters
+    applied AT THE READ side before any exchange. Top-level rollup is
+    per o_orderkey — merged by the combiner-then-merge discipline."""
+    from ...stages.joins import bucket_join, membership_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return f.select(["c_custkey"])
+
+    building = cust.map_batches(keys_only, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        dates = t["o_orderdate"].to_numpy()
+        m = pa.array(dates < np.datetime64("1998-01-01"))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = membership_join(
+        orders.map_batches(date_filter, batch_format="pyarrow"),
+        "o_custkey", building, keys_col="c_custkey",
+        mode="semi").select_columns(["o_orderkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        c = pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pc.cast(c, pa.int64())})
+
+    joined = bucket_join(
+        li.map_batches(cents, batch_format="pyarrow"),
+        orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("cents", "sum"))
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        return g.rename(columns={"l_orderkey": "o_orderkey"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(
+        joined.map_batches(partial, batch_format="pandas"), merge)
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < DATE '1998-01-01'
+GROUP BY l.l_orderkey
+"""
+
+
+def doc_rank_in_source(sf_dir):
+    """Distributed window ranking: row_number() per source partition,
+    ordered by (n_chars DESC, doc_id ASC) — the full-ranking
+    counterpart of top_docs_per_source's top-k. ONE source-hash
+    bucketed exchange; the rank is a vectorized per-bucket groupby
+    cumcount. SQL window oracle."""
+    from ...stages.dedup import _bucket_of
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df["source"], 64)
+        return df
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "n_chars", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "source": g["source"].astype("object"),
+            "rnk": (g.groupby("source").cumcount() + 1).astype("int64"),
+        })
+        return out
+
+    return (ds.map_batches(prep, batch_format="pandas")
+            .groupby("_bucket").map_groups(rank, batch_format="pandas"))
+
+
+DOC_RANK_SQL = """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id ASC) AS rnk
+FROM documents
+"""
+
+
+def orders_running_total(sf_dir):
+    """Distributed prefix aggregate: per-customer running total of
+    order value (integer cents, per-row half-away-from-zero rounding)
+    in (o_orderdate, o_orderkey) order — the cumulative-window shape
+    (sum OVER ... ROWS UNBOUNDED PRECEDING). ONE custkey-bucketed
+    exchange; the cumsum is one vectorized groupby pass per bucket."""
+    from ...stages.dedup import _bucket_of
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        c = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        df = pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_numpy(),
+            "o_custkey": t["o_custkey"].to_numpy(),
+            "o_orderdate": t["o_orderdate"].to_numpy(),
+            "cents": pc.cast(c, pa.int64()).to_numpy(),
+        })
+        df["_bucket"] = _bucket_of(df["o_custkey"], 64)
+        return df
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "running_cents": g.groupby("o_custkey")["cents"].cumsum()
+            .astype("int64"),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(cum, batch_format="pandas"))
+
+
+ORDERS_RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_cents
+FROM orders
+"""
+
+
+def orders_rollup(sf_dir):
+    """GROUPING-SETS rollup (year × priority → year → grand total) in
+    ONE pass: the finest-grain cells are a bounded partial aggregate
+    (years × 5 priorities), so every coarser level is derived from the
+    merged cells locally — zero extra passes over the data, zero extra
+    exchanges. Sentinels (-1 / 'ALL') stand in for SQL's rolled-up
+    NULLs so the column types stay concrete."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity")
+        df = pd.DataFrame({
+            "o_year": pc.year(t["o_orderdate"]).to_numpy().astype("int64"),
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "cents": pc.cast(c, pa.int64()).to_numpy(),
+        })
+        g = df.groupby(["o_year", "o_orderpriority"], as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["o_year", "o_orderpriority"]
+        fine = df.groupby(keys, as_index=False)[
+            ["revenue_cents", "n_orders"]].sum()
+        by_year = fine.groupby("o_year", as_index=False)[
+            ["revenue_cents", "n_orders"]].sum()
+        by_year["o_orderpriority"] = "ALL"
+        total = pd.DataFrame({
+            "o_year": [-1], "o_orderpriority": ["ALL"],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        })
+        out = pd.concat([fine, by_year[fine.columns], total[fine.columns]],
+                        ignore_index=True)
+        out["o_year"] = out["o_year"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(y, -1) AS o_year,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY ROLLUP(y, o_orderpriority)
+"""
+
+
+def lineitem_corr_components(sf_dir):
+    """Exact distributed bivariate statistics: the five raw moments of
+    (quantity, discount%) per returnflag as INTEGER sums, plus the
+    integer covariance / variance numerators (n·Σxy − Σx·Σy etc.) that
+    determine Pearson's r without any float accumulation. One bounded
+    partial per batch, one vectorized merge — the numerically-stable
+    way to compute correlations over 100 TB (float second moments lose
+    digits; integer moments are exact and associative)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        d = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy()
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "q": q, "d": d, "qq": q * q, "dd": d * d,
+                           "qd": q * d})
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("q", "size"), sum_q=("q", "sum"), sum_d=("d", "sum"),
+            sum_qq=("qq", "sum"), sum_dd=("dd", "sum"),
+            sum_qd=("qd", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        for c in ("n", "sum_q", "sum_d", "sum_qq", "sum_dd", "sum_qd"):
+            g[c] = g[c].astype("int64")
+        g["cov_num"] = g["n"] * g["sum_qd"] - g["sum_q"] * g["sum_d"]
+        g["var_q_num"] = g["n"] * g["sum_qq"] - g["sum_q"] ** 2
+        g["var_d_num"] = g["n"] * g["sum_dd"] - g["sum_d"] ** 2
+        return g
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+LINEITEM_CORR_SQL = """
+WITH x AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(q) AS BIGINT) AS sum_q,
+         CAST(sum(d) AS BIGINT) AS sum_d,
+         CAST(sum(q * q) AS BIGINT) AS sum_qq,
+         CAST(sum(d * d) AS BIGINT) AS sum_dd,
+         CAST(sum(q * d) AS BIGINT) AS sum_qd
+  FROM x GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sum_q, sum_d, sum_qq, sum_dd, sum_qd,
+       n * sum_qd - sum_q * sum_d AS cov_num,
+       n * sum_qq - sum_q * sum_q AS var_q_num,
+       n * sum_dd - sum_d * sum_d AS var_d_num
+FROM m
+"""
+
+
+def events_props_agg(sf_dir):
+    """Semi-structured extraction + aggregation: the events table's
+    ``props`` column is a JSON payload (schema-on-read, the
+    Common-Crawl metadata shape); parse it INSIDE map_batches (one
+    json.loads per row, stdlib — no shuffle touches the raw JSON),
+    project the typed field, then a two-phase integer aggregate per
+    event_type. SQL oracle extracts the same field with
+    json_extract."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pd.DataFrame:
+        import json
+
+        ks = [int(json.loads(p or "{}").get("k", 0))
+              for p in t["props"].to_pylist()]
+        out = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "k": pd.Series(ks, dtype="int64"),
+        })
+        # local combiner: one partial row per (batch, type)
+        return out.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [int(g["n"].sum())],
+            "sum_k": [int(g["sum_k"].sum())],
+            "max_k": [int(g["max_k"].max())],
+        })
+
+    return (ds.map_batches(extract, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge,
+                                              batch_format="pandas"))
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def anti_join_empty_orders(sf_dir, force_bloom: bool = False):
+    """skeleton-repo anti-join (objects minus subjects shape,
+    skeleton.py:111-120): orders with no lineitems — broadcast the
+    distinct orderkey set when it fits; above the threshold (or with
+    ``force_bloom``) the Bloom-prefilter + exact-recheck path of
+    ``joins.membership_join`` takes over with identical results."""
+    from ...stages.joins import membership_join
+
+    keys_ds = (_read(sf_dir, "lineitem", columns=["l_orderkey"])
+               .groupby("l_orderkey").count())
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    return membership_join(orders, "o_orderkey", keys_ds, "l_orderkey",
+                           mode="anti", force_bloom=force_bloom)
+
+
+ANTI_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+def q13_custdist(sf_dir):
+    """TPC-H Q13 shape — customer distribution by (urgent-)order
+    count, INCLUDING the zero-order customers a plain inner join
+    loses: per-custkey counts are a combiner + one bucketed merge;
+    the zero side is customers anti-joined (joins.membership_join —
+    broadcast under threshold, Bloom + exact recheck above) against
+    the counted key set; the final (c_count, custdist) histogram has
+    bounded cardinality and merges in one block."""
+    from ...stages.joins import membership_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                .select(["o_custkey"]))
+
+    urgent_orders = orders.map_batches(urgent, batch_format="pyarrow")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey").size().reset_index(name="c_count")
+        g["c_count"] = g["c_count"].astype("int64")
+        g["_bucket"] = (g["o_custkey"] % 64).astype("int32")
+        return g
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False)["c_count"].sum()
+        out["c_count"] = out["c_count"].astype("int64")
+        return out
+
+    counts = (urgent_orders.map_batches(part, batch_format="pandas")
+              .groupby("_bucket").map_groups(merge_counts,
+                                             batch_format="pandas"))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    zeros = membership_join(
+        cust, "c_custkey",
+        counts.map_batches(lambda df: df[["o_custkey"]],
+                           batch_format="pandas"),
+        "o_custkey", mode="anti")
+
+    def hist_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count").size().reset_index(name="custdist")
+        g["custdist"] = g["custdist"].astype("int64")
+        return g
+
+    def hist_zero(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": pd.Series([0] * min(1, t.num_rows), dtype="int64"),
+            "custdist": pd.Series([t.num_rows] * min(1, t.num_rows),
+                                  dtype="int64")})
+
+    def merge_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count", as_index=False)["custdist"].sum()
+        for c in ("c_count", "custdist"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    partials = (counts.map_batches(hist_counts, batch_format="pandas")
+                .union(zeros.map_batches(hist_zero,
+                                         batch_format="pyarrow")))
+    return _merge_partials(partials, merge_hist)
+
+
+Q13_CUSTDIST_SQL = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+       ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+Q15_START, Q15_END = "1995-01-01", "1995-04-01"
+
+
+def q15_top_supplier(sf_dir):
+    """TPC-H Q15 shape — the top supplier(s) by revenue in a fixed
+    3-month shipdate window, ties kept (the HAVING revenue = MAX
+    semantics). Revenue partials are integer cents combined per batch;
+    the per-supplier merge, the global max, and the tie filter all
+    happen in ONE coalesced block (suppliers are a bounded dimension);
+    supplier names resolve AFTER the tie filter via
+    ``joins.resolve_keys`` — the k winning keys stream-filter the
+    supplier table map-side, so neither lineitem nor the supplier
+    dimension ever materializes on the driver."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    lo = np.datetime64(Q15_START)
+    hi = np.datetime64(Q15_END)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        sd = df["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        df = df[m]
+        cents = np.round(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0).astype("int64")
+        out = pd.DataFrame({"l_suppkey": df["l_suppkey"],
+                            "rev": cents})
+        return out.groupby("l_suppkey", as_index=False)["rev"].sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype("int64")
+        top = g[g["rev"] == g["rev"].max()].copy()
+        top["l_suppkey"] = top["l_suppkey"].astype("int64")
+        return (top.rename(columns={"l_suppkey": "s_suppkey",
+                                    "rev": "total_revenue_cents"})
+                [["s_suppkey", "total_revenue_cents"]])
+
+    top = _merge_partials(
+        li.map_batches(part, batch_format="pyarrow"), merge).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", top["s_suppkey"], "s_name")
+    top["s_name"] = top["s_suppkey"].map(names).astype(object)
+    return top[["s_suppkey", "s_name", "total_revenue_cents"]]
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '%s' AND l_shipdate < DATE '%s'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+""" % (Q15_START, Q15_END)
+
+
+def priority_lineitems(sf_dir):
+    """Large×large hash-equi-join (TPC-H Q12 shape): lineitem ⋈ orders
+    on orderkey via the bucketed exchange join (``joins.bucket_join``
+    — NEITHER side broadcast, both sides shuffle once by key hash),
+    then per-batch partials merged over the 5 bounded priority keys.
+    Per-row integer cents before the join so only fixed-width columns
+    cross the exchange and sums are order-independent."""
+    from ...stages.joins import bucket_join
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["l_extendedprice"],
+                                     pa.scalar(100.0)),
+                         round_mode="half_towards_infinity")
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pc.cast(cents, pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice"])
+          .map_batches(to_cents, batch_format="pyarrow"))
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority"])
+    joined = bucket_join(li, od, left_on="l_orderkey",
+                         right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_lines=("cents", "size"), price_cents=("cents", "sum"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_lines=("n_lines", "sum"), price_cents=("price_cents", "sum"))
+        g["n_lines"] = g["n_lines"].astype("int64")
+        g["price_cents"] = g["price_cents"].astype("int64")
+        return g
+
+    return _merge_partials(
+        joined.map_batches(partial, batch_format="pandas"), merge)
+
+
+PRIORITY_LINEITEMS_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+Q18_MIN_QTY = 250  # sum(l_quantity) threshold — top ~1-2% of orders
+
+
+def q18_large_orders(sf_dir):
+    """TPC-H Q18 shape (large-volume customers): GROUP-HAVING on the
+    fact table's unbounded key (per-order quantity sum > threshold)
+    followed by a JOIN-BACK to the order/customer detail rows — the
+    canonical "aggregate, filter, rehydrate" pattern a plain groupby
+    can't express in one pass.
+
+    Scale shape: lineitem reduces per batch to (okey, qty) partial
+    sums — a lossless combiner, so only one narrow row per
+    (batch, order) reaches the exchange; orders rows ride the SAME
+    orderkey-hash-bucketed exchange tagged (the q3/q5 single-exchange
+    discipline), so each bucket holds every qty partial AND the
+    detail row of its orderkeys and can finalize the HAVING, the
+    join-back, and its LOCAL top-100 — exact because an order lives
+    in exactly one bucket. Customer names resolve AFTER the global
+    top-100 via ``joins.resolve_keys`` (<=100 keys stream-filter the
+    customer table; no whole-dimension driver collect at 10^9
+    customers). Integer quantity units + cents keep both engines
+    bit-equal."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "qty", "ckey", "cents", "odate_us", "_bucket",
+            "_side"]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "qty": qty.to_numpy()})
+        p = df.groupby("okey", as_index=False)["qty"].sum()
+        p["qty"] = p["qty"].astype("int64")
+        p["ckey"] = np.int64(-1)
+        p["cents"] = np.int64(0)
+        p["odate_us"] = np.int64(0)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy(),
+            "qty": np.zeros(t.num_rows, np.int64),
+            "ckey": t["o_custkey"].to_numpy(),
+            "cents": cents.to_numpy(),
+            "odate_us": t["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").astype(np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0]
+        sums = li_.groupby("okey", as_index=False)["qty"].sum()
+        sums = sums[sums["qty"] > Q18_MIN_QTY]
+        od_ = g[g["_side"] == 1][["okey", "ckey", "cents", "odate_us"]]
+        j = sums.merge(od_, on="okey", how="inner")
+        j = j.sort_values(["cents", "odate_us", "okey"],
+                          ascending=[False, True, True]).head(100)
+        for c in ("okey", "qty", "ckey", "cents", "odate_us"):
+            j[c] = j[c].astype("int64")
+        return j[["okey", "qty", "ckey", "cents", "odate_us"]]
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_top, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        top = (df.sort_values(["cents", "odate_us", "okey"],
+                              ascending=[False, True, True])
+               .head(100).reset_index(drop=True))
+        for c in ("okey", "qty", "ckey", "cents", "odate_us"):
+            top[c] = top[c].astype("int64")
+        return top
+
+    top = _merge_partials(per_bucket, final).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "c_custkey", top["ckey"], "c_name")
+    return pd.DataFrame({
+        "c_name": top["ckey"].map(names).astype(object),
+        "c_custkey": top["ckey"].astype("int64"),
+        "o_orderkey": top["okey"].astype("int64"),
+        "o_orderdate": top["odate_us"].astype("datetime64[us]"),
+        "total_cents": top["cents"].astype("int64"),
+        "sum_qty": top["qty"].astype("int64")})
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty > %d)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 100
+""" % Q18_MIN_QTY
+
+
+Q4_LATE_DAYS = 60
+
+
+def q4_late_orders(sf_dir):
+    """TPC-H Q4 shape (order-priority checking): count orders by
+    priority where EXISTS a lineitem shipped more than N days after
+    the order date — a large×large EXISTS semi-join whose predicate
+    correlates the two sides (shipdate vs orderdate).
+
+    Scale shape: EXISTS(any lineitem with shipdate > orderdate + N)
+    ≡ max(shipdate) > orderdate + N, and max is a lossless per-batch
+    combiner — so lineitem reduces to one (okey, max_ship) row per
+    (batch, order) before the single orderkey-bucketed tagged
+    exchange (q3/q5/q18 discipline). Each bucket finalizes the max,
+    applies the correlated predicate against its order rows, and
+    emits bounded per-priority count partials; the 5-row histogram
+    merges in one block. All-integer µs timestamps keep the
+    comparison exact."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "ship_us", "odate_us", "prio", "_bucket", "_side"]
+    late_us = np.int64(Q4_LATE_DAYS) * 86_400_000_000
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(),
+            "ship_us": t["l_shipdate"].to_numpy()
+                        .astype("datetime64[us]").astype(np.int64)})
+        p = df.groupby("okey", as_index=False)["ship_us"].max()
+        p["ship_us"] = p["ship_us"].astype("int64")
+        p["odate_us"] = np.int64(0)
+        p["prio"] = ""
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy(),
+            "ship_us": np.zeros(t.num_rows, np.int64),
+            "odate_us": t["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").astype(np.int64),
+            "prio": t["o_orderpriority"].to_pandas().astype(object)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0][["okey", "ship_us"]]
+        mx = li_.groupby("okey", as_index=False)["ship_us"].max()
+        od_ = g[g["_side"] == 1][["okey", "odate_us", "prio"]]
+        j = od_.merge(mx, on="okey", how="inner")
+        j = j[(j["ship_us"].to_numpy()
+               > j["odate_us"].to_numpy() + late_us)]
+        out = j.groupby("prio", as_index=False).size()
+        return pd.DataFrame({
+            "o_orderpriority": out["prio"].astype(object),
+            "order_count": out["size"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate",
+                        "o_orderpriority"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_counts, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("o_orderpriority", as_index=False)
+               ["order_count"].sum()
+               .sort_values("o_orderpriority").reset_index(drop=True))
+        out["order_count"] = out["order_count"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL %d DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""" % Q4_LATE_DAYS
+
+
+def q17_small_qty_revenue(sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): total revenue
+    of lineitems whose quantity is below 20%% of their part's average
+    quantity — a large table SELF-JOINED against its own per-group
+    aggregate (the correlated-scalar-subquery shape; Q18 filters the
+    group, this filters the DETAIL rows against the group).
+
+    Scale shape: the predicate depends on the row only through
+    (partkey, qty), so each batch pre-reduces to ((partkey, qty) →
+    row count + cents sum) — a lossless combiner — before ONE
+    partkey-hash-bucketed exchange; a part's whole distribution lives
+    in one bucket, which recovers sum/count per part vectorized,
+    applies the EXACT cross-multiplied predicate 5·qty·n < Σqty (no
+    float avg crosses an engine boundary), and emits a single cents
+    partial; bounded partials coalesce in one block."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "qty": qty, "cents": cents})
+        out = df.groupby(["pkey", "qty"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["pkey"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["pkey", "qty"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        # Σqty per part = Σ qty·n over its (qty → n) histogram
+        tot = (g.assign(qn=g["qty"] * g["n"])
+               .groupby("pkey", as_index=False)
+               .agg(s=("qn", "sum"), n_all=("n", "sum")))
+        j = g.merge(tot, on="pkey")
+        keep = 5 * j["qty"] * j["n_all"] < j["s"]
+        return pd.DataFrame(
+            {"revenue_cents": [int(j.loc[keep, "cents"].sum())]})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    per_bucket = (li.map_batches(part, batch_format="pyarrow")
+                  .groupby("_bucket").map_groups(bucket_sum,
+                                                 batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"revenue_cents": pd.Series([df["revenue_cents"].sum()],
+                                        dtype="int64")})
+
+    return _merge_partials(per_bucket, final)
+
+
+Q17_SQL = """
+WITH a AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+            0) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * a.n < a.s
+"""
+
+
+def q22_idle_rich_customers(sf_dir):
+    """TPC-H Q22 shape (global-account-balance anti-join): customers
+    whose balance exceeds the positive-balance AVERAGE and who placed
+    no urgent order, grouped by market segment — a SCALAR-subquery
+    broadcast (two integers) feeding a map-side filter, then an
+    anti-join, then a bounded rollup.
+
+    Scale shape: the average never exists as a float — pass 1 reduces
+    the customer table to (Σ positive cents, n) via a bounded
+    combiner, and the filter is the exact cross-multiplication
+    bal·n > Σ closed over the two broadcast integers (zero-shuffle);
+    the no-urgent-orders side goes through joins.membership_join
+    (broadcast key set under threshold, Bloom + exact recheck above —
+    the q13 discipline); the segment rollup is bounded."""
+    from ...stages.joins import membership_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                           pa.scalar(100.0)),
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "bal": bal})
+
+    cc = cust.map_batches(cents_tbl, batch_format="pyarrow")
+
+    def stat_part(t: pa.Table) -> pd.DataFrame:
+        bal = t["bal"].to_numpy()
+        pos = bal[bal > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    def stat_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["s"].sum())],
+                             "n": [int(df["n"].sum())]})
+
+    st = _merge_partials(cc.map_batches(stat_part,
+                                        batch_format="pyarrow"),
+                         stat_merge).take_all()[0]
+    s_pos, n_pos = int(st["s"]), int(st["n"])
+
+    rich = cc.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["bal"],
+                                                  pa.scalar(n_pos)),
+                                      pa.scalar(s_pos))),
+        batch_format="pyarrow")
+
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: (t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"])),
+        batch_format="pyarrow")
+    idle_rich = membership_join(rich, "c_custkey", urgent, "o_custkey",
+                                mode="anti")
+
+    def seg_part(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"c_mktsegment": t["c_mktsegment"].to_pandas(),
+                           "bal": t["bal"].to_numpy()})
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            n_custs=("bal", "size"), bal_cents=("bal", "sum"))
+        out["n_custs"] = out["n_custs"].astype("int64")
+        out["bal_cents"] = out["bal_cents"].astype("int64")
+        return out
+
+    def seg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            n_custs=("n_custs", "sum"), bal_cents=("bal_cents", "sum"))
+        out["n_custs"] = out["n_custs"].astype("int64")
+        out["bal_cents"] = out["bal_cents"].astype("int64")
+        return out
+
+    return _merge_partials(
+        idle_rich.map_batches(seg_part, batch_format="pyarrow"),
+        seg_merge)
+
+
+Q22_SQL = """
+WITH cents AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer),
+avgpos AS (SELECT sum(bal) AS s, count(*) AS n FROM cents WHERE bal > 0)
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(bal) AS BIGINT) AS bal_cents
+FROM cents c, avgpos a
+WHERE c.bal * a.n > a.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+Q21_LATE_DAYS = 60
+
+
+def q21_blame_supplier(sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders involving ≥2 distinct suppliers where EXACTLY ONE
+    supplier shipped late, blame that supplier — the triple
+    EXISTS / NOT-EXISTS self-correlation on one fact table
+    (reference shape: TPC-H 21; restated on this schema's columns as
+    late := max(l_shipdate) per (order, supplier) > o_orderdate + N
+    days, since the testdata carries no receipt/commit dates).
+
+    Scale shape: "supplier was late on order o" depends on lineitem
+    only through max(l_shipdate) per (okey, skey) — max is a lossless
+    per-batch combiner, so lineitem reduces to one narrow row per
+    (batch, order, supplier) before ONE orderkey-hash-bucketed tagged
+    exchange (the q3/q4/q18 discipline); 'F' order rows ride the same
+    exchange. An order's complete supplier set lives in exactly one
+    bucket, so each bucket evaluates the whole correlated predicate
+    (n_supp ≥ 2 ∧ n_late == 1 ∧ this supplier late) vectorized and
+    emits bounded (suppkey → numwait) count partials. The final merge
+    keeps only the CANDIDATE set — suppliers whose numwait ties or
+    beats the 20th largest (s_name is the tie-break, so ties must
+    survive to the name resolution) — and ``joins.resolve_keys``
+    stream-filters the supplier table for just those keys; the
+    dimension never collects to the driver."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "skey", "ship_us", "odate_us", "_bucket", "_side"]
+    late_us = np.int64(Q21_LATE_DAYS) * 86_400_000_000
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(),
+            "skey": t["l_suppkey"].to_numpy(),
+            "ship_us": t["l_shipdate"].to_numpy()
+                        .astype("datetime64[us]").astype(np.int64)})
+        p = df.groupby(["okey", "skey"], as_index=False)["ship_us"].max()
+        for c in ("okey", "skey", "ship_us"):
+            p[c] = p[c].astype("int64")
+        p["odate_us"] = np.int64(0)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy(),
+            "skey": np.zeros(t.num_rows, np.int64),
+            "ship_us": np.zeros(t.num_rows, np.int64),
+            "odate_us": t["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").astype(np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_blame(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0]
+        mx = li_.groupby(["okey", "skey"],
+                         as_index=False)["ship_us"].max()
+        od_ = g[g["_side"] == 1][["okey", "odate_us"]]
+        j = mx.merge(od_, on="okey", how="inner")
+        j["late"] = (j["ship_us"].to_numpy()
+                     > j["odate_us"].to_numpy() + late_us).astype(np.int64)
+        per_o = j.groupby("okey").agg(n_supp=("skey", "size"),
+                                      n_late=("late", "sum"))
+        ok = per_o.index[(per_o["n_supp"] >= 2)
+                         & (per_o["n_late"] == 1)]
+        w = j[j["okey"].isin(ok) & (j["late"] == 1)]
+        out = w.groupby("skey", as_index=False).size()
+        return pd.DataFrame({"skey": out["skey"].astype("int64"),
+                             "numwait": out["size"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_blame, batch_format="pandas"))
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("skey", as_index=False)["numwait"].sum()
+        agg = agg.sort_values("numwait", ascending=False)
+        if len(agg) > 20:
+            thresh = agg["numwait"].iloc[19]
+            agg = agg[agg["numwait"] >= thresh]
+        agg = agg.reset_index(drop=True)
+        agg["skey"] = agg["skey"].astype("int64")
+        agg["numwait"] = agg["numwait"].astype("int64")
+        return agg[["skey", "numwait"]]
+
+    cand = _merge_partials(per_bucket, candidates).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", cand["skey"], "s_name")
+    cand["s_name"] = cand["skey"].map(names).astype(object)
+    cand = (cand.sort_values(["numwait", "s_name"],
+                             ascending=[False, True])
+            .head(20).reset_index(drop=True))
+    return pd.DataFrame({
+        "s_name": cand["s_name"].astype(object),
+        "numwait": cand["numwait"].astype("int64")})
+
+
+Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey, max(l_shipdate) AS mx
+  FROM lineitem GROUP BY 1, 2),
+j AS (
+  SELECT l.okey, l.skey,
+         CASE WHEN l.mx > o.o_orderdate + INTERVAL %d DAY
+              THEN 1 ELSE 0 END AS late
+  FROM l JOIN orders o ON o.o_orderkey = l.okey
+  WHERE o.o_orderstatus = 'F'),
+g AS (SELECT okey, count(*) AS n_supp, sum(late) AS n_late
+      FROM j GROUP BY okey)
+SELECT s.s_name, count(*) AS numwait
+FROM j JOIN g USING (okey) JOIN supplier s ON s.s_suppkey = j.skey
+WHERE g.n_supp >= 2 AND g.n_late = 1 AND j.late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""" % Q21_LATE_DAYS
+
+
+Q11_SHARE_NUM, Q11_SHARE_DEN = 12, 10  # keep parts > 1.2× avg revenue
+
+
+def q11_important_parts(sf_dir):
+    """TPC-H Q11 shape (important stock): per-part revenue HAVING a
+    threshold that is itself a GLOBAL aggregate of the same groupby —
+    the "filter groups against a scalar computed over all groups"
+    pattern (reference shape: TPC-H 11; restated over lineitem since
+    the testdata has no partsupp — threshold = 1.2× the average
+    per-part revenue, which is non-degenerate on this corpus where a
+    fixed global fraction is all-or-nothing).
+
+    Scale shape: per-batch (partkey → cents) partial sums (lossless
+    combiner) feed ONE partkey-hash-bucketed exchange that finalizes
+    exact per-part revenues; that per-part table — the inherently
+    small output of the aggregate — materializes ONCE and is consumed
+    twice: a bounded two-integer pass (Σcents, n_parts) broadcasts the
+    threshold, then a map-side cross-multiplied filter (no float avg
+    crosses an engine boundary) with per-batch local top-100 partials
+    coalesces into the single bounded merge block (q18 discipline)."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "cents": cents})
+        out = df.groupby("pkey", as_index=False)["cents"].sum()
+        for c in ("pkey", "cents"):
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["pkey"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pkey", as_index=False)["cents"].sum()
+        return pd.DataFrame({"pkey": out["pkey"].astype("int64"),
+                             "cents": out["cents"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice"])
+    per_part = (li.map_batches(part, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(bucket_final,
+                                               batch_format="pandas")
+                ).materialize()
+
+    def stat_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["cents"].sum())],
+                             "n": [int(len(df))]})
+
+    def stat_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["s"].sum())],
+                             "n": [int(df["n"].sum())]})
+
+    st = _merge_partials(per_part.map_batches(stat_part,
+                                              batch_format="pandas"),
+                         stat_merge).take_all()[0]
+    tot, n_parts = int(st["s"]), int(st["n"])
+
+    def keep_top(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray((df["cents"].to_numpy().astype(object) * n_parts
+                        * Q11_SHARE_DEN) > (tot * Q11_SHARE_NUM),
+                       dtype=bool)
+        out = (df[m].sort_values(["cents", "pkey"],
+                                 ascending=[False, True]).head(100))
+        return pd.DataFrame({"pkey": out["pkey"].astype("int64"),
+                             "cents": out["cents"].astype("int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["cents", "pkey"],
+                              ascending=[False, True])
+               .head(100).reset_index(drop=True))
+        return pd.DataFrame({
+            "l_partkey": out["pkey"].astype("int64"),
+            "revenue_cents": out["cents"].astype("int64")})
+
+    return _merge_partials(
+        per_part.map_batches(keep_top, batch_format="pandas"), final)
+
+
+Q11_SQL = """
+WITH p AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(revenue_cents) AS tot, count(*) AS np FROM p)
+SELECT p.l_partkey, p.revenue_cents
+FROM p, t
+WHERE p.revenue_cents * t.np * %d > t.tot * %d
+ORDER BY p.revenue_cents DESC, p.l_partkey
+LIMIT 100
+""" % (Q11_SHARE_DEN, Q11_SHARE_NUM)
+
+
+def orders_zorder_scan(sf_dir):
+    """Zone-map data-skipping scan over the MATERIALIZED Z-order
+    layout — the consumer half of ``orders_zorder`` (which emits the
+    zone map; this query writes the clustered layout once and then
+    answers a 2-D range predicate by reading ONLY the shards whose
+    zone map intersects — the Delta/Iceberg "OPTIMIZE ZORDER →
+    data-skipping scan" pair, same build-once/pruned-read discipline
+    as ``fulltext_indexed_search`` / ``build_ivf_index``).
+
+    Predicate: custkey in the lowest 10%% of its observed range AND
+    orderdate in the first quarter of its range — both bounds derived
+    from data, so the SQL oracle replays them exactly. Pruning is
+    sound (a shard qualifies iff its per-dimension minima can admit a
+    match — a superset) and the scan re-applies the exact predicate,
+    so the pruned answer ≡ the full-scan answer; the unit test
+    additionally asserts shards were actually skipped."""
+    import json as _json
+
+    from ...sources.zlayout import build_zorder_layout, zorder_pruned_scan
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def to_xy(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        return pd.DataFrame({
+            "key": t["o_orderkey"].to_numpy().astype("int64"),
+            "x": t["o_custkey"].to_numpy().astype("int64"),
+            "y": days})
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    layout = build_zorder_layout(
+        ds.map_batches(to_xy, batch_format="pyarrow"),
+        "/tmp/ferenda_ray_zlayout_v1/%s" % tag)
+    import os as _os
+    with open(_os.path.join(layout, "_meta.json")) as fh:
+        m = _json.load(fh)
+    x_hi = m["x_lo"] + m["x_rng"] // 10
+    y_hi = m["y_lo"] + m["y_rng"] // 4
+
+    rows, _read_n, _tot = zorder_pruned_scan(layout, x_hi, y_hi)
+
+    def present(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": t["key"].to_numpy().astype("int64"),
+            "o_custkey": t["x"].to_numpy().astype("int64"),
+            "o_orderdate": t["y"].to_numpy()
+                            .astype("datetime64[D]")
+                            .astype("datetime64[us]")})
+
+    return rows.map_batches(present, batch_format="pyarrow")
+
+
+ZORDER_SCAN_SQL = """
+WITH raw AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         o_orderdate
+  FROM orders),
+b AS (SELECT min(o_custkey) AS x_lo,
+             greatest(max(o_custkey) - min(o_custkey), 1) AS x_rng,
+             min(day) AS y_lo,
+             greatest(max(day) - min(day), 1) AS y_rng
+      FROM raw)
+SELECT r.o_orderkey, r.o_custkey, r.o_orderdate
+FROM raw r, b
+WHERE r.o_custkey <= b.x_lo + b.x_rng // 10
+  AND r.day <= b.y_lo + b.y_rng // 4
+"""
+
+
+Q10_DATE_LO, Q10_DATE_HI = "1997-10-01", "1998-01-01"
+
+
+def q10_returned_customers(sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue of RETURNED lineitems on orders in one quarter — a fact ⋈
+    fact ⋈ dimension rollup whose group key (custkey) is NOT the join
+    key of the first join (orderkey), i.e. the canonical DOUBLE
+    re-key: aggregate on key A, re-partition the partials on key B.
+
+    Scale shape: lineitem pre-reduces per batch to (okey → 'R' cents)
+    partials (lossless combiner) and rides ONE orderkey-bucketed
+    tagged exchange with the window-filtered order rows; each bucket
+    joins and re-emits (ckey → cents) partials tagged with a SECOND
+    custkey-hash bucket — the chain is exactly two exchanges with one
+    union (the scrub/decontaminate DAG discipline). The second
+    exchange finalizes per-customer revenue and takes a LOCAL top-20
+    (exact: a customer's whole revenue lives in one bucket); bounded
+    partials coalesce in the single merge block; the 20 winning
+    custkeys then resolve names via ``joins.resolve_keys`` (map-side
+    stream filter of the customer table — no whole-dimension driver
+    collect at 10⁹ customers)."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "ckey", "cents", "_bucket", "_side"]
+    lo_us = int(np.datetime64(Q10_DATE_LO, "us").astype(np.int64))
+    hi_us = int(np.datetime64(Q10_DATE_HI, "us").astype(np.int64))
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "cents": cents})
+        p = df.groupby("okey", as_index=False)["cents"].sum()
+        for c in ("okey", "cents"):
+            p[c] = p[c].astype("int64")
+        p["ckey"] = np.int64(-1)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        dus = (t["o_orderdate"].to_numpy()
+               .astype("datetime64[us]").astype(np.int64))
+        keep = (dus >= lo_us) & (dus < hi_us)
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy()[keep],
+            "ckey": t["o_custkey"].to_numpy()[keep],
+            "cents": np.zeros(int(keep.sum()), np.int64)})
+        for c in ("okey", "ckey"):
+            p[c] = p[c].astype("int64")
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_cust(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = (g[g["_side"] == 0]
+               .groupby("okey", as_index=False)["cents"].sum())
+        od_ = g[g["_side"] == 1][["okey", "ckey"]]
+        j = li_.merge(od_, on="okey", how="inner")
+        out = j.groupby("ckey", as_index=False)["cents"].sum()
+        for c in ("ckey", "cents"):
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["ckey"], index=False).values
+        out["_b2"] = (h % np.uint64(buckets)).astype("int32")
+        return out[["ckey", "cents", "_b2"]]
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("ckey", as_index=False)["cents"].sum()
+        top = (s.sort_values(["cents", "ckey"],
+                             ascending=[False, True]).head(20))
+        for c in ("ckey", "cents"):
+            top[c] = top[c].astype("int64")
+        return top[["ckey", "cents"]]
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag",
+                        "l_extendedprice"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_cust = (tagged.groupby("_bucket")
+                .map_groups(bucket_cust, batch_format="pandas")
+                .groupby("_b2")
+                .map_groups(bucket_top, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        top = (df.sort_values(["cents", "ckey"],
+                              ascending=[False, True])
+               .head(20).reset_index(drop=True))
+        for c in ("ckey", "cents"):
+            top[c] = top[c].astype("int64")
+        return top[["ckey", "cents"]]
+
+    top = _merge_partials(per_cust, final).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "c_custkey", top["ckey"], "c_name")
+    return pd.DataFrame({
+        "c_custkey": top["ckey"].astype("int64"),
+        "c_name": top["ckey"].map(names).astype(object),
+        "revenue_cents": top["cents"].astype("int64")})
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '%s'
+  AND o.o_orderdate < DATE '%s'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+""" % (Q10_DATE_LO, Q10_DATE_HI)
+
+
+def q7_nation_volume(sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations by year, in both directions — the pattern where DIMENSION
+    ATTRIBUTES (supplier nation, customer nation) must propagate
+    through a fact×fact join before a bounded rollup.
+
+    Scale shape: the supplier nation resolves via a broadcast dict
+    BEFORE the exchange; the customer arm goes through
+    ``joins.attach_dim`` (broadcast ≤ threshold, bucketed hash join
+    above — forced-path tested), and the nation-pair filter
+    prunes map-side, so only matching rows enter the ONE
+    orderkey-bucketed tagged exchange; lineitem pre-reduces per batch
+    to (okey, supp_nation, year) → cents partials (lossless combiner).
+    Each bucket joins, drops same-nation flows, and emits BOUNDED
+    (2 × 2 × years) revenue partials that coalesce in one block.
+
+    The nation pair is DERIVED FROM THE DATA (the nations of the two
+    lowest-suppkey suppliers with distinct nations) so the query is
+    non-degenerate at every scale factor — the synthetic corpus
+    spreads few suppliers over 25 nations at sf0.001; the SQL oracle
+    replays the same rule."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    COLS = ["okey", "nat", "year", "cents", "_bucket", "_side"]
+
+    nat_name = {int(r["n_nationkey"]): r["n_name"]
+                for r in _read(sf_dir, "nation",
+                               columns=["n_nationkey",
+                                        "n_name"]).take_all()}
+    supp_nat = {int(r["s_suppkey"]): nat_name[int(r["s_nationkey"])]
+                for r in _read(sf_dir, "supplier",
+                               columns=["s_suppkey",
+                                        "s_nationkey"]).take_all()}
+    # pair rule shared with the SQL oracle: nation of the lowest
+    # suppkey, and of the lowest suppkey in a DIFFERENT nation
+    by_key = sorted(supp_nat)
+    nat_a = supp_nat[by_key[0]]
+    nat_b = next(supp_nat[k] for k in by_key if supp_nat[k] != nat_a)
+    pair = {nat_a, nat_b}
+    supp_ref = ray.put(supp_nat)
+
+    # customer arm: nationkey→name resolves from the 25-row nation
+    # dict map-side, the pair filter prunes BEFORE the dispatch, and
+    # attach_dim broadcasts custkey→nation below the threshold /
+    # bucket-joins above it (10⁹-customer contract, forced-path
+    # tested)
+    pair_keys = sorted(k for k, v in nat_name.items() if v in pair)
+    names_by_key = dict(nat_name)
+
+    def cust_pair(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(
+            t["c_nationkey"],
+            value_set=pa.array(pair_keys,
+                               type=t.schema.field("c_nationkey").type)))
+        nm = pa.array([names_by_key[int(k)]
+                       for k in t["c_nationkey"].to_pylist()],
+                      type=pa.string())
+        return pa.table({"c_custkey": t["c_custkey"], "cnat": nm})
+
+    cust_ds = (_read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+               .map_batches(cust_pair, batch_format="pyarrow"))
+    od_tagged = joins.attach_dim(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust_ds, "o_custkey", "c_custkey", "cnat", out_col="nat",
+        how="inner")
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        sn = _ray.get(supp_ref)
+        nat = pd.Series(t["l_suppkey"].to_numpy()).map(sn)
+        keep = nat.isin(pair).to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()[keep]
+        year = (t["l_shipdate"].to_numpy()[keep]
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy()[keep],
+                           "nat": nat.to_numpy()[keep],
+                           "year": year, "cents": cents})
+        p = df.groupby(["okey", "nat", "year"],
+                       as_index=False)["cents"].sum()
+        for c in ("okey", "year", "cents"):
+            p[c] = p[c].astype("int64")
+        p["nat"] = p["nat"].astype(object)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        okey = t["o_orderkey"].to_numpy()
+        p = pd.DataFrame({"okey": okey.astype("int64"),
+                          "nat": pd.Series(t["nat"].to_pylist(),
+                                           dtype=object),
+                          "year": np.zeros(len(okey), np.int64),
+                          "cents": np.zeros(len(okey), np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_vol(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = (g[g["_side"] == 0]
+               .groupby(["okey", "nat", "year"],
+                        as_index=False)["cents"].sum()
+               .rename(columns={"nat": "supp_nation"}))
+        od_ = (g[g["_side"] == 1][["okey", "nat"]]
+               .rename(columns={"nat": "cust_nation"}))
+        j = li_.merge(od_, on="okey", how="inner")
+        j = j[j["supp_nation"] != j["cust_nation"]]
+        out = j.groupby(["supp_nation", "cust_nation", "year"],
+                        as_index=False)["cents"].sum()
+        return pd.DataFrame({
+            "supp_nation": out["supp_nation"].astype(object),
+            "cust_nation": out["cust_nation"].astype(object),
+            "l_year": out["year"].astype("int64"),
+            "revenue_cents": out["cents"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od_tagged.map_batches(prep_od,
+                                           batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_vol, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # typed empty — schema-loss pitfall guard
+            return pd.DataFrame({
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64")})
+        out = (df.groupby(["supp_nation", "cust_nation", "l_year"],
+                          as_index=False)["revenue_cents"].sum()
+               .sort_values(["supp_nation", "cust_nation", "l_year"])
+               .reset_index(drop=True))
+        out["l_year"] = out["l_year"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q7_SQL = """
+WITH sn AS (
+  SELECT s_suppkey, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+na AS (SELECT n_name FROM sn ORDER BY s_suppkey LIMIT 1),
+nb AS (SELECT n_name FROM sn
+       WHERE n_name <> (SELECT n_name FROM na)
+       ORDER BY s_suppkey LIMIT 1)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND n1.n_name IN ((SELECT n_name FROM na), (SELECT n_name FROM nb))
+  AND n2.n_name IN ((SELECT n_name FROM na), (SELECT n_name FROM nb))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+TRAIN_SHARDS = 8
+
+
+def training_shards(sf_dir):
+    """Deterministic hash-shuffle into dataloader shards — the
+    training-manifest step of a 100-TB pipeline: every document gets a
+    stable (shard, position) independent of read order, partitioning
+    or engine, because both derive from md5(doc_id) alone (the
+    seedless-shuffle discipline shared by mixture_sample /
+    user_bottomk_sample; a global random_shuffle of 100 TB is an
+    all-to-all of every byte, while the hash manifest moves only
+    (doc_id, hash) pairs).
+
+    Scale shape: shard = md5[:8] % K is map-side; ONE shard-bucketed
+    exchange groups each shard, which sorts by the full hex digest
+    (position = rank) vectorized. A shard sorting in one worker is
+    the operating point by construction — K is chosen so a shard fits
+    the dataloader (thousands of shards at 100 TB); for pathological
+    shard sizes the order key is prefix-decomposable (sort hex[0:2]
+    ranges separately, offset by counts)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest()
+              for i in ids]
+        shard = np.array([int(h[:8], 16) % TRAIN_SHARDS for h in hx],
+                         dtype=np.int64)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "hx": pd.Series(hx, dtype=object),
+                             "shard": shard})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["hx", "doc_id"], kind="mergesort")
+             .reset_index(drop=True))
+        return pd.DataFrame({
+            "shard": g["shard"].astype("int64"),
+            "pos": np.arange(len(g), dtype=np.int64),
+            "doc_id": g["doc_id"].astype("int64")})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+TRAINING_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+s AS (
+  SELECT doc_id, hx,
+         CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) %% %d
+              AS BIGINT) AS shard
+  FROM h)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY hx, doc_id) - 1
+            AS BIGINT) AS pos,
+       doc_id
+FROM s
+""" % TRAIN_SHARDS
+
+
+def q2_min_cost_supplier(sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each part, the
+    supplier offering the LOWEST average sale price — the grouped
+    ARGMIN + join-back pattern (Q15 is the global argmax; this is the
+    per-group argmin whose group count is unbounded), restated over
+    lineitem since the testdata carries no partsupp.
+
+    Ranking is the exact integer floor((Σcents·1000)/n) milli-cent
+    average with suppkey tie-break — both engines replay the same
+    formula, so no float average crosses the boundary. Scale shape:
+    per-batch (pkey, skey) → (n, cents) partial sums (lossless
+    combiner) feed ONE partkey-bucketed exchange — a part's whole
+    supplier distribution lives in one bucket, which finalizes sums,
+    computes the rational rank and takes the per-part argmin
+    vectorized (groupby-idxmin over sorted keys), then keeps its
+    LOCAL 100 lowest partkeys; bounded partials coalesce in the one
+    merge block, and the ≤100 winning suppkeys resolve names via
+    ``joins.resolve_keys`` (no whole-dimension driver collect)."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
+                           "skey": t["l_suppkey"].to_numpy(),
+                           "cents": cents})
+        out = df.groupby(["pkey", "skey"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        h = pd.util.hash_pandas_object(out["pkey"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_argmin(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pkey", "skey"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        s["avg_milli"] = (s["cents"] * 1000) // s["n"]
+        s = s.sort_values(["pkey", "avg_milli", "skey"],
+                          kind="mergesort")
+        best = s.groupby("pkey", as_index=False).first()
+        best = best.sort_values("pkey").head(100)
+        return pd.DataFrame({
+            "pkey": best["pkey"].astype("int64"),
+            "skey": best["skey"].astype("int64"),
+            "avg_milli": best["avg_milli"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    per_bucket = (li.map_batches(part, batch_format="pyarrow")
+                  .groupby("_bucket").map_groups(bucket_argmin,
+                                                 batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        top = (df.sort_values("pkey").head(100)
+               .reset_index(drop=True))
+        for c in ("pkey", "skey", "avg_milli"):
+            top[c] = top[c].astype("int64")
+        return top
+
+    top = _merge_partials(per_bucket, final).to_pandas()
+    names = joins.resolve_keys(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", top["skey"], "s_name")
+    return pd.DataFrame({
+        "l_partkey": top["pkey"].astype("int64"),
+        "s_suppkey": top["skey"].astype("int64"),
+        "s_name": top["skey"].map(names).astype(object),
+        "avg_milli": top["avg_milli"].astype("int64")})
+
+
+Q2_SQL = """
+WITH s AS (
+  SELECT l_partkey AS pkey, l_suppkey AS skey,
+         count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2),
+r AS (
+  SELECT pkey, skey, (cents * 1000) // n AS avg_milli,
+         row_number() OVER (PARTITION BY pkey
+                            ORDER BY (cents * 1000) // n, skey) AS rk
+  FROM s)
+SELECT r.pkey AS l_partkey, r.skey AS s_suppkey, sp.s_name,
+       CAST(r.avg_milli AS BIGINT) AS avg_milli
+FROM r JOIN supplier sp ON sp.s_suppkey = r.skey
+WHERE r.rk = 1
+ORDER BY r.pkey
+LIMIT 100
+"""
+
+
+CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 10, 17, 23
+CDC_INS_OFF = 10_000_000
+
+
+def orders_cdc_merge(sf_dir):
+    """Warehouse MERGE INTO / CDC apply: a change-data-capture delta
+    (updates, deletes, inserts) applied to the orders base table in
+    one pass — the upsert primitive every incremental ingest needs.
+    The delta is doc arithmetic in both engines: keys %10 (and not
+    %17) get a +100-cent price correction, keys %17 are deleted,
+    keys %23 re-appear as inserts under key+10⁷; DELETE dominates
+    UPDATE by rule.
+
+    Scale shape: base rows (version 0) and delta rows (version 1 +
+    op) ride ONE key-hash-bucketed exchange tagged; each bucket
+    resolves its keys vectorized — drop keys holding a delete, else
+    keep the highest version — and streams the merged rows out.
+    Neither side broadcasts; only fixed-width columns cross."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+
+    def base_rows(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        k = t["o_orderkey"].to_numpy()
+        df = pd.DataFrame({"k": k, "total_cents": cents,
+                           "st": t["o_orderstatus"].to_pandas()
+                           .astype(object),
+                           "ver": np.zeros(len(k), np.int8),
+                           "del_": np.zeros(len(k), np.int8)})
+        return df
+
+    def delta_rows(t: pa.Table) -> pd.DataFrame:
+        b = base_rows(t)
+        k = b["k"].to_numpy()
+        upd = b[(k % CDC_UPD_MOD == 0) & (k % CDC_DEL_MOD != 0)].copy()
+        upd["total_cents"] = upd["total_cents"] + 100
+        upd["ver"] = np.int8(1)
+        dl = b[k % CDC_DEL_MOD == 0].copy()
+        dl["ver"] = np.int8(1)
+        dl["del_"] = np.int8(1)
+        ins = b[k % CDC_INS_MOD == 0].copy()
+        ins["k"] = ins["k"] + CDC_INS_OFF
+        ins["st"] = "N"
+        ins["ver"] = np.int8(1)
+        return pd.concat([upd, dl, ins], ignore_index=True)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["k"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        dead = set(g.loc[g["del_"] == 1, "k"])
+        g = g[~g["k"].isin(dead)]
+        g = (g.sort_values(["k", "ver"], ascending=[True, False],
+                           kind="mergesort")
+             .drop_duplicates("k"))
+        out = pd.DataFrame({
+            "o_orderkey": g["k"].astype("int64"),
+            "total_cents": g["total_cents"].astype("int64"),
+            "o_orderstatus": g["st"].astype(object)})
+        return out.reset_index(drop=True)
+
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    tagged = (od.map_batches(base_rows, batch_format="pyarrow")
+              .union(od.map_batches(delta_rows, batch_format="pyarrow"))
+              .map_batches(tag, batch_format="pandas"))
+    return (tagged.groupby("_bucket")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+ORDERS_CDC_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         o_orderstatus AS st
+  FROM orders),
+upd AS (SELECT k, total_cents + 100 AS total_cents, st FROM base
+        WHERE k %% %d = 0 AND k %% %d <> 0),
+del AS (SELECT k FROM base WHERE k %% %d = 0),
+ins AS (SELECT k + %d AS k, total_cents, 'N' AS st FROM base
+        WHERE k %% %d = 0)
+SELECT k AS o_orderkey, total_cents, st AS o_orderstatus FROM (
+  SELECT * FROM base
+  WHERE k NOT IN (SELECT k FROM del) AND k NOT IN (SELECT k FROM upd)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins)
+""" % (CDC_UPD_MOD, CDC_DEL_MOD, CDC_DEL_MOD, CDC_INS_OFF, CDC_INS_MOD)
+
+
+def events_daily_dense(sf_dir):
+    """Dense per-type daily event counts with EXPLICIT zero cells —
+    dimension densification (the gap-filling every time-series
+    consumer needs: a day with no events must exist as 0, not be
+    absent; the Q13 zero-cell idea on the time axis). The calendar is
+    the GLOBAL [min_day, max_day] span so every type carries the same
+    dense axis.
+
+    Scale shape: the (type, day) count table is bounded, so per-batch
+    partials are a lossless combiner; the single coalesced merge
+    block derives the global span and reindexes each type against it
+    vectorized — zero shuffle, and the dense output is |types|×|days|
+    rows by construction. SQL mirrors via generate_series ×
+    types LEFT JOIN counts."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()
+                           .astype(object), "day": days})
+        out = df.groupby(["event_type", "day"], as_index=False).size()
+        out = out.rename(columns={"size": "n_events"})
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)[
+            "n_events"].sum()
+        lo, hi = int(g["day"].min()), int(g["day"].max())
+        cal = np.arange(lo, hi + 1, dtype=np.int64)
+        types = sorted(g["event_type"].unique())
+        dense = pd.DataFrame({
+            "event_type": np.repeat(np.array(types, dtype=object),
+                                    len(cal)),
+            "day": np.tile(cal, len(types))})
+        out = dense.merge(g, on=["event_type", "day"], how="left")
+        out["n_events"] = (out["n_events"].fillna(0).astype("int64"))
+        out["day"] = out["day"].astype("int64")
+        return out[["event_type", "day", "n_events"]]
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+EVENTS_DENSE_SQL = """
+WITH c AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '1970-01-01', ts) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+cal AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+types AS (SELECT DISTINCT event_type FROM c)
+SELECT t.event_type, CAST(cal.day AS BIGINT) AS day,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+FROM types t CROSS JOIN cal
+LEFT JOIN c ON c.event_type = t.event_type AND c.day = cal.day
+"""
+
+
+PREC_LOOKBACK_US = 3_600_000_000        # 1 h
+PREC_WINDOW_US = 6 * 3_600_000_000      # 6 h panes
+
+
+def events_preceding_hour_count(sf_dir):
+    """Per-EVENT sliding RANGE window: for every event, the number of
+    same-type events in the preceding hour (inclusive, peers counted
+    — SQL RANGE ... 1 HOUR PRECEDING AND CURRENT ROW semantics). The
+    per-row rate feature behind burst detection and rate limiting.
+
+    Scale shape: a per-row window over an unbounded partition can't
+    ride one group per type — instead events split into 6-hour PANES
+    keyed (type, pane), and every event within 1 h of a pane's end is
+    ALSO emitted into the next pane as a context-only HALO row, so
+    each pane holds everything its own rows can look back at. One
+    bucketed exchange; per pane one sort + two vectorized
+    searchsorted passes; halo duplication is bounded by
+    lookback/pane = 1/6 of the stream. Exact by construction — the
+    window never crosses more than one pane boundary."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts",
+                                          "event_type"])
+    from ...stages.joins import _hash64
+
+    def panes(t: pa.Table) -> pd.DataFrame:
+        ts_us = (t["ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64))
+        et = pd.Series(t["event_type"].to_pylist(), dtype=object)
+        eid = t["event_id"].to_numpy()
+        w = ts_us // PREC_WINDOW_US
+        own = pd.DataFrame({"event_id": eid, "ts_us": ts_us,
+                            "event_type": et, "w": w,
+                            "is_ctx": np.int8(0)})
+        halo_m = ts_us >= (w + 1) * PREC_WINDOW_US - PREC_LOOKBACK_US
+        halo = pd.DataFrame({
+            "event_id": eid[halo_m], "ts_us": ts_us[halo_m],
+            "event_type": et[halo_m].reset_index(drop=True),
+            "w": w[halo_m] + 1, "is_ctx": np.int8(1)})
+        out = pd.concat([own, halo], ignore_index=True)
+        key = out["event_type"].astype(str) + "\x1f" + out["w"].astype(str)
+        out["_bucket"] = (_hash64(key) % np.uint64(64)).astype("int32")
+        return out
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(["event_type", "w"], sort=False):
+            sub = sub.sort_values(["ts_us", "event_id"],
+                                  kind="mergesort")
+            all_ts = sub["ts_us"].to_numpy()
+            own = sub[sub["is_ctx"] == 0]
+            t = own["ts_us"].to_numpy()
+            lo = np.searchsorted(all_ts, t - PREC_LOOKBACK_US,
+                                 side="left")
+            hi = np.searchsorted(all_ts, t, side="right")
+            outs.append(pd.DataFrame({
+                "event_id": own["event_id"].to_numpy(),
+                "n_prec": (hi - lo).astype("int64")}))
+        if not outs:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "n_prec": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["event_id"] = out["event_id"].astype("int64")
+        return out
+
+    return (ds.map_batches(panes, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(count_window,
+                                           batch_format="pandas"))
+
+
+EVENTS_PREC_SQL = """
+SELECT event_id,
+       count(*) OVER (PARTITION BY event_type ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                      AND CURRENT ROW) AS n_prec
+FROM events
+"""
+
+
+ANOM_K_NUM, ANOM_K_DEN = 2 * 10_000, 29_652  # |z| > 2, 1.4826 exact
+
+
+def events_anomaly_days(sf_dir):
+    """Event-rate anomaly detection: days whose per-type event count
+    deviates from that type's typical daily rate by a modified
+    z-score > 2 (Iglewicz–Hoaglin over median/MAD — the
+    doc_length_outliers rule applied to a TIME SERIES of rates, the
+    ops-monitoring 'traffic spike/outage day' signal).
+
+    Scale shape: the (type, day) count table is BOUNDED (types ×
+    days), so per-batch count partials are a lossless combiner and
+    median, MAD and the exact 29652·|x−med| > 2·10⁴·MAD
+    cross-multiplied flag all evaluate vectorized inside the ONE
+    coalesced merge block — zero shuffle end to end."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()
+                           .astype(object), "day": days})
+        out = df.groupby(["event_type", "day"], as_index=False).size()
+        out = out.rename(columns={"size": "n_events"})
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)[
+            "n_events"].sum()
+        outs = []
+        for et, sub in g.groupby("event_type"):
+            v = np.sort(sub["n_events"].to_numpy())
+            med = int(v[(len(v) - 1) // 2])
+            d = np.sort(np.abs(sub["n_events"].to_numpy() - med))
+            mad = int(d[(len(d) - 1) // 2])
+            keep = (ANOM_K_DEN * np.abs(sub["n_events"].to_numpy()
+                                        - med) > ANOM_K_NUM * mad)
+            s = sub[keep].copy()
+            s["med"] = np.int64(med)
+            s["mad"] = np.int64(mad)
+            outs.append(s)
+        out = (pd.concat(outs, ignore_index=True) if outs else
+               pd.DataFrame(columns=["event_type", "day", "n_events",
+                                     "med", "mad"]))
+        for c in ("day", "n_events", "med", "mad"):
+            out[c] = out[c].astype("int64")
+        return out[["event_type", "day", "n_events", "med", "mad"]]
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+EVENTS_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '1970-01-01', ts) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, day),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n_events) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+med AS (SELECT event_type, max(CASE WHEN rn = 1 + (n - 1) // 2
+                                    THEN n_events END) AS med
+        FROM r GROUP BY event_type),
+dv AS (SELECT c.event_type, abs(c.n_events - m.med) AS d,
+              row_number() OVER (PARTITION BY c.event_type
+                                 ORDER BY abs(c.n_events - m.med))
+                  AS rn,
+              count(*) OVER (PARTITION BY c.event_type) AS n
+       FROM c JOIN med m USING (event_type)),
+mad AS (SELECT event_type, max(CASE WHEN rn = 1 + (n - 1) // 2
+                                    THEN d END) AS mad
+        FROM dv GROUP BY event_type)
+SELECT c.event_type, c.day, c.n_events,
+       CAST(m.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad
+FROM c JOIN med m USING (event_type) JOIN mad a USING (event_type)
+WHERE %d * abs(c.n_events - m.med) > %d * a.mad
+""" % (ANOM_K_DEN, ANOM_K_NUM)
+
+
+ZORDER_SHARD_BITS = 6  # 64 layout shards from the top Morton bits
+
+
+def orders_zorder(sf_dir):
+    """Z-order (Morton-curve) data-layout clustering — the Delta/
+    Iceberg OPTIMIZE ZORDER BY (o_custkey, o_orderdate) analogue:
+    interleave the low 16 bits of custkey with the low 16 bits of the
+    epoch-day so rows close in EITHER dimension land in the same
+    layout shard, then emit the per-shard ZONE MAP (row count +
+    min/max of both dimensions) — the metadata a scan planner prunes
+    row groups with. Writing the shards is ``write_triples_
+    partitioned``'s job; the zone map is the verifiable layout
+    artifact.
+
+    Each dimension is first RANGE-QUANTIZED to 16 bits against its
+    observed [min, max] — the exact integer floor division
+    ((v−vmin)·65535)//max(vmax−vmin, 1), the same linearization real
+    ZORDER implementations apply so the curve fills the key space at
+    any data scale (raw low-16-bit interleaving degenerates to one
+    shard when both domains are narrow).
+
+    Scale shape: the bounds are ONE bounded pre-pass (min/max
+    combiner → 4 integers on the driver, the events_decayed_user_score
+    discipline); the Morton code is a vectorized numpy bit-spread per
+    batch and the shard key is its top 6 bits — BOUNDED (64) — so
+    per-batch zone-map partials are a lossless min/max/count combiner
+    and the whole operator is ZERO-shuffle: partials coalesce into
+    one final block. SQL replays quantization and interleave
+    bit-for-bit."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate"])
+
+    def bounds_partial(t: pa.Table) -> pd.DataFrame:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        return pd.DataFrame({
+            "ck_min": [int(ck.min())], "ck_max": [int(ck.max())],
+            "day_min": [int(days.min())], "day_max": [int(days.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ck_min": [int(df["ck_min"].min())],
+            "ck_max": [int(df["ck_max"].max())],
+            "day_min": [int(df["day_min"].min())],
+            "day_max": [int(df["day_max"].max())]})
+
+    b = _merge_partials(
+        ds.map_batches(bounds_partial, batch_format="pyarrow"),
+        bounds_merge).take_all()[0]
+    ck_lo, ck_rng = b["ck_min"], max(b["ck_max"] - b["ck_min"], 1)
+    day_lo, day_rng = b["day_min"], max(b["day_max"] - b["day_min"], 1)
+
+    def _spread16(v: np.ndarray) -> np.ndarray:
+        # 16-bit value -> even bit positions of a 32-bit word
+        v = v.astype(np.int64) & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        days = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        qx = ((ck - ck_lo) * 65535) // ck_rng
+        qy = ((days - day_lo) * 65535) // day_rng
+        z = _spread16(qx) | (_spread16(qy) << 1)
+        shard = z >> (32 - ZORDER_SHARD_BITS)
+        df = pd.DataFrame({"shard": shard, "ck": ck, "day": days})
+        out = df.groupby("shard", as_index=False).agg(
+            n_orders=("ck", "size"),
+            ck_min=("ck", "min"), ck_max=("ck", "max"),
+            day_min=("day", "min"), day_max=("day", "max"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard", as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            ck_min=("ck_min", "min"), ck_max=("ck_max", "max"),
+            day_min=("day_min", "min"), day_max=("day_max", "max"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        "(((x >> %d) & 1) << %d) + (((y >> %d) & 1) << %d)"
+        % (b, 2 * b, b, 2 * b + 1) for b in range(16))
+    return """
+WITH raw AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day
+  FROM orders),
+b AS (SELECT min(ck) AS ck_lo, greatest(max(ck) - min(ck), 1) AS ck_rng,
+             min(day) AS day_lo,
+             greatest(max(day) - min(day), 1) AS day_rng
+      FROM raw),
+xy AS (
+  SELECT ((r.ck - b.ck_lo) * 65535) // b.ck_rng AS x,
+         ((r.day - b.day_lo) * 65535) // b.day_rng AS y,
+         r.ck, r.day
+  FROM raw r, b),
+z AS (SELECT CAST(%s AS BIGINT) >> (32 - %d) AS shard, ck, day FROM xy)
+SELECT shard, count(*) AS n_orders,
+       min(ck) AS ck_min, max(ck) AS ck_max,
+       min(day) AS day_min, max(day) AS day_max
+FROM z GROUP BY shard
+""" % (terms, ZORDER_SHARD_BITS)
+
+
+ORDERS_ZORDER_SQL = _zorder_sql()
+
+
+Q5_REGION, Q5_LO, Q5_HI = "ASIA", "1997-01-01", "1998-01-01"
+
+
+def q5_local_suppliers(sf_dir):
+    """TPC-H Q5 shape (local supplier volume): customer ⋈ orders ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ region — the deepest star join,
+    revenue per nation where the supplier is in the CUSTOMER's
+    nation, region-filtered. Exercises every dimension table.
+
+    Scale shape: region→nation→(customer, supplier) are the star's
+    dimension arms — region/nation/supplier broadcast as dicts;
+    the customer arm goes through ``joins.attach_dim``, which
+    broadcasts the custkey→nationkey map below
+    ``joins.DIM_BROADCAST_THRESHOLD`` and switches to a bucketed
+    hash join above it (forced-path equality tested), so 10⁹
+    customers never materialize on the driver.
+    The fact-side large×large leg is ONE orderkey-bucketed exchange
+    carrying both sides tagged: filtered orders enter as
+    (okey, customer-nation), lineitem as per-batch partial
+    (okey, suppkey) cents sums; each bucket joins, applies the
+    supplier-nation == customer-nation filter via the broadcast
+    supplier dict, and pre-aggregates to its bounded ≤ nations
+    revenue partials; one single-block merge finishes. Integer cents
+    per row before the exchange (q1 rounding discipline)."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]
+                ).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    asia = set(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(asia)]
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    region_nats = sorted(int(k) for k in n2name)
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    ref = ray.put((s2n, n2name))
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    lo, hi = np.datetime64(Q5_LO), np.datetime64(Q5_HI)
+    COLS = ["okey", "suppkey", "cents", "c_nat", "_bucket", "_side"]
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            t["c_nationkey"],
+            value_set=pa.array(region_nats,
+                               type=t.schema.field("c_nationkey").type)))
+
+    cust_f = (_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"])
+              .map_batches(cust_in_region, batch_format="pyarrow"))
+
+    def od_window(t: pa.Table) -> pa.Table:
+        od_np = t["o_orderdate"].to_numpy()
+        keep = (od_np >= lo) & (od_np < hi)
+        return t.select(["o_orderkey", "o_custkey"]).filter(
+            pa.array(keep))
+
+    od_f = (_read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(od_window, batch_format="pyarrow"))
+    od_tagged = joins.attach_dim(od_f, cust_f, "o_custkey",
+                                 "c_custkey", "c_nationkey",
+                                 out_col="c_nat", how="inner")
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "suppkey": t["l_suppkey"].to_numpy(),
+                           "cents": cents.to_numpy()})
+        p = df.groupby(["okey", "suppkey"], as_index=False)["cents"].sum()
+        p["cents"] = p["cents"].astype("int64")
+        p["c_nat"] = np.int64(-1)
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        n = t.num_rows
+        p = pd.DataFrame({
+            "okey": t["o_orderkey"].to_numpy(),
+            "suppkey": np.full(n, -1, np.int64),
+            "cents": np.zeros(n, np.int64),
+            "c_nat": t["c_nat"].to_numpy().astype(np.int64)})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_rev(g: pd.DataFrame) -> pd.DataFrame:
+        s2n_, n2name_ = ray.get(ref)
+        li_ = g[g["_side"] == 0][["okey", "suppkey", "cents"]]
+        od_ = g[g["_side"] == 1][["okey", "c_nat"]]
+        j = li_.merge(od_, on="okey", how="inner")
+        s_nat = j["suppkey"].map(s2n_)
+        j = j[(s_nat == j["c_nat"]).to_numpy()]
+        j = j.assign(n_name=j["c_nat"].map(n2name_))
+        out = j.groupby("n_name", as_index=False)["cents"].sum()
+        return pd.DataFrame({
+            "n_name": out["n_name"].astype(object),
+            "revenue_cents": out["cents"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od_tagged.map_batches(prep_od,
+                                           batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_rev, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("n_name", as_index=False)["revenue_cents"]
+               .sum()
+               .sort_values(["revenue_cents", "n_name"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(per_bucket, final)
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '%s'
+  AND o_orderdate >= TIMESTAMP '%s' AND o_orderdate < TIMESTAMP '%s'
+GROUP BY n_name ORDER BY revenue_cents DESC, n_name ASC
+""" % (Q5_REGION, Q5_LO, Q5_HI)
+
+
+def orders_cube(sf_dir):
+    """Full CUBE over (o_orderstatus, o_orderpriority) — grouping
+    sets / OLAP rollup lattice in one pass: all four levels
+    ((s,p), (s,·), (·,p), (·,·)) with 'ALL' as the rolled-up marker.
+
+    Scale shape: per-batch partials aggregate ONLY the finest cell
+    (status × priority — the bounded lattice bottom); every coarser
+    level is derived from the finest inside the single bounded merge
+    block, so the cube costs exactly what the finest groupby costs —
+    no per-level passes, no exchange beyond the partial coalesce.
+    Integer cents keep sums engine-exact."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority",
+                        "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        df = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].to_pandas(),
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "cents": cents.to_pandas()})
+        return df.groupby(["o_orderstatus", "o_orderpriority"],
+                          as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {"n_orders": ("n_orders", "sum"),
+               "revenue_cents": ("revenue_cents", "sum")}
+        fin = df.groupby(["o_orderstatus", "o_orderpriority"],
+                         as_index=False).agg(**agg)
+        by_s = fin.groupby("o_orderstatus", as_index=False).agg(**agg)
+        by_s["o_orderpriority"] = "ALL"
+        by_p = fin.groupby("o_orderpriority", as_index=False).agg(**agg)
+        by_p["o_orderstatus"] = "ALL"
+        tot = pd.DataFrame({"o_orderstatus": ["ALL"],
+                            "o_orderpriority": ["ALL"],
+                            "n_orders": [fin["n_orders"].sum()],
+                            "revenue_cents": [fin["revenue_cents"].sum()]})
+        cols = ["o_orderstatus", "o_orderpriority", "n_orders",
+                "revenue_cents"]
+        out = pd.concat([fin[cols], by_s[cols], by_p[cols], tot[cols]],
+                        ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+Q3_CUT = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_shipping(sf_dir):
+    """TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈
+    lineitem, unshipped-revenue top 10 — THREE-way join with an
+    unbounded group key (per-order), the step up from
+    ``priority_lineitems``' bounded-key Q12 shape.
+
+    Scale shape: the dimension leg (BUILDING customers) broadcasts as
+    a key set via ray.put (at 10⁹ customers swap in joins.bloom_keys
+    / bucket_join — same contract as skeleton_entities); the
+    large×large leg is ONE orderkey-hash-bucketed exchange carrying
+    BOTH sides tagged (filtered lineitem rows enter as per-batch
+    partial cents sums, filtered orders as (key, date, priority)
+    rows), so each bucket holds every surviving row of its orderkeys
+    and can finalize revenue, join, and take its LOCAL top 10 —
+    valid because an order's complete revenue lives in exactly one
+    bucket. Partial top-10s coalesce into the single bounded merge
+    block. Per-row integer cents before the exchange (the q1_pricing
+    rounding discipline) keep sums order-independent and the oracle
+    bit-exact."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT,
+                        "c_custkey"].tolist())
+    ref = ray.put(keys)
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    cut = pd.Timestamp(Q3_CUT)
+    COLS = ["okey", "cents", "o_orderdate", "o_orderpriority",
+            "_bucket", "_side"]
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "cents": cents.to_numpy()})
+        p = df.groupby("okey", as_index=False)["cents"].sum()
+        p["cents"] = p["cents"].astype("int64")
+        p["o_orderdate"] = pd.NaT
+        p["o_orderpriority"] = None
+        return _tag_bucket(p, buckets, 0, COLS)
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        keys_ = ray.get(ref)
+        df = t.to_pandas()
+        m = ((df["o_orderdate"].to_numpy() < np.datetime64(cut))
+             & df["o_custkey"].isin(keys_).to_numpy())
+        df = df[m]
+        p = pd.DataFrame({
+            "okey": df["o_orderkey"].to_numpy(),
+            "cents": np.zeros(int(m.sum()), np.int64),
+            "o_orderdate": df["o_orderdate"].to_numpy(),
+            "o_orderpriority": df["o_orderpriority"].to_numpy()})
+        return _tag_bucket(p, buckets, 1, COLS)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        li_ = g[g["_side"] == 0]
+        od_ = g[g["_side"] == 1]
+        rev = li_.groupby("okey", as_index=False)["cents"].sum()
+        j = (od_[["okey", "o_orderdate", "o_orderpriority"]]
+             .merge(rev, on="okey", how="inner")
+             .sort_values(["cents", "o_orderdate", "okey"],
+                          ascending=[False, True, True]).head(10))
+        return pd.DataFrame({
+            "o_orderkey": j["okey"].to_numpy().astype("int64"),
+            "o_orderdate": j["o_orderdate"].to_numpy(),
+            "o_orderpriority": j["o_orderpriority"].to_numpy(),
+            "revenue_cents": j["cents"].to_numpy().astype("int64")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_orderpriority"])
+    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
+              .union(od.map_batches(prep_od, batch_format="pyarrow")))
+    per_bucket = (tagged.groupby("_bucket")
+                  .map_groups(bucket_topk, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        j = df.sort_values(["revenue_cents", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True]).head(10)
+        return j.reset_index(drop=True)
+
+    return _merge_partials(per_bucket, final)
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '%s'
+  AND o_orderdate < TIMESTAMP '%s'
+  AND l_shipdate > TIMESTAMP '%s'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+""" % (Q3_SEGMENT, Q3_CUT, Q3_CUT)
+
+
+def revenue_by_nation(sf_dir):
+    """hash join via broadcast small sides: orders ⋈ customer ⋈ nation
+    (customer+nation are dimension tables → ray.put lookup dicts)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ref = ray.put((c2n, n2name))
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        c2n_, n2name_ = ray.get(ref)
+        df = df.copy()
+        df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
+        # integer cents: per-row rounding is exact in any engine, and
+        # integer sums are order-independent (float sums are not —
+        # they round differently at boundaries between engines)
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_orders=("n_orders", "sum"))
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    return _merge_partials(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(enrich, batch_format="pandas"), merge)
+
+
+REVENUE_SQL = """
+SELECT n_name,
+       cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def union_entities(sf_dir):
+    """union of two sources + groupby (CompositeRepository shape)."""
+    c = _read(sf_dir, "customer", columns=["c_name"]).map_batches(
+        lambda t: pa.table({"name": t["c_name"]}), batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", columns=["s_name"]).map_batches(
+        lambda t: pa.table({"name": t["s_name"]}), batch_format="pyarrow")
+    return (c.union(s).groupby("name").count()
+            .map_batches(lambda df: df.rename(columns={"count()": "n"}),
+                         batch_format="pandas"))
+
+
+UNION_SQL = """
+SELECT name, count(*) AS n FROM (
+  SELECT c_name AS name FROM customer
+  UNION ALL SELECT s_name FROM supplier) GROUP BY name
+"""

@@ -1,0 +1,3199 @@
+"""Later-session operator families: dispersion, attribution, fairness,
+conformal, SLO burn, scorecards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ...functions import firstletter
+from ...stages import text_analysis
+from ...stages.dedup import (
+    embedding_neardup_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from ...stages.similarity import knn_brute_force
+from ...stages.canonicalize import connected_components_distributed
+from ...stages import joins
+from .. import corpus, facets
+from ..kg import kg_pipeline
+from ._shared import _exchange_buckets, _merge_partials, _read
+from .relational import CM_DEPTH, _cm_col
+from .graph import BPE_MERGES, DOC_BPE_SQL, _CITE_EDGES_SQL, _kg_edges
+from .tpch_extra import KANON_BAND
+
+
+def events_fano_overdispersion(sf_dir):
+    """Fano factor (variance-to-mean ratio) of daily event counts per
+    type — the overdispersion audit that decides whether arrivals are
+    Poisson (F≈1), bursty (F>1) or regularized (F<1) before anyone
+    fits a Poisson rate model (Fano '47; the burstiness companion to
+    user_interarrival_histogram). Exact via the integer-moment
+    identity: F_milli = 1000·(D·Σx² − S²) // (D·S) over the DENSIFIED
+    calendar — missing days are real zero-count days (the
+    orders_daily_acf1 rule) and silently dropping them inflates the
+    mean and deflates the variance.
+
+    Scale shape: bounded (type, day) count partials — lossless
+    per-batch combiner, zero shuffle (≤ types × calendar-days cells);
+    the single merge densifies per type and runs the moment
+    arithmetic in Python ints (D·Σx² outgrows int64 past ~10⁷ daily
+    events over decades)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        out = (pd.DataFrame({"t": t["event_type"].to_pylist(),
+                             "d": days, "n": 1})
+               .groupby(["t", "d"], as_index=False)["n"].sum())
+        return out.astype({"d": "int64", "n": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.groupby(["t", "d"], as_index=False)["n"].sum()
+        lo, hi = int(b["d"].min()), int(b["d"].max())
+        D = hi - lo + 1
+        rows = []
+        for ty, g in b.groupby("t"):
+            ns = [int(v) for v in g["n"]]
+            s = sum(ns)
+            s2 = sum(v * v for v in ns)  # zero days add 0 to both
+            fano = 1000 * (D * s2 - s * s) // (D * s)
+            rows.append((ty, D, s, fano))
+        out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                          "n_events", "fano_milli"])
+        return out.sort_values("event_type").reset_index(drop=True) \
+            .astype({"n_days": "int64", "n_events": "int64",
+                     "fano_milli": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+FANO_SQL = """
+WITH b AS (
+  SELECT event_type AS t,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+cal AS (SELECT max(d) - min(d) + 1 AS nd FROM b),
+m AS (SELECT t, CAST(sum(n) AS HUGEINT) AS s,
+             CAST(sum(n * n) AS HUGEINT) AS s2
+      FROM b GROUP BY 1)
+SELECT t AS event_type,
+       CAST(cal.nd AS BIGINT) AS n_days,
+       CAST(m.s AS BIGINT) AS n_events,
+       CAST(1000 * (cal.nd * m.s2 - m.s * m.s)
+            // (cal.nd * m.s) AS BIGINT) AS fano_milli
+FROM m, cal ORDER BY t
+"""
+
+
+def kg_degree_assortativity(sf_dir):
+    """Degree assortativity of the co-citation graph — do hubs attach
+    to hubs (r>0, social networks) or to leaves (r<0, technological
+    graphs; Newman '02)? Pearson r over edge-endpoint degree pairs is
+    kept cross-engine exact by NEVER taking the square root: each
+    undirected edge contributes both directions, the five integer
+    sufficient statistics (n, Σx, Σy=Σx, Σxy, Σx²) reduce to
+    num = n·Σxy − (Σx)² and var = n·Σx² − (Σx)², and the report is
+    the SIGNED r² ppm sign(num)·(10⁶·num² // var²) next to the raw
+    (num, var) pair — the events_value_trend exact-pair discipline
+    (r = num/var here because x and y are exchangeable, so
+    r² = num²/var²).
+
+    Scale shape: degrees ride one node-bucketed exchange
+    (graph.degrees); endpoint degrees join onto the pair list by two
+    hash-bucketed joins (stages.joins.bucket_join — the a-side and
+    b-side each co-locate once); the joined batches reduce to the
+    bounded five-statistic partial, zero further shuffle, Python-int
+    finalize (num² outgrows int64 immediately)."""
+    from ...stages import graph
+    from ...stages.joins import bucket_join
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir)).materialize()
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())])})
+
+    deg = graph.degrees(pairs.map_batches(flat_nodes,
+                                          batch_format="pyarrow"),
+                        "node").materialize()
+
+    ja = bucket_join(pairs, deg, left_on="a", right_on="node",
+                     suffix="_da")
+    jb = bucket_join(ja, deg, left_on="b", right_on="node",
+                     suffix="_db")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["deg"].to_numpy(np.int64)
+        db = df["deg_db"].to_numpy(np.int64)
+        # both directions of every undirected edge
+        sx = int(da.sum() + db.sum())
+        sxy = 2 * int((da * db).sum())
+        sx2 = int((da * da).sum() + (db * db).sum())
+        return pd.DataFrame({"n": [2 * len(df)], "sx": [sx],
+                             "sxy": [sxy], "sx2": [sx2]}
+                            ).astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx = int(df["sx"].sum())
+        sxy = int(df["sxy"].sum())
+        sx2 = int(df["sx2"].sum())
+        num = n * sxy - sx * sx
+        var = n * sx2 - sx * sx
+        sgn = 1 if num >= 0 else -1
+        r2 = sgn * (1_000_000 * num * num // max(var * var, 1))
+        return pd.DataFrame({
+            "n_endpoints": pd.Series([n], dtype="int64"),
+            "num": pd.Series([num], dtype="int64"),
+            "var": pd.Series([var], dtype="int64"),
+            "assort_r2_ppm_signed": pd.Series([r2], dtype="int64")})
+
+    return _merge_partials(
+        jb.map_batches(stats, batch_format="pandas"), merge)
+
+
+KG_ASSORTATIVITY_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+pairs AS (
+  SELECT DISTINCT e1.dst AS a, e2.dst AS b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM pairs
+        UNION ALL SELECT b FROM pairs)
+  GROUP BY node),
+ep AS (
+  SELECT da.d AS x, db.d AS y
+  FROM pairs JOIN deg da ON da.node = pairs.a
+             JOIN deg db ON db.node = pairs.b
+  UNION ALL
+  SELECT db.d, da.d
+  FROM pairs JOIN deg da ON da.node = pairs.a
+             JOIN deg db ON db.node = pairs.b),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sx2
+      FROM ep),
+f AS (SELECT n, n * sxy - sx * sx AS num,
+             n * sx2 - sx * sx AS var
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_endpoints,
+       CAST(num AS BIGINT) AS num,
+       CAST(var AS BIGINT) AS var,
+       CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+            * (1000000 * num * num
+               // greatest(var * var, 1)) AS BIGINT)
+         AS assort_r2_ppm_signed
+FROM f
+"""
+
+
+LTV_MONTH_DAYS = 30  # account-age month = 30-day grid (documented)
+
+
+def customer_cohort_ltv(sf_dir):
+    """Cohort LTV curves — the growth-analytics staple: customers
+    cohorted by the calendar YEAR of their first order, every later
+    order assigned to its account-age month ((day − first_day) // 30,
+    a deterministic grid both engines share), and each (cohort,
+    age_month) cell reports order count, revenue cents, the running
+    cumulative revenue and the per-customer LTV cum_cents //
+    cohort_size — the curve a finance team reads payback periods
+    from. Calendar year via datetime64[Y] arithmetic (no locale).
+
+    Scale shape: the customer dimension is the small side — per-batch
+    (custkey → min day) partials ride ONE custkey-bucketed exchange
+    and the narrow (custkey, first_day) table materializes once (4
+    int64s/customer, the RFM precedent) and BROADCASTS as the
+    first-order lookup; orders then tag map-side into bounded
+    (cohort_year, age_month) cells (≤ years × ~90 months), zero
+    further shuffle; the single merge runs the within-cohort
+    cumsum."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "orders")
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        p = (pd.DataFrame({"c": t["o_custkey"].to_numpy(),
+                           "d": days})
+             .groupby("c", as_index=False)["d"].min())
+        h = pd.util.hash_pandas_object(p["c"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"c": "int64", "d": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("c", as_index=False)["d"].min()
+                .astype("int64"))
+
+    first = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(bucket_first, batch_format="pandas")
+             .to_pandas())
+    first_day = dict(zip(first["c"].astype(int),
+                         first["d"].astype(int)))
+    # cohort sizes from the same narrow table
+    fy = (np.asarray(list(first_day.values()), np.int64)
+          .astype("datetime64[D]").astype("datetime64[Y]")
+          .astype(np.int64) + 1970)
+    cohort_size = pd.Series(fy).value_counts().to_dict()
+    lookup = ray.put(first_day)
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        fd = _ray.get(lookup)
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        firsts = np.asarray([fd[int(c)] for c in
+                             t["o_custkey"].to_pylist()], np.int64)
+        years = (firsts.astype("datetime64[D]")
+                 .astype("datetime64[Y]").astype(np.int64) + 1970)
+        age = (days - firsts) // LTV_MONTH_DAYS
+        out = (pd.DataFrame({"cohort_year": years, "age_month": age,
+                             "n": 1, "cents": cents})
+               .groupby(["cohort_year", "age_month"], as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cohort_year", "age_month"], as_index=False)
+             .agg(n_orders=("n", "sum"), cents=("cents", "sum"))
+             .sort_values(["cohort_year", "age_month"])
+             .reset_index(drop=True))
+        g["cum_cents"] = g.groupby("cohort_year")["cents"].cumsum()
+        sizes = g["cohort_year"].map(cohort_size).astype("int64")
+        g["n_customers"] = sizes
+        g["ltv_cents"] = g["cum_cents"] // sizes
+        return g.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+COHORT_LTV_SQL = """
+WITH f AS (
+  SELECT o_custkey,
+         CAST(min(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
+           AS fd
+  FROM orders GROUP BY 1),
+cs AS (
+  SELECT CAST(year(CAST(to_timestamp(fd * 86400) AS DATE))
+              AS BIGINT) AS cohort_year,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM f GROUP BY 1),
+o AS (
+  SELECT CAST(year(CAST(to_timestamp(f.fd * 86400) AS DATE))
+              AS BIGINT) AS cohort_year,
+         (CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000
+          - f.fd) // %d AS age_month,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN f ON f.o_custkey = o.o_custkey),
+g AS (
+  SELECT cohort_year, age_month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM o GROUP BY 1, 2)
+SELECT g.cohort_year, g.age_month, g.n_orders, g.cents,
+       CAST(sum(g.cents) OVER (PARTITION BY g.cohort_year
+              ORDER BY g.age_month) AS BIGINT) AS cum_cents,
+       cs.n_customers,
+       CAST(sum(g.cents) OVER (PARTITION BY g.cohort_year
+              ORDER BY g.age_month) // cs.n_customers AS BIGINT)
+         AS ltv_cents
+FROM g JOIN cs ON cs.cohort_year = g.cohort_year
+ORDER BY g.cohort_year, g.age_month
+""" % LTV_MONTH_DAYS
+
+
+def part_price_index(sf_dir):
+    """Laspeyres and Paasche price indices between the two halves of
+    the shipdate range — the econometrics primitive (CPI arithmetic)
+    asking 'did prices rise, holding the BASKET fixed?': per part and
+    period, unit price is the floored milli-grid 1000·cents // qty
+    (a documented grid — per-row prices are ratios, so a grid is the
+    only way integer arithmetic crosses engines), Laspeyres weights
+    by base-period quantities (1000·Σp₁q₀ // Σp₀q₀) and Paasche by
+    current (1000·Σp₁q₁ // Σp₀q₁), over parts traded in BOTH halves
+    (the matched-basket rule).
+
+    Scale shape: one zero-shuffle min/max pre-pass pins the midpoint
+    (the orders_price_drift discipline); (part, half → cents, qty)
+    partials ride ONE partkey-bucketed exchange; each bucket
+    finalizes its parts' per-period prices and emits ONE bounded
+    five-number partial (a part lives in exactly one bucket, so the
+    basket sums are additive); Python-int merge, HUGEINT oracle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_quantity",
+                        "l_extendedprice"])
+
+    def day_range(t: pa.Table) -> pd.DataFrame:
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"lo": pd.Series([int(d.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(d.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(day_range, batch_format="pyarrow").to_pandas()
+    mid = (int(r["lo"].min()) + int(r["hi"].max())) // 2
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        days = (t["l_shipdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        qty = pc.cast(pc.round(t["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64()).to_numpy()
+        p = (pd.DataFrame({"k": t["l_partkey"].to_numpy(),
+                           "h": (days > mid).astype(np.int64),
+                           "cents": cents, "qty": qty})
+             .groupby(["k", "h"], as_index=False)
+             .agg(cents=("cents", "sum"), qty=("qty", "sum")))
+        hh = pd.util.hash_pandas_object(p["k"], index=False).values
+        p["_bucket"] = (hh % np.uint64(buckets)).astype("int32")
+        return p.astype({"k": "int64", "h": "int64", "cents": "int64",
+                         "qty": "int64", "_bucket": "int32"})
+
+    def bucket_sums(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby(["k", "h"], as_index=False)
+             .agg(cents=("cents", "sum"), qty=("qty", "sum")))
+        w = a.pivot_table(index="k", columns="h",
+                          values=["cents", "qty"], aggfunc="sum")
+        w = w.reindex(columns=pd.MultiIndex.from_product(
+            [["cents", "qty"], [0, 1]]))
+        both = w.dropna()
+        if len(both) == 0:
+            z = [0] * 5
+        else:
+            c0 = both[("cents", 0)].to_numpy(np.int64)
+            c1 = both[("cents", 1)].to_numpy(np.int64)
+            q0 = both[("qty", 0)].to_numpy(np.int64)
+            q1 = both[("qty", 1)].to_numpy(np.int64)
+            p0 = 1000 * c0 // q0
+            p1 = 1000 * c1 // q1
+            z = [len(both), int((p1 * q0).sum()),
+                 int((p0 * q0).sum()), int((p1 * q1).sum()),
+                 int((p0 * q1).sum())]
+        return pd.DataFrame({"n_parts": [z[0]], "l_num": [z[1]],
+                             "l_den": [z[2]], "p_num": [z[3]],
+                             "p_den": [z[4]]}).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_sums, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ln, ld = int(df["l_num"].sum()), int(df["l_den"].sum())
+        pn, pdn = int(df["p_num"].sum()), int(df["p_den"].sum())
+        return pd.DataFrame({
+            "n_parts_both": pd.Series([int(df["n_parts"].sum())],
+                                      dtype="int64"),
+            "laspeyres_milli": pd.Series([1000 * ln // max(ld, 1)],
+                                         dtype="int64"),
+            "paasche_milli": pd.Series([1000 * pn // max(pdn, 1)],
+                                       dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+PRICE_INDEX_SQL = """
+WITH rng AS (
+  SELECT (min(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000)
+          + max(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000))
+         // 2 AS mid
+  FROM lineitem),
+b AS (
+  SELECT l_partkey AS k,
+         CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT)
+                   // 86400000000 > rng.mid
+              THEN 1 ELSE 0 END AS h,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem, rng GROUP BY 1, 2),
+w AS (
+  SELECT b0.k,
+         1000 * b0.cents // b0.qty AS p0,
+         1000 * b1.cents // b1.qty AS p1,
+         b0.qty AS q0, b1.qty AS q1
+  FROM b b0 JOIN b b1 ON b1.k = b0.k AND b0.h = 0 AND b1.h = 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p1 * q0) AS HUGEINT) AS ln_,
+             CAST(sum(p0 * q0) AS HUGEINT) AS ld,
+             CAST(sum(p1 * q1) AS HUGEINT) AS pn,
+             CAST(sum(p0 * q1) AS HUGEINT) AS pd_
+      FROM w)
+SELECT n AS n_parts_both,
+       CAST(1000 * ln_ // greatest(ld, 1) AS BIGINT)
+         AS laspeyres_milli,
+       CAST(1000 * pn // greatest(pd_, 1) AS BIGINT)
+         AS paasche_milli
+FROM s
+"""
+
+
+def kg_rich_club(sf_dir):
+    """Rich-club coefficient ladder of the co-citation graph — for
+    every degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k
+    counts nodes of degree > k and E_k edges whose BOTH endpoints
+    have degree > k (Colizza et al. '06): do the hubs form a club
+    denser than the graph at large? Reported as floored permille per
+    k over every k with N_k ≥ 2.
+
+    Scale shape: reuses the assortativity join plan — degrees ride
+    one node-bucketed exchange and attach to the pair list via two
+    bucket_joins over materialized inputs; per-batch census of
+    min(da, db) plus the bounded degree histogram are both suffix-
+    cumsummable, so E_k and N_k for EVERY k fall out of one merge
+    block with no per-k passes. Python-int quotients (N_k² outgrows
+    int64 past ~3·10⁹ hub nodes)."""
+    from ...stages import graph
+    from ...stages.joins import bucket_join
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir)).materialize()
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())])})
+
+    deg = graph.degrees(pairs.map_batches(flat_nodes,
+                                          batch_format="pyarrow"),
+                        "node").materialize()
+
+    # bounded degree histogram (distinct degree values)
+    def deg_hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("deg", as_index=False).size()
+               .rename(columns={"size": "n_nodes"}))
+        return out.astype("int64")
+
+    hist = (deg.map_batches(deg_hist, batch_format="pandas")
+            .to_pandas().groupby("deg", as_index=False)["n_nodes"]
+            .sum())
+
+    ja = bucket_join(pairs, deg, left_on="a", right_on="node",
+                     suffix="_da")
+    jb = bucket_join(ja, deg, left_on="b", right_on="node",
+                     suffix="_db")
+
+    def edge_census(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.minimum(df["deg"].to_numpy(np.int64),
+                       df["deg_db"].to_numpy(np.int64))
+        out = (pd.DataFrame({"mindeg": m})
+               .groupby("mindeg", as_index=False).size()
+               .rename(columns={"size": "n_edges"}))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ec = (df.groupby("mindeg", as_index=False)["n_edges"].sum()
+              .sort_values("mindeg").reset_index(drop=True))
+        degs = hist.sort_values("deg").reset_index(drop=True)
+        max_deg = int(degs["deg"].max())
+        rows = []
+        for k in range(1, max_deg):
+            nk = int(degs.loc[degs["deg"] > k, "n_nodes"].sum())
+            if nk < 2:
+                continue
+            ek = int(ec.loc[ec["mindeg"] > k, "n_edges"].sum())
+            rows.append((k, nk, ek,
+                         1000 * 2 * ek // (nk * (nk - 1))))
+        return pd.DataFrame(rows, columns=["k", "n_nodes", "n_edges",
+                                           "phi_permille"]
+                            ).astype("int64")
+
+    return _merge_partials(
+        jb.map_batches(edge_census, batch_format="pandas"), merge)
+
+
+KG_RICH_CLUB_SQL = f"""
+WITH edges AS ({_CITE_EDGES_SQL}),
+pairs AS (
+  SELECT DISTINCT e1.dst AS a, e2.dst AS b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM pairs
+        UNION ALL SELECT b FROM pairs)
+  GROUP BY node),
+ks AS (
+  SELECT unnest(generate_series(1,
+           (SELECT CAST(max(d) AS BIGINT) FROM deg) - 1)) AS k),
+nk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+ek AS (SELECT ks.k, CAST(count(e.mindeg) AS BIGINT) AS n_edges
+       FROM ks LEFT JOIN (
+         SELECT least(da.d, db.d) AS mindeg
+         FROM pairs JOIN deg da ON da.node = pairs.a
+                    JOIN deg db ON db.node = pairs.b) e
+         ON e.mindeg > ks.k
+       GROUP BY 1)
+SELECT nk.k, nk.n_nodes,
+       coalesce(ek.n_edges, 0) AS n_edges,
+       CAST(1000 * 2 * CAST(coalesce(ek.n_edges, 0) AS HUGEINT)
+            // (CAST(nk.n_nodes AS HUGEINT) * (nk.n_nodes - 1))
+            AS BIGINT) AS phi_permille
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.n_nodes >= 2
+ORDER BY nk.k
+"""
+
+
+def er_blocking_quality(sf_dir):
+    """Blocking-scheme evaluation (Christen '12's two standard
+    metrics) — before trusting a cheap blocking key at 10⁹ records,
+    measure what it buys and what it loses against ground truth:
+    PAIRS COMPLETENESS (recall: fraction of true edit-distance-1
+    name pairs whose two records share a block) and REDUCTION RATIO
+    (fraction of the N·(N−1)/2 comparison space the blocking prunes).
+    The audited scheme is prefix-15 blocking (drop the last 3 name
+    chars) over the zero-padded customer names, whose block key is
+    provably custkey // 1000 — so a truth pair is captured iff its
+    keys agree on //1000, evaluable map-side with no name join.
+
+    Scale shape: the truth pairs reuse the FastSS deletion-
+    neighborhood machinery (dedup.edit1_join_pairs — signature
+    explode, bucketed verify); capture tagging and the pair census
+    are per-batch count partials, zero further shuffle; block sizes
+    for the reduction ratio are a bounded (block → n) combiner
+    (≤ N/1000 blocks). C(N,2) arithmetic in Python ints."""
+    from ...stages.dedup import edit1_join_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    n_cust = ds.count()
+
+    pairs = edit1_join_pairs(ds, text_col="c_name",
+                             key_col="c_custkey")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["key_a"].to_numpy(np.int64)
+        b = df["key_b"].to_numpy(np.int64)
+        cap = (a // 1000 == b // 1000).astype(np.int64)
+        return pd.DataFrame({"n_truth": [len(df)],
+                             "n_captured": [int(cap.sum())]}
+                            ).astype("int64")
+
+    truth = pairs.map_batches(tag, batch_format="pandas").to_pandas()
+    n_truth = int(truth["n_truth"].sum())
+    n_cap = int(truth["n_captured"].sum())
+
+    def block_sizes(t: pa.Table) -> pd.DataFrame:
+        blk = t["c_custkey"].to_numpy() // 1000
+        out = (pd.DataFrame({"blk": blk})
+               .groupby("blk", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype("int64")
+
+    blocks = (_read(sf_dir, "customer", columns=["c_custkey"])
+              .map_batches(block_sizes, batch_format="pyarrow")
+              .to_pandas().groupby("blk")["n"].sum())
+    candidates = sum(int(n) * (int(n) - 1) // 2 for n in blocks)
+    possible = n_cust * (n_cust - 1) // 2
+
+    return pd.DataFrame({
+        "n_truth_pairs": pd.Series([n_truth], dtype="int64"),
+        "n_captured": pd.Series([n_cap], dtype="int64"),
+        "recall_permille": pd.Series(
+            [1000 * n_cap // max(n_truth, 1)], dtype="int64"),
+        "n_candidates": pd.Series([candidates], dtype="int64"),
+        "reduction_permille": pd.Series(
+            [1000 * (possible - candidates) // max(possible, 1)],
+            dtype="int64")})
+
+
+ER_BLOCKING_SQL = """
+WITH truth AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+cap AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN ka // 1000 = kb // 1000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cap
+  FROM truth),
+blk AS (SELECT c_custkey // 1000 AS b, count(*) AS n
+        FROM customer GROUP BY 1),
+cand AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS c FROM blk),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM customer)
+SELECT cap.n_truth AS n_truth_pairs,
+       cap.n_cap AS n_captured,
+       CAST(1000 * cap.n_cap // greatest(cap.n_truth, 1) AS BIGINT)
+         AS recall_permille,
+       cand.c AS n_candidates,
+       CAST(1000 * (tot.n * (tot.n - 1) // 2 - cand.c)
+            // greatest(tot.n * (tot.n - 1) // 2, 1) AS BIGINT)
+         AS reduction_permille
+FROM cap, cand, tot
+"""
+
+
+ATTR_WINDOW_US = 48 * 3600 * 1_000_000  # 48-hour lookback
+
+
+def events_touch_attribution(sf_dir):
+    """Multi-touch attribution — the marketing-analytics question
+    'which channel gets credit for the purchase?', answered under the
+    three standard models at once: per channel (view/click), the
+    count of purchases whose FIRST touch in the 48 h lookback was
+    this channel, whose LAST touch was, and the LINEAR credit sum
+    (each of a purchase's k touches earns the floored 1000//k
+    permille — the floor is the defined grid, so credits sum to ≤1000
+    per purchase identically in both engines). Window is half-open
+    [t_p − W, t_p): a touch AT the purchase microsecond is the
+    purchase's own page-render, not a cause. Purchases with no touch
+    in window report as the '(none)' channel — the orphan rate a
+    media team reads before trusting the model. Ties on equal ts
+    break by event_id in both engines.
+
+    Scale shape: one user-bucketed exchange co-locates each user's
+    events; per bucket the purchases×touches window join is a
+    vectorized same-user merge (per-user event counts are bounded —
+    the basket self-join discipline), first/last fall out of one
+    (pid, ts, eid) sort, and the bucket emits a bounded ≤3-channel
+    census partial (a purchase lives in exactly one bucket)."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        kinds = t["event_type"].to_pylist()
+        keep = [i for i, k in enumerate(kinds)
+                if k in ("purchase", "view", "click")]
+        tt = t.take(keep)
+        df = pd.DataFrame({
+            "u": tt["user_id"].to_numpy(),
+            "ts": (tt["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64)),
+            "eid": tt["event_id"].to_numpy(),
+            "ch": tt["event_type"].to_pylist()})
+        h = pd.util.hash_pandas_object(df["u"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def bucket_census(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["ch"] == "purchase"][["u", "ts", "eid"]] \
+            .rename(columns={"ts": "pts", "eid": "pid"})
+        t = g[g["ch"] != "purchase"][["u", "ts", "eid", "ch"]]
+        j = p.merge(t, on="u")
+        j = j[(j["ts"] >= j["pts"] - ATTR_WINDOW_US)
+              & (j["ts"] < j["pts"])]
+        cells = {}
+
+        def bump(ch, col, val=1):
+            key = ch
+            if key not in cells:
+                cells[key] = [0, 0, 0]
+            cells[key][col] += val
+
+        if len(j):
+            j = j.sort_values(["pid", "ts", "eid"], kind="mergesort")
+            kk = j.groupby("pid")["eid"].transform("size") \
+                .to_numpy(np.int64)
+            for ch, n in (j.groupby("pid").head(1)["ch"]
+                          .value_counts().items()):
+                bump(ch, 0, int(n))
+            for ch, n in (j.groupby("pid").tail(1)["ch"]
+                          .value_counts().items()):
+                bump(ch, 1, int(n))
+            lin = pd.DataFrame({"ch": j["ch"].to_numpy(),
+                                "w": 1000 // kk})
+            for ch, s in lin.groupby("ch")["w"].sum().items():
+                bump(ch, 2, int(s))
+        orphans = len(p) - j["pid"].nunique() if len(j) else len(p)
+        if orphans:
+            bump("(none)", 0, orphans)
+            bump("(none)", 1, orphans)
+        out = pd.DataFrame(
+            [(ch, v[0], v[1], v[2]) for ch, v in cells.items()],
+            columns=["channel", "first_touch", "last_touch",
+                     "linear_permille"])
+        return out.astype({"first_touch": "int64",
+                           "last_touch": "int64",
+                           "linear_permille": "int64"})
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_census, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("channel", as_index=False)
+               .agg(first_touch=("first_touch", "sum"),
+                    last_touch=("last_touch", "sum"),
+                    linear_permille=("linear_permille", "sum"))
+               .sort_values("channel").reset_index(drop=True))
+        return out.astype({"first_touch": "int64",
+                           "last_touch": "int64",
+                           "linear_permille": "int64"})
+
+    return _merge_partials(per_bucket, merge)
+
+
+TOUCH_ATTR_SQL = """
+WITH p AS (
+  SELECT event_id AS pid, user_id AS u,
+         CAST(epoch_us(ts) AS BIGINT) AS pts
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS ts,
+         event_id AS eid, event_type AS ch
+  FROM events WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT p.pid, t.ch, t.ts, t.eid
+  FROM p JOIN t ON t.u = p.u
+    AND t.ts >= p.pts - %d AND t.ts < p.pts),
+r AS (
+  SELECT pid, ch,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY ts, eid) AS rn_a,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY ts DESC, eid DESC) AS rn_d,
+         CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS k
+  FROM j),
+ft AS (SELECT ch, CAST(count(*) AS BIGINT) AS n
+       FROM r WHERE rn_a = 1 GROUP BY 1),
+lt AS (SELECT ch, CAST(count(*) AS BIGINT) AS n
+       FROM r WHERE rn_d = 1 GROUP BY 1),
+lin AS (SELECT ch, CAST(sum(1000 // k) AS BIGINT) AS s
+        FROM r GROUP BY 1),
+orph AS (SELECT (SELECT count(*) FROM p)
+                - (SELECT count(DISTINCT pid) FROM j) AS n),
+chans AS (SELECT DISTINCT ch FROM j)
+SELECT ch AS channel,
+       coalesce(ft.n, 0) AS first_touch,
+       coalesce(lt.n, 0) AS last_touch,
+       coalesce(lin.s, 0) AS linear_permille
+FROM chans LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch)
+           LEFT JOIN lin USING (ch)
+UNION ALL
+SELECT '(none)', CAST(orph.n AS BIGINT), CAST(orph.n AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM orph WHERE orph.n > 0
+ORDER BY channel
+""" % ATTR_WINDOW_US
+
+
+FAIR_THRESHOLD = 14  # classify positive at planted score >= 14
+
+
+def lineitem_fairness_audit(sf_dir):
+    """Group-fairness audit of a classifier — the responsible-AI
+    release gate: per protected group (supplier cohort l_suppkey % 5,
+    a synthetic protected attribute on a real column), the three
+    quantities every fairness review reads: SELECTION RATE
+    (demographic parity), TPR and FPR (equalized odds, Hardt et al.
+    '16), each as exact floored permille. The classifier is the
+    planted scorer thresholded at ≥14 (the lineitem_model_auc rule);
+    score and group are independent by construction, so the audit
+    correctly reports near-equal rates — the exact per-group values
+    and their gaps are the data a dashboard plots.
+
+    Scale shape: bounded (group, y, ŷ) count partials — ≤20 cells,
+    lossless per-batch combiner, zero shuffle, one merge block of
+    integer divisions."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        okey = t["l_orderkey"].to_numpy()
+        y = (pc.equal(t["l_returnflag"], pa.scalar("R"))
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        s = 8 * y + okey % 20
+        out = (pd.DataFrame({"g": t["l_suppkey"].to_numpy() % 5,
+                             "y": y,
+                             "yh": (s >= FAIR_THRESHOLD)
+                             .astype(np.int64),
+                             "n": 1})
+               .groupby(["g", "y", "yh"], as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["g", "y", "yh"])["n"].sum()
+        rows = []
+        for g in sorted({k[0] for k in c.index}):
+            def n(y, yh):
+                return int(c.get((g, y, yh), 0))
+            tot = n(0, 0) + n(0, 1) + n(1, 0) + n(1, 1)
+            pos = n(1, 0) + n(1, 1)
+            neg = n(0, 0) + n(0, 1)
+            rows.append((int(g), tot,
+                         1000 * (n(0, 1) + n(1, 1)) // max(tot, 1),
+                         1000 * n(1, 1) // max(pos, 1),
+                         1000 * n(0, 1) // max(neg, 1)))
+        return pd.DataFrame(rows, columns=[
+            "grp", "n", "selection_permille", "tpr_permille",
+            "fpr_permille"]).astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+FAIRNESS_SQL = """
+WITH s AS (
+  SELECT l_suppkey %% 5 AS grp,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN 8 * (CASE WHEN l_returnflag = 'R'
+                             THEN 1 ELSE 0 END)
+                   + l_orderkey %% 20 >= %d
+              THEN 1 ELSE 0 END AS yh
+  FROM lineitem),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yh) AS BIGINT) AS sel,
+         CAST(sum(y * yh) AS BIGINT) AS tp,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum((1 - y) * yh) AS BIGINT) AS fp
+  FROM s GROUP BY 1)
+SELECT CAST(grp AS BIGINT) AS grp, n,
+       CAST(1000 * sel // greatest(n, 1) AS BIGINT)
+         AS selection_permille,
+       CAST(1000 * tp // greatest(pos, 1) AS BIGINT)
+         AS tpr_permille,
+       CAST(1000 * fp // greatest(n - pos, 1) AS BIGINT)
+         AS fpr_permille
+FROM g ORDER BY grp
+""" % FAIR_THRESHOLD
+
+
+CONFORMAL_ALPHA_PERMILLE = 100  # target 90% coverage
+
+
+def lineitem_conformal_threshold(sf_dir):
+    """Split-conformal calibration (Vovk '05 / Angelopoulos-Bates
+    '21) — the distribution-free coverage guarantee every deployed
+    scorer should ship with: a deterministic calibration split
+    (l_orderkey % 4 = 0, both engines replay it), nonconformity
+    u = 27 − score over calibration POSITIVES, threshold q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest u (the finite-sample corrected order
+    statistic — an off-by-one here silently voids the guarantee),
+    then the EMPIRICAL eval-set check: positive coverage (must
+    concentrate near ≥900‰) and the negative capture rate — the
+    efficiency price of the guarantee.
+
+    Scale shape: nonconformity lives on the bounded ≤28-value score
+    grid, so calibration is a zero-shuffle (u, split, y) count
+    histogram; the order statistic reads off a cumsum and the
+    coverage recount is the same histogram's other half — one pass,
+    one merge block."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        okey = t["l_orderkey"].to_numpy()
+        y = (pc.equal(t["l_returnflag"], pa.scalar("R"))
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        u = 27 - (8 * y + okey % 20)
+        out = (pd.DataFrame({"u": u, "cal": (okey // 20 % 4 == 0)
+                             .astype(np.int64), "y": y, "n": 1})
+               .groupby(["u", "cal", "y"], as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["u", "cal", "y"])["n"].sum()
+        cal = sorted((int(u), int(n)) for (u, cl, y), n in c.items()
+                     if cl == 1 and y == 1)
+        n_cal = sum(n for _, n in cal)
+        rank = -(-(n_cal + 1) * (1000 - CONFORMAL_ALPHA_PERMILLE)
+                 // 1000)  # ceil((n+1)(1-alpha))
+        rank = min(rank, n_cal)
+        cum, q = 0, max(u for u, _ in cal) if cal else 0
+        for u, n in cal:
+            cum += n
+            if cum >= rank:
+                q = u
+                break
+        ev_pos = sum(int(n) for (u, cl, y), n in c.items()
+                     if cl == 0 and y == 1)
+        ev_pos_cov = sum(int(n) for (u, cl, y), n in c.items()
+                         if cl == 0 and y == 1 and int(u) <= q)
+        ev_neg = sum(int(n) for (u, cl, y), n in c.items()
+                     if cl == 0 and y == 0)
+        # negatives scored by the same rule: u = 27 - s
+        ev_neg_cap = sum(int(n) for (u, cl, y), n in c.items()
+                         if cl == 0 and y == 0 and int(u) <= q)
+        return pd.DataFrame({
+            "n_cal": pd.Series([n_cal], dtype="int64"),
+            "q_hat": pd.Series([q], dtype="int64"),
+            "coverage_permille": pd.Series(
+                [1000 * ev_pos_cov // max(ev_pos, 1)], dtype="int64"),
+            "neg_capture_permille": pd.Series(
+                [1000 * ev_neg_cap // max(ev_neg, 1)],
+                dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+CONFORMAL_SQL = """
+WITH s AS (
+  SELECT 27 - (8 * (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               + l_orderkey %% 20) AS u,
+         CASE WHEN (l_orderkey // 20) %% 4 = 0 THEN 1 ELSE 0 END
+           AS cal,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+calpos AS (SELECT u, CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE cal = 1 AND y = 1 GROUP BY 1),
+nc AS (SELECT CAST(sum(n) AS BIGINT) AS n_cal FROM calpos),
+rk AS (SELECT least(((n_cal + 1) * (1000 - %d) + 999) // 1000,
+                    n_cal) AS r, n_cal FROM nc),
+q AS (SELECT min(u) AS q_hat FROM
+        (SELECT u, sum(n) OVER (ORDER BY u) AS cum FROM calpos),
+        rk
+      WHERE cum >= rk.r),
+ev AS (SELECT
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos,
+         CAST(sum(CASE WHEN y = 1 AND u <= q.q_hat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pos_cov,
+         CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS neg,
+         CAST(sum(CASE WHEN y = 0 AND u <= q.q_hat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS neg_cap
+       FROM s, q WHERE cal = 0)
+SELECT rk.n_cal AS n_cal,
+       CAST(q.q_hat AS BIGINT) AS q_hat,
+       CAST(1000 * ev.pos_cov // greatest(ev.pos, 1) AS BIGINT)
+         AS coverage_permille,
+       CAST(1000 * ev.neg_cap // greatest(ev.neg, 1) AS BIGINT)
+         AS neg_capture_permille
+FROM rk, q, ev
+""" % CONFORMAL_ALPHA_PERMILLE
+
+
+def events_cuped_reduction(sf_dir):
+    """CUPED variance-reduction audit (Deng et al. WSDM'13) — the
+    experimentation-platform question 'how much experiment runtime
+    does the pre-period covariate buy?': per user, X = pre-midpoint
+    value sum and Y = post-midpoint value sum (whole-unit integer
+    grid), θ = cov/var reported as the exact integer pair
+    (θ_num, θ_den) = (n·Σxy − ΣxΣy, n·Σx² − (Σx)²) — the
+    events_value_trend discipline — and the headline variance
+    reduction r² in ppm, 10⁶·num² // (varx·vary), all Python-int
+    (num² reaches ~10²⁹ at sf0.01; HUGEINT oracle). Here the only
+    X↔Y link is per-user activity rate, so the audit honestly reports
+    a few-permille reduction — the number that tells a team CUPED is
+    NOT worth it for this metric.
+
+    Scale shape: one zero-shuffle min/max pre-pass pins the midpoint;
+    per-batch (user → x, y) sum partials (lossless combiner) ride ONE
+    user-bucketed exchange; each bucket reduces its finalized users
+    to a bounded six-statistic partial, single Python-int merge."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def ts_range(t: pa.Table) -> pd.DataFrame:
+        x = (t["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        return pd.DataFrame({"lo": pd.Series([int(x.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(x.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(ts_range, batch_format="pyarrow").to_pandas()
+    mid = (int(r["lo"].min()) + int(r["hi"].max())) // 2
+    buckets = _exchange_buckets(sf_dir, "events")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        ts = (t["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        v = pc.cast(pc.round(t["value"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        pre = ts <= mid
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy(),
+                           "x": np.where(pre, v, 0),
+                           "y": np.where(pre, 0, v)})
+             .groupby("u", as_index=False).agg(x=("x", "sum"),
+                                               y=("y", "sum")))
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "x": "int64", "y": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("u", as_index=False).agg(x=("x", "sum"),
+                                               y=("y", "sum"))
+        x = a["x"].to_numpy(np.int64)
+        y = a["y"].to_numpy(np.int64)
+        return pd.DataFrame({"n": [len(a)], "sx": [int(x.sum())],
+                             "sy": [int(y.sum())],
+                             "sxy": [int((x * y).sum())],
+                             "sx2": [int((x * x).sum())],
+                             "sy2": [int((y * y).sum())]}
+                            ).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_stats, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx, sy = int(df["sx"].sum()), int(df["sy"].sum())
+        sxy = int(df["sxy"].sum())
+        sx2, sy2 = int(df["sx2"].sum()), int(df["sy2"].sum())
+        num = n * sxy - sx * sy
+        vx = n * sx2 - sx * sx
+        vy = n * sy2 - sy * sy
+        r2 = 1_000_000 * num * num // max(vx * vy, 1)
+        return pd.DataFrame({
+            "n_users": pd.Series([n], dtype="int64"),
+            "theta_num": pd.Series([num], dtype="int64"),
+            "theta_den": pd.Series([vx], dtype="int64"),
+            "var_reduction_ppm": pd.Series([r2], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+CUPED_SQL = """
+WITH rng AS (
+  SELECT (min(CAST(epoch_us(ts) AS BIGINT))
+          + max(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid
+  FROM events),
+u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) <= rng.mid
+                       THEN CAST(round(value) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) > rng.mid
+                       THEN CAST(round(value) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events, rng GROUP BY 1),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sx2,
+             CAST(sum(y * y) AS HUGEINT) AS sy2
+      FROM u),
+f AS (SELECT n, n * sxy - sx * sy AS num,
+             n * sx2 - sx * sx AS vx,
+             n * sy2 - sy * sy AS vy
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(num AS BIGINT) AS theta_num,
+       CAST(vx AS BIGINT) AS theta_den,
+       CAST(1000000 * num * num // greatest(vx * vy, 1) AS BIGINT)
+         AS var_reduction_ppm
+FROM f
+"""
+
+
+def events_srm_check(sf_dir):
+    """Sample-ratio-mismatch check — the first gate every experiment
+    readout runs (Fabijan et al. '19: an SRM invalidates everything
+    downstream): users md5-hash into two arms (the deterministic
+    assignment discipline — a modulo on sequential ids is EXACTLY
+    balanced by construction and tests nothing), and the 1-dof χ²
+    against the 50/50 design is the exact integer
+    1000·(n₀−n₁)² // (n₀+n₁), flagged at the 3.841 critical value.
+    On an honest assignment the statistic is binomial noise — the
+    audit passing IS the result.
+
+    Scale shape: distinct users need one user-bucketed exchange
+    (batch-local distinct is not a user census); each bucket emits
+    its two arm counts (a user lives in one bucket), bounded 2-cell
+    merge."""
+    import hashlib
+
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({"u": t["user_id"].to_numpy()}) \
+            .drop_duplicates()
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "_bucket": "int32"})
+
+    def bucket_arms(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["u"].drop_duplicates()
+        arms = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15],
+                 16) % 2 for u in us), np.int64, len(us))
+        return pd.DataFrame({"n0": [int((arms == 0).sum())],
+                             "n1": [int((arms == 1).sum())]}
+                            ).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_arms, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n0, n1 = int(df["n0"].sum()), int(df["n1"].sum())
+        chi2 = 1000 * (n0 - n1) * (n0 - n1) // max(n0 + n1, 1)
+        return pd.DataFrame({
+            "n_arm0": pd.Series([n0], dtype="int64"),
+            "n_arm1": pd.Series([n1], dtype="int64"),
+            "srm_chi2_milli": pd.Series([chi2], dtype="int64"),
+            "srm_flag": pd.Series([1 if chi2 > 3841 else 0],
+                                  dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+SRM_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 2 AS arm
+      FROM u),
+c AS (SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n0,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1
+      FROM a)
+SELECT n0 AS n_arm0, n1 AS n_arm1,
+       CAST(1000 * (n0 - n1) * (n0 - n1)
+            // greatest(n0 + n1, 1) AS BIGINT) AS srm_chi2_milli,
+       CAST(CASE WHEN 1000 * (n0 - n1) * (n0 - n1)
+                      // greatest(n0 + n1, 1) > 3841
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM c
+"""
+
+
+DUP_PAY_PLANT_MOD = 37      # every 37th order double-submits
+DUP_PAY_CLONE_BASE = 10 ** 9
+DUP_PAY_WINDOW_DAYS = 7
+
+
+def orders_duplicate_payments(sf_dir):
+    """Duplicate-payment detector with a planted validation set — the
+    AP/fraud audit 'same payer, same amount, days apart' cannot be
+    demonstrated on this synthesizer (continuous prices: measured 0
+    natural collisions even on a $100 grid), so every 37th order
+    PLANTS a double-submission (clone key +10⁹, same customer and
+    cents, next day — the bloom_fpr_audit detector-validation
+    discipline) and the detector's recall against the plant is the
+    reported result, next to the natural-pair count (0 here; >0 in
+    production is the finding).
+
+    Scale shape: plants are map-side row emission; candidate pairs
+    ride ONE custkey-bucketed exchange and each bucket self-merges on
+    (custkey, cents) — the same-key join is tiny because amounts
+    collide rarely (that rarity is WHY the detector works) — then
+    filters the ±7-day window; bounded count partials, single
+    merge."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        c = t["o_custkey"].to_numpy()
+        d = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"k": k, "c": c, "d": d, "cents": cents})
+        plant = df[df["k"] % DUP_PAY_PLANT_MOD == 0].copy()
+        plant["k"] = plant["k"] + DUP_PAY_CLONE_BASE
+        plant["d"] = plant["d"] + 1
+        df = pd.concat([df, plant], ignore_index=True)
+        h = pd.util.hash_pandas_object(df["c"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df.astype({"k": "int64", "c": "int64", "d": "int64",
+                          "cents": "int64", "_bucket": "int32"})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on=["c", "cents"])
+        j = j[(j["k_x"] < j["k_y"])
+              & ((j["d_x"] - j["d_y"]).abs()
+                 <= DUP_PAY_WINDOW_DAYS)]
+        clone = (j["k_y"] >= DUP_PAY_CLONE_BASE) \
+            | (j["k_x"] >= DUP_PAY_CLONE_BASE)
+        n_plant = int((g.loc[g["k"] < DUP_PAY_CLONE_BASE, "k"]
+                       % DUP_PAY_PLANT_MOD == 0).sum())
+        return pd.DataFrame({
+            "n_pairs": [len(j)],
+            "n_clone_pairs": [int(clone.sum())],
+            "n_natural_pairs": [int((~clone).sum())],
+            "n_planted": [n_plant]}).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = int(df["n_pairs"].sum())
+        clones = int(df["n_clone_pairs"].sum())
+        nat = int(df["n_natural_pairs"].sum())
+        planted = int(df["n_planted"].sum())
+        return pd.DataFrame({
+            "n_planted": pd.Series([planted], dtype="int64"),
+            "n_pairs": pd.Series([pairs], dtype="int64"),
+            "n_natural_pairs": pd.Series([nat], dtype="int64"),
+            "recall_permille": pd.Series(
+                [1000 * clones // max(planted, 1)], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+DUP_PAY_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+o AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT k + %d, c, d + 1, cents FROM base WHERE k %% %d = 0),
+p AS (
+  SELECT a.k AS ka, b.k AS kb
+  FROM o a JOIN o b
+    ON a.c = b.c AND a.cents = b.cents AND a.k < b.k
+   AND abs(a.d - b.d) <= %d),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN ka >= %d OR kb >= %d
+                       THEN 1 ELSE 0 END) AS BIGINT) AS clones
+  FROM p),
+pl AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM base WHERE k %% %d = 0)
+SELECT pl.n AS n_planted,
+       agg.n_pairs,
+       CAST(agg.n_pairs - agg.clones AS BIGINT) AS n_natural_pairs,
+       CAST(1000 * agg.clones // greatest(pl.n, 1) AS BIGINT)
+         AS recall_permille
+FROM agg, pl
+""" % (DUP_PAY_CLONE_BASE, DUP_PAY_PLANT_MOD, DUP_PAY_WINDOW_DAYS,
+       DUP_PAY_CLONE_BASE, DUP_PAY_CLONE_BASE, DUP_PAY_PLANT_MOD)
+
+
+SKETCH_BINS = 256
+
+
+def orders_quantile_sketch_audit(sf_dir):
+    """Quantile-sketch accuracy audit — before trusting an
+    equi-width-histogram quantile estimator (the shape every
+    approximate engine ships), measure its error against the exact
+    order statistics ON THIS DISTRIBUTION: p50/p90/p99 of order
+    cents, estimate = linear interpolation inside the crossing
+    256-bin cell (all integer: lo + width·(rank−cum_below) //
+    bin_count), exact = the true rank-⌈qN⌉ value, error reported in
+    ppm of the exact (measured ~240 ppm at p50 — permille floors a
+    256-bin sketch's error to zero). The join_sample_estimate /
+    embed_squant_recall discipline: the estimator's deviation IS the
+    data.
+
+    Scale shape: one zero-shuffle min/max pre-pass sizes the bins;
+    per-batch partials carry BOTH the bounded 256-cell sketch and the
+    distinct-cents exact histogram (price-domain bounded, the
+    orders_price_drift argument); single merge reads both off
+    cumsums."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                            pa.scalar(100.0)),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy()
+
+    def rng(t: pa.Table) -> pd.DataFrame:
+        x = cents_of(t)
+        return pd.DataFrame({"lo": pd.Series([int(x.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(x.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(rng, batch_format="pyarrow").to_pandas()
+    lo, hi = int(r["lo"].min()), int(r["hi"].max())
+    width = max((hi - lo + SKETCH_BINS) // SKETCH_BINS, 1)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = cents_of(t)
+        out = (pd.DataFrame({"cents": x, "n": 1})
+               .groupby("cents", as_index=False)["n"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("cents", as_index=False)["n"].sum()
+             .sort_values("cents").reset_index(drop=True))
+        vals = g["cents"].to_numpy(np.int64)
+        cnts = g["n"].to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        bins = (vals - lo) // width
+        bdf = (pd.DataFrame({"b": bins, "n": cnts})
+               .groupby("b", as_index=False)["n"].sum())
+        bb = bdf["b"].to_numpy(np.int64)
+        bn = bdf["n"].to_numpy(np.int64)
+        bcum = bn.cumsum()
+        rows = []
+        for qpm in (500, 900, 990):
+            rank = -(-qpm * n // 1000)  # ceil(q*N)
+            exact = int(vals[np.searchsorted(cum, rank)])
+            i = int(np.searchsorted(bcum, rank))
+            below = int(bcum[i - 1]) if i else 0
+            blo = lo + int(bb[i]) * width
+            est = blo + width * (rank - below) // int(bn[i])
+            rows.append((qpm, exact, est,
+                         1_000_000 * abs(est - exact) // exact))
+        return pd.DataFrame(rows, columns=[
+            "q_permille", "exact_cents", "sketch_cents",
+            "err_ppm"]).astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+SKETCH_AUDIT_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+rng AS (SELECT min(v) AS lo, max(v) AS hi,
+               CAST(count(*) AS BIGINT) AS n FROM c),
+w AS (SELECT greatest((hi - lo + %d) // %d, 1) AS width FROM rng),
+q AS (SELECT unnest([500, 900, 990]) AS qpm),
+rk AS (SELECT qpm, (qpm * rng.n + 999) // 1000 AS rank
+       FROM q, rng),
+ex AS (
+  SELECT rk.qpm, min(t.v) AS exact_cents
+  FROM rk JOIN (SELECT v, sum(1) OVER (ORDER BY v) AS cum
+                FROM c) t ON t.cum >= rk.rank
+  GROUP BY 1),
+bh AS (SELECT (v - rng.lo) // w.width AS b,
+              CAST(count(*) AS BIGINT) AS n
+       FROM c, rng, w GROUP BY 1),
+bc AS (SELECT b, n, sum(n) OVER (ORDER BY b) AS cum,
+              coalesce(sum(n) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS below
+       FROM bh),
+est AS (
+  SELECT rk.qpm,
+         min(rng.lo + bc.b * w.width
+             + w.width * (rk.rank - bc.below) // bc.n)
+           AS sketch_cents
+  FROM rk, rng, w, bc
+  WHERE bc.cum >= rk.rank AND bc.below < rk.rank
+  GROUP BY 1)
+SELECT ex.qpm AS q_permille, ex.exact_cents,
+       CAST(est.sketch_cents AS BIGINT) AS sketch_cents,
+       CAST(1000000 * abs(est.sketch_cents - ex.exact_cents)
+            // ex.exact_cents AS BIGINT) AS err_ppm
+FROM ex JOIN est ON est.qpm = ex.qpm
+ORDER BY 1
+""" % (SKETCH_BINS, SKETCH_BINS)
+
+
+TS_GRID_SHIFT = 20  # Theil-Sen slopes on the 2^-20 grid
+
+
+def orders_theil_sen_trend(sf_dir):
+    """Theil-Sen robust trend of daily revenue (Theil '50 / Sen '68)
+    — the median of all C(D,2) pairwise slopes, the trend estimate a
+    single outlier day cannot move (the robust companion to
+    events_value_trend's OLS and the CUSUM detector). Slopes are
+    ratios, so the statistic is DEFINED on the 2⁻²⁰ grid with the
+    sign peeled before flooring (sign·((|Δc| << 20) // Δd) —
+    toward-zero in both engines; Python floors negatives where DuckDB
+    truncates, the repo's recorded division hazard), and the median
+    is the exact rank-(M+1)//2 order statistic of the grid values.
+
+    Scale shape: the (day, cents) table is a bounded-domain per-batch
+    combiner — zero shuffle; the single merge densifies the calendar
+    and builds all pairwise slopes vectorized (D² int64 for this
+    corpus' ~6½ years ≈ 46 MB — past ~10⁴ days switch to the
+    two-pass radix selection over the slope grid)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"d": days, "cents": cents})
+               .groupby("d", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", as_index=False)["cents"].sum()
+        lo, hi = int(g["d"].min()), int(g["d"].max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[g["d"].to_numpy(np.int64) - lo] = \
+            g["cents"].to_numpy(np.int64)
+        d = len(x)
+        i, j = np.triu_indices(d, k=1)
+        dc = x[j] - x[i]
+        dd = (j - i).astype(np.int64)
+        key = np.sign(dc) * ((np.abs(dc) << TS_GRID_SHIFT) // dd)
+        key.sort()
+        m = len(key)
+        med = int(key[(m + 1) // 2 - 1])
+        return pd.DataFrame({
+            "n_days": pd.Series([d], dtype="int64"),
+            "n_pairs": pd.Series([m], dtype="int64"),
+            "slope_q20": pd.Series([med], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+THEIL_SEN_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM d),
+                                (SELECT max(d) FROM d))) AS d),
+x AS (SELECT cal.d, coalesce(dd.c, 0) AS c
+      FROM cal LEFT JOIN d dd ON dd.d = cal.d),
+p AS (
+  SELECT CASE WHEN b.c - a.c >= 0 THEN 1 ELSE -1 END
+           * ((abs(b.c - a.c) * %d) // (b.d - a.d)) AS key
+  FROM x a JOIN x b ON b.d > a.d),
+r AS (SELECT key, row_number() OVER (ORDER BY key) AS rn,
+             count(*) OVER () AS m
+      FROM p)
+SELECT CAST((SELECT count(*) FROM x) AS BIGINT) AS n_days,
+       CAST(m AS BIGINT) AS n_pairs,
+       CAST(key AS BIGINT) AS slope_q20
+FROM r WHERE rn = (m + 1) // 2
+""" % (1 << TS_GRID_SHIFT)
+
+
+def orders_fulfillment_leadtime(sf_dir):
+    """Order-to-first-ship lead time per priority — the fulfillment
+    SLA report (does URGENT actually ship faster?): per order, lead =
+    first shipdate − order date in days; per priority, the order
+    count, EXACT median and p90 lead (rank (n+1)//2 and ⌈0.9·n⌉ order
+    statistics read off the bounded day histogram — lead times live
+    on a ~hundreds-of-days domain, so no radix pass is needed) and
+    the max. Orders with no lineitems are out of scope by definition
+    (nothing shipped), stated not hidden.
+
+    Scale shape: both sides ride ONE orderkey-bucketed exchange —
+    lineitem batches pre-combine to (okey → min ship day) partials
+    (min is idempotent, the lossless combiner), orders rows carry
+    (okey, order day, priority); an order finalizes in exactly one
+    bucket, so each bucket joins locally and emits additive
+    (priority, lead_days) cells; single bounded merge."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        p = (pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                           "ship": d})
+             .groupby("okey", as_index=False)["ship"].min())
+        p["oday"] = np.int64(-1)
+        p["pri"] = ""
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p[["okey", "ship", "oday", "pri", "_bucket"]].astype(
+            {"okey": "int64", "ship": "int64", "oday": "int64",
+             "_bucket": "int32"})
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        d = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        p = pd.DataFrame({"okey": t["o_orderkey"].to_numpy(),
+                          "ship": np.int64(-1), "oday": d,
+                          "pri": t["o_orderpriority"].to_pylist()})
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"okey": "int64", "ship": "int64",
+                         "oday": "int64", "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        ship = (g[g["ship"] >= 0]
+                .groupby("okey", as_index=False)["ship"].min())
+        orders = g[g["oday"] >= 0][["okey", "oday", "pri"]]
+        j = orders.merge(ship, on="okey")
+        if not len(j):
+            return pd.DataFrame({"pri": pd.Series([], dtype=object),
+                                 "lead": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        j["lead"] = j["ship"] - j["oday"]
+        out = (j.groupby(["pri", "lead"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out.astype({"lead": "int64", "n": "int64"})
+
+    per_bucket = (li.map_batches(prep_li, batch_format="pyarrow")
+                  .union(od.map_batches(prep_od,
+                                        batch_format="pyarrow"))
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cells = df.groupby(["pri", "lead"], as_index=False)["n"].sum()
+        rows = []
+        for pri, g in cells.groupby("pri"):
+            g = g.sort_values("lead")
+            leads = g["lead"].to_numpy(np.int64)
+            ns = g["n"].to_numpy(np.int64)
+            cum = ns.cumsum()
+            n = int(cum[-1])
+            med = int(leads[np.searchsorted(cum, (n + 1) // 2)])
+            # ceil(0.9n) written POSITIVELY: -(-9n//10) floors in
+            # Python but truncates in DuckDB once negated
+            p90 = int(leads[np.searchsorted(cum, (9 * n + 9) // 10)])
+            rows.append((pri, n, med, p90, int(leads[-1])))
+        return (pd.DataFrame(rows, columns=[
+            "priority", "n_orders", "median_days", "p90_days",
+            "max_days"]).sort_values("priority")
+            .reset_index(drop=True)
+            .astype({"n_orders": "int64", "median_days": "int64",
+                     "p90_days": "int64", "max_days": "int64"}))
+
+    return _merge_partials(per_bucket, merge)
+
+
+LEADTIME_SQL = """
+WITH s AS (
+  SELECT l_orderkey AS okey,
+         CAST(min(epoch_us(l_shipdate)) // 86400000000 AS BIGINT)
+           AS ship
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.o_orderpriority AS priority,
+         s.ship - CAST(epoch_us(o.o_orderdate) // 86400000000
+                       AS BIGINT) AS lead
+  FROM orders o JOIN s ON s.okey = o.o_orderkey),
+c AS (SELECT priority, lead, CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY 1, 2),
+w AS (SELECT priority, lead, n,
+             sum(n) OVER (PARTITION BY priority ORDER BY lead)
+               AS cum,
+             sum(n) OVER (PARTITION BY priority) AS tot,
+             max(lead) OVER (PARTITION BY priority) AS mx
+      FROM c)
+SELECT priority,
+       CAST(max(tot) AS BIGINT) AS n_orders,
+       CAST(min(CASE WHEN cum >= (tot + 1) // 2
+                     THEN lead END) AS BIGINT) AS median_days,
+       CAST(min(CASE WHEN cum >= (9 * tot + 9) // 10
+                     THEN lead END) AS BIGINT) AS p90_days,
+       CAST(max(mx) AS BIGINT) AS max_days
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+LDIV_L = 3  # required distinct sensitive values per QI group
+
+
+def doc_l_diversity(sf_dir):
+    """l-diversity audit (Machanavajjhala '07) — the governance screen
+    k-anonymity misses: a group can be large yet leak its SENSITIVE
+    attribute if every member shares it (the homogeneity attack).
+    QI = (source, length band), sensitive = lang; a group is safe iff
+    it contains ≥ l distinct langs. Reports the census (groups,
+    below-l groups, rows at risk, minimum diversity) plus the
+    diversity histogram n_groups per distinct-lang count — the figure
+    a privacy review plots.
+
+    Scale shape: the (QI, lang) space is bounded (sources × bands ×
+    5 langs), so per-batch count partials are a lossless combiner —
+    zero shuffle; distinct-lang counts per QI finalize in the one
+    merge block. Unbounded QIs ride one QI-bucketed exchange, the
+    doc_k_anonymity contract."""
+    ds = _read(sf_dir, "documents",
+               columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas().astype(object),
+            "band": t["n_chars"].to_numpy() // KANON_BAND,
+            "lang": t["lang"].to_pandas().astype(object)})
+        out = (df.groupby(["source", "band", "lang"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return out.astype({"band": "int64", "n": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "band", "lang"], as_index=False)
+             ["n"].sum())
+        per_qi = (g.groupby(["source", "band"])
+                  .agg(div=("lang", "nunique"), rows=("n", "sum")))
+        low = per_qi[per_qi["div"] < LDIV_L]
+        return pd.DataFrame({
+            "n_groups": pd.Series([len(per_qi)], dtype="int64"),
+            "low_div_groups": pd.Series([len(low)], dtype="int64"),
+            "rows_at_risk": pd.Series([int(low["rows"].sum())],
+                                      dtype="int64"),
+            "min_diversity": pd.Series([int(per_qi["div"].min())],
+                                       dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+L_DIVERSITY_SQL = """
+WITH g AS (
+  SELECT source, n_chars // %d AS band,
+         CAST(count(DISTINCT lang) AS BIGINT) AS div,
+         CAST(count(*) AS BIGINT) AS rows_
+  FROM documents GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN div < %d THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_div_groups,
+       CAST(coalesce(sum(CASE WHEN div < %d THEN rows_ END), 0)
+            AS BIGINT) AS rows_at_risk,
+       CAST(min(div) AS BIGINT) AS min_diversity
+FROM g
+""" % (KANON_BAND, LDIV_L, LDIV_L)
+
+
+def orders_dow_anova(sf_dir):
+    """One-way ANOVA effect size (η²) of weekday on order value —
+    does the calendar EXPLAIN revenue variance, or merely wiggle it?
+    η² = SS_between/SS_total, kept cross-engine exact by the
+    declared per-term floor: num = Σ_d (N·S_d² // n_d) − S²,
+    den = N·Σx² − S², η²_permille = 1000·num // den (sum-of-floors
+    is the defined statistic — the events_chi2_independence
+    discipline). The inferential companion to
+    orders_dow_seasonality's descriptive index: a big index with
+    η² ≈ 0 means the weekday 'pattern' is noise.
+
+    Scale shape: bounded 7-cell (dow → n, Σx, Σx²) moment combiner —
+    zero shuffle; Python-int merge (N·S_d² reaches ~10²⁷ at sf0.01),
+    HUGEINT oracle."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        s2 = cents * cents  # ≤ 3.6·10¹⁵ per row — fits int64
+        # Σs2 per batch does NOT safely fit int64 (overflows past
+        # ~2500 max-price rows), so the partial carries it split into
+        # 26-bit-shifted halves whose per-batch sums stay bounded
+        out = (pd.DataFrame({"dow": days % 7, "n": 1, "s": cents,
+                             "s2h": s2 >> 26,
+                             "s2l": s2 & ((1 << 26) - 1)})
+               .groupby("dow", as_index=False)
+               .agg(n=("n", "sum"), s=("s", "sum"),
+                    s2h=("s2h", "sum"), s2l=("s2l", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # fold partials in Python ints: Σx² crosses 9.2·10¹⁸ (int64
+        # max) already at sf0.01, so a pandas int64 groupby-sum wraps
+        # silently (caught by the oracle at sf0.01, green at sf0.001)
+        acc: dict[int, list[int]] = {}
+        for dow, n, s, s2h, s2l in df[
+                ["dow", "n", "s", "s2h", "s2l"]].itertuples(
+                index=False):
+            a = acc.setdefault(int(dow), [0, 0, 0])
+            a[0] += int(n)
+            a[1] += int(s)
+            a[2] += (int(s2h) << 26) + int(s2l)
+        ns = [a[0] for a in acc.values()]
+        ss = [a[1] for a in acc.values()]
+        N = sum(ns)
+        S = sum(ss)
+        sx2 = sum(a[2] for a in acc.values())
+        num = sum(N * s * s // n for n, s in zip(ns, ss)) - S * S
+        den = N * sx2 - S * S
+        return pd.DataFrame({
+            "n_orders": pd.Series([N], dtype="int64"),
+            "eta2_permille": pd.Series([1000 * num // max(den, 1)],
+                                       dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+DOW_ANOVA_SQL = """
+WITH d AS (
+  SELECT (CAST(epoch_us(o_orderdate) AS BIGINT)
+          // 86400000000) % 7 AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders),
+g AS (SELECT dow, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS s2
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nt,
+               CAST(sum(s) AS HUGEINT) AS st,
+               CAST(sum(s2) AS HUGEINT) AS sx2 FROM g),
+f AS (SELECT (SELECT sum(tot.nt * g.s * g.s // g.n)
+              FROM g, tot) - tot.st * tot.st AS num,
+             tot.nt * tot.sx2 - tot.st * tot.st AS den,
+             tot.nt AS nt
+      FROM tot)
+SELECT CAST(nt AS BIGINT) AS n_orders,
+       CAST(1000 * num // greatest(den, 1) AS BIGINT)
+         AS eta2_permille
+FROM f
+"""
+
+
+def orders_runs_test(sf_dir):
+    """Wald-Wolfowitz runs test on daily revenue — the randomness
+    audit that catches serial dependence a mean/variance summary
+    hides (too FEW runs = trending/sticky days, too MANY =
+    oscillation): days sign as above/below the exact daily-revenue
+    median (equal-to-median days drop, the textbook rule), R = runs
+    counted over the DENSE calendar, and the z² statistic kept
+    integer by cross-multiplication: with e = R·n − (n + 2·n₊·n₋),
+    z²_milli = 1000·e²·(n−1) // (2·n₊·n₋·(2·n₊·n₋ − n)) — no float
+    mean/variance of R ever exists. The randomness sibling of
+    orders_daily_acf1 (ACF measures linear lag-1; runs catch any
+    sign-level stickiness).
+
+    Scale shape: the (day, cents) table is a bounded-domain per-batch
+    combiner — zero shuffle; the single merge densifies, takes the
+    exact median by full sort of the ≤calendar-size daily array, and
+    counts runs vectorized; Python-int statistic (e²·n outgrows int64
+    past ~10⁶ days)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"d": days, "cents": cents})
+               .groupby("d", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", as_index=False)["cents"].sum()
+        lo, hi = int(g["d"].min()), int(g["d"].max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[g["d"].to_numpy(np.int64) - lo] = \
+            g["cents"].to_numpy(np.int64)
+        s = np.sort(x)
+        med = int(s[(len(s) + 1) // 2 - 1])  # lower median, exact
+        signs = x[x != med] > med
+        npos = int(signs.sum())
+        nneg = len(signs) - npos
+        n = npos + nneg
+        runs = 1 + int((signs[1:] != signs[:-1]).sum()) if n else 0
+        e = runs * n - (n + 2 * npos * nneg)
+        den = 2 * npos * nneg * (2 * npos * nneg - n)
+        z2 = 1000 * e * e * (n - 1) // max(den, 1)
+        return pd.DataFrame({
+            "n_days_used": pd.Series([n], dtype="int64"),
+            "n_runs": pd.Series([runs], dtype="int64"),
+            "n_pos": pd.Series([npos], dtype="int64"),
+            "n_neg": pd.Series([nneg], dtype="int64"),
+            "z2_milli": pd.Series([z2], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+RUNS_TEST_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM d),
+                                (SELECT max(d) FROM d))) AS d),
+x AS (SELECT cal.d, coalesce(dd.c, 0) AS c
+      FROM cal LEFT JOIN d dd ON dd.d = cal.d),
+med AS (
+  SELECT c AS m FROM
+    (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+            count(*) OVER () AS n FROM x)
+  WHERE rn = (n + 1) // 2),
+s AS (SELECT d, CASE WHEN c > med.m THEN 1 ELSE 0 END AS sgn
+      FROM x, med WHERE c <> med.m),
+r AS (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev FROM s),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sgn) AS BIGINT) AS npos,
+         CAST(sum(CASE WHEN prev IS NULL OR sgn <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM r),
+f AS (SELECT n, runs, npos, n - npos AS nneg,
+             CAST(runs AS HUGEINT) * n
+               - (n + 2 * CAST(npos AS HUGEINT) * (n - npos)) AS e,
+             2 * CAST(npos AS HUGEINT) * (n - npos)
+               * (2 * CAST(npos AS HUGEINT) * (n - npos) - n)
+               AS den
+      FROM agg)
+SELECT n AS n_days_used, runs AS n_runs, npos AS n_pos,
+       CAST(nneg AS BIGINT) AS n_neg,
+       CAST(1000 * e * e * (n - 1) // greatest(den, 1) AS BIGINT)
+         AS z2_milli
+FROM f
+"""
+
+
+POWER_Z_SUM_MILLI = 2802  # z_{alpha/2}=1.960 + z_{beta}=0.842 (80% @ 5%)
+POWER_MDE_PCT = 5         # detect a 5% lift
+
+
+def events_power_analysis(sf_dir):
+    """Experiment power analysis — the 'how long must this test run'
+    number every platform computes before launch: required sample
+    size per arm n = 2·(z_{α/2}+z_β)²·σ²/δ² for 80% power at 5%
+    significance against a 5%-of-mean MDE, every term on a declared
+    integer grid (z-sum 2802 milli; σ² = floor(10⁶·(N·Σx²−S²)/N²)
+    milli²; δ = mean_milli // 20; ceil division for n). Closes the
+    experimentation family: SRM gates validity, CUPED buys variance,
+    this prices the runtime.
+
+    Scale shape: one bounded three-moment combiner (n, Σx, Σx²) with
+    the Σx² int64-split of orders_dow_anova — zero shuffle,
+    Python-int merge, HUGEINT oracle."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = pc.cast(pc.round(t["value"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        v2 = v * v
+        return pd.DataFrame({
+            "n": [len(v)], "s": [int(v.sum())],
+            "s2h": [int((v2 >> 26).sum())],
+            "s2l": [int((v2 & ((1 << 26) - 1)).sum())]}
+            ).astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        s = int(df["s"].sum())
+        s2 = (int(df["s2h"].sum()) << 26) + int(df["s2l"].sum())
+        mean_milli = 1000 * s // n
+        var_milli2 = 1_000_000 * (n * s2 - s * s) // (n * n)
+        delta_milli = mean_milli // (100 // POWER_MDE_PCT)
+        num = 2 * POWER_Z_SUM_MILLI * POWER_Z_SUM_MILLI * var_milli2
+        den = max(1_000_000 * delta_milli * delta_milli, 1)
+        # ceil written POSITIVELY: -(-a//b) floors in Python but
+        # truncates in DuckDB (the recorded division hazard)
+        n_req = (num + den - 1) // den
+        return pd.DataFrame({
+            "n_events": pd.Series([n], dtype="int64"),
+            "mean_milli": pd.Series([mean_milli], dtype="int64"),
+            "var_milli2": pd.Series([var_milli2], dtype="int64"),
+            "delta_milli": pd.Series([delta_milli], dtype="int64"),
+            "n_required_per_arm": pd.Series([n_req], dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+POWER_SQL = """
+WITH v AS (SELECT CAST(round(value) AS BIGINT) AS x FROM events),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS s2
+      FROM v),
+m AS (SELECT n, 1000 * s // n AS mean_milli,
+             1000000 * (n * s2 - s * s) // (n * n) AS var_milli2
+      FROM s),
+f AS (SELECT n, mean_milli, var_milli2,
+             mean_milli // %d AS delta_milli
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(mean_milli AS BIGINT) AS mean_milli,
+       CAST(var_milli2 AS BIGINT) AS var_milli2,
+       CAST(delta_milli AS BIGINT) AS delta_milli,
+       CAST((2 * %d * %d * var_milli2
+             + greatest(1000000 * delta_milli * delta_milli, 1) - 1)
+            // greatest(1000000 * delta_milli * delta_milli, 1)
+            AS BIGINT) AS n_required_per_arm
+FROM f
+""" % (100 // POWER_MDE_PCT, POWER_Z_SUM_MILLI, POWER_Z_SUM_MILLI)
+
+
+BOT_CV2_FLAG_MILLI = 200  # CV² below this = suspiciously regular
+
+
+def user_bot_score_census(sf_dir):
+    """Bot/automation detection census — the abuse-team heuristic
+    that a HUMAN's inter-event gaps are bursty (exponential gaps have
+    CV² = 1) while scripted traffic is metronomic (CV² → 0): per user
+    with ≥2 gaps, CV² of second-grid gaps as the exact integer
+    cv2_milli = 1000·(k·Σg² − S²) // S², flagged below 200‰, and the
+    output is the ≤51-cell histogram of 100‰ CV² bands plus the flag
+    count — the census a rate-limiting review reads, never a
+    per-user dump.
+
+    Scale shape: (user, ts) rides the user_interarrival_histogram
+    exchange; each bucket sorts within user, diffs, and reduces its
+    users vectorized to bounded band cells (a user lives in one
+    bucket, so cells are additive); single merge. Σg² fits int64 to
+    ~10⁶ month-scale gaps per user."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))})
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "ts": "int64"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts"], kind="mergesort")
+        u = g["u"].to_numpy()
+        ts = g["ts"].to_numpy()
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] // 1_000_000
+        gu = u[1:][same]
+        df = pd.DataFrame({"u": gu, "g": gaps, "g2": gaps * gaps})
+        agg = (df.groupby("u")
+               .agg(k=("g", "size"), s=("g", "sum"),
+                    s2=("g2", "sum")))
+        agg = agg[(agg["k"] >= 2) & (agg["s"] > 0)]
+        k = agg["k"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        s2 = agg["s2"].to_numpy(np.int64)
+        cv2 = 1000 * (k * s2 - s * s) // (s * s)
+        band = np.minimum(cv2 // 100, 50)
+        out = (pd.DataFrame({"band": band,
+                             "flag": (cv2 < BOT_CV2_FLAG_MILLI)
+                             .astype(np.int64)})
+               .groupby("band", as_index=False)
+               .agg(n_users=("band", "size"),
+                    n_flagged=("flag", "sum")))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("band", as_index=False)
+               .agg(n_users=("n_users", "sum"),
+                    n_flagged=("n_flagged", "sum"))
+               .sort_values("band").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+BOT_CENSUS_SQL = """
+WITH e AS (
+  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS ts
+  FROM events),
+g AS (
+  SELECT u, (ts - lag(ts) OVER (PARTITION BY u ORDER BY ts))
+            // 1000000 AS gap
+  FROM e),
+a AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT least(CAST(1000 * (k * s2 - s * s) // (s * s) AS BIGINT)
+               // 100, 50) AS band,
+         CASE WHEN 1000 * (k * s2 - s * s) // (s * s) < %d
+              THEN 1 ELSE 0 END AS flag
+  FROM a WHERE k >= 2 AND s > 0)
+SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(flag) AS BIGINT) AS n_flagged
+FROM c GROUP BY 1 ORDER BY 1
+""" % BOT_CV2_FLAG_MILLI
+
+
+def brand_share_shift(sf_dir):
+    """Brand share-shift report — the BI staple behind every 'who is
+    winning the category' review: per brand, revenue share (permille)
+    in the first vs second half of the shipdate range and the signed
+    shift, computed on exact cents so ranking and signs replay
+    bit-for-bit. The drift detector's per-dimension sibling:
+    orders_price_drift says THAT the distribution moved; this says
+    WHO gained.
+
+    Scale shape: the part→brand map is the small dimension —
+    materialized once and broadcast (the PIT-join discipline);
+    lineitem then reduces map-side to bounded (brand, half) cent
+    cells (≤ 25×2), zero shuffle, one merge block of permille
+    arithmetic."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    brand_map = dict(zip(part["p_partkey"].astype(int),
+                         part["p_brand"]))
+    lookup = ray.put(brand_map)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice"])
+
+    def day_range(t: pa.Table) -> pd.DataFrame:
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"lo": pd.Series([int(d.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(d.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(day_range, batch_format="pyarrow").to_pandas()
+    mid = (int(r["lo"].min()) + int(r["hi"].max())) // 2
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        bm = _ray.get(lookup)
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        brands = [bm[int(k)] for k in t["l_partkey"].to_pylist()]
+        out = (pd.DataFrame({"brand": brands,
+                             "h": (d > mid).astype(np.int64),
+                             "cents": cents})
+               .groupby(["brand", "h"], as_index=False)["cents"]
+               .sum())
+        return out.astype({"h": "int64", "cents": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["brand", "h"])["cents"].sum()
+        tot = {0: int(g.xs(0, level="h").sum()),
+               1: int(g.xs(1, level="h").sum())}
+        rows = []
+        for brand in sorted({k[0] for k in g.index}):
+            b0 = int(g.get((brand, 0), 0))
+            b1 = int(g.get((brand, 1), 0))
+            s0 = 1000 * b0 // max(tot[0], 1)
+            s1 = 1000 * b1 // max(tot[1], 1)
+            rows.append((brand, s0, s1, s1 - s0))
+        return pd.DataFrame(rows, columns=[
+            "brand", "share_before_permille", "share_after_permille",
+            "shift_permille"]).astype(
+            {"share_before_permille": "int64",
+             "share_after_permille": "int64",
+             "shift_permille": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+BRAND_SHIFT_SQL = """
+WITH rng AS (
+  SELECT (min(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000)
+          + max(CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000))
+         // 2 AS mid
+  FROM lineitem),
+b AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                   // 86400000000 > rng.mid THEN 1 ELSE 0 END AS h,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, rng
+  GROUP BY 1, 2),
+tot AS (SELECT h, CAST(sum(cents) AS BIGINT) AS t FROM b GROUP BY 1),
+w AS (
+  SELECT br.brand,
+         CAST(1000 * coalesce(b0.cents, 0)
+              // greatest(t0.t, 1) AS BIGINT) AS s0,
+         CAST(1000 * coalesce(b1.cents, 0)
+              // greatest(t1.t, 1) AS BIGINT) AS s1
+  FROM (SELECT DISTINCT brand FROM b) br
+  LEFT JOIN b b0 ON b0.brand = br.brand AND b0.h = 0
+  LEFT JOIN b b1 ON b1.brand = br.brand AND b1.h = 1
+  CROSS JOIN (SELECT t FROM tot WHERE h = 0) t0
+  CROSS JOIN (SELECT t FROM tot WHERE h = 1) t1)
+SELECT brand, s0 AS share_before_permille,
+       s1 AS share_after_permille,
+       CAST(s1 - s0 AS BIGINT) AS shift_permille
+FROM w ORDER BY brand
+"""
+
+
+def lang_tokenizer_fertility(sf_dir):
+    """Tokenizer fertility per language — the LLM-pipeline statistic
+    (tokens emitted per whitespace word) that decides whether a
+    tokenizer taxes some languages more than others (the compression
+    disparity every multilingual training report tables): the
+    distributed-BPE tokenizer trains once on the corpus (bounded
+    word-count exchange, the doc_bpe_tokens machinery), and fertility
+    = 1000·Σ bpe_tokens // Σ words per lang, exact on the permille
+    grid. The SQL oracle replays BPE training AND encoding through
+    the unrolled-CTE oracle and aggregates the same ratio.
+
+    Scale shape: merges broadcast once; the scoring pass is a
+    per-actor-cached zero-shuffle encode that reduces map-side to
+    bounded (lang → words, tokens) cells — text never leaves the map
+    task; single merge block."""
+    import ray
+
+    from ...stages import bpe as bpestage
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"])
+    merges = bpestage.train_bpe(docs, BPE_MERGES)
+    ref = ray.put(merges)
+
+    class Fertility:
+        def __init__(self):
+            self.merges = ray.get(ref)
+            self._cache: dict = {}
+
+        def _n(self, w: str) -> int:
+            n = self._cache.get(w)
+            if n is None:
+                n = len(bpestage.apply_merges(w, self.merges))
+                self._cache[w] = n
+            return n
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cells: dict = {}
+            for lang, text in zip(t["lang"].to_pylist(),
+                                  t["text"].to_pylist()):
+                words = bpestage._WORD_RE.findall(text or "")
+                a = cells.setdefault(lang, [0, 0])
+                a[0] += len(words)
+                a[1] += sum(self._n(w) for w in words)
+            return pd.DataFrame(
+                [(k, v[0], v[1]) for k, v in cells.items()],
+                columns=["lang", "w", "t"]).astype({"w": "int64",
+                                                    "t": "int64"})
+
+    per_batch = docs.map_batches(
+        Fertility, batch_format="pyarrow",
+        concurrency=bpestage._pool_size())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("lang", as_index=False)
+             .agg(n_words=("w", "sum"), n_bpe_tokens=("t", "sum"))
+             .sort_values("lang").reset_index(drop=True))
+        g["fertility_milli"] = (1000 * g["n_bpe_tokens"]
+                                // g["n_words"].clip(lower=1))
+        return g.astype({"n_words": "int64", "n_bpe_tokens": "int64",
+                         "fertility_milli": "int64"})
+
+    return _merge_partials(per_batch, merge)
+
+
+FERTILITY_SQL = """
+SELECT d.lang,
+       CAST(sum(len(regexp_extract_all(d.text, '\\S+')))
+            AS BIGINT) AS n_words,
+       CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(1000 * sum(b.n_bpe_tokens)
+            // greatest(sum(len(regexp_extract_all(d.text,
+                                                   '\\S+'))), 1)
+            AS BIGINT) AS fertility_milli
+FROM documents d JOIN (%s) b ON b.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1
+""" % DOC_BPE_SQL
+
+
+def orders_stl_strength(sf_dir):
+    """Seasonality-strength decomposition (the STL-shaped measure
+    Hyndman-Athanasopoulos ch. 3 popularized: F_s = 1 −
+    Var(remainder)/Var(detrended)) of daily revenue — the one number
+    that says whether the weekly pattern is STRUCTURE or noise,
+    capping the time-series family (trend slope → CUSUM → ACF → runs
+    → this). Every step is a declared integer grid: trend = the
+    7-day centered moving average floored (edges dropped), seasonal
+    s_w = the per-weekday mean of the detrended series with the SIGN
+    PEELED before flooring (detrended values go negative — Python
+    floors, DuckDB truncates, the recorded hazard), remainder =
+    detrended − s_w, and F_s in permille from the two integer
+    variance forms (n·Σe²−(Σe)² over n·Σr²−(Σr)²), clipped at 0.
+    Also reports the seasonal amplitude max(s_w) − min(s_w) in cents.
+
+    Scale shape: the bounded (day, cents) combiner — zero shuffle;
+    the single merge densifies and runs the decomposition vectorized
+    over the ≤calendar-size array; Python-int variances (Σe²
+    outgrows int64 past ~10⁵ high-revenue days)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"d": days, "cents": cents})
+               .groupby("d", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", as_index=False)["cents"].sum()
+        lo, hi = int(g["d"].min()), int(g["d"].max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[g["d"].to_numpy(np.int64) - lo] = \
+            g["cents"].to_numpy(np.int64)
+        if len(x) < 8:
+            return pd.DataFrame({"n_days_used": [0],
+                                 "strength_permille": [0],
+                                 "seasonal_amplitude_cents": [0]}
+                                ).astype("int64")
+        k = np.ones(7, np.int64)
+        trend = np.convolve(x, k, mode="valid") // 7  # x>=0: floor ok
+        days = np.arange(lo + 3, hi - 2, dtype=np.int64)
+        r = x[3:-3] - trend
+        dows = days % 7
+        s = {}
+        for w in range(7):
+            vals = r[dows == w]
+            tot = int(vals.sum())
+            n = len(vals)
+            if n:
+                sgn = 1 if tot >= 0 else -1
+                s[w] = sgn * (abs(tot) // n)  # toward-zero, declared
+            else:
+                s[w] = 0
+        e = r - np.asarray([s[int(w)] for w in dows], np.int64)
+        n = len(r)
+        sr = [int(v) for v in r]
+        se = [int(v) for v in e]
+        vr = n * sum(v * v for v in sr) - sum(sr) ** 2
+        ve = n * sum(v * v for v in se) - sum(se) ** 2
+        strength = max(0, 1000 - 1000 * ve // max(vr, 1))
+        amp = max(s.values()) - min(s.values())
+        return pd.DataFrame({
+            "n_days_used": pd.Series([n], dtype="int64"),
+            "strength_permille": pd.Series([strength], dtype="int64"),
+            "seasonal_amplitude_cents": pd.Series([amp],
+                                                  dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+STL_STRENGTH_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM d),
+                                (SELECT max(d) FROM d))) AS d),
+x AS (SELECT cal.d, coalesce(dd.c, 0) AS c
+      FROM cal LEFT JOIN d dd ON dd.d = cal.d),
+w AS (SELECT d, c,
+             sum(c) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS k7
+      FROM x),
+r AS (SELECT d, d % 7 AS dow, c - s7 // 7 AS r
+      FROM w WHERE k7 = 7),
+s AS (SELECT dow,
+             CASE WHEN sum(r) >= 0
+                  THEN sum(r) // count(*)
+                  ELSE -((-sum(r)) // count(*)) END AS sw
+      FROM r GROUP BY 1),
+e AS (SELECT r.r, r.r - s.sw AS e
+      FROM r JOIN s ON s.dow = r.dow),
+agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(r) AS HUGEINT) AS sr,
+               CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sr2,
+               CAST(sum(e) AS HUGEINT) AS se,
+               CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS se2
+        FROM e),
+f AS (SELECT n, n * sr2 - sr * sr AS vr,
+             n * se2 - se * se AS ve
+      FROM agg)
+SELECT CAST(n AS BIGINT) AS n_days_used,
+       CAST(greatest(0, 1000 - 1000 * ve // greatest(vr, 1))
+            AS BIGINT) AS strength_permille,
+       CAST((SELECT max(sw) - min(sw) FROM s) AS BIGINT)
+         AS seasonal_amplitude_cents
+FROM f
+"""
+
+
+def kg_component_census(sf_dir):
+    """Connectivity-health dashboard of the co-citation graph — the
+    two numbers a web-graph report leads with: the GIANT-COMPONENT
+    share (what fraction of total degree mass the largest connected
+    component holds — the Broder-bowtie headline) and the
+    fragmentation HHI of per-component degree mass (10⁶·Σ(d_c)² //
+    (2m)² ppm — 10⁶ = one monolithic component, →0 = dust), plus the
+    component count. Degree mass rather than node count weights
+    components by their actual linkage.
+
+    Scale shape: CC labels come from the existing hash-to-min
+    distributed machinery; degrees join onto labels via bucket_join
+    over materialized inputs; per-component degree sums finalize in
+    ONE label-bucketed exchange whose buckets emit bounded partials
+    (Σ(d_c)², max d_c, count — each additive/max-combinable because a
+    component lives in exactly one bucket); Python-int merge
+    (Σ(d_c)² outgrows int64 immediately at web scale)."""
+    from ...stages import graph
+    from ...stages.canonicalize import connected_components_distributed
+    from ...stages.joins import bucket_join
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir)).materialize()
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"uri_a": t["a"], "uri_b": t["b"]})
+
+    labels = connected_components_distributed(
+        pairs.map_batches(as_edges, batch_format="pyarrow")) \
+        .materialize()
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())])})
+
+    deg = graph.degrees(pairs.map_batches(flat_nodes,
+                                          batch_format="pyarrow"),
+                        "node").materialize()
+    j = bucket_join(deg, labels, left_on="node", right_on="node",
+                    suffix="_l")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        p = (df.groupby("label", as_index=False)["deg"].sum())
+        from ...stages.graph import _hash64
+        p["_bucket"] = (_hash64(p["label"].astype(str))
+                        % np.uint64(64)).astype("int32")
+        return p
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("label")["deg"].sum()
+        vals = [int(v) for v in c]
+        return pd.DataFrame({
+            "sumsq_h": [sum(v * v for v in vals) >> 62],
+            "sumsq_l": [sum(v * v for v in vals) & ((1 << 62) - 1)],
+            "mx": [max(vals)], "nc": [len(vals)],
+            "total": [sum(vals)]}).astype("int64")
+
+    per_bucket = (j.map_batches(prep, batch_format="pandas")
+                  .groupby("_bucket")
+                  .map_groups(bucket_stats, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        sumsq = sum((int(h) << 62) + int(l) for h, l in
+                    zip(df["sumsq_h"], df["sumsq_l"]))
+        mx = int(df["mx"].max())
+        nc = int(df["nc"].sum())
+        total = int(df["total"].sum())  # = 2m
+        return pd.DataFrame({
+            "n_components": pd.Series([nc], dtype="int64"),
+            "giant_share_permille": pd.Series(
+                [1000 * mx // max(total, 1)], dtype="int64"),
+            "fragmentation_hhi_ppm": pd.Series(
+                [1_000_000 * sumsq // max(total * total, 1)],
+                dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+KG_COMPONENT_CENSUS_SQL = f"""
+WITH RECURSIVE edges AS ({_CITE_EDGES_SQL}),
+pairs AS (SELECT DISTINCT e1.dst AS a, e2.dst AS b
+          FROM edges e1 JOIN edges e2
+            ON e1.src = e2.src AND e1.dst < e2.dst),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nds AS (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nds
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM pairs
+        UNION ALL SELECT b FROM pairs)
+  GROUP BY node),
+comp AS (
+  SELECT cc.component, CAST(sum(deg.d) AS HUGEINT) AS dc
+  FROM cc JOIN deg ON deg.node = cc.node
+  GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(max(dc) AS HUGEINT) AS mx,
+               CAST(sum(dc * dc) AS HUGEINT) AS sumsq,
+               CAST(sum(dc) AS HUGEINT) AS total
+        FROM comp)
+SELECT nc AS n_components,
+       CAST(1000 * mx // greatest(total, 1) AS BIGINT)
+         AS giant_share_permille,
+       CAST(1000000 * sumsq // greatest(total * total, 1) AS BIGINT)
+         AS fragmentation_hhi_ppm
+FROM agg
+"""
+
+
+def customer_purchase_dispersion(sf_dir):
+    """Purchase-count dispersion — the model-selection audit run
+    before fitting a buy-till-you-die CLV model (BG/NBD assumes
+    per-customer Poisson purchasing with Gamma heterogeneity, i.e.
+    OVER-dispersed counts): the orders-per-customer histogram plus
+    the exact dispersion index D_milli = 1000·(n·Σk² − (Σk)²) //
+    (n·Σk) (Poisson ⇒ 1000; >1000 ⇒ the Gamma mixing NBD needs;
+    <1000 ⇒ regular buyers, use a different model). The
+    customer-side sibling of events_fano_overdispersion.
+
+    Scale shape: per-batch (custkey → count) partials ride ONE
+    custkey-bucketed exchange; buckets emit the bounded count
+    histogram plus three moment cells (additive — a customer
+    finalizes in one bucket); Python-int merge."""
+    buckets = _exchange_buckets(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = (pd.DataFrame({"c": t["o_custkey"].to_numpy(), "n": 1})
+             .groupby("c", as_index=False)["n"].sum())
+        h = pd.util.hash_pandas_object(p["c"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"c": "int64", "n": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.groupby("c")["n"].sum().to_numpy(np.int64)
+        hist = (pd.DataFrame({"k": k})
+                .groupby("k", as_index=False).size()
+                .rename(columns={"size": "n_customers"}))
+        hist["s"] = hist["k"] * hist["n_customers"]
+        hist["s2"] = hist["k"] * hist["k"] * hist["n_customers"]
+        return hist.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby("k", as_index=False)
+             .agg(n_customers=("n_customers", "sum"),
+                  s=("s", "sum"), s2=("s2", "sum"))
+             .sort_values("k").reset_index(drop=True))
+        n = int(h["n_customers"].sum())
+        s = int(h["s"].sum())
+        s2 = int(h["s2"].sum())
+        d = 1000 * (n * s2 - s * s) // max(n * s, 1)
+        out = h[["k", "n_customers"]].copy()
+        out["dispersion_milli"] = d
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+PURCHASE_DISPERSION_SQL = """
+WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+           FROM orders GROUP BY 1),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(k) AS HUGEINT) AS s,
+             CAST(sum(k * k) AS HUGEINT) AS s2
+      FROM c)
+SELECT c.k, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(1000 * (m.n * m.s2 - m.s * m.s)
+            // greatest(m.n * m.s, 1) AS BIGINT)
+         AS dispersion_milli
+FROM c, m GROUP BY 1, 3 ORDER BY 1
+"""
+
+
+MARKUP_BAND_PERMILLE = 100  # 10%-wide markup bands
+
+
+def part_markup_census(sf_dir):
+    """Markup-vs-list-price audit — the procurement screen for lines
+    sold off list: per lineitem, unit price on the exact milli grid
+    (1000·cents // qty) against the part's retail list price, markup
+    = 1000·unit_milli // retail_milli banded in 10% cells (band =
+    markup // 100, capped at 30) — the census that surfaces both
+    systematic underpricing and the fat tail of list-busting lines.
+
+    Scale shape: the part→retail map is the small dimension,
+    broadcast once (the brand_share_shift discipline); everything
+    else is a zero-shuffle bounded ≤31-cell band census."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_retailprice"]).to_pandas()
+    retail_milli = pc.cast(
+        pc.round(pc.multiply(pa.array(part["p_retailprice"],
+                                      type=pa.float64()),
+                             pa.scalar(1000.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64()).to_numpy()
+    retail = {int(k): int(v)
+              for k, v in zip(part["p_partkey"], retail_milli)}
+    lookup = ray.put(retail)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        rp = _ray.get(lookup)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        qty = pc.cast(pc.round(t["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64()).to_numpy()
+        unit_milli = 10 * cents // np.maximum(qty, 1)
+        rr = np.asarray([rp[int(k)] for k in
+                         t["l_partkey"].to_pylist()], np.int64)
+        markup = 1000 * unit_milli // np.maximum(rr, 1)
+        band = np.minimum(markup // MARKUP_BAND_PERMILLE, 30)
+        out = (pd.DataFrame({"band": band})
+               .groupby("band", as_index=False).size()
+               .rename(columns={"size": "n_lines"}))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("band", as_index=False)["n_lines"].sum()
+                .sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+MARKUP_CENSUS_SQL = """
+WITH l AS (
+  SELECT 10 * CAST(round(l_extendedprice * 100) AS BIGINT)
+           // greatest(CAST(round(l_quantity) AS BIGINT), 1)
+           AS unit_milli,
+         CAST(round(p.p_retailprice * 1000) AS BIGINT) AS retail
+  FROM lineitem JOIN part p ON p.p_partkey = lineitem.l_partkey),
+b AS (SELECT least(1000 * unit_milli // greatest(retail, 1)
+                   // %d, 30) AS band
+      FROM l)
+SELECT band, CAST(count(*) AS BIGINT) AS n_lines
+FROM b GROUP BY 1 ORDER BY 1
+""" % MARKUP_BAND_PERMILLE
+
+
+SLA_DAYS = 365          # a line is compliant if shipped within a year
+SLA_BAND_PERMILLE = 100  # 10%-wide compliance bands
+
+
+def supplier_sla_compliance(sf_dir):
+    """Per-supplier ship-SLA compliance census — the vendor-scorecard
+    question (which suppliers actually ship inside the contracted
+    window?) answered as a census, never a per-supplier dump: each
+    line's lead = ship day − order day, compliant iff ≤ 365 days,
+    per-supplier compliance = 1000·n_ok // n floored, and the output
+    is the supplier count per 10%-compliance band plus each band's
+    total line volume (so a review sees whether the laggards are
+    low-volume noise or real exposure).
+
+    Scale shape: lines join their order date through ONE
+    orderkey-bucketed exchange (orders side carries (okey, day),
+    lineitem side (okey, suppkey, ship day) — an order finalizes in
+    one bucket); per-supplier (n, n_ok) partials are additive ACROSS
+    okey buckets (the dimension is the bounded supplier table), so
+    the second exchange is unnecessary — buckets emit supplier cells
+    and the single merge scores and bands."""
+    buckets = _exchange_buckets(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        d = (t["l_shipdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        p = pd.DataFrame({"okey": t["l_orderkey"].to_numpy(),
+                          "supp": t["l_suppkey"].to_numpy(),
+                          "ship": d, "oday": np.int64(-1)})
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"okey": "int64", "supp": "int64",
+                         "ship": "int64", "oday": "int64",
+                         "_bucket": "int32"})
+
+    def prep_od(t: pa.Table) -> pd.DataFrame:
+        d = (t["o_orderdate"].to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        p = pd.DataFrame({"okey": t["o_orderkey"].to_numpy(),
+                          "supp": np.int64(-1),
+                          "ship": np.int64(-1), "oday": d})
+        h = pd.util.hash_pandas_object(p["okey"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"okey": "int64", "supp": "int64",
+                         "ship": "int64", "oday": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["oday"] >= 0][["okey", "oday"]]
+        lines = g[g["supp"] >= 0][["okey", "supp", "ship"]]
+        j = lines.merge(orders, on="okey")
+        if not len(j):
+            return pd.DataFrame({"supp": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "n_ok": pd.Series([], dtype="int64")})
+        ok = ((j["ship"] - j["oday"]) <= SLA_DAYS).astype(np.int64)
+        out = (pd.DataFrame({"supp": j["supp"].to_numpy(), "n": 1,
+                             "n_ok": ok})
+               .groupby("supp", as_index=False)
+               .agg(n=("n", "sum"), n_ok=("n_ok", "sum")))
+        return out.astype("int64")
+
+    per_bucket = (li.map_batches(prep_li, batch_format="pyarrow")
+                  .union(od.map_batches(prep_od,
+                                        batch_format="pyarrow"))
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df.groupby("supp", as_index=False)
+             .agg(n=("n", "sum"), n_ok=("n_ok", "sum")))
+        comp = 1000 * s["n_ok"].to_numpy(np.int64) \
+            // s["n"].to_numpy(np.int64)
+        band = np.minimum(comp // SLA_BAND_PERMILLE, 10)
+        out = (pd.DataFrame({"band": band,
+                             "n_lines": s["n"].to_numpy(np.int64)})
+               .groupby("band", as_index=False)
+               .agg(n_suppliers=("band", "size"),
+                    n_lines=("n_lines", "sum"))
+               .sort_values("band").reset_index(drop=True))
+        return out.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+SLA_COMPLIANCE_SQL = """
+WITH j AS (
+  SELECT l.l_suppkey AS supp,
+         CASE WHEN CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                   // 86400000000
+                 - CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                   // 86400000000 <= %d
+              THEN 1 ELSE 0 END AS ok
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+s AS (SELECT supp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ok) AS BIGINT) AS n_ok
+      FROM j GROUP BY 1),
+b AS (SELECT least(1000 * n_ok // n // %d, 10) AS band, n FROM s)
+SELECT band, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(n) AS BIGINT) AS n_lines
+FROM b GROUP BY 1 ORDER BY 1
+""" % (SLA_DAYS, SLA_BAND_PERMILLE)
+
+
+def cm_error_audit(sf_dir):
+    """Count-Min point-query error audit — the measurement that
+    completes the sketch-audit family (bloom_fpr_audit for
+    membership, orderkey_join_sample_estimate for sampling,
+    orders_quantile_sketch_audit for quantiles, this for
+    frequencies): every user's CM estimate (min over the 4 hash
+    rows) against the true count, error = est − true (one-sided ≥ 0
+    by construction — a NEGATIVE error anywhere means the sketch is
+    broken), reported as the error histogram in absolute counts plus
+    n_exact and the max overestimate. The 64-wide sketch is
+    deliberately small so collisions bite at test scales — the ε
+    tradeoff as data, the bloom_fpr discipline.
+
+    Scale shape: pass 1 builds the bounded 4×64 cell table (fixed
+    size at any input) and broadcasts it; pass 2 computes true
+    per-user counts through ONE user-bucketed exchange and probes the
+    broadcast sketch map-side of the merge, emitting bounded error
+    cells (a user finalizes in one bucket)."""
+    import ray
+
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        rows, cols, cnts = [], [], []
+        for u, n in vc.items():
+            for r in range(CM_DEPTH):
+                rows.append(r)
+                cols.append(_cm_col(r, u))
+                cnts.append(int(n))
+        return (pd.DataFrame({"row_id": rows, "col_id": cols,
+                              "cnt": cnts})
+                .groupby(["row_id", "col_id"], as_index=False)
+                ["cnt"].sum().astype("int64"))
+
+    cells_df = (ds.map_batches(cell_partial, batch_format="pandas")
+                .to_pandas()
+                .groupby(["row_id", "col_id"])["cnt"].sum())
+    cells = {(int(r), int(c)): int(v)
+             for (r, c), v in cells_df.items()}
+    ref = ray.put(cells)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = (pd.DataFrame({"u": t["user_id"].to_numpy(), "n": 1})
+             .groupby("u", as_index=False)["n"].sum())
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "n": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_errors(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        cm = _ray.get(ref)
+        per = g.groupby("u", as_index=False)["n"].sum()
+        errs = []
+        for u, true in per.itertuples(index=False):
+            est = min(cm.get((r, _cm_col(r, int(u))), 0)
+                      for r in range(CM_DEPTH))
+            errs.append(int(est) - int(true))
+        out = (pd.DataFrame({"err": errs})
+               .groupby("err", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_errors, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby("err", as_index=False)["n_users"].sum()
+             .sort_values("err").reset_index(drop=True))
+        return h.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+CM_ERROR_SQL = """
+WITH cells AS (
+  SELECT r.row_id,
+         CAST(concat('0x', substr(md5(concat(r.row_id, ':',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           %% 64 AS col_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, %d)) AS row_id) r
+  GROUP BY 1, 2),
+truth AS (SELECT user_id AS u, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+est AS (
+  SELECT t.u, t.n,
+         min(c.cnt) AS est
+  FROM truth t
+  CROSS JOIN (SELECT unnest(generate_series(0, %d)) AS row_id) r
+  JOIN cells c ON c.row_id = r.row_id
+    AND c.col_id = CAST(concat('0x', substr(md5(concat(r.row_id,
+          ':', CAST(t.u AS VARCHAR))), 1, 15)) AS BIGINT) %% 64
+  GROUP BY 1, 2)
+SELECT CAST(est - n AS BIGINT) AS err,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM est GROUP BY 1 ORDER BY 1
+""" % (CM_DEPTH - 1, CM_DEPTH - 1)
+
+
+def orderkey_gap_audit(sf_dir):
+    """Keyspace-fragmentation audit — the sequence-health check an
+    ingest pipeline runs on a supposedly-dense surrogate key (gaps =
+    lost batches, compaction debt, or deliberate sharded allocators):
+    key count, span, missing-key count, the LARGEST gap and the gap
+    COUNT, all without a global sort — the distributed max-gap
+    decomposition: keys hash into fixed-width RANGE buckets
+    (key // W), each bucket sorts locally and emits (min, max, n,
+    max internal gap, internal gap count); the bounded merge splices
+    consecutive buckets' boundary gaps (range bucketing makes bucket
+    order == key order, the orders_zorder locality argument). The
+    ordinal sibling of lineitem_sequence_audit's per-order taxonomy.
+
+    Scale shape: one min/max pre-pass sizes W; ONE range-bucketed
+    exchange of batch-local distinct keys; bounded per-bucket summary
+    rows; single merge."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def rng(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        return pd.DataFrame({"lo": pd.Series([int(k.min())],
+                                             dtype="int64"),
+                             "hi": pd.Series([int(k.max())],
+                                             dtype="int64")})
+
+    r = ds.map_batches(rng, batch_format="pyarrow").to_pandas()
+    lo, hi = int(r["lo"].min()), int(r["hi"].max())
+    width = max((hi - lo) // 64 + 1, 1)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({"k": t["o_orderkey"].to_numpy()}) \
+            .drop_duplicates()
+        p["_bucket"] = ((p["k"] - lo) // width).astype("int32")
+        return p.astype({"k": "int64", "_bucket": "int32"})
+
+    def bucket_summary(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["k"].drop_duplicates().to_numpy(np.int64))
+        d = np.diff(k)
+        return pd.DataFrame({
+            "bmin": [int(k[0])], "bmax": [int(k[-1])],
+            "n": [len(k)],
+            "mx_gap": [int(d.max()) if len(d) else 0],
+            "n_gaps": [int((d > 1).sum())]}).astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_summary, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values("bmin").reset_index(drop=True)
+        n = int(s["n"].sum())
+        mx = int(s["mx_gap"].max())
+        ng = int(s["n_gaps"].sum())
+        bmax = s["bmax"].to_numpy(np.int64)
+        bmin = s["bmin"].to_numpy(np.int64)
+        if len(s) > 1:
+            bound = bmin[1:] - bmax[:-1]
+            mx = max(mx, int(bound.max()))
+            ng += int((bound > 1).sum())
+        span = int(bmax[-1]) - int(bmin[0]) + 1
+        return pd.DataFrame({
+            "n_keys": pd.Series([n], dtype="int64"),
+            "span": pd.Series([span], dtype="int64"),
+            "n_missing": pd.Series([span - n], dtype="int64"),
+            "max_gap": pd.Series([mx], dtype="int64"),
+            "n_gaps": pd.Series([ng], dtype="int64")})
+
+    return _merge_partials(per_bucket, merge)
+
+
+ORDERKEY_GAP_SQL = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+d AS (SELECT k, k - lag(k) OVER (ORDER BY k) AS gap FROM k),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(max(k) - min(k) + 1 AS BIGINT) AS span,
+               CAST(coalesce(max(gap), 0) AS BIGINT) AS mx,
+               CAST(sum(CASE WHEN gap > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ng
+        FROM d)
+SELECT n AS n_keys, span,
+       CAST(span - n AS BIGINT) AS n_missing,
+       mx AS max_gap, ng AS n_gaps
+FROM agg
+"""
+
+
+def events_stickiness_ratio(sf_dir):
+    """DAU/WAU stickiness — the product-health headline (what share
+    of the weekly audience shows up on a given day; ~1000 = a daily
+    habit, ~143 = once-a-week usage): per day, the exact distinct
+    daily actives, the exact trailing-7-day distinct actives, and
+    1000·DAU // WAU, reported for every day with a full 7-day
+    history. Distinct counts are not additive across days, so WAU is
+    computed by the events_sliding_dau expansion: a user-day
+    contributes to exactly 7 trailing windows — bounded 7×, dedup per
+    (user, window) restores exactness.
+
+    Scale shape: batch-local distinct (user, day) pairs ride ONE
+    user-bucketed exchange; each bucket dedups exactly (a user lives
+    in one bucket), emits (day, dau) partials and the 7-window
+    expansion's (window, wau) partials — both additive across
+    buckets; one bounded merge joins the two calendars."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "d": (t["ts"].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64) // 86_400_000_000)})
+        p = p.drop_duplicates()
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "d": "int64",
+                         "_bucket": "int32"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["u", "d"]].drop_duplicates()
+        dau = (g.groupby("d", as_index=False).size()
+               .rename(columns={"d": "day", "size": "n"}))
+        dau["kind"] = 0
+        u = np.repeat(g["u"].to_numpy(np.int64), 7)
+        w = (np.repeat(g["d"].to_numpy(np.int64), 7)
+             + np.tile(np.arange(7, dtype=np.int64), len(g)))
+        wau = (pd.DataFrame({"u": u, "day": w}).drop_duplicates()
+               .groupby("day", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        wau["kind"] = 1
+        out = pd.concat([dau[["day", "kind", "n"]],
+                         wau[["day", "kind", "n"]]],
+                        ignore_index=True)
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["day", "kind"], as_index=False)["n"].sum())
+        dau = g[g["kind"] == 0].set_index("day")["n"]
+        wau = g[g["kind"] == 1].set_index("day")["n"]
+        lo = int(dau.index.min())
+        rows = []
+        for day in sorted(dau.index):
+            if day < lo + 6:
+                continue  # no full 7-day history
+            d = int(dau[day])
+            w = int(wau.get(day, 0))
+            rows.append((int(day), d, w, 1000 * d // max(w, 1)))
+        return pd.DataFrame(rows, columns=[
+            "day", "dau", "wau", "stickiness_permille"]
+            ).astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+  FROM events),
+dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        FROM ud GROUP BY 1),
+wexp AS (
+  SELECT DISTINCT ud.u, ud.d + off.o AS day
+  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)
+    off),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        FROM wexp GROUP BY 1),
+lo AS (SELECT min(d) AS lo FROM ud)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(1000 * dau.dau // greatest(wau.wau, 1) AS BIGINT)
+         AS stickiness_permille
+FROM dau JOIN wau ON wau.day = dau.day, lo
+WHERE dau.day >= lo.lo + 6
+ORDER BY dau.day
+"""
+
+
+SLO_ERROR_BUDGET_PERMILLE = 10  # 99% success SLO
+
+
+def events_slo_burn_rate(sf_dir):
+    """SLO error-budget burn rate — the SRE alerting primitive
+    (Google SRE workbook ch. 5): against a 99% success objective,
+    each day's burn rate = (error share) / (budget share), exact as
+    burn_milli = 1000·1000·n_err // (n·B) with B = 10‰ — 1000 means
+    burning budget exactly at the sustainable rate, 14,000 is the
+    classic page-now threshold. Reports every day plus the
+    cumulative budget consumed month-to-date (window = the data's
+    calendar), so both fast-burn and slow-burn alerts read off one
+    table.
+
+    Scale shape: bounded (day → n, n_err) count partials — lossless
+    per-batch combiner, zero shuffle; the single merge computes
+    rates and the running cumulative."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        err = (pc.equal(t["event_type"], pa.scalar("error"))
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        out = (pd.DataFrame({"day": days, "n": 1, "n_err": err})
+               .groupby("day", as_index=False)
+               .agg(n=("n", "sum"), n_err=("n_err", "sum")))
+        return out.astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day", as_index=False)
+             .agg(n=("n", "sum"), n_err=("n_err", "sum"))
+             .sort_values("day").reset_index(drop=True))
+        b = SLO_ERROR_BUDGET_PERMILLE
+        g["burn_milli"] = (1_000_000 * g["n_err"]
+                           // (g["n"].clip(lower=1) * b))
+        cum_err = g["n_err"].cumsum()
+        cum_n = g["n"].cumsum()
+        g["cum_budget_used_milli"] = (1_000_000 * cum_err
+                                      // (cum_n.clip(lower=1) * b))
+        return g.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+SLO_BURN_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM events GROUP BY 1)
+SELECT day, n, n_err,
+       CAST(1000000 * n_err // (greatest(n, 1) * %d) AS BIGINT)
+         AS burn_milli,
+       CAST(1000000 * sum(n_err) OVER (ORDER BY day)
+            // (greatest(sum(n) OVER (ORDER BY day), 1) * %d)
+            AS BIGINT) AS cum_budget_used_milli
+FROM d ORDER BY day
+""" % (SLO_ERROR_BUDGET_PERMILLE, SLO_ERROR_BUDGET_PERMILLE)
+
+
+def brand_return_rate(sf_dir):
+    """Return rate by brand — the vendor-quality scorecard (which
+    brands come back?): per brand, line count, returned-line count
+    (l_returnflag = 'R') and the exact permille rate, plus the rate's
+    delta from the global rate so over/under-performers read
+    directly. Returns are drawn independently of brand in this
+    synthesizer, so deltas are binomial noise — the exact noise is
+    the data (the fairness-audit stance).
+
+    Scale shape: part→brand broadcast once (the brand_share_shift
+    discipline); bounded (brand → n, n_ret) cells, zero shuffle, one
+    merge block."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_map = dict(zip(part["p_partkey"].astype(int),
+                         part["p_brand"]))
+    lookup = ray.put(brand_map)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_returnflag"])
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+        bm = _ray.get(lookup)
+        ret = (pc.equal(t["l_returnflag"], pa.scalar("R"))
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        brands = [bm[int(k)] for k in t["l_partkey"].to_pylist()]
+        out = (pd.DataFrame({"brand": brands, "n": 1, "n_ret": ret})
+               .groupby("brand", as_index=False)
+               .agg(n=("n", "sum"), n_ret=("n_ret", "sum")))
+        return out.astype({"n": "int64", "n_ret": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("brand", as_index=False)
+             .agg(n=("n", "sum"), n_ret=("n_ret", "sum"))
+             .sort_values("brand").reset_index(drop=True))
+        glob = 1000 * int(g["n_ret"].sum()) // int(g["n"].sum())
+        g["rate_permille"] = 1000 * g["n_ret"] // g["n"]
+        g["delta_permille"] = g["rate_permille"] - glob
+        return g.astype({"n": "int64", "n_ret": "int64",
+                         "rate_permille": "int64",
+                         "delta_permille": "int64"})
+
+    return _merge_partials(
+        ds.map_batches(cells, batch_format="pyarrow"), merge)
+
+
+BRAND_RETURN_SQL = """
+WITH b AS (
+  SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ret
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1),
+g AS (SELECT CAST(1000 * sum(n_ret) // sum(n) AS BIGINT) AS glob
+      FROM b)
+SELECT brand, n, n_ret,
+       CAST(1000 * n_ret // n AS BIGINT) AS rate_permille,
+       CAST(1000 * n_ret // n - g.glob AS BIGINT) AS delta_permille
+FROM b, g ORDER BY brand
+"""
+
+
+BOUNCE_GAP_US = 1_800_000_000  # the 30-min session rule
+
+
+def events_bounce_rate(sf_dir):
+    """Session bounce rate per day — the engagement headline next to
+    stickiness: sessions under the 30-minute-gap rule (the
+    events_sessions contract), a BOUNCE is a single-event session,
+    each session dated by its first event's day, and the report is
+    per-day sessions, bounces and the exact permille rate.
+
+    Scale shape: (user, ts) rides the interarrival user-bucketed
+    exchange; each bucket sorts within user, marks session starts
+    vectorized (gap > 30 min), derives per-session lengths from
+    consecutive start indices (a user's events co-locate, so session
+    boundaries never cross buckets) and emits bounded (day →
+    sessions, bounces) cells; single merge."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": (t["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))})
+        h = pd.util.hash_pandas_object(p["u"], index=False).values
+        p["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return p.astype({"u": "int64", "ts": "int64"})
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts"], kind="mergesort")
+        u = g["u"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.ones(len(g), dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > BOUNCE_GAP_US
+        start = new_user | gap
+        idx = np.flatnonzero(start)
+        lengths = np.diff(np.append(idx, len(g)))
+        days = ts[idx] // 86_400_000_000
+        out = (pd.DataFrame({"day": days,
+                             "n_sessions": 1,
+                             "n_bounces": (lengths == 1)
+                             .astype(np.int64)})
+               .groupby("day", as_index=False)
+               .agg(n_sessions=("n_sessions", "sum"),
+                    n_bounces=("n_bounces", "sum")))
+        return out.astype("int64")
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_cells, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day", as_index=False)
+             .agg(n_sessions=("n_sessions", "sum"),
+                  n_bounces=("n_bounces", "sum"))
+             .sort_values("day").reset_index(drop=True))
+        g["bounce_permille"] = (1000 * g["n_bounces"]
+                                // g["n_sessions"].clip(lower=1))
+        return g.astype("int64")
+
+    return _merge_partials(per_bucket, merge)
+
+
+BOUNCE_RATE_SQL = """
+WITH e AS (
+  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS ts
+  FROM events),
+m AS (
+  SELECT u, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY u ORDER BY ts)
+                   IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY u ORDER BY ts)
+                   > %d
+              THEN 1 ELSE 0 END AS start
+  FROM e),
+s AS (SELECT u, ts, sum(start) OVER (PARTITION BY u ORDER BY ts)
+             AS sid
+      FROM m),
+sess AS (
+  SELECT u, sid, min(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS len
+  FROM s GROUP BY 1, 2),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bounces
+      FROM sess GROUP BY 1)
+SELECT day, n_sessions, n_bounces,
+       CAST(1000 * n_bounces // greatest(n_sessions, 1) AS BIGINT)
+         AS bounce_permille
+FROM d ORDER BY day
+""" % BOUNCE_GAP_US

@@ -203,9 +203,17 @@ class MentionLinker:
         if isinstance(embed_entities, ray.ObjectRef):
             embed_entities = ray.get(embed_entities)
         # grammar registry built ONCE per actor (patterns compile here,
-        # never per batch); custom families slot in via the kwarg
-        self.grammars = (tuple(grammars) if grammars is not None
-                         else default_grammars(rfc_base))
+        # never per batch); custom families slot in via the kwarg — a
+        # STRING is a grammar-file path loaded at actor init (the
+        # legalref.py:94-186 res/ebnf file-loading analogue,
+        # grammarfile.load_grammars)
+        if isinstance(grammars, str):
+            from ..grammarfile import load_grammars
+
+            self.grammars = load_grammars(grammars)
+        else:
+            self.grammars = (tuple(grammars) if grammars is not None
+                             else default_grammars(rfc_base))
         self.gazetteer: dict[str, str] = dict(gazetteer or {})
         # longest-first alternation so multi-word surfaces win
         if self.gazetteer:

@@ -91,9 +91,17 @@ def train_centroids(ds, n_centroids: int = 16, sample_frac: float = 0.1,
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             n_probe: int = 4, vec_col: str = "embedding",
-            key_col: str = "vec_id", centroids: np.ndarray | None = None):
+            key_col: str = "vec_id", centroids: np.ndarray | None = None,
+            round_dp: int | None = None):
     """IVF-bucketed ANN: assign vectors to centroid buckets map-side,
-    scan only the ``n_probe`` nearest buckets per query."""
+    scan only the ``n_probe`` nearest buckets per query.
+
+    ``round_dp``: round cosines to this many decimals BEFORE every
+    selection and break ties on the key — required whenever the
+    ranking boundary can hold ties, because bitwise-identical vectors
+    dot to 1.0 vs 0.9999999999999999 depending on the BLAS kernel a
+    batch's shape selects (the repo's recorded float-tie rule; the
+    embed_ivf_add_knn precedent rounds at 12 dp)."""
     import ray
 
     if centroids is None:
@@ -119,9 +127,17 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             if not mask.any():
                 continue
             sims = vecs[mask] @ qm[qi]
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
             sel_keys = keys[mask]
             topn = min(k, len(sel_keys))
-            idx = np.argpartition(-sims, topn - 1)[:topn]
+            if round_dp is not None:
+                # deterministic batch-local top-k: key-ascending
+                # within a rounded-cosine tie (argpartition picks
+                # arbitrarily among exact ties)
+                idx = np.lexsort((sel_keys, -sims))[:topn]
+            else:
+                idx = np.argpartition(-sims, topn - 1)[:topn]
             for i in idx:
                 out_q.append(qi)
                 out_key.append(sel_keys[i])

@@ -5,6 +5,14 @@ skew salting.
   parse — the reference's ``patch_if_needed``
   (documentrepository.py:1352-1401) as a broadcast overrides map
   (url → [(find, replace), ...]) instead of unified-diff files.
+- ``patch_if_needed`` / ``parse_unified_diff`` /
+  ``apply_unified_diff``: REAL unified-diff semantics
+  (documentrepository.py:1352-1401 + thirdparty/patchit.py): patches
+  parse once on the driver, broadcast, apply map-side with context
+  verification and nearby-offset adjustment (the reference's
+  ``adjust``); a context mismatch raises ``PatchError`` (the
+  reference's PatchConflictError), and the hunk's leading comment —
+  or a ``.desc`` sidecar — becomes the patch description column.
 - ``transform_links``: rewrite URLs in a column by prefix map — the
   reference's ``transformlinks`` (documentrepository.py:2749-2793)
   for static-site / devel-url relocation.
@@ -57,6 +65,205 @@ def apply_patches(ds, patches: dict, col: str = "text"):
             for find, replace in p[df.at[idx, "url"]]:
                 val = val.replace(find, replace)
             df.at[idx, col] = val
+        return df
+
+    return ds.map_batches(patch, batch_format="pandas")
+
+
+class PatchError(Exception):
+    """Unified-diff parse or apply failure (the reference's
+    errors.PatchError over PatchSyntaxError / PatchConflictError,
+    documentrepository.py:1384,1401)."""
+
+
+def parse_unified_diff(text: str):
+    """Parse ONE file's unified diff into (hunks, description).
+
+    A hunk is ``(src_start, src_len, lines)`` with ``lines`` a list
+    of ``(tag, text)`` where tag ∈ {" ", "-", "+"}. Lines before the
+    ``---`` header (or ``#``-prefixed comment lines) become the
+    description — the reference takes the first hunk's comment as the
+    patch description (documentrepository.py:1389-1394). Raises
+    ``PatchError`` on malformed hunk headers (PatchSyntaxError
+    semantics)."""
+    import re
+
+    hunks = []
+    desc_lines = []
+    lines = text.split("\n")
+    i = 0
+    header_re = re.compile(
+        r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith("@@"):
+            m = header_re.match(ln)
+            if not m:
+                raise PatchError("malformed hunk header: %r" % ln)
+            src_start = int(m.group(1))
+            src_len = int(m.group(2)) if m.group(2) is not None else 1
+            dst_len = int(m.group(4)) if m.group(4) is not None else 1
+            i += 1
+            body = []
+            n_src = n_dst = 0
+            while i < len(lines) and (n_src < src_len
+                                      or n_dst < dst_len):
+                bl = lines[i]
+                if bl.startswith(" ") or bl == "":
+                    body.append((" ", bl[1:]))
+                    n_src += 1
+                    n_dst += 1
+                elif bl.startswith("-"):
+                    body.append(("-", bl[1:]))
+                    n_src += 1
+                elif bl.startswith("+"):
+                    body.append(("+", bl[1:]))
+                    n_dst += 1
+                elif bl.startswith("\\"):
+                    pass  # "\ No newline at end of file"
+                else:
+                    raise PatchError("unexpected hunk line: %r" % bl)
+                i += 1
+            if n_src != src_len or n_dst != dst_len:
+                raise PatchError(
+                    "hunk shorter than its header claims (%d/%d src,"
+                    " %d/%d dst)" % (n_src, src_len, n_dst, dst_len))
+            hunks.append((src_start, src_len, body))
+        else:
+            if (ln.startswith(("---", "+++", "diff ", "index "))
+                    or not hunks and ln.strip()):
+                if not ln.startswith(("---", "+++", "diff ", "index ")):
+                    desc_lines.append(ln.lstrip("# ").rstrip())
+            i += 1
+    if not hunks:
+        raise PatchError("no hunks found")
+    return hunks, "\n".join(d for d in desc_lines if d) or None
+
+
+def apply_unified_diff(text: str, hunks, max_offset: int = 200) -> str:
+    """Apply parsed hunks to ``text`` with context verification.
+
+    Each hunk's source lines (context + deletions) must match the
+    document at the header position adjusted by the running offset;
+    if not, nearby offsets up to ``max_offset`` lines away are tried
+    (the reference's ``Patch.adjust``). No match anywhere raises
+    ``PatchError`` (PatchConflictError semantics) — a silent
+    mispatch is worse than a loud one."""
+    doc = text.split("\n")
+    out = []
+    consumed = 0  # lines of doc already emitted/skipped
+    offset = 0    # cumulative drift between header positions and doc
+    for src_start, src_len, body in hunks:
+        src_lines = [t for tag, t in body if tag in (" ", "-")]
+
+        def matches_at(pos: int) -> bool:
+            if pos < 0 or pos + len(src_lines) > len(doc):
+                return False
+            return doc[pos:pos + len(src_lines)] == src_lines
+
+        base = src_start - 1 + offset
+        pos = None
+        if matches_at(base):
+            pos = base
+        else:
+            for d in range(1, max_offset + 1):
+                if matches_at(base + d):
+                    pos = base + d
+                    break
+                if matches_at(base - d):
+                    pos = base - d
+                    break
+        if pos is None or pos < consumed:
+            raise PatchError(
+                "hunk @@ -%d,%d does not apply (context mismatch)"
+                % (src_start, src_len))
+        out.extend(doc[consumed:pos])
+        for tag, t in body:
+            if tag == " ":
+                out.append(t)
+            elif tag == "+":
+                out.append(t)
+        consumed = pos + len(src_lines)
+        offset = pos - (src_start - 1)
+    out.extend(doc[consumed:])
+    return "\n".join(out)
+
+
+def load_patchdir(patchdir: str, encoding: str = "utf-8") -> dict:
+    """Load a directory of ``<key>.patch`` files (with optional
+    ``<key>.desc`` sidecars) into ``{key: (patch_text, desc)}`` —
+    the patchstore layout of documentrepository.py:1369-1375, flat.
+    Keys are the file stems, percent-decoded so URL-keyed corpora can
+    store one patch per url."""
+    import os
+    from urllib.parse import unquote
+
+    out = {}
+    if not os.path.isdir(patchdir):
+        return out
+    for fn in sorted(os.listdir(patchdir)):
+        if not fn.endswith(".patch"):
+            continue
+        key = unquote(fn[:-len(".patch")])
+        with open(os.path.join(patchdir, fn), encoding=encoding) as f:
+            ptext = f.read()
+        desc = None
+        descpath = os.path.join(patchdir, fn[:-len(".patch")] + ".desc")
+        if os.path.exists(descpath):
+            with open(descpath, encoding=encoding) as f:
+                desc = f.read().strip()
+        out[key] = (ptext, desc)
+    return out
+
+
+def patch_if_needed(ds, patches, col: str = "text",
+                    url_col: str = "url",
+                    desc_col: str | None = "patch_desc",
+                    ignorepatch: bool = False,
+                    encoding: str = "utf-8"):
+    """Unified-diff ``patch_if_needed`` over a Dataset.
+
+    ``patches``: ``{key: patch_text}`` or ``{key: (patch_text,
+    desc)}`` — e.g. from ``load_patchdir``. Patches parse ONCE on
+    the driver (a syntax error fails fast, before any task runs),
+    the parsed hunks broadcast via ``ray.put`` and apply map-side to
+    rows whose ``url_col`` matches; other rows stream through
+    untouched. ``desc_col`` (if not None) is added: the patch
+    description for patched rows, null elsewhere — the reference's
+    (patchedtext, patchdescription) return. ``ignorepatch=True``
+    streams everything through unchanged but still adds the null
+    ``desc_col`` (config.ignorepatch semantics,
+    documentrepository.py:1366-1367)."""
+    import ray
+
+    parsed = {}
+    for key, val in patches.items():
+        ptext, desc = val if isinstance(val, tuple) else (val, None)
+        hunks, inline_desc = parse_unified_diff(ptext)
+        parsed[key] = (hunks, desc or inline_desc
+                       or "(No patch description available)")
+
+    ref = ray.put(parsed if not ignorepatch else {})
+
+    def patch(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(ref)
+        df = df.copy()
+        descs = pd.Series([None] * len(df), index=df.index,
+                          dtype=object)
+        if p:
+            hits = df[url_col].isin(p.keys())
+            for idx in df.index[hits]:
+                hunks, desc = p[df.at[idx, url_col]]
+                val = df.at[idx, col]
+                was_bytes = isinstance(val, (bytes, bytearray))
+                if was_bytes:
+                    val = bytes(val).decode(encoding)
+                val = apply_unified_diff(val, hunks)
+                df.at[idx, col] = (val.encode(encoding)
+                                   if was_bytes else val)
+                descs.at[idx] = desc
+        if desc_col is not None:
+            df[desc_col] = descs
         return df
 
     return ds.map_batches(patch, batch_format="pandas")

@@ -152,3 +152,65 @@ def test_facet_selector_drives_pagesets(ray_session):
                        facet=year_facet).to_pandas()
     got = dict(zip(out["value"], out["n_docs"]))
     assert got == {"2021": 2, "2022": 1}
+
+
+# --- layered ops-time config (manager.py:863-910 cascade) -------------
+
+def test_layered_config_cascade(tmp_path):
+    from ferenda_ray.config import layered_config
+
+    ini = tmp_path / "ferenda.ini"
+    ini.write_text(
+        "[ferenda_ray]\nworkers = 8\nthreshold = 0.7\nverbose = yes\n")
+    defaults = {"workers": 4, "threshold": 0.55, "verbose": False,
+                "name": "base", "pools": (2, 4)}
+    # defaults only
+    assert layered_config(defaults, env={}) == defaults
+    # ini overrides defaults (typed)
+    c = layered_config(defaults, inifile=str(ini), env={})
+    assert c["workers"] == 8 and c["threshold"] == 0.7
+    assert c["verbose"] is True
+    # env overrides ini
+    c = layered_config(defaults, inifile=str(ini),
+                       env={"FERENDA_RAY_WORKERS": "16",
+                            "FERENDA_RAY_POOLS": "3, 9"})
+    assert c["workers"] == 16
+    assert c["pools"] == (3, 9)
+    # argv overrides env
+    c = layered_config(defaults, inifile=str(ini),
+                       env={"FERENDA_RAY_WORKERS": "16"},
+                       argv=["--workers=32", "--verbose"])
+    assert c["workers"] == 32 and c["verbose"] is True
+    # unknown keys survive as strings
+    c = layered_config(defaults, env={"FERENDA_RAY_EXTRA": "x"})
+    assert c["extra"] == "x"
+
+
+def test_env_overrides_profile_without_code_edits(tmp_path):
+    """The verdict's acceptance case: an env var overrides a
+    RepoProfile knob with zero code edits."""
+    from ferenda_ray.config import profile_with_config
+    from ferenda_ray.pipelines.profile import RepoProfile
+
+    prof = RepoProfile(checkpoint_dir=None, embed_threshold=0.55)
+    out = profile_with_config(
+        prof,
+        env={"FERENDA_RAY_CHECKPOINT_DIR": "/tmp/ckpt_env",
+             "FERENDA_RAY_EMBED_THRESHOLD": "0.8",
+             "FERENDA_RAY_LINKER_CONCURRENCY": "2,6"})
+    assert out.checkpoint_dir == "/tmp/ckpt_env"
+    assert out.embed_threshold == 0.8
+    assert out.linker_concurrency == (2, 6)
+    # untouched fields carry over; original profile unchanged
+    assert out.facets is prof.facets
+    assert prof.checkpoint_dir is None
+
+    ini = tmp_path / "ferenda.ini"
+    ini.write_text("[ferenda_ray]\ncheckpoint_dir = /tmp/ckpt_ini\n")
+    # ini < env precedence
+    out2 = profile_with_config(
+        prof, inifile=str(ini),
+        env={"FERENDA_RAY_CHECKPOINT_DIR": "/tmp/ckpt_env"})
+    assert out2.checkpoint_dir == "/tmp/ckpt_env"
+    out3 = profile_with_config(prof, inifile=str(ini), env={})
+    assert out3.checkpoint_dir == "/tmp/ckpt_ini"
