@@ -165,12 +165,16 @@ def segment_price_median(sf_dir):
         out["n"] = out["n"].astype("int64")
         return out
 
+    # materialize the tagged narrow table ONCE -- both histogram
+    # passes scan it, and re-running the attach (and on the large
+    # path, its exchange) per pass doubles the cost (measured
+    # 0.6 -> 0.95 s at sf0.1 before this)
     ds = joins.attach_dim(
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
         _read(sf_dir, "customer",
               columns=["c_custkey", "c_mktsegment"]),
         "o_custkey", "c_custkey", "c_mktsegment", out_col="seg",
-        how="inner")
+        how="inner").materialize()
     h1 = (ds.map_batches(hist_hi, batch_format="pyarrow")
           .to_pandas()
           .groupby(["seg", "hi"], as_index=False)["n"].sum())
@@ -272,11 +276,10 @@ def source_embedding_coherence(sf_dir):
                      for d in range(EMB_DIM)})
         return pd.DataFrame(cols)
 
-    n_docs_dim = docs_dim.count()
-    if n_docs_dim <= joins.DIM_BROADCAST_THRESHOLD:
-        src_ref = ray.put({
-            int(r["doc_id"]): r["source"]
-            for r in docs_dim.take_all()})
+    docs_df = joins.collect_dim_small(docs_dim)
+    if docs_df is not None:
+        src_ref = ray.put(dict(zip(docs_df["doc_id"].astype(int),
+                                   docs_df["source"])))
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             import ray as _ray

@@ -986,11 +986,18 @@ def orders_pit_dimension_join(sf_dir):
     bounded (segment, n, cents) combiner, one merge."""
     cust_ds = _read(sf_dir, "customer",
                     columns=["c_custkey", "c_mktsegment"])
-    seg_vocab = (cust_ds.map_batches(
-        lambda t: pa.table(
-            {"s": pc.unique(t["c_mktsegment"])}),
-        batch_format="pyarrow").to_pandas())
-    segs = sorted(seg_vocab["s"].unique().tolist())
+    # ONE capped scan doubles as dispatch probe, broadcast collect
+    # AND segment vocabulary; only the distributed path pays the
+    # separate distinct pre-pass
+    cust_df = joins.collect_dim_small(cust_ds)
+    if cust_df is not None:
+        segs = sorted(cust_df["c_mktsegment"].unique().tolist())
+    else:
+        seg_vocab = (cust_ds.map_batches(
+            lambda t: pa.table(
+                {"s": pc.unique(t["c_mktsegment"])}),
+            batch_format="pyarrow").to_pandas())
+        segs = sorted(seg_vocab["s"].unique().tolist())
     seg_idx = {s: i for i, s in enumerate(segs)}
     bounds = np.array([np.datetime64(b, "D").astype(np.int64)
                        for b in PIT_BOUNDS], dtype=np.int64)
@@ -1029,7 +1036,7 @@ def orders_pit_dimension_join(sf_dir):
         _read(sf_dir, "orders",
               columns=["o_custkey", "o_orderdate", "o_totalprice"]),
         cust_ds, "o_custkey", "c_custkey", "c_mktsegment",
-        out_col="seg", how="inner")
+        out_col="seg", how="inner", dim_df=cust_df)
     return _merge_partials(
         ds.map_batches(partial, batch_format="pyarrow"), merge)
 
