@@ -3197,3 +3197,308 @@ SELECT day, n_sessions, n_bounces,
          AS bounce_permille
 FROM d ORDER BY day
 """ % BOUNCE_GAP_US
+
+
+# --- probabilistic record linkage + nonparametric two-sample tests ---
+
+# Fellegi–Sunter field weights (Fellegi & Sunter '69): agreement
+# weight 1000·log2(m/u), disagreement 1000·log2((1−m)/(1−u)), with
+# DECLARED (m, u) per comparator — the standard deterministic
+# scorecard configuration (weight *estimation* via EM is a separate
+# operator family). Integer milli-bits so both engines share literals.
+import math as _math
+
+FS_FIELDS = (
+    # (field, m, u)
+    ("nation", 0.95, 0.04),
+    ("segment", 0.90, 0.20),
+    ("acctbal", 0.80, 0.02),
+    ("namechar", 0.85, 0.10),
+)
+FS_AGREE = tuple(int(_math.floor(1000 * _math.log2(m / u) + 0.5))
+                 for _, m, u in FS_FIELDS)
+FS_DISAGREE = tuple(
+    int(_math.floor(1000 * _math.log2((1 - m) / (1 - u)) - 0.5) + 1)
+    for _, m, u in FS_FIELDS)
+FS_BLOCK = 1000          # er_blocking_quality's custkey // 1000 scheme
+FS_BAL_CENTS = 10_000    # acctbal comparator: within 100 dollars
+FS_UPPER, FS_LOWER = 2000, 0   # match / possible thresholds (milli)
+
+
+def er_fellegi_sunter(sf_dir):
+    """Fellegi–Sunter probabilistic record linkage over the blocked
+    customer comparison space — THE classical ER decision model
+    (Fellegi & Sunter '69; Christen '12 ch.6): every candidate pair
+    (same custkey // 1000 block, the audited er_blocking_quality
+    scheme) scores the sum of per-field agreement/disagreement
+    log-odds weights, and the three-way decision (match ≥ upper,
+    possible in between, non-match < lower) censuses by the 4-bit
+    agreement PATTERN — so the output is the bounded 2⁴-row pattern
+    table (pattern, score, decision, n_pairs), not the pair list.
+
+    Comparators: nation-key equality, market-segment equality,
+    account balance within ±100.00, and last-name-char equality.
+    Weights are integer milli-bits (shared literals with SQL).
+
+    Scale shape: pairs enumerate INSIDE block-bucketed groups (a
+    block lives in one bucket; block size is capped by the scheme at
+    FS_BLOCK, so per-bucket work is C(1000,2) vectorized comparisons
+    max per block — never the N² space); each bucket emits bounded
+    ≤16-cell pattern partials, one coalesced merge."""
+    buckets = _exchange_buckets(sf_dir, "customer")
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        names = t["c_name"].to_pylist()
+        df = pd.DataFrame({
+            "ck": t["c_custkey"].to_numpy().astype(np.int64),
+            "nat": t["c_nationkey"].to_numpy().astype(np.int64),
+            "seg": pd.Series(t["c_mktsegment"].to_pylist(),
+                             dtype=object),
+            "bal": cents,
+            "lc": pd.Series([n[-1] for n in names], dtype=object)})
+        df["blk"] = df["ck"] // FS_BLOCK
+        h = pd.util.hash_pandas_object(df["blk"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def pattern_census(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, blk in g.groupby("blk", sort=False):
+            j = blk.merge(blk, on="blk")
+            j = j[j["ck_x"] < j["ck_y"]]
+            if not len(j):
+                continue
+            bits = (
+                (j["nat_x"].to_numpy() == j["nat_y"].to_numpy())
+                .astype(np.int64)
+                | ((j["seg_x"].to_numpy() == j["seg_y"].to_numpy())
+                   .astype(np.int64) << 1)
+                | ((np.abs(j["bal_x"].to_numpy()
+                           - j["bal_y"].to_numpy()) <= FS_BAL_CENTS)
+                   .astype(np.int64) << 2)
+                | ((j["lc_x"].to_numpy() == j["lc_y"].to_numpy())
+                   .astype(np.int64) << 3))
+            c = pd.DataFrame({"pattern": bits}).groupby(
+                "pattern", as_index=False).size().rename(
+                columns={"size": "n_pairs"})
+            outs.append(c)
+        if not outs:
+            return pd.DataFrame({"pattern": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        return pd.concat(outs).groupby("pattern", as_index=False)[
+            "n_pairs"].sum().astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("pattern", as_index=False)["n_pairs"].sum()
+             .sort_values("pattern").reset_index(drop=True))
+        pat = g["pattern"].to_numpy(np.int64)
+        score = np.zeros(len(g), np.int64)
+        for i in range(len(FS_FIELDS)):
+            agree = (pat >> i) & 1
+            score += np.where(agree, FS_AGREE[i], FS_DISAGREE[i])
+        decision = np.where(
+            score >= FS_UPPER, "match",
+            np.where(score >= FS_LOWER, "possible", "non_match"))
+        return pd.DataFrame({
+            "pattern": pat,
+            "score_milli": score.astype("int64"),
+            "decision": pd.Series(decision, dtype=object),
+            "n_pairs": g["n_pairs"].astype("int64")})
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_nationkey",
+                        "c_acctbal", "c_mktsegment"])
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(pattern_census, batch_format="pandas"))
+    return _merge_partials(per_bucket, final)
+
+
+FELLEGI_SUNTER_SQL = """
+WITH c AS (
+  SELECT c_custkey AS ck, c_custkey // %d AS blk,
+         c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         substr(c_name, length(c_name), 1) AS lc
+  FROM customer),
+p AS (
+  SELECT (CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END)
+         + (CASE WHEN a.seg = b.seg THEN 2 ELSE 0 END)
+         + (CASE WHEN abs(a.bal - b.bal) <= %d THEN 4 ELSE 0 END)
+         + (CASE WHEN a.lc = b.lc THEN 8 ELSE 0 END) AS pattern
+  FROM c a JOIN c b ON a.blk = b.blk AND a.ck < b.ck),
+g AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY 1),
+s AS (
+  SELECT pattern,
+         (CASE WHEN pattern %% 2 = 1 THEN %d ELSE %d END)
+         + (CASE WHEN (pattern // 2) %% 2 = 1 THEN %d ELSE %d END)
+         + (CASE WHEN (pattern // 4) %% 2 = 1 THEN %d ELSE %d END)
+         + (CASE WHEN (pattern // 8) %% 2 = 1 THEN %d ELSE %d END)
+           AS score_milli,
+         n_pairs
+  FROM g)
+SELECT CAST(pattern AS BIGINT) AS pattern,
+       CAST(score_milli AS BIGINT) AS score_milli,
+       CASE WHEN score_milli >= %d THEN 'match'
+            WHEN score_milli >= %d THEN 'possible'
+            ELSE 'non_match' END AS decision,
+       n_pairs
+FROM s ORDER BY pattern
+""" % (FS_BLOCK, FS_BAL_CENTS,
+       FS_AGREE[0], FS_DISAGREE[0], FS_AGREE[1], FS_DISAGREE[1],
+       FS_AGREE[2], FS_DISAGREE[2], FS_AGREE[3], FS_DISAGREE[3],
+       FS_UPPER, FS_LOWER)
+
+
+def _two_sample_hist(sf_dir):
+    """Shared combiner for the nonparametric two-sample tests:
+    full-value histogram of lineitem extendedprice cents split by
+    returnflag = 'R' vs not — per-batch (value → n_r, n_o) partials,
+    folded driver-side (bounded by the price grid's distinct cents,
+    the orders_quantile_sketch_audit domain argument)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        is_r = pc.equal(t["l_returnflag"], pa.scalar("R")).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"v": cents,
+                           "n_r": is_r.astype(np.int64),
+                           "n_o": (~is_r).astype(np.int64)})
+        return (df.groupby("v", as_index=False)[["n_r", "n_o"]].sum()
+                .astype("int64"))
+
+    h = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("v", as_index=False)[["n_r", "n_o"]].sum()
+         .sort_values("v").reset_index(drop=True))
+    return h
+
+
+def lineitem_ks_test(sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic — returned
+    ('R') vs non-returned lineitem price distributions, the
+    distribution-shift gate every data-quality and drift system
+    runs before trusting a comparison (Smirnov '39). D is computed
+    on the integer grid with NO floats: D_num = max over the merged
+    support of |cum_r·n_o − cum_o·n_r| (the CDF difference
+    cross-multiplied), reported as d_ppm = 10⁶·D_num // (n_r·n_o)
+    plus the smallest cents value attaining the max — every quantity
+    replayable by SQL window cumulative sums.
+
+    Scale shape: one zero-shuffle pass of (value → n_r, n_o)
+    per-batch partials over a bounded price-grid domain; the walk is
+    a driver-side vectorized cumsum over the folded histogram."""
+    h = _two_sample_hist(sf_dir)
+    n_r = int(h["n_r"].sum())
+    n_o = int(h["n_o"].sum())
+    cum_r = h["n_r"].cumsum().to_numpy()
+    cum_o = h["n_o"].cumsum().to_numpy()
+    # Python-int object arithmetic: cum·n products near 2^63 at
+    # ~10^9-row samples
+    diff = np.abs(cum_r.astype(object) * n_o
+                  - cum_o.astype(object) * n_r)
+    i = int(np.argmax(diff))
+    d_num = int(diff[i])
+    return pd.DataFrame({
+        "n_returned": pd.Series([n_r], dtype="int64"),
+        "n_other": pd.Series([n_o], dtype="int64"),
+        "d_ppm": pd.Series([10**6 * d_num // (n_r * n_o)],
+                           dtype="int64"),
+        "at_cents": pd.Series([int(h["v"].iloc[i])], dtype="int64")})
+
+
+KS_TEST_SQL = """
+WITH x AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem),
+h AS (SELECT v, CAST(sum(r) AS BIGINT) AS n_r,
+             CAST(sum(1 - r) AS BIGINT) AS n_o
+      FROM x GROUP BY 1),
+n AS (SELECT CAST(sum(n_r) AS HUGEINT) AS nr,
+             CAST(sum(n_o) AS HUGEINT) AS no FROM h),
+c AS (SELECT v,
+             sum(n_r) OVER (ORDER BY v) AS cr,
+             sum(n_o) OVER (ORDER BY v) AS co
+      FROM h),
+d AS (SELECT v, abs(CAST(cr AS HUGEINT) * n.no
+                    - CAST(co AS HUGEINT) * n.nr) AS dn
+      FROM c, n),
+best AS (SELECT v, dn FROM d ORDER BY dn DESC, v ASC LIMIT 1)
+SELECT CAST(n.nr AS BIGINT) AS n_returned,
+       CAST(n.no AS BIGINT) AS n_other,
+       CAST(1000000 * best.dn // (n.nr * n.no) AS BIGINT) AS d_ppm,
+       best.v AS at_cents
+FROM n, best
+"""
+
+
+def lineitem_mann_whitney(sf_dir):
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) for the same two
+    samples — the rank-based location test that, unlike KS, targets
+    stochastic dominance. Midranks handle the heavy price-grid ties
+    exactly by keeping DOUBLED rank sums integer: for a value with
+    cum_before items and n_v ties, 2·midrank = 2·cum_before + n_v +
+    1, so R1_twice = Σ (2·cum_before + n_v + 1)·n_r(v) and
+    U1_twice = R1_twice − n₁(n₁+1) — all integers, SQL-replayable
+    with one window pass. Output: both U's (doubled), and the
+    rank-biserial effect size in exact ppm
+    (r = 1 − 2U1/(n₁n₂) → ppm on doubled U's).
+
+    Scale shape: identical zero-shuffle bounded-domain histogram
+    combiner as lineitem_ks_test."""
+    h = _two_sample_hist(sf_dir)
+    n_r = int(h["n_r"].sum())
+    n_o = int(h["n_o"].sum())
+    n_v = (h["n_r"] + h["n_o"]).to_numpy()
+    cum_before = np.concatenate(([0], n_v.cumsum()[:-1]))
+    two_mid = (2 * cum_before.astype(object) + n_v.astype(object) + 1)
+    r1_twice = int((two_mid * h["n_r"].to_numpy().astype(object)).sum())
+    u1_twice = r1_twice - n_r * (n_r + 1)
+    u2_twice = 2 * n_r * n_o - u1_twice
+    rb_ppm = 10**6 - 10**6 * u1_twice // (n_r * n_o)
+    return pd.DataFrame({
+        "n_returned": pd.Series([n_r], dtype="int64"),
+        "n_other": pd.Series([n_o], dtype="int64"),
+        "u1_twice": pd.Series([u1_twice], dtype="int64"),
+        "u2_twice": pd.Series([u2_twice], dtype="int64"),
+        "rank_biserial_ppm": pd.Series([rb_ppm], dtype="int64")})
+
+
+MANN_WHITNEY_SQL = """
+WITH x AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem),
+h AS (SELECT v, CAST(sum(r) AS BIGINT) AS n_r,
+             CAST(sum(1 - r) AS BIGINT) AS n_o
+      FROM x GROUP BY 1),
+n AS (SELECT CAST(sum(n_r) AS HUGEINT) AS nr,
+             CAST(sum(n_o) AS HUGEINT) AS no FROM h),
+c AS (SELECT v, n_r, n_o,
+             coalesce(sum(n_r + n_o) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM h),
+r1 AS (SELECT CAST(sum((2 * CAST(cb AS HUGEINT) + n_r + n_o + 1)
+                       * n_r) AS HUGEINT) AS r1t FROM c),
+u AS (SELECT r1.r1t - n.nr * (n.nr + 1) AS u1t,
+             2 * n.nr * n.no - (r1.r1t - n.nr * (n.nr + 1)) AS u2t
+      FROM r1, n)
+SELECT CAST(n.nr AS BIGINT) AS n_returned,
+       CAST(n.no AS BIGINT) AS n_other,
+       CAST(u.u1t AS BIGINT) AS u1_twice,
+       CAST(u.u2t AS BIGINT) AS u2_twice,
+       CAST(1000000 - 1000000 * u.u1t // (n.nr * n.no) AS BIGINT)
+         AS rank_biserial_ppm
+FROM n, u
+"""

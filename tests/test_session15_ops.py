@@ -1,0 +1,105 @@
+"""Session-15 operators: Fellegi–Sunter linkage scoring, exact
+two-sample KS, Mann–Whitney U — property tests against brute-force
+recomputation on the raw sf0.001 tables (the oracle-parity suite
+covers the SQL side)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def lineitem(sf_smoke):
+    return pq.read_table(
+        sf_smoke + "/lineitem.parquet",
+        columns=["l_extendedprice", "l_returnflag"]).to_pandas()
+
+
+def test_fellegi_sunter_weights_ordered():
+    from ferenda_ray.pipelines.queries import sessions as S
+
+    # agreement must always add evidence, disagreement subtract
+    for wa, wd in zip(S.FS_AGREE, S.FS_DISAGREE):
+        assert wa > 0 > wd
+
+
+def test_fellegi_sunter_matches_bruteforce(ray_session, sf_smoke):
+    from ferenda_ray.pipelines.queries import er_fellegi_sunter
+    from ferenda_ray.pipelines.queries import sessions as S
+
+    got = er_fellegi_sunter(sf_smoke).to_pandas()
+    c = pq.read_table(sf_smoke + "/customer.parquet").to_pandas()
+    c["bal"] = np.round(c["c_acctbal"] * 100).astype("int64")
+    c["blk"] = c["c_custkey"] // S.FS_BLOCK
+    c["lc"] = [n[-1] for n in c["c_name"]]
+    j = c.merge(c, on="blk")
+    j = j[j["c_custkey_x"] < j["c_custkey_y"]]
+    bits = ((j["c_nationkey_x"].to_numpy()
+             == j["c_nationkey_y"].to_numpy()).astype(int)
+            | ((j["c_mktsegment_x"].to_numpy()
+                == j["c_mktsegment_y"].to_numpy()).astype(int) << 1)
+            | ((np.abs(j["bal_x"].to_numpy() - j["bal_y"].to_numpy())
+                <= S.FS_BAL_CENTS).astype(int) << 2)
+            | ((j["lc_x"].to_numpy()
+                == j["lc_y"].to_numpy()).astype(int) << 3))
+    exp = (pd.Series(bits).value_counts().sort_index())
+    got_counts = dict(zip(got["pattern"], got["n_pairs"]))
+    assert got_counts == {int(k): int(v) for k, v in exp.items()}
+    # decision boundary honors the declared thresholds
+    for _, row in got.iterrows():
+        if row["score_milli"] >= S.FS_UPPER:
+            assert row["decision"] == "match"
+        elif row["score_milli"] >= S.FS_LOWER:
+            assert row["decision"] == "possible"
+        else:
+            assert row["decision"] == "non_match"
+
+
+def _cents_split(lineitem):
+    v = np.round(lineitem["l_extendedprice"].to_numpy() * 100) \
+        .astype("int64")
+    r = (lineitem["l_returnflag"] == "R").to_numpy()
+    return v[r], v[~r]
+
+
+def test_ks_matches_bruteforce(ray_session, sf_smoke, lineitem):
+    from ferenda_ray.pipelines.queries import lineitem_ks_test
+
+    got = lineitem_ks_test(sf_smoke)
+    a, b = _cents_split(lineitem)
+    support = np.unique(np.concatenate([a, b]))
+    cr = np.searchsorted(np.sort(a), support, side="right")
+    co = np.searchsorted(np.sort(b), support, side="right")
+    diff = np.abs(cr.astype(object) * len(b)
+                  - co.astype(object) * len(a))
+    i = int(np.argmax(diff))
+    assert int(got["n_returned"][0]) == len(a)
+    assert int(got["n_other"][0]) == len(b)
+    assert int(got["d_ppm"][0]) == \
+        10**6 * int(diff[i]) // (len(a) * len(b))
+    assert int(got["at_cents"][0]) == int(support[i])
+
+
+def test_mann_whitney_matches_rank_identity(ray_session, sf_smoke,
+                                            lineitem):
+    from ferenda_ray.pipelines.queries import lineitem_mann_whitney
+
+    got = lineitem_mann_whitney(sf_smoke)
+    a, b = _cents_split(lineitem)
+    # brute force via midranks over the pooled sample
+    pooled = np.concatenate([a, b])
+    order = pd.Series(pooled).rank(method="average").to_numpy()
+    r1_twice = int(np.round(2 * order[: len(a)].sum()))
+    u1_twice = r1_twice - len(a) * (len(a) + 1)
+    assert int(got["u1_twice"][0]) == u1_twice
+    assert (int(got["u1_twice"][0]) + int(got["u2_twice"][0])
+            == 2 * len(a) * len(b))
+    # U identity: U1 counts (a>b) pairs + half the ties, doubled
+    u_direct = 0
+    sb = np.sort(b)
+    gt = np.searchsorted(sb, a, side="left")
+    ge = np.searchsorted(sb, a, side="right")
+    u_direct = int(2 * gt.astype(object).sum()
+                   + (ge - gt).astype(object).sum())
+    assert u1_twice == u_direct
