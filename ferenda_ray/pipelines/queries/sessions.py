@@ -3502,3 +3502,219 @@ SELECT CAST(n.nr AS BIGINT) AS n_returned,
          AS rank_biserial_ppm
 FROM n, u
 """
+
+
+# --- rank correlation + sequential testing ---------------------------
+
+def part_kendall_tau(sf_dir):
+    """Exact Kendall τ-b between part size and retail price — the
+    rank-correlation audit (Kendall '38) that, unlike Pearson/Theil-
+    Sen's slope, is invariant to any monotone transform of either
+    axis and handles the heavy size-grid ties via the τ-b
+    tie-correction. Computed WITHOUT the O(N²) pair join: the joint
+    (size, price-cents) histogram is a sufficient statistic, and
+    concordant/discordant/tie counts read off its 2-D prefix sums —
+    all exact Python-int arithmetic (pair counts reach N² long
+    before 100 TB). τ-b's denominator √((N₀−Tx)(N₀−Ty)) uses
+    isqrt; SQL replays with floor(sqrt()) (exact below 2^53, the
+    orders_jackknife_variance precedent) over a cells×cells
+    inequality join (cells ≈ distinct sizes × prices — bounded by
+    the catalog grid, never by row count).
+
+    Scale shape: per-batch (size, cents) → count partials — a
+    bounded-domain lossless combiner, zero shuffle; the prefix-sum
+    walk is driver-side vectorized over the folded cells."""
+    import math
+
+    ds = _read(sf_dir, "part", columns=["p_size", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(t["p_retailprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"sz": t["p_size"].to_numpy()
+                           .astype(np.int64), "v": cents})
+        return (df.groupby(["sz", "v"], as_index=False).size()
+                .rename(columns={"size": "n"}).astype("int64"))
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby(["sz", "v"], as_index=False)["n"]
+             .sum().sort_values(["sz", "v"]).reset_index(drop=True))
+    n_total = int(cells["n"].sum())
+    n0 = n_total * (n_total - 1) // 2
+    # ties per axis
+    tx = sum(int(g) * (int(g) - 1) // 2
+             for g in cells.groupby("sz")["n"].sum())
+    ty = sum(int(g) * (int(g) - 1) // 2
+             for g in cells.groupby("v")["n"].sum())
+    # concordant/discordant via the strictly-less prefix walk:
+    # iterate size groups in order, maintaining per-value cumulative
+    # counts of all SMALLER sizes
+    conc = disc = 0
+    seen = {}           # value -> count over smaller sizes
+    seen_vals = []      # sorted distinct values seen
+    seen_counts = []
+    for sz, g in cells.groupby("sz", sort=True):
+        vs = g["v"].to_numpy()
+        ns = g["n"].to_numpy()
+        if seen_vals:
+            sv = np.asarray(seen_vals, dtype=np.int64)
+            sc = np.asarray(seen_counts, dtype=object)
+            cum = np.cumsum(sc)
+            total_seen = int(cum[-1])
+            lo = np.searchsorted(sv, vs, side="left")
+            hi = np.searchsorted(sv, vs, side="right")
+            below = np.where(lo > 0, cum[lo - 1], 0)
+            upto = np.where(hi > 0, cum[hi - 1], 0)
+            for i in range(len(vs)):
+                conc += int(ns[i]) * int(below[i])
+                disc += int(ns[i]) * (total_seen - int(upto[i]))
+        for v, n in zip(vs, ns):
+            if v in seen:
+                seen[v] += int(n)
+            else:
+                seen[v] = int(n)
+        seen_vals = sorted(seen)
+        seen_counts = [seen[v] for v in seen_vals]
+    num = conc - disc
+    den = math.isqrt((n0 - tx) * (n0 - ty))
+    tau_ppm = (1 if num >= 0 else -1) * (10**6 * abs(num) // max(den, 1))
+    return pd.DataFrame({
+        "n_parts": pd.Series([n_total], dtype="int64"),
+        "n_concordant": pd.Series([conc], dtype="int64"),
+        "n_discordant": pd.Series([disc], dtype="int64"),
+        "ties_size": pd.Series([tx], dtype="int64"),
+        "ties_price": pd.Series([ty], dtype="int64"),
+        "tau_b_ppm": pd.Series([tau_ppm], dtype="int64")})
+
+
+KENDALL_TAU_SQL = """
+WITH cells AS (
+  SELECT p_size AS sz,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2),
+n AS (SELECT CAST(sum(n) AS HUGEINT) AS nt FROM cells),
+cd AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN (a.sz < b.sz AND a.v < b.v)
+                           THEN CAST(a.n AS HUGEINT) * b.n END), 0)
+         AS HUGEINT) AS conc,
+    CAST(coalesce(sum(CASE WHEN (a.sz < b.sz AND a.v > b.v)
+                           THEN CAST(a.n AS HUGEINT) * b.n END), 0)
+         AS HUGEINT) AS disc
+  FROM cells a JOIN cells b
+    ON a.sz < b.sz),
+tx AS (SELECT CAST(sum(CAST(s AS HUGEINT) * (s - 1) // 2) AS HUGEINT)
+         AS t FROM (SELECT sum(n) AS s FROM cells GROUP BY sz)),
+ty AS (SELECT CAST(sum(CAST(s AS HUGEINT) * (s - 1) // 2) AS HUGEINT)
+         AS t FROM (SELECT sum(n) AS s FROM cells GROUP BY v)),
+z AS (
+  SELECT n.nt, cd.conc, cd.disc, tx.t AS tx, ty.t AS ty,
+         n.nt * (n.nt - 1) // 2 AS n0
+  FROM n, cd, tx, ty)
+SELECT CAST(nt AS BIGINT) AS n_parts,
+       CAST(conc AS BIGINT) AS n_concordant,
+       CAST(disc AS BIGINT) AS n_discordant,
+       CAST(tx AS BIGINT) AS ties_size,
+       CAST(ty AS BIGINT) AS ties_price,
+       CAST((CASE WHEN conc >= disc THEN 1 ELSE -1 END)
+            * (1000000 * abs(conc - disc)
+               // greatest(CAST(floor(sqrt(CAST((n0 - tx) * (n0 - ty)
+                                               AS DOUBLE))) AS HUGEINT),
+                           1)) AS BIGINT) AS tau_b_ppm
+FROM z
+"""
+
+
+# Wald SPRT (Wald '45): H0 error-rate p0 vs H1 p1, alpha = beta =
+# 0.05 — per-event log-likelihood ratios and the decision bound as
+# integer milli-nats (literals shared with SQL).
+SPRT_P0_PERMILLE, SPRT_P1_PERMILLE = 100, 250
+import math as _m
+
+SPRT_LLR_ERR = int(_m.floor(
+    1000 * _m.log(SPRT_P1_PERMILLE / SPRT_P0_PERMILLE) + 0.5))
+SPRT_LLR_OK = -int(_m.floor(
+    1000 * _m.log((1000 - SPRT_P0_PERMILLE)
+                  / (1000 - SPRT_P1_PERMILLE)) + 0.5))
+SPRT_BOUND_MILLI = int(_m.floor(1000 * _m.log(0.95 / 0.05) + 0.5))
+
+
+def events_sprt_decision(sf_dir):
+    """Wald's Sequential Probability Ratio Test over the event
+    stream's daily error rate — the OPTIMAL sequential test (Wald
+    '45: fewest expected samples at fixed α, β), i.e. the math under
+    every modern 'stop the experiment early' system: cumulative
+    log-likelihood ratio of H1 (error rate 25%) vs H0 (10%) in exact
+    integer milli-nats (per-event LLR literals shared with SQL),
+    walked day by day until it crosses ±ln((1−β)/α) ≈ ±2944 milli.
+    Output: the decision, the crossing day, days observed, and the
+    final cumulative LLR.
+
+    Scale shape: bounded (day → n, n_err) count partials — zero
+    shuffle; the sequential walk is a driver-side cumsum over the
+    bounded daily table (sequential tests are inherently ordered —
+    the DATA pass is still one streaming scan)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        err = (pc.equal(t["event_type"], pa.scalar("error"))
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        out = (pd.DataFrame({"day": days, "n": 1, "n_err": err})
+               .groupby("day", as_index=False)
+               .agg(n=("n", "sum"), n_err=("n_err", "sum")))
+        return out.astype("int64")
+
+    d = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("day", as_index=False)
+         .agg(n=("n", "sum"), n_err=("n_err", "sum"))
+         .sort_values("day").reset_index(drop=True))
+    llr = (d["n_err"].to_numpy(np.int64) * SPRT_LLR_ERR
+           + (d["n"] - d["n_err"]).to_numpy(np.int64) * SPRT_LLR_OK)
+    cum = np.cumsum(llr.astype(object))
+    crossing = np.where((cum >= SPRT_BOUND_MILLI)
+                        | (cum <= -SPRT_BOUND_MILLI))[0]
+    if len(crossing):
+        i = int(crossing[0])
+        decision = ("accept_h1" if int(cum[i]) >= SPRT_BOUND_MILLI
+                    else "accept_h0")
+        cross_day = int(d["day"].iloc[i])
+    else:
+        decision, cross_day = "continue", -1
+    return pd.DataFrame({
+        "decision": pd.Series([decision], dtype=object),
+        "crossing_day": pd.Series([cross_day], dtype="int64"),
+        "days_observed": pd.Series([len(d)], dtype="int64"),
+        "llr_final_milli": pd.Series([int(cum[-1]) if len(cum) else 0],
+                                     dtype="int64")})
+
+
+SPRT_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1),
+c AS (
+  SELECT day,
+         sum(n_err * %d + (n - n_err) * %d)
+           OVER (ORDER BY day) AS cum
+  FROM d),
+x AS (SELECT min(day) AS cross_day FROM c
+      WHERE cum >= %d OR cum <= -%d),
+f AS (SELECT cum AS final_cum FROM c ORDER BY day DESC LIMIT 1),
+cc AS (SELECT c.cum AS cross_cum FROM c, x WHERE c.day = x.cross_day)
+SELECT CASE WHEN x.cross_day IS NULL THEN 'continue'
+            WHEN (SELECT cross_cum FROM cc) >= %d THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(coalesce(x.cross_day, -1) AS BIGINT) AS crossing_day,
+       CAST((SELECT count(*) FROM d) AS BIGINT) AS days_observed,
+       CAST(f.final_cum AS BIGINT) AS llr_final_milli
+FROM x, f
+""" % (SPRT_LLR_ERR, SPRT_LLR_OK, SPRT_BOUND_MILLI, SPRT_BOUND_MILLI,
+       SPRT_BOUND_MILLI)

@@ -73,50 +73,68 @@ def render_document(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"url": [url], "xhtml": ["".join(out)]})
 
 
+def _with_annotation_rows(sections_ds, annotations_ds):
+    """Union annotation rows (facets.annotations output: target_url,
+    citing_url, citing_title) into the sections Dataset as
+    ``kind == "_annotation"`` rows with position 2^30 — the
+    generate-with-annotations input shape shared by render_xhtml and
+    render_with_template."""
+    import pyarrow as pa
+
+    def _atype(t):
+        # ray Schema types are arrow DataTypes for arrow blocks but
+        # numpy dtypes for pandas blocks; object → string
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    schema = sections_ds.schema()
+    col_types = {n: _atype(t) for n, t in zip(schema.names, schema.types)}
+
+    def as_section_rows(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        cols = {}
+        for name, typ in col_types.items():
+            if name == "url":
+                cols[name] = t["target_url"].cast(typ)
+            elif name == "section_uri":
+                cols[name] = t["citing_url"].cast(typ)
+            elif name == "title":
+                cols[name] = t["citing_title"].cast(typ)
+            elif name == "kind":
+                cols[name] = pa.array(["_annotation"] * n, typ)
+            elif name == "position":
+                cols[name] = pa.array([2 ** 30] * n, typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    # normalize both sides to arrow blocks before the union —
+    # mixed block types break downstream block builders
+    return sections_ds.map_batches(
+        lambda t: t, batch_format="pyarrow").union(
+        annotations_ds.map_batches(as_section_rows, batch_format="pyarrow"))
+
+
 def render_xhtml(sections_ds, annotations_ds=None):
     """sections → (url, xhtml) Dataset. With ``annotations_ds``
     (facets.annotations output: target_url, citing_url, citing_title),
     each document additionally renders its inbound citations — the
     reference's generate-with-annotations step (transformer.py shape)."""
     if annotations_ds is not None:
-        import pyarrow as pa
+        sections_ds = _with_annotation_rows(sections_ds, annotations_ds)
 
-        def _atype(t):
-            # ray Schema types are arrow DataTypes for arrow blocks but
-            # numpy dtypes for pandas blocks; object → string
-            if isinstance(t, pa.DataType):
-                return t
-            try:
-                return pa.from_numpy_dtype(t)
-            except (TypeError, pa.ArrowNotImplementedError):
-                return pa.string()
+    return _render_grouped(sections_ds, render_document)
 
-        schema = sections_ds.schema()
-        col_types = {n: _atype(t) for n, t in zip(schema.names, schema.types)}
 
-        def as_section_rows(t: "pa.Table") -> "pa.Table":
-            n = t.num_rows
-            cols = {}
-            for name, typ in col_types.items():
-                if name == "url":
-                    cols[name] = t["target_url"].cast(typ)
-                elif name == "section_uri":
-                    cols[name] = t["citing_url"].cast(typ)
-                elif name == "title":
-                    cols[name] = t["citing_title"].cast(typ)
-                elif name == "kind":
-                    cols[name] = pa.array(["_annotation"] * n, typ)
-                elif name == "position":
-                    cols[name] = pa.array([2 ** 30] * n, typ)
-                else:
-                    cols[name] = pa.nulls(n, typ)
-            return pa.table(cols)
-
-        # normalize both sides to arrow blocks before the union —
-        # mixed block types break downstream block builders
-        sections_ds = sections_ds.map_batches(
-            lambda t: t, batch_format="pyarrow").union(
-            annotations_ds.map_batches(as_section_rows, batch_format="pyarrow"))
+def _render_grouped(sections_ds, render_fn):
+    """Shared scaffolding: hash-bucket by url, one Ray group per
+    bucket, one ``render_fn(doc_group) -> DataFrame`` call per url
+    inside — never one Ray group per document at corpus
+    cardinality."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -125,9 +143,7 @@ def render_xhtml(sections_ds, annotations_ds=None):
         return df
 
     def render_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per hash bucket, one render per url inside —
-        # never one Ray group per document at corpus cardinality
-        out = [render_document(grp) for _, grp in g.groupby("url", sort=False)]
+        out = [render_fn(grp) for _, grp in g.groupby("url", sort=False)]
         if not out:
             return pd.DataFrame({"url": [], "xhtml": []})
         return pd.concat(out, ignore_index=True)
@@ -135,6 +151,93 @@ def render_xhtml(sections_ds, annotations_ds=None):
     return (sections_ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("_bucket").map_groups(render_bucket,
                                            batch_format="pandas"))
+
+
+_HREF_RE = None  # compiled lazily (regex shared per process)
+
+
+def transform_uris(markup: str, doc_url: str, mode: str | None = None,
+                   url_map: dict | None = None) -> str:
+    """URL-rewriting pass over rendered markup — the reference's
+    Transformer uritransform modes (transformer.py:25-330:
+    ``uritransform`` relativize/absolutize + config-driven url
+    remapping). Rewrites every href/src attribute:
+
+    - ``url_map``: longest-prefix remap first (transformlinks
+      semantics — devel/static-site relocation);
+    - ``mode="relative"``: links sharing the document's scheme+host
+      become paths relative to the document's own directory
+      (``transformer.py`` relativize for static sites);
+    - ``mode="absolute"`` / None: left absolute.
+    """
+    import posixpath
+    import re
+    from urllib.parse import urlsplit
+
+    global _HREF_RE
+    if _HREF_RE is None:
+        _HREF_RE = re.compile(r'\b(href|src)="([^"]*)"')
+    prefixes = sorted(url_map or {}, key=len, reverse=True)
+    doc = urlsplit(doc_url)
+    doc_dir = posixpath.dirname(doc.path) or "/"
+
+    def rewrite(m):
+        attr, u = m.group(1), m.group(2)
+        for p in prefixes:
+            if u.startswith(p):
+                u = url_map[p] + u[len(p):]
+                break
+        if mode == "relative":
+            s = urlsplit(u)
+            if s.scheme == doc.scheme and s.netloc == doc.netloc:
+                rel = posixpath.relpath(s.path or "/", doc_dir)
+                if s.fragment:
+                    rel += "#" + s.fragment
+                u = rel
+        return '%s="%s"' % (attr, u)
+
+    return _HREF_RE.sub(rewrite, markup)
+
+
+def render_with_template(sections_ds, template, params: dict | None = None,
+                         annotations_ds=None, uritransform: str | None = None,
+                         url_map: dict | None = None,
+                         out_col: str = "xhtml"):
+    """User-supplied presentation templates — the reference's
+    ``Transformer`` surface (transformer.py:25-330: parametrized
+    XSLT templates + uritransform modes), Ray-native: ``template`` is
+    a callable ``(doc_group: pd.DataFrame, params: dict) -> str``
+    rendering ONE document's section rows (sorted by position, the
+    ``render_document`` contract) to its output markup. ``params``
+    broadcast ONCE via ``ray.put`` (the XSLT <xsl:param> analogue) and
+    reach every render call; ``uritransform``/``url_map`` apply the
+    url-rewriting pass (``transform_uris``) to the rendered markup.
+
+    The annotations input composes exactly as in ``render_xhtml``
+    (generate-with-annotations): annotation rows arrive in the group
+    with ``kind == "_annotation"``.
+    """
+    import ray
+
+    if annotations_ds is not None:
+        # reuse render_xhtml's union normalization by delegating the
+        # annotation plumbing to it at the Dataset level
+        sections_ds = _with_annotation_rows(sections_ds, annotations_ds)
+    params_ref = ray.put(dict(params or {}))
+    mode, umap = uritransform, dict(url_map or {})
+
+    def render_one(group: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(params_ref)
+        group = group.sort_values("position") \
+            if "position" in group.columns else group
+        url = group["url"].iloc[0]
+        markup = template(group, p)
+        if mode or umap:
+            markup = transform_uris(markup, url, mode=mode,
+                                    url_map=umap)
+        return pd.DataFrame({"url": [url], out_col: [markup]})
+
+    return _render_grouped(sections_ds, render_one)
 
 
 def distill_rdfa(xhtml: str) -> list[tuple]:

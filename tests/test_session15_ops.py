@@ -103,3 +103,62 @@ def test_mann_whitney_matches_rank_identity(ray_session, sf_smoke,
     u_direct = int(2 * gt.astype(object).sum()
                    + (ge - gt).astype(object).sum())
     assert u1_twice == u_direct
+
+
+def test_kendall_tau_matches_bruteforce(ray_session, sf_smoke):
+    from ferenda_ray.pipelines.queries import part_kendall_tau
+
+    got = part_kendall_tau(sf_smoke)
+    p = pq.read_table(sf_smoke + "/part.parquet",
+                      columns=["p_size", "p_retailprice"]).to_pandas()
+    sz = p["p_size"].to_numpy()
+    v = np.round(p["p_retailprice"].to_numpy() * 100).astype("int64")
+    n = len(p)
+    conc = disc = 0
+    for i in range(n):
+        ds_ = sz[i + 1:] - sz[i]
+        dv = v[i + 1:] - v[i]
+        prod = np.sign(ds_) * np.sign(dv)
+        conc += int((prod > 0).sum())
+        disc += int((prod < 0).sum())
+    assert int(got["n_concordant"][0]) == conc
+    assert int(got["n_discordant"][0]) == disc
+    import math
+    n0 = n * (n - 1) // 2
+    tx = int(got["ties_size"][0])
+    ty = int(got["ties_price"][0])
+    den = math.isqrt((n0 - tx) * (n0 - ty))
+    num = conc - disc
+    assert int(got["tau_b_ppm"][0]) == \
+        (1 if num >= 0 else -1) * (10**6 * abs(num) // max(den, 1))
+    # sanity: tau in [-1, 1] ppm grid
+    assert -10**6 <= int(got["tau_b_ppm"][0]) <= 10**6
+
+
+def test_sprt_decision_matches_bruteforce(ray_session, sf_smoke):
+    from ferenda_ray.pipelines.queries import events_sprt_decision
+    from ferenda_ray.pipelines.queries import sessions as S
+
+    got = events_sprt_decision(sf_smoke)
+    e = pq.read_table(sf_smoke + "/events.parquet",
+                      columns=["ts", "event_type"]).to_pandas()
+    day = (e["ts"].to_numpy().astype("datetime64[us]")
+           .astype("int64") // 86_400_000_000)
+    err = (e["event_type"] == "error").to_numpy()
+    d = (pd.DataFrame({"day": day, "err": err.astype(int)})
+         .groupby("day").agg(n=("err", "size"), ne=("err", "sum"))
+         .sort_index())
+    cum = 0
+    decision, cross = "continue", -1
+    for dy, row in d.iterrows():
+        cum += int(row["ne"]) * S.SPRT_LLR_ERR \
+            + int(row["n"] - row["ne"]) * S.SPRT_LLR_OK
+        if decision == "continue" and abs(cum) >= S.SPRT_BOUND_MILLI:
+            decision = ("accept_h1" if cum >= S.SPRT_BOUND_MILLI
+                        else "accept_h0")
+            cross = int(dy)
+    assert got["decision"][0] == decision
+    assert int(got["crossing_day"][0]) == cross
+    assert int(got["llr_final_milli"][0]) == cum
+    # with the synthetic ~20% error share the evidence favors H1
+    assert decision == "accept_h1"
