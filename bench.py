@@ -248,7 +248,13 @@ def run_bench() -> dict:
               Q.events_stickiness_ratio),
              ("events_slo_burn_rate", Q.events_slo_burn_rate),
              ("brand_return_rate", Q.brand_return_rate),
-             ("events_bounce_rate", Q.events_bounce_rate)]
+             ("events_bounce_rate", Q.events_bounce_rate),
+             ("er_fellegi_sunter", Q.er_fellegi_sunter),
+             ("lineitem_ks_test", Q.lineitem_ks_test),
+             ("lineitem_mann_whitney", Q.lineitem_mann_whitney),
+             ("part_kendall_tau", Q.part_kendall_tau),
+             ("events_sprt_decision", Q.events_sprt_decision),
+             ("embed_knn_ivf_planted", Q.embed_knn_ivf_planted)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -911,3 +911,71 @@ SELECT vec_id,
 FROM ones ORDER BY vec_id LIMIT 10
 """
 EMBED_IVF_PLANTED_SQL = EMBED_IVF_PLANTED_SQL.replace("%%", "%")
+
+
+def split_leakage_safe(sf_dir):
+    """Leakage-safe train/val/test split — the dedup-aware split the
+    pretraining-data literature mandates (Lee et al. '22 "Deduplicating
+    Training Data Makes Language Models Better": near-duplicates
+    straddling train and test inflate eval): every document is
+    assigned by the md5 bucket of its NEAR-DUP CLUSTER REPRESENTATIVE
+    (minhash_dedup's canonical key; non-duplicated docs are their own
+    representative), so an entire near-dup cluster always lands in one
+    split. Same 80/10/10 md5 recipe as split_assign — the two splits
+    differ exactly on clustered documents.
+
+    Scale shape: the cluster map (only duplicated docs — a small
+    fraction of the corpus) attaches through ``joins.attach_dim``
+    how="left" (broadcast ≤ threshold, bucketed hash join above);
+    the assignment itself is a pure map."""
+    import hashlib
+
+    docs_text = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_dedup(docs_text, threshold=0.5)
+    if isinstance(clusters, pd.DataFrame):
+        # minhash_dedup's driver fast path returns a frame; the
+        # distributed path (forced in tests) returns a Dataset
+        import ray.data as rd
+
+        clusters = rd.from_pandas(
+            clusters if len(clusters) else pd.DataFrame(
+                {"key": pd.Series(dtype="int64"),
+                 "canonical_key": pd.Series(dtype="int64")}))
+    ids = _read(sf_dir, "documents", columns=["doc_id"])
+    tagged = joins.attach_dim(ids, clusters, "doc_id", "key",
+                              "canonical_key", out_col="rep",
+                              how="left")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        rep = df["rep"].fillna(df["doc_id"]).astype("int64")
+
+        def split_of(k):
+            b = int(hashlib.md5(str(int(k)).encode())
+                    .hexdigest()[:15], 16) % 100
+            return "train" if b < 80 else ("val" if b < 90 else "test")
+
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "rep": rep,
+            "split": rep.map(split_of).astype(object)})
+
+    return tagged.map_batches(assign, batch_format="pandas")
+
+
+SPLIT_LEAK_SQL = """
+WITH RECURSIVE s AS (%s
+), p AS (%s
+), %s,
+cl AS (SELECT node AS key, min(lbl) AS rep FROM reach GROUP BY node),
+r AS (SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN cl ON cl.key = d.doc_id)
+SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, rep,
+             CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)
+                  AS BIGINT) %% 100 AS bucket
+      FROM r)
+""" % (_shingle_cte("documents"), _jaccard_pair_select("ka", "kb"),
+       _CC_CTES)

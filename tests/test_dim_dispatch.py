@@ -35,6 +35,7 @@ DISPATCHED = [
     "q8_market_share",
     "orders_pit_dimension_join",
     "source_embedding_coherence",
+    "split_leakage_safe",
     "region_revenue_share",
     "segment_price_median",
     "basket_rule_lift",
