@@ -1170,3 +1170,96 @@ FROM proj, pn, ab
 
 
 DOC_QUALITY_CLASSIFIER_SQL = _centroid_sql(4096)
+
+
+def lang_ppl_buckets(sf_dir):
+    """CCNet's per-language head/middle/tail quality bucketing
+    (Wenzek et al. '20: each language's documents split into thirds
+    by LM perplexity; pretraining mixes sample the head first) on the
+    integer lm_score grid (higher score = more in-distribution =
+    head). Thresholds are TRUE order statistics per language —
+    v1 = the score at rank ceil(N/3), v2 at rank ceil(2N/3) by
+    (score desc, doc_id asc) — with value-ties joining the better
+    bucket (head: score ≥ v1; middle: ≥ v2; tail: rest), so the
+    census replays exactly in SQL without intra-tie document
+    ordering. Output: (lang, bucket, n_docs, lo_score, hi_score).
+
+    Scale shape: the expensive part is lm_score's distributed
+    train+score (bounded vocabulary exchange, broadcast model); the
+    language tag attaches via ``joins.attach_dim`` (dispatching);
+    bucketing needs only a (lang × score-grid) histogram — a bounded
+    lossless combiner — and a driver-side cumulative walk."""
+    from ...stages import lm
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scores = lm.lm_score(docs, k_bigrams=LM_K)
+    lang_dim = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    tagged = joins.attach_dim(scores, lang_dim, "doc_id", "doc_id",
+                              "lang", out_col="lang", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang", "lm_score"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["lm_score"] = out["lm_score"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["lang", "lm_score", "n"]]
+
+    h = (tagged.map_batches(partial, batch_format="pandas")
+         .to_pandas()
+         .groupby(["lang", "lm_score"], as_index=False)["n"].sum())
+    rows = []
+    for lang, g in h.groupby("lang", sort=True):
+        g = g.sort_values("lm_score", ascending=False) \
+            .reset_index(drop=True)
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        v1 = int(g["lm_score"].iloc[
+            int(np.searchsorted(cum, (n + 2) // 3))])
+        v2 = int(g["lm_score"].iloc[
+            int(np.searchsorted(cum, (2 * n + 2) // 3))])
+        vals = g["lm_score"].to_numpy(np.int64)
+        ns = g["n"].to_numpy(np.int64)
+        for bucket, mask in (
+                ("head", vals >= v1),
+                ("middle", (vals < v1) & (vals >= v2)),
+                ("tail", vals < v2)):
+            if not mask.any():
+                continue
+            rows.append((lang, bucket, int(ns[mask].sum()),
+                         int(vals[mask].min()),
+                         int(vals[mask].max())))
+    out = pd.DataFrame(rows, columns=["lang", "bucket", "n_docs",
+                                      "lo_score", "hi_score"])
+    out = out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+    for c in ("n_docs", "lo_score", "hi_score"):
+        out[c] = out[c].astype("int64")
+    out["lang"] = out["lang"].astype(object)
+    out["bucket"] = out["bucket"].astype(object)
+    return out
+
+
+LANG_PPL_SQL = """
+WITH j AS (
+  SELECT d.lang, s.doc_id, s.lm_score
+  FROM (%s) s JOIN documents d USING (doc_id)),
+n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+rk AS (SELECT lang, doc_id, lm_score,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY lm_score DESC, doc_id ASC) AS rn
+       FROM j),
+v1 AS (SELECT rk.lang, rk.lm_score AS v
+       FROM rk JOIN n USING (lang) WHERE rn = (n.n + 2) // 3),
+v2 AS (SELECT rk.lang, rk.lm_score AS v
+       FROM rk JOIN n USING (lang) WHERE rn = (2 * n.n + 2) // 3),
+b AS (
+  SELECT j.lang,
+         CASE WHEN j.lm_score >= v1.v THEN 'head'
+              WHEN j.lm_score >= v2.v THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         j.lm_score
+  FROM j JOIN v1 USING (lang) JOIN v2 USING (lang))
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(lm_score) AS BIGINT) AS lo_score,
+       CAST(max(lm_score) AS BIGINT) AS hi_score
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+""" % DOC_LM_SQL

@@ -36,6 +36,7 @@ DISPATCHED = [
     "orders_pit_dimension_join",
     "source_embedding_coherence",
     "split_leakage_safe",
+    "lang_ppl_buckets",
     "region_revenue_share",
     "segment_price_median",
     "basket_rule_lift",
