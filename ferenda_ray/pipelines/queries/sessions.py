@@ -3718,3 +3718,107 @@ SELECT CASE WHEN x.cross_day IS NULL THEN 'continue'
 FROM x, f
 """ % (SPRT_LLR_ERR, SPRT_LLR_OK, SPRT_BOUND_MILLI, SPRT_BOUND_MILLI,
        SPRT_BOUND_MILLI)
+
+
+# Gopher quality rules (Rae et al. '21 appendix A1.1, the four rules
+# evaluable on a single-line corpus; the bullet/ellipsis line-ratio
+# rules are trivially satisfied by line-free synthetic text and are
+# documented out of scope here).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3, 10      # mean word length bounds
+GOPHER_SYM_PERMILLE = 100                  # '#'/'...' per word <= 10%
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "in")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def doc_gopher_rules(sf_dir):
+    """Gopher's document-quality rule set (Rae et al. '21 — the
+    named heuristic filter most pretraining pipelines start from),
+    per document with a per-rule FLAG MASK so the census of failure
+    modes is auditable, not just the surviving set:
+
+    bit 1 — word count in [50, 100k];
+    bit 2 — mean word length in [3, 10] (exact integer grid:
+            lo·n_words ≤ n_chars ≤ hi·n_words, chars = non-space);
+    bit 4 — symbol-to-word ratio ('#' plus '...') ≤ 10% (exact
+            permille cross-multiply);
+    bit 8 — ≥ 2 distinct required stopwords present (word-boundary
+            match, the Gopher "stop word" guard).
+
+    pass = all four bits set. Zero shuffle: a stateless vectorized
+    map; output one row per document."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_res = [(w, _re.compile(r"\b%s\b" % w))
+                for w in GOPHER_STOPWORDS]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        texts = df["text"].fillna("").tolist()
+        n_words = np.asarray([len(t.split()) for t in texts],
+                             dtype=np.int64)
+        n_chars = np.asarray(
+            [len(t) - sum(map(t.count, (" ", "\t", "\n", "\r")))
+             for t in texts], dtype=np.int64)
+        n_sym = np.asarray(
+            [t.count("#") + t.count("...") for t in texts],
+            dtype=np.int64)
+        n_stop = np.asarray(
+            [sum(1 for _, rx in stop_res if rx.search(t))
+             for t in texts], dtype=np.int64)
+        b1 = ((n_words >= GOPHER_MIN_WORDS)
+              & (n_words <= GOPHER_MAX_WORDS))
+        b2 = ((GOPHER_MWL_LO * n_words <= n_chars)
+              & (n_chars <= GOPHER_MWL_HI * n_words))
+        b4 = 1000 * n_sym <= GOPHER_SYM_PERMILLE * n_words
+        b8 = n_stop >= GOPHER_MIN_STOPWORDS
+        mask = (b1.astype(np.int64) | (b2.astype(np.int64) << 1)
+                | (b4.astype(np.int64) << 2)
+                | (b8.astype(np.int64) << 3))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": n_words,
+            "rule_mask": mask.astype("int64"),
+            "passes": (mask == 15).astype("int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+GOPHER_SQL = """
+WITH x AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_words,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+           AS n_chars,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', '')))
+                // 3 AS BIGINT) AS n_sym,
+         CAST((CASE WHEN regexp_matches(text, '\\bthe\\b')
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '\\band\\b')
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '\\bof\\b')
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '\\bto\\b')
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '\\bin\\b')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM documents),
+m AS (
+  SELECT doc_id, n_words,
+         (CASE WHEN n_words >= %d AND n_words <= %d
+               THEN 1 ELSE 0 END)
+         + (CASE WHEN %d * n_words <= n_chars
+                  AND n_chars <= %d * n_words THEN 2 ELSE 0 END)
+         + (CASE WHEN 1000 * n_sym <= %d * n_words
+               THEN 4 ELSE 0 END)
+         + (CASE WHEN n_stop >= %d THEN 8 ELSE 0 END) AS rule_mask
+  FROM x)
+SELECT doc_id, n_words, CAST(rule_mask AS BIGINT) AS rule_mask,
+       CAST(CASE WHEN rule_mask = 15 THEN 1 ELSE 0 END AS BIGINT)
+         AS passes
+FROM m
+""" % (GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MWL_LO,
+       GOPHER_MWL_HI, GOPHER_SYM_PERMILLE, GOPHER_MIN_STOPWORDS)
