@@ -3822,3 +3822,143 @@ SELECT doc_id, n_words, CAST(rule_mask AS BIGINT) AS rule_mask,
 FROM m
 """ % (GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MWL_LO,
        GOPHER_MWL_HI, GOPHER_SYM_PERMILLE, GOPHER_MIN_STOPWORDS)
+
+
+# EM estimation init + schedule (Winkler '88 / Herzog et al. '07
+# ch. 9: EM over the agreement-pattern census under conditional
+# independence). Fixed-point milli probabilities, floor division —
+# deterministic and SQL-replayable by unrolling.
+FS_EM_ITERS = 3
+FS_EM_P0 = 100                       # initial match proportion (milli)
+FS_EM_M0, FS_EM_U0 = 800, 200        # initial per-field m / u (milli)
+
+
+def _fs_em_step(census, p, m, u):
+    """One EM iteration over the 16-cell census. All quantities are
+    integer milli probabilities; weights scale to 1000^5 (< 2^63 per
+    term, Python ints regardless)."""
+    nfields = len(m)
+    gs = []
+    for pattern, n in census:
+        wm, wu = p, 1000 - p
+        for i in range(nfields):
+            bit = (pattern >> i) & 1
+            wm *= m[i] if bit else 1000 - m[i]
+            wu *= u[i] if bit else 1000 - u[i]
+        g = 1000 * wm // max(wm + wu, 1)
+        gs.append((pattern, n, g))
+    n_total = sum(n for _, n in census)
+    ng = sum(n * g for _, n, g in gs)
+    nu = sum(n * (1000 - g) for _, n, g in gs)
+    p_new = min(max(ng // max(n_total, 1), 1), 999)
+    m_new, u_new = [], []
+    for i in range(nfields):
+        num_m = sum(n * g for pat, n, g in gs if (pat >> i) & 1)
+        num_u = sum(n * (1000 - g) for pat, n, g in gs
+                    if (pat >> i) & 1)
+        m_new.append(min(max(1000 * num_m // max(ng, 1), 1), 999))
+        u_new.append(min(max(1000 * num_u // max(nu, 1), 1), 999))
+    return p_new, m_new, u_new
+
+
+def er_fs_em_weights(sf_dir):
+    """EM ESTIMATION of the Fellegi–Sunter parameters (Winkler '88;
+    Herzog/Scheuren/Winkler '07 ch. 9) — the companion to
+    ``er_fellegi_sunter``'s fixed scorecard: the (match proportion p,
+    per-field m- and u-probabilities) that maximize the likelihood of
+    the observed 4-bit agreement-pattern census under conditional
+    independence, via FS_EM_ITERS deterministic fixed-point EM steps
+    (integer milli probabilities, floor division, [1, 999] clamps) —
+    so both engines land on identical integers and the SQL oracle
+    simply unrolls the iterations over the 16-row census.
+
+    Scale shape: the pattern census is the SUFFICIENT STATISTIC —
+    the only thing EM ever touches — so the distributed work is
+    exactly er_fellegi_sunter's block-bucketed pattern pass; the EM
+    loop is driver arithmetic over ≤16 rows."""
+    census_df = er_fellegi_sunter(sf_dir).to_pandas()
+    census = [(int(r["pattern"]), int(r["n_pairs"]))
+              for _, r in census_df.iterrows()]
+    p, m, u = FS_EM_P0, [FS_EM_M0] * 4, [FS_EM_U0] * 4
+    for _ in range(FS_EM_ITERS):
+        p, m, u = _fs_em_step(census, p, m, u)
+    cols = {"p_milli": p}
+    for i, f in enumerate(FS_FIELDS):
+        cols["m_%s" % f[0]] = m[i]
+        cols["u_%s" % f[0]] = u[i]
+    return pd.DataFrame({k: pd.Series([v], dtype="int64")
+                         for k, v in cols.items()})
+
+
+def _fs_em_sql(iters: int = FS_EM_ITERS) -> str:
+    """Unrolled EM over the census — one CTE pair (gK: per-pattern
+    posterior; pK: single-row params) per iteration, every division a
+    floor over non-negative HUGEINTs so DuckDB's // matches Python."""
+    # the census CTEs come from FELLEGI_SUNTER_SQL's c/p/g chain
+    base = """
+WITH c AS (
+  SELECT c_custkey AS ck, c_custkey // %d AS blk,
+         c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         substr(c_name, length(c_name), 1) AS lc
+  FROM customer),
+pairs AS (
+  SELECT (CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END)
+         + (CASE WHEN a.seg = b.seg THEN 2 ELSE 0 END)
+         + (CASE WHEN abs(a.bal - b.bal) <= %d THEN 4 ELSE 0 END)
+         + (CASE WHEN a.lc = b.lc THEN 8 ELSE 0 END) AS pattern
+  FROM c a JOIN c b ON a.blk = b.blk AND a.ck < b.ck),
+cen AS (SELECT pattern, CAST(count(*) AS HUGEINT) AS n
+        FROM pairs GROUP BY 1),
+p0 AS (SELECT CAST(%d AS HUGEINT) AS p,
+              CAST(%d AS HUGEINT) AS m0, CAST(%d AS HUGEINT) AS m1,
+              CAST(%d AS HUGEINT) AS m2, CAST(%d AS HUGEINT) AS m3,
+              CAST(%d AS HUGEINT) AS u0, CAST(%d AS HUGEINT) AS u1,
+              CAST(%d AS HUGEINT) AS u2, CAST(%d AS HUGEINT) AS u3)
+""" % (FS_BLOCK, FS_BAL_CENTS, FS_EM_P0,
+       FS_EM_M0, FS_EM_M0, FS_EM_M0, FS_EM_M0,
+       FS_EM_U0, FS_EM_U0, FS_EM_U0, FS_EM_U0)
+    ctes = []
+    for k in range(1, iters + 1):
+        prev = "p%d" % (k - 1)
+        factors_m = " * ".join(
+            "(CASE WHEN (cen.pattern // %d) %% 2 = 1 THEN %s.m%d"
+            " ELSE 1000 - %s.m%d END)" % (1 << i, prev, i, prev, i)
+            for i in range(4))
+        factors_u = " * ".join(
+            "(CASE WHEN (cen.pattern // %d) %% 2 = 1 THEN %s.u%d"
+            " ELSE 1000 - %s.u%d END)" % (1 << i, prev, i, prev, i)
+            for i in range(4))
+        ctes.append(
+            "g%d AS (SELECT cen.pattern, cen.n,\n"
+            "  1000 * (%s.p * %s)\n"
+            "  // greatest(%s.p * %s + (1000 - %s.p) * %s, 1) AS g\n"
+            "  FROM cen, %s)"
+            % (k, prev, factors_m, prev, factors_m, prev, factors_u,
+               prev))
+        m_exprs = []
+        for i in range(4):
+            m_exprs.append(
+                "least(greatest(1000 * sum(CASE WHEN (pattern // %d)"
+                " %% 2 = 1 THEN n * g ELSE 0 END)"
+                " // greatest(sum(n * g), 1), 1), 999) AS m%d"
+                % (1 << i, i))
+            m_exprs.append(
+                "least(greatest(1000 * sum(CASE WHEN (pattern // %d)"
+                " %% 2 = 1 THEN n * (1000 - g) ELSE 0 END)"
+                " // greatest(sum(n * (1000 - g)), 1), 1), 999) AS u%d"
+                % (1 << i, i))
+        ctes.append(
+            "p%d AS (SELECT least(greatest(sum(n * g)"
+            " // greatest(sum(n), 1), 1), 999) AS p,\n  %s\n  FROM g%d)"
+            % (k, ",\n  ".join(m_exprs), k))
+    names = [f[0] for f in FS_FIELDS]
+    sel = ["CAST(p AS BIGINT) AS p_milli"]
+    for i, nm in enumerate(names):
+        sel.append("CAST(m%d AS BIGINT) AS m_%s" % (i, nm))
+        sel.append("CAST(u%d AS BIGINT) AS u_%s" % (i, nm))
+    return (base + ",\n" + ",\n".join(ctes)
+            + "\nSELECT %s FROM p%d" % (", ".join(sel), iters))
+
+
+FS_EM_SQL = _fs_em_sql()

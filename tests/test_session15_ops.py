@@ -162,3 +162,25 @@ def test_sprt_decision_matches_bruteforce(ray_session, sf_smoke):
     assert int(got["llr_final_milli"][0]) == cum
     # with the synthetic ~20% error share the evidence favors H1
     assert decision == "accept_h1"
+
+
+def test_fs_em_weights_replay(ray_session, sf_smoke):
+    """EM query == driver replay of _fs_em_step from the same census;
+    all outputs clamped milli probabilities."""
+    from ferenda_ray.pipelines.queries import (er_fellegi_sunter,
+                                               er_fs_em_weights)
+    from ferenda_ray.pipelines.queries import sessions as S
+
+    got = er_fs_em_weights(sf_smoke)
+    census = [(int(r["pattern"]), int(r["n_pairs"]))
+              for _, r in er_fellegi_sunter(sf_smoke)
+              .to_pandas().iterrows()]
+    p, m, u = S.FS_EM_P0, [S.FS_EM_M0] * 4, [S.FS_EM_U0] * 4
+    for _ in range(S.FS_EM_ITERS):
+        p, m, u = S._fs_em_step(census, p, m, u)
+    assert int(got["p_milli"][0]) == p
+    for i, f in enumerate(S.FS_FIELDS):
+        assert int(got["m_%s" % f[0]][0]) == m[i]
+        assert int(got["u_%s" % f[0]][0]) == u[i]
+    for c in got.columns:
+        assert 1 <= int(got[c][0]) <= 999
