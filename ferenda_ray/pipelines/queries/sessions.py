@@ -3962,3 +3962,246 @@ p0 AS (SELECT CAST(%d AS HUGEINT) AS p,
 
 
 FS_EM_SQL = _fs_em_sql()
+
+
+# --- forecasting / vocabulary / SPC ----------------------------------
+
+CROSTON_ALPHA_DEN = 8  # smoothing alpha = 1/8, fixed-point
+
+
+def orders_croston_demand(sf_dir):
+    """Croston's method for INTERMITTENT demand (Croston '72 — the
+    named forecaster for sparse series where SES over zeros
+    systematically under-forecasts): separate exponential smoothing
+    of the nonzero demand SIZES and of the INTER-DEMAND intervals,
+    forecast = size / interval. Fixed-point integer recursions
+    (alpha = 1/CROSTON_ALPHA_DEN, toward-zero adjustment division so
+    DuckDB's // agrees on negative deltas), initialized z = first
+    demand, p = 1 — so both engines replay the identical state
+    sequence and the SQL oracle is a linear recursive CTE over the
+    demand-day rows.
+
+    Scale shape: the daily demand series is a bounded (day → cents)
+    combiner — zero shuffle; the recursion is inherently sequential
+    and runs driver-side over the bounded day table (the SPRT
+    precedent)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[us]").astype(np.int64)
+                // 86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        out = (pd.DataFrame({"day": days, "cents": cents})
+               .groupby("day", as_index=False)["cents"].sum())
+        return out.astype("int64")
+
+    d = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("day", as_index=False)["cents"].sum()
+         .sort_values("day").reset_index(drop=True))
+    d = d[d["cents"] > 0].reset_index(drop=True)
+
+    def tz_div(delta: int, den: int) -> int:
+        return delta // den if delta >= 0 else -((-delta) // den)
+
+    days = d["day"].to_numpy(np.int64)
+    xs = d["cents"].to_numpy(np.int64)
+    z = int(xs[0])
+    p = 1
+    for k in range(1, len(xs)):
+        gap = int(days[k] - days[k - 1])
+        z = z + tz_div(int(xs[k]) - z, CROSTON_ALPHA_DEN)
+        p = p + tz_div(gap - p, CROSTON_ALPHA_DEN)
+    return pd.DataFrame({
+        "n_demand_days": pd.Series([len(xs)], dtype="int64"),
+        "z_cents": pd.Series([z], dtype="int64"),
+        "p_days": pd.Series([p], dtype="int64"),
+        "forecast_milli_cents_per_day": pd.Series(
+            [1000 * z // max(p, 1)], dtype="int64")})
+
+
+CROSTON_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1 HAVING sum(round(o_totalprice * 100)) > 0),
+r AS (SELECT day, cents,
+             row_number() OVER (ORDER BY day) AS rn,
+             lag(day) OVER (ORDER BY day) AS prev_day
+      FROM d),
+it(rn, z, p) AS (
+  SELECT 1, CAST(cents AS HUGEINT), CAST(1 AS HUGEINT)
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.rn,
+         it.z + (CASE WHEN r.cents - it.z >= 0
+                      THEN (r.cents - it.z) // %d
+                      ELSE -((it.z - r.cents) // %d) END),
+         it.p + (CASE WHEN (r.day - r.prev_day) - it.p >= 0
+                      THEN ((r.day - r.prev_day) - it.p) // %d
+                      ELSE -((it.p - (r.day - r.prev_day)) // %d) END)
+  FROM it JOIN r ON r.rn = it.rn + 1)
+SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_demand_days,
+       CAST(z AS BIGINT) AS z_cents,
+       CAST(p AS BIGINT) AS p_days,
+       CAST(1000 * z // greatest(p, 1) AS BIGINT)
+         AS forecast_milli_cents_per_day
+FROM it ORDER BY rn DESC LIMIT 1
+""" % ((CROSTON_ALPHA_DEN,) * 4)
+
+
+def vocab_good_turing(sf_dir):
+    """Good–Turing estimate of the UNSEEN vocabulary mass (Good '53;
+    the missing-mass estimator under every smoothed LM and species-
+    richness audit): P(next token is a new type) ≈ n₁/N where n₁ =
+    singleton types — plus the GT-adjusted count for singletons
+    r* = 2·n₂/n₁, all on exact integer ppm/milli grids.
+
+    Scale shape: per-batch word-count partials ride ONE word-hash
+    bucketed exchange (the collocation/vocabulary discipline); each
+    bucket's type-frequency histogram (count → n_types) is a bounded
+    combiner (counts ≤ N), merged in one block."""
+    buckets = _exchange_buckets(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c = Counter()
+        for t in df["text"].fillna(""):
+            c.update(t.split())
+        out = pd.DataFrame({"w": list(c.keys()),
+                            "n": list(c.values())})
+        h = pd.util.hash_pandas_object(out["w"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("w", as_index=False)["n"].sum()
+        out = (tot.groupby("n", as_index=False).size()
+               .rename(columns={"n": "r", "size": "n_types"}))
+        return out.astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("r", as_index=False)["n_types"].sum()
+        n_tokens = int((h["r"] * h["n_types"]).sum())
+        vocab = int(h["n_types"].sum())
+        n1 = int(h.loc[h["r"] == 1, "n_types"].sum())
+        n2 = int(h.loc[h["r"] == 2, "n_types"].sum())
+        return pd.DataFrame({
+            "n_tokens": pd.Series([n_tokens], dtype="int64"),
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "n_singletons": pd.Series([n1], dtype="int64"),
+            "n_doubletons": pd.Series([n2], dtype="int64"),
+            "p_unseen_ppm": pd.Series(
+                [10**6 * n1 // max(n_tokens, 1)], dtype="int64"),
+            "r_star_singleton_milli": pd.Series(
+                [2000 * n2 // max(n1, 1)], dtype="int64")})
+
+    per_bucket = (ds.map_batches(counts, batch_format="pandas")
+                  .groupby("_bucket")
+                  .map_groups(bucket_hist, batch_format="pandas"))
+    return _merge_partials(per_bucket, final)
+
+
+GOOD_TURING_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+h AS (SELECT n AS r, CAST(count(*) AS BIGINT) AS n_types
+      FROM wc GROUP BY 1),
+a AS (SELECT CAST(sum(r * n_types) AS BIGINT) AS n_tokens,
+             CAST(sum(n_types) AS BIGINT) AS vocab_size,
+             CAST(coalesce(sum(CASE WHEN r = 1 THEN n_types END), 0)
+                  AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN r = 2 THEN n_types END), 0)
+                  AS BIGINT) AS n2
+      FROM h)
+SELECT n_tokens, vocab_size, n1 AS n_singletons, n2 AS n_doubletons,
+       CAST(1000000 * n1 // greatest(n_tokens, 1) AS BIGINT)
+         AS p_unseen_ppm,
+       CAST(2000 * n2 // greatest(n1, 1) AS BIGINT)
+         AS r_star_singleton_milli
+FROM a
+"""
+
+
+def orders_xbar_control(sf_dir):
+    """Shewhart X̄ control chart over daily order prices (Shewhart
+    '31 — THE classical SPC chart; the cusum/ewma family's baseline):
+    a day is out of control when its mean deviates from the grand
+    mean by more than 3σ/√n_d. Exact integers by cross-multiplying:
+    flag ⇔ (S_d·N − S·n_d)² > 9·(N·ΣX² − S²)·n_d·N — no square roots,
+    no floats, HUGEINT in SQL, Python ints here.
+
+    Scale shape: per-batch (day → n, S, ΣX²) partials — bounded
+    lossless combiner, zero shuffle; one merge flags all days."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[us]").astype(np.int64)
+                // 86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        df = pd.DataFrame({"day": days, "n": 1, "s": cents,
+                           "s2": cents.astype(object) ** 2})
+        out = (df.groupby("day", as_index=False)
+               .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum")))
+        out["day"] = out["day"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        out["s"] = out["s"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day", as_index=False)
+             .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+             .sort_values("day").reset_index(drop=True))
+        n_tot = int(g["n"].sum())
+        s_tot = int(g["s"].sum())
+        s2_tot = int(sum(int(x) for x in g["s2"]))
+        var_num = n_tot * s2_tot - s_tot * s_tot  # N²·σ²
+        rows = []
+        for _, r in g.iterrows():
+            nd, sd = int(r["n"]), int(r["s"])
+            dev2 = (sd * n_tot - s_tot * nd) ** 2
+            out_flag = int(dev2 > 9 * var_num * nd)
+            rows.append((int(r["day"]), nd, 1000 * sd // nd,
+                         out_flag))
+        out = pd.DataFrame(rows, columns=["day", "n_orders",
+                                          "mean_milli",
+                                          "out_of_control"])
+        return out.astype("int64")
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+XBAR_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS HUGEINT) AS s,
+         CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS HUGEINT))
+              AS HUGEINT) AS s2
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS HUGEINT) AS nt,
+             CAST(sum(s) AS HUGEINT) AS st,
+             CAST(sum(s2) AS HUGEINT) AS s2t FROM d)
+SELECT d.day, CAST(d.n AS BIGINT) AS n_orders,
+       CAST(1000 * d.s // d.n AS BIGINT) AS mean_milli,
+       CAST(CASE WHEN (d.s * t.nt - t.st * d.n)
+                      * (d.s * t.nt - t.st * d.n)
+                 > 9 * (t.nt * t.s2t - t.st * t.st) * d.n
+            THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM d, t ORDER BY d.day
+"""

@@ -184,3 +184,49 @@ def test_fs_em_weights_replay(ray_session, sf_smoke):
         assert int(got["u_%s" % f[0]][0]) == u[i]
     for c in got.columns:
         assert 1 <= int(got[c][0]) <= 999
+
+
+def test_good_turing_bruteforce(ray_session, sf_smoke):
+    from collections import Counter
+
+    from ferenda_ray.pipelines.queries import vocab_good_turing
+
+    got = vocab_good_turing(sf_smoke).to_pandas()
+    docs = pq.read_table(sf_smoke + "/documents.parquet",
+                         columns=["text"]).to_pandas()
+    c = Counter()
+    for t in docs["text"].fillna(""):
+        c.update(t.split())
+    n_tokens = sum(c.values())
+    n1 = sum(1 for v in c.values() if v == 1)
+    n2 = sum(1 for v in c.values() if v == 2)
+    assert int(got["n_tokens"][0]) == n_tokens
+    assert int(got["vocab_size"][0]) == len(c)
+    assert int(got["n_singletons"][0]) == n1
+    assert int(got["n_doubletons"][0]) == n2
+    assert int(got["p_unseen_ppm"][0]) == 10**6 * n1 // n_tokens
+
+
+def test_xbar_flags_bruteforce(ray_session, sf_smoke):
+    from ferenda_ray.pipelines.queries import orders_xbar_control
+
+    got = orders_xbar_control(sf_smoke).to_pandas()
+    o = pq.read_table(sf_smoke + "/orders.parquet",
+                      columns=["o_orderdate",
+                               "o_totalprice"]).to_pandas()
+    day = (o["o_orderdate"].to_numpy().astype("datetime64[us]")
+           .astype("int64") // 86_400_000_000)
+    cents = np.round(o["o_totalprice"].to_numpy() * 100) \
+        .astype("int64")
+    df = pd.DataFrame({"day": day, "c": cents})
+    n_tot = len(df)
+    s_tot = int(df["c"].sum())
+    s2_tot = int(sum(int(x) ** 2 for x in df["c"]))
+    var_num = n_tot * s2_tot - s_tot * s_tot
+    flags = {}
+    for d, g in df.groupby("day"):
+        nd, sd = len(g), int(g["c"].sum())
+        flags[int(d)] = int(
+            (sd * n_tot - s_tot * nd) ** 2 > 9 * var_num * nd)
+    assert dict(zip(got["day"], got["out_of_control"])) == flags
+    assert len(got) == len(flags)
