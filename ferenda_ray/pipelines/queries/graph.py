@@ -462,7 +462,13 @@ ORDER BY score DESC, a, b LIMIT {RA_TOPK}
 
 
 def _pagerank_sql(iterations: int, scale: int,
-                  dn: int = 85, dd: int = 100) -> str:
+                  dn: int = 85, dd: int = 100,
+                  prelude: str | None = None,
+                  tail: str | None = None) -> str:
+    """Unrolled integer-PageRank CTE chain over any prelude that
+    defines ``edges(src, dst)``, ``nodes(node)`` and
+    ``outdeg(src, d)`` (default: the citation-graph prelude;
+    vocab_textrank_keywords passes a word-cooccurrence prelude)."""
     base = (scale * (dd - dn)) // dd
     ctes = ["r0 AS (SELECT node, CAST(%d AS BIGINT) AS r FROM nodes)"
             % scale]
@@ -475,8 +481,11 @@ def _pagerank_sql(iterations: int, scale: int,
             "LEFT JOIN outdeg o ON o.src = e.src "
             "LEFT JOIN r%d p ON p.node = e.src "
             "GROUP BY n.node)" % (k, base, dn, dd, k - 1))
-    return "%s,\n%s\nSELECT node, r AS pr FROM r%d" % (
-        _GRAPH_PRELUDE_SQL, ",\n".join(ctes), iterations)
+    return "%s,\n%s\n%s" % (
+        prelude if prelude is not None else _GRAPH_PRELUDE_SQL,
+        ",\n".join(ctes),
+        tail if tail is not None
+        else "SELECT node, r AS pr FROM r%d" % iterations)
 
 
 KG_PAGERANK_SQL = _pagerank_sql(PR_ITERS, PR_SCALE)
@@ -1263,3 +1272,99 @@ SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(lm_score) AS BIGINT) AS hi_score
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """ % DOC_LM_SQL
+
+
+TEXTRANK_SCALE = 10 ** 9
+TEXTRANK_ITERS, TEXTRANK_TOPK = 2, 20
+
+
+def vocab_textrank_keywords(sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau '04 — PageRank
+    over the word co-occurrence graph; the unsupervised keyphrase
+    baseline): DISTINCT adjacent-word pairs across the corpus form an
+    undirected graph (both orientations materialized, the paper's
+    undirected-window-2 setting), and the SAME integer PageRank
+    recurrence as kg_pagerank ranks the vocabulary; output = the
+    top-20 words by (rank desc, word asc).
+
+    Scale shape: per-batch canonical (min, max) pair dedup → ONE
+    bucketed distinct exchange (bounded by the bigram vocabulary,
+    not the token count) → symmetrize by union-with-reverse →
+    graph.pagerank's bucketed exchanges; top-k via per-batch local
+    heads + one coalesced merge. SQL: the parameterized unrolled
+    PageRank chain over a word-cooccurrence prelude."""
+    from ...stages import graph
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    buckets = _exchange_buckets(sf_dir)
+
+    def canon_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        seen = set()
+        for t in df["text"].fillna(""):
+            w = t.split()
+            for a, b in zip(w, w[1:]):
+                if a != b:
+                    seen.add((a, b) if a < b else (b, a))
+        out = pd.DataFrame(sorted(seen), columns=["a", "b"])
+        if not len(out):
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "_bucket": pd.Series(dtype="int32")})
+        h = pd.util.hash_pandas_object(out["a"] + "\x1f" + out["b"],
+                                       index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return (g[["a", "b"]].drop_duplicates()
+                .reset_index(drop=True))
+
+    canon = (ds.map_batches(canon_pairs, batch_format="pandas")
+             .groupby("_bucket").map_groups(dedup,
+                                            batch_format="pandas"))
+    fwd = canon.map_batches(
+        lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+        batch_format="pyarrow")
+    rev = canon.map_batches(
+        lambda t: pa.table({"src": t["b"], "dst": t["a"]}),
+        batch_format="pyarrow")
+    pr = graph.pagerank(fwd.union(rev), iterations=TEXTRANK_ITERS,
+                        scale=TEXTRANK_SCALE)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["pr", "node"],
+                               ascending=[False, True])
+                .head(TEXTRANK_TOPK).reset_index(drop=True))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["pr", "node"],
+                              ascending=[False, True])
+               .head(TEXTRANK_TOPK).reset_index(drop=True))
+        return pd.DataFrame({"word": out["node"].astype(object),
+                             "pr": out["pr"].astype("int64")})
+
+    return _merge_partials(
+        pr.map_batches(local_top, batch_format="pandas"), final)
+
+
+_TEXTRANK_PRELUDE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+  FROM documents),
+bi AS (
+  SELECT DISTINCT least(w[i], w[i + 1]) AS a,
+         greatest(w[i], w[i + 1]) AS b
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+  WHERE w[i] <> w[i + 1]),
+edges AS (SELECT a AS src, b AS dst FROM bi
+          UNION SELECT b, a FROM bi),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+           FROM edges GROUP BY 1)"""
+
+TEXTRANK_SQL = _pagerank_sql(
+    TEXTRANK_ITERS, TEXTRANK_SCALE, prelude=_TEXTRANK_PRELUDE,
+    tail=("SELECT node AS word, r AS pr FROM r%d "
+          "ORDER BY r DESC, node ASC LIMIT %d"
+          % (TEXTRANK_ITERS, TEXTRANK_TOPK)))
