@@ -4205,3 +4205,64 @@ SELECT d.day, CAST(d.n AS BIGINT) AS n_orders,
             THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
 FROM d, t ORDER BY d.day
 """
+
+
+def doc_readability_fk(sf_dir):
+    """Flesch–Kincaid readability (Kincaid et al. '75 / Flesch '48 —
+    the standard readability pair every document-quality stack
+    reports): per document, words, sentences ([.!?]+ runs, floor 1),
+    syllables (vowel-group runs [aeiouy]+ over the lowercased text —
+    the classic heuristic, identical regex both engines), and the two
+    scores on exact integer milli grids with floor division:
+
+        fk_grade_milli    = 390·W//S + 11800·Y//W − 15590
+        reading_ease_milli = 206835 − 1015·W//S − 84600·Y//W
+
+    Zero shuffle: stateless vectorized map, one row per document
+    (compiled regexes shared per process)."""
+    import re as _re
+
+    vowel_re = _re.compile(r"[aeiouy]+")
+    sent_re = _re.compile(r"[.!?]+")
+    word_re = _re.compile(r"\S+")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        rows_w, rows_s, rows_y = [], [], []
+        for t in df["text"].fillna(""):
+            rows_w.append(len(word_re.findall(t)))
+            rows_s.append(max(len(sent_re.findall(t)), 1))
+            rows_y.append(len(vowel_re.findall(t.lower())))
+        w = np.asarray(rows_w, dtype=np.int64)
+        s = np.asarray(rows_s, dtype=np.int64)
+        y = np.asarray(rows_y, dtype=np.int64)
+        wg = np.maximum(w, 1)
+        fk = 390 * w // s + 11800 * y // wg - 15590
+        ease = 206835 - 1015 * w // s - 84600 * y // wg
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": w, "n_sentences": s, "n_syllables": y,
+            "fk_grade_milli": fk.astype("int64"),
+            "reading_ease_milli": ease.astype("int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+READABILITY_SQL = """
+WITH x AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       CAST(390 * w // s + 11800 * y // greatest(w, 1) - 15590
+            AS BIGINT) AS fk_grade_milli,
+       CAST(206835 - 1015 * w // s - 84600 * y // greatest(w, 1)
+            AS BIGINT) AS reading_ease_milli
+FROM x
+"""
