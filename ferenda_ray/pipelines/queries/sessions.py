@@ -4266,3 +4266,148 @@ SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
             AS BIGINT) AS reading_ease_milli
 FROM x
 """
+
+
+ATTACK_K = 5
+
+
+def kg_attack_robustness(sf_dir):
+    """Targeted-attack robustness of the co-citation graph (Albert,
+    Jeong & Barabási '00 — scale-free networks shatter under hub
+    removal while surviving random failure): remove the ATTACK_K
+    highest-degree nodes (degree desc, node asc tie-break) and
+    compare the component census before vs after — the giant-
+    component share drop is the robustness headline.
+
+    Scale shape: everything reuses the distributed census machinery
+    (hash-to-min CC labels, degree join, bounded per-component
+    partials); the hub set is a top-k (local heads + one coalesced
+    merge — never a full degree collect), broadcast as a closure of
+    K names for the map-side edge filter; the attacked census rides
+    the same machinery over the filtered pairs."""
+    from ...stages import graph
+    from ...stages.canonicalize import connected_components_distributed
+    from ...stages.joins import bucket_join
+
+    pairs = graph.cocitation_pairs(_kg_edges(sf_dir)).materialize()
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())])})
+
+    def census(p) -> tuple:
+        """(n_components, giant_share_permille) for a pairs Dataset."""
+        def as_edges(t: pa.Table) -> pa.Table:
+            return pa.table({"uri_a": t["a"], "uri_b": t["b"]})
+
+        labels = connected_components_distributed(
+            p.map_batches(as_edges, batch_format="pyarrow")) \
+            .materialize()
+        deg = graph.degrees(p.map_batches(flat_nodes,
+                                          batch_format="pyarrow"),
+                            "node").materialize()
+        j = bucket_join(deg, labels, left_on="node", right_on="node",
+                        suffix="_l")
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("label", as_index=False)["deg"].sum()
+            return pd.DataFrame({
+                "component": g["label"].astype(object),
+                "dc": g["deg"].astype("int64")})
+
+        comp = (j.map_batches(partial, batch_format="pandas")
+                .to_pandas()
+                .groupby("component", as_index=False)["dc"].sum())
+        total = int(comp["dc"].sum())
+        return (len(comp),
+                1000 * int(comp["dc"].max()) // max(total, 1))
+
+    # hub selection: local top-k + one coalesced merge
+    deg_all = graph.degrees(pairs.map_batches(flat_nodes,
+                                              batch_format="pyarrow"),
+                            "node")
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["deg", "node"],
+                               ascending=[False, True])
+                .head(ATTACK_K).reset_index(drop=True))
+
+    hubs_df = (deg_all.map_batches(local_top, batch_format="pandas")
+               .repartition(1)
+               .map_batches(local_top, batch_format="pandas")
+               .to_pandas())
+    hubs = frozenset(hubs_df["node"])
+
+    def remove_hubs(t: pa.Table) -> pa.Table:
+        keep = [a not in hubs and b not in hubs
+                for a, b in zip(t["a"].to_pylist(),
+                                t["b"].to_pylist())]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    base_nc, base_giant = census(pairs)
+    att_nc, att_giant = census(
+        pairs.map_batches(remove_hubs, batch_format="pyarrow")
+        .materialize())
+    return pd.DataFrame({
+        "n_removed": pd.Series([ATTACK_K], dtype="int64"),
+        "base_components": pd.Series([base_nc], dtype="int64"),
+        "base_giant_permille": pd.Series([base_giant],
+                                         dtype="int64"),
+        "attacked_components": pd.Series([att_nc], dtype="int64"),
+        "attacked_giant_permille": pd.Series([att_giant],
+                                             dtype="int64")})
+
+
+KG_ATTACK_SQL = f"""
+WITH RECURSIVE edges AS ({_CITE_EDGES_SQL}),
+pairs AS (SELECT DISTINCT e1.dst AS a, e2.dst AS b
+          FROM edges e1 JOIN edges e2
+            ON e1.src = e2.src AND e1.dst < e2.dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM pairs
+        UNION ALL SELECT b FROM pairs)
+  GROUP BY node),
+hubs AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT {ATTACK_K}),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nds AS (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+reach(node, lab) AS (
+  SELECT node, node FROM nds
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+comp AS (SELECT cc.component, CAST(sum(deg.d) AS HUGEINT) AS dc
+         FROM cc JOIN deg ON deg.node = cc.node GROUP BY 1),
+base AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+                CAST(1000 * max(dc) // greatest(sum(dc), 1)
+                     AS BIGINT) AS giant
+         FROM comp),
+p2 AS (SELECT a, b FROM pairs
+       WHERE a NOT IN (SELECT node FROM hubs)
+         AND b NOT IN (SELECT node FROM hubs)),
+deg2 AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM p2 UNION ALL SELECT b FROM p2)
+  GROUP BY node),
+sym2 AS (SELECT a, b FROM p2 UNION SELECT b, a FROM p2),
+nds2 AS (SELECT a AS node FROM sym2 UNION SELECT b FROM sym2),
+reach2(node, lab) AS (
+  SELECT node, node FROM nds2
+  UNION
+  SELECT s.b, r.lab FROM reach2 r JOIN sym2 s ON s.a = r.node),
+cc2 AS (SELECT node, min(lab) AS component FROM reach2
+        GROUP BY node),
+comp2 AS (SELECT cc2.component, CAST(sum(deg2.d) AS HUGEINT) AS dc
+          FROM cc2 JOIN deg2 ON deg2.node = cc2.node GROUP BY 1),
+att AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(1000 * max(dc) // greatest(sum(dc), 1)
+                    AS BIGINT) AS giant
+        FROM comp2)
+SELECT CAST({ATTACK_K} AS BIGINT) AS n_removed,
+       base.nc AS base_components,
+       base.giant AS base_giant_permille,
+       att.nc AS attacked_components,
+       att.giant AS attacked_giant_permille
+FROM base, att
+"""
