@@ -110,7 +110,8 @@ def layered_config(defaults: Mapping[str, Any],
 # RepoProfile fields that are plain config (re-tunable at ops time);
 # callables / grammar registries / facet objects stay code.
 PROFILE_CONFIG_FIELDS = ("composite", "checkpoint_dir",
-                         "linker_concurrency", "embed_threshold")
+                         "linker_concurrency", "embed_threshold",
+                         "patchdir")
 
 
 def profile_with_config(profile, inifile: str | None = None,

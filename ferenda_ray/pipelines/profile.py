@@ -44,7 +44,13 @@ class RepoProfile:
     ``required_predicates``: the render-validation set
     (decorators.py:229-236).
     ``patches``: {url: [(find, replace), ...]} overrides applied to
-    the ``text`` column before parse (patch_if_needed).
+    the ``text`` column before parse (the fast-path override map).
+    ``patchdir``: a directory of ``<urlencoded-url>.patch``
+    unified-diff files (+ optional ``.desc`` sidecars) applied to the
+    ``html`` column before parse — the reference's real
+    ``patch_if_needed`` patchstore semantics
+    (documentrepository.py:1352-1401; transform.load_patchdir /
+    patch_if_needed).
     ``checkpoint_dir``: stage-checkpointed resumable run when set.
     """
 
@@ -56,6 +62,7 @@ class RepoProfile:
     facets: Sequence = DEFAULT_FACETS
     required_predicates: Sequence[str] = DEFAULT_REQUIRED
     patches: Mapping[str, Mapping[str, str]] = field(default_factory=dict)
+    patchdir: str | None = None
     checkpoint_dir: str | None = None
     linker_concurrency: tuple | None = None
     # embedding-linker fallback (stages/embed_link) for candidate
@@ -98,6 +105,13 @@ def kg_pipeline_profiled(pages, profile: RepoProfile = RepoProfile(),
     pages = latest_per_url(pages, slim=pages_slim)
     if profile.patches:
         pages = apply_patches(pages, dict(profile.patches))
+    if profile.patchdir:
+        from ..stages.transform import load_patchdir, patch_if_needed
+
+        loaded = load_patchdir(profile.patchdir)
+        if loaded:
+            pages = patch_if_needed(pages, loaded, col="html",
+                                    desc_col=None)
 
     parse_fn = profile.parser or (
         composite_parse_batch if profile.composite else parse_pages_batch)

@@ -146,3 +146,66 @@ def test_golden_pipeline_patch(ray_session, sf_smoke):
             assert got != golden
         else:
             assert got == golden  # byte-identical golden preserved
+
+
+def test_profile_patchdir_changes_flagship_output(ray_session,
+                                                  sf_smoke, tmp_path):
+    """RepoProfile(patchdir=...) applies unified-diff patches to the
+    html column pre-parse: the patched document's section text
+    changes as the diff says; an unpatched profile reproduces the
+    default output (and an env var can point at the patchdir with
+    zero code edits — config layering integration)."""
+    from urllib.parse import quote
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.config import profile_with_config
+    from ferenda_ray.pipelines import corpus
+    from ferenda_ray.pipelines.profile import (RepoProfile,
+                                               kg_pipeline_profiled)
+
+    documents = pq.read_table(sf_smoke + "/documents.parquet")
+    pages_tbl = corpus.synthesize_batch(documents.slice(0, 30))
+    df = pages_tbl.to_pandas()
+    singles = df["url"].value_counts()
+    target = sorted(singles[singles == 1].index)[3]
+    orig_html = bytes(
+        df.loc[df["url"] == target, "html"].iloc[0]).decode("utf-8")
+    lines = orig_html.split("\n")
+    idx = next(i for i, ln in enumerate(lines) if "<p>" in ln)
+    new_lines = list(lines)
+    new_lines[idx] = lines[idx].replace("<p>", "<p>PATCHED-BY-DIFF ",
+                                        1)
+    patch = _diff(orig_html, "\n".join(new_lines), "profile patch")
+
+    d = tmp_path / "patches"
+    d.mkdir()
+    (d / (quote(target, safe="") + ".patch")).write_text(patch)
+
+    def pages_ds():
+        return rd.from_arrow(pages_tbl)
+
+    base = kg_pipeline_profiled(pages_ds(), RepoProfile())
+    base_secs = base["sections"].to_pandas()
+    prof = profile_with_config(
+        RepoProfile(),
+        env={"FERENDA_RAY_PATCHDIR": str(d)})
+    assert prof.patchdir == str(d)
+    patched = kg_pipeline_profiled(pages_ds(), prof)
+    pat_secs = patched["sections"].to_pandas()
+
+    tgt_base = base_secs[base_secs["url"] == target]
+    tgt_pat = pat_secs[pat_secs["url"] == target]
+    assert any("PATCHED-BY-DIFF" in (t or "")
+               for t in tgt_pat["text"])
+    assert not any("PATCHED-BY-DIFF" in (t or "")
+                   for t in tgt_base["text"])
+    # every other document identical
+    rest_base = (base_secs[base_secs["url"] != target]
+                 .sort_values(["url", "section_uri", "kind"])
+                 .reset_index(drop=True))
+    rest_pat = (pat_secs[pat_secs["url"] != target]
+                .sort_values(["url", "section_uri", "kind"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(rest_base, rest_pat)
