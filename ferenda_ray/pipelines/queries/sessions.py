@@ -4411,3 +4411,180 @@ SELECT CAST({ATTACK_K} AS BIGINT) AS n_removed,
        att.giant AS attacked_giant_permille
 FROM base, att
 """
+
+
+MATTR_WINDOW = 100
+
+
+def doc_mattr(sf_dir):
+    """Moving-Average Type-Token Ratio (Covington & McFall '10 —
+    the length-robust lexical-diversity metric; raw TTR falls with
+    document length, MATTR doesn't): per document, the mean distinct
+    count over every 100-token sliding window, exact integer milli
+    (1000·Σ distinct_i // (n_windows·W)); documents shorter than the
+    window fall back to whole-document TTR (1000·distinct // L).
+
+    Scale shape: zero shuffle, one row per doc; the sliding distinct
+    count is the O(L) add/evict counter walk, never the O(L·W)
+    recount."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        out = []
+        for t in df["text"].fillna(""):
+            toks = t.split()
+            L = len(toks)
+            if L == 0:
+                out.append((0, 0))
+                continue
+            if L <= MATTR_WINDOW:
+                out.append((L, 1000 * len(set(toks)) // L))
+                continue
+            counts: dict = {}
+            distinct = 0
+            acc = 0
+            for i, w in enumerate(toks):
+                c = counts.get(w, 0)
+                if c == 0:
+                    distinct += 1
+                counts[w] = c + 1
+                if i >= MATTR_WINDOW:
+                    old = toks[i - MATTR_WINDOW]
+                    counts[old] -= 1
+                    if counts[old] == 0:
+                        distinct -= 1
+                if i >= MATTR_WINDOW - 1:
+                    acc += distinct
+            n_win = L - MATTR_WINDOW + 1
+            out.append((L, 1000 * acc // (n_win * MATTR_WINDOW)))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": pd.Series([a for a, _ in out],
+                                  dtype="int64"),
+            "mattr_milli": pd.Series([b for _, b in out],
+                                     dtype="int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+MATTR_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+base AS (SELECT doc_id, w, len(w) AS l FROM toks),
+short AS (
+  SELECT doc_id, CAST(l AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN l = 0 THEN 0
+              ELSE 1000 * len(list_distinct(w)) // l END AS BIGINT)
+           AS mattr_milli
+  FROM base WHERE l <= %(w)d),
+wins AS (
+  SELECT doc_id, l,
+         len(list_distinct(w[i:i + %(wm1)d])) AS d
+  FROM (SELECT doc_id, w, l,
+               unnest(generate_series(1, l - %(wm1)d)) AS i
+        FROM base WHERE l > %(w)d)),
+lng AS (
+  SELECT doc_id, CAST(max(l) AS BIGINT) AS n_tokens,
+         CAST(1000 * sum(d) // (count(*) * %(w)d) AS BIGINT)
+           AS mattr_milli
+  FROM wins GROUP BY doc_id)
+SELECT * FROM short UNION ALL SELECT * FROM lng
+""" % {"w": MATTR_WINDOW, "wm1": MATTR_WINDOW - 1}
+
+
+def events_burstiness_gb(sf_dir):
+    """The Goh–Barabási burstiness parameter (Goh & Barabási '08:
+    B = (σ−μ)/(σ+μ) over inter-event gaps; −1 = metronome, 0 =
+    Poisson, →1 = extreme bursts) for the whole event stream's
+    per-user gaps — the one-number summary next to
+    user_interarrival_histogram's spectrum. Exact integers: with
+    M = Σgaps and S² ≈ var via the moment identity, B_milli =
+    1000·(D − M) // (D + M) where D = isqrt(n·Σg² − M²) ≈ n·σ and
+    M = n·μ — the same cross-multiplied isqrt discipline as the
+    jackknife (SQL floor(sqrt()) exact below 2^53).
+
+    Scale shape: gaps are doc-local per user, so (n, Σg, Σg²)
+    partials come off ONE user-bucketed exchange; merge is three
+    Python ints."""
+    buckets = _exchange_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "u": t["user_id"].to_numpy(),
+            "ts": t["ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64)})
+        h = pd.util.hash_pandas_object(df["u"], index=False).values
+        df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return df
+
+    def bucket_moments(g: pd.DataFrame) -> pd.DataFrame:
+        n = 0
+        s = 0
+        s2 = 0
+        for _, grp in g.groupby("u", sort=False):
+            tss = np.sort(grp["ts"].to_numpy(np.int64))
+            gaps = np.diff(tss) // 1_000_000  # whole seconds
+            n += len(gaps)
+            s += int(gaps.sum())
+            s2 += int(sum(int(x) * int(x) for x in gaps))
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                             "s": pd.Series([s], dtype="int64"),
+                             "s2_h": pd.Series([s2 >> 62],
+                                               dtype="int64"),
+                             "s2_l": pd.Series([s2 & ((1 << 62) - 1)],
+                                               dtype="int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+        n = int(df["n"].sum())
+        s = int(df["s"].sum())
+        s2 = sum((int(h) << 62) + int(l)
+                 for h, l in zip(df["s2_h"], df["s2_l"]))
+        d = math.isqrt(max(n * s2 - s * s, 0))
+        b = 1000 * (d - s) // max(d + s, 1)
+        return pd.DataFrame({
+            "n_gaps": pd.Series([n], dtype="int64"),
+            "mean_gap_s_milli": pd.Series(
+                [1000 * s // max(n, 1)], dtype="int64"),
+            "burstiness_milli": pd.Series([b], dtype="int64")})
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(bucket_moments, batch_format="pandas"))
+    return _merge_partials(per_bucket, final)
+
+
+BURSTINESS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         (CAST(epoch_us(ts) AS BIGINT)
+          - lag(CAST(epoch_us(ts) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         // 1000000 AS gap
+  FROM events),
+m AS (SELECT CAST(count(gap) AS HUGEINT) AS n,
+             CAST(sum(gap) AS HUGEINT) AS s,
+             CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS s2
+      FROM g WHERE gap IS NOT NULL),
+d0 AS (SELECT n, s, greatest(n * s2 - s * s, 0) AS x,
+              CAST(floor(sqrt(CAST(greatest(n * s2 - s * s, 0)
+                                   AS DOUBLE))) AS HUGEINT) AS r
+       FROM m),
+d AS (SELECT n, s,
+             -- exact isqrt at ANY magnitude: the double sqrt can be
+             -- off once x exceeds 2^53; correct within +/-2 ulps
+             r + (CASE WHEN (r + 2) * (r + 2) <= x THEN 2
+                       WHEN (r + 1) * (r + 1) <= x THEN 1
+                       WHEN r * r <= x THEN 0
+                       WHEN (r - 1) * (r - 1) <= x THEN -1
+                       ELSE -2 END) AS dd
+      FROM d0)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       CAST(1000 * s // greatest(n, 1) AS BIGINT)
+         AS mean_gap_s_milli,
+       CAST(1000 * (dd - s) // greatest(dd + s, 1) AS BIGINT)
+         AS burstiness_milli
+FROM d
+"""

@@ -230,3 +230,52 @@ def test_xbar_flags_bruteforce(ray_session, sf_smoke):
             (sd * n_tot - s_tot * nd) ** 2 > 9 * var_num * nd)
     assert dict(zip(got["day"], got["out_of_control"])) == flags
     assert len(got) == len(flags)
+
+
+def test_mattr_bruteforce(ray_session, sf_smoke):
+    from ferenda_ray.pipelines.queries import doc_mattr
+    from ferenda_ray.pipelines.queries.sessions import MATTR_WINDOW
+
+    got = doc_mattr(sf_smoke).to_pandas()
+    docs = pq.read_table(sf_smoke + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    by_id = dict(zip(got["doc_id"], got["mattr_milli"]))
+    for _, row in docs.head(40).iterrows():
+        toks = (row["text"] or "").split()
+        L = len(toks)
+        if L == 0:
+            exp = 0
+        elif L <= MATTR_WINDOW:
+            exp = 1000 * len(set(toks)) // L
+        else:
+            acc = sum(len(set(toks[i:i + MATTR_WINDOW]))
+                      for i in range(L - MATTR_WINDOW + 1))
+            exp = 1000 * acc // ((L - MATTR_WINDOW + 1)
+                                 * MATTR_WINDOW)
+        assert by_id[row["doc_id"]] == exp, row["doc_id"]
+
+
+def test_burstiness_bruteforce(ray_session, sf_smoke):
+    import math
+
+    from ferenda_ray.pipelines.queries import events_burstiness_gb
+
+    got = events_burstiness_gb(sf_smoke).to_pandas()
+    e = pq.read_table(sf_smoke + "/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    n = s = s2 = 0
+    for _, g in e.groupby("user_id"):
+        tss = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                      .astype("int64"))
+        gaps = np.diff(tss) // 1_000_000
+        n += len(gaps)
+        s += int(gaps.sum())
+        s2 += int(sum(int(x) ** 2 for x in gaps))
+    d = math.isqrt(max(n * s2 - s * s, 0))
+    assert int(got["n_gaps"][0]) == n
+    assert int(got["mean_gap_s_milli"][0]) == 1000 * s // n
+    assert int(got["burstiness_milli"][0]) == \
+        1000 * (d - s) // max(d + s, 1)
+    # gaps of a uniform-ish synthetic stream should be near-Poisson:
+    # B in (-1000, 1000) by construction
+    assert -1000 < int(got["burstiness_milli"][0]) < 1000
