@@ -2849,8 +2849,17 @@ fin AS (SELECT tot.g AS g,
 SELECT CAST(fin.g AS BIGINT) AS n_groups,
        CAST(fin.theta_hat AS BIGINT) AS true_millicents,
        CAST(fin.var AS BIGINT) AS jk_var,
-       CAST(floor(sqrt(CAST(fin.var AS DOUBLE))) AS BIGINT)
-         AS jk_se_milli,
+       -- exact isqrt past 2^53 (the +/-2 double-sqrt correction)
+       CAST((SELECT r + (CASE WHEN (r + 2) * (r + 2) <= fin.var
+                              THEN 2
+                              WHEN (r + 1) * (r + 1) <= fin.var
+                              THEN 1
+                              WHEN r * r <= fin.var THEN 0
+                              WHEN (r - 1) * (r - 1) <= fin.var
+                              THEN -1 ELSE -2 END)
+             FROM (SELECT CAST(floor(sqrt(CAST(fin.var AS DOUBLE)))
+                               AS HUGEINT) AS r))
+            AS BIGINT) AS jk_se_milli,
        CAST((SELECT max(abs(theta - fin.theta_hat)) FROM th)
             AS BIGINT) AS max_influence_milli
 FROM fin

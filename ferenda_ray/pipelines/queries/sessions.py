@@ -3613,18 +3613,29 @@ ty AS (SELECT CAST(sum(CAST(s AS HUGEINT) * (s - 1) // 2) AS HUGEINT)
 z AS (
   SELECT n.nt, cd.conc, cd.disc, tx.t AS tx, ty.t AS ty,
          n.nt * (n.nt - 1) // 2 AS n0
-  FROM n, cd, tx, ty)
+  FROM n, cd, tx, ty),
+z2 AS (
+  SELECT *, (n0 - tx) * (n0 - ty) AS x,
+         CAST(floor(sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)))
+              AS HUGEINT) AS r
+  FROM z),
+z3 AS (
+  -- exact isqrt past 2^53: correct the double sqrt within +/-2
+  SELECT *, r + (CASE WHEN (r + 2) * (r + 2) <= x THEN 2
+                      WHEN (r + 1) * (r + 1) <= x THEN 1
+                      WHEN r * r <= x THEN 0
+                      WHEN (r - 1) * (r - 1) <= x THEN -1
+                      ELSE -2 END) AS den
+  FROM z2)
 SELECT CAST(nt AS BIGINT) AS n_parts,
        CAST(conc AS BIGINT) AS n_concordant,
        CAST(disc AS BIGINT) AS n_discordant,
        CAST(tx AS BIGINT) AS ties_size,
        CAST(ty AS BIGINT) AS ties_price,
        CAST((CASE WHEN conc >= disc THEN 1 ELSE -1 END)
-            * (1000000 * abs(conc - disc)
-               // greatest(CAST(floor(sqrt(CAST((n0 - tx) * (n0 - ty)
-                                               AS DOUBLE))) AS HUGEINT),
-                           1)) AS BIGINT) AS tau_b_ppm
-FROM z
+            * (1000000 * abs(conc - disc) // greatest(den, 1))
+            AS BIGINT) AS tau_b_ppm
+FROM z3
 """
 
 
