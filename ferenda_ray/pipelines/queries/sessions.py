@@ -4599,3 +4599,149 @@ SELECT CAST(n AS BIGINT) AS n_gaps,
          AS burstiness_milli
 FROM d
 """
+
+
+# DCG rank discounts: round(10^6 / log2(i+1)) for i = 1..10 —
+# precomputed literals shared verbatim with the SQL oracle (the
+# FS-weights discipline for transcendental constants).
+NDCG_K = 10
+NDCG_DISCOUNTS = (1000000, 630930, 500000, 430677, 386853,
+                  356207, 333333, 315465, 301030, 289065)
+
+
+def bm25_ndcg_eval(sf_dir):
+    """Ranking-quality evaluation of the BM25 retrieval leg —
+    nDCG@10 (Järvelin & Kekäläinen '02, the standard graded-
+    relevance IR metric): graded judgments are EXACT and data-derived
+    (rel(doc) = total occurrences of the two query terms — the
+    oracle-computable stand-in for human grades), the system ranking
+    is bm25_search's (score desc, doc_id asc) top-10, and the ideal
+    ranking is the global top-10 relevance multiset. All integer:
+    DCG = Σ rel_i·D_i over the literal micro-discount table,
+    ndcg_ppm = 10⁶·DCG // IDCG.
+
+    Scale shape: the system leg reuses _bm25_scored (two streaming
+    passes, one bounded exchange) + a 10-row driver collect; per-doc
+    relevance for those 10 docs and the ideal top-10 relevances come
+    from one more zero-shuffle pass with per-batch local top-k
+    partials — never a global sort."""
+    from .relational import _bm25_scored
+
+    top = (_bm25_scored(sf_dir)
+           .sort(["score", "doc_id"], descending=[True, False])
+           .limit(NDCG_K).to_pandas())
+    top_ids = [int(i) for i in top["doc_id"]]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idset = frozenset(top_ids)
+
+    def rels(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        picked, grades = [], []
+        local = []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            r = toks.count("merge") + toks.count("join")
+            if i in idset:
+                picked.append(int(i))
+                grades.append(r)
+            if r > 0:
+                local.append(r)
+        local.sort(reverse=True)
+        pad = NDCG_K - len(local)
+        return pd.DataFrame({
+            "kind": ["sys"] * len(picked) + ["ideal"] * min(
+                len(local), NDCG_K),
+            "key": picked + list(range(min(len(local), NDCG_K))),
+            "rel": grades + local[:NDCG_K]}).astype(
+                {"key": "int64", "rel": "int64"}) if picked or local \
+            else pd.DataFrame({"kind": pd.Series(dtype=object),
+                               "key": pd.Series(dtype="int64"),
+                               "rel": pd.Series(dtype="int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        sys_rel = dict(zip(df.loc[df["kind"] == "sys", "key"],
+                           df.loc[df["kind"] == "sys", "rel"]))
+        ideal = sorted(df.loc[df["kind"] == "ideal", "rel"],
+                       reverse=True)[:NDCG_K]
+        dcg = sum(int(sys_rel.get(d, 0)) * NDCG_DISCOUNTS[i]
+                  for i, d in enumerate(top_ids))
+        idcg = sum(int(r) * NDCG_DISCOUNTS[i]
+                   for i, r in enumerate(ideal))
+        return pd.DataFrame({
+            "dcg_micro": pd.Series([dcg], dtype="int64"),
+            "idcg_micro": pd.Series([idcg], dtype="int64"),
+            "ndcg_ppm": pd.Series([10**6 * dcg // max(idcg, 1)],
+                                  dtype="int64")})
+
+    return _merge_partials(
+        ds.map_batches(rels, batch_format="pyarrow"), final)
+
+
+def _ndcg_sql() -> str:
+    disc_cases = " ".join(
+        "WHEN %d THEN %d" % (i + 1, d)
+        for i, d in enumerate(NDCG_DISCOUNTS))
+    return """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+d AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, t -> t = 'merge')) AS tf1,
+         len(list_filter(w, t -> t = 'join'))  AS tf2
+  FROM toks
+),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(dl) AS HUGEINT) AS s,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df2
+  FROM d
+),
+idf AS (
+  SELECT ((2 * n - 2 * df1 + 1) * 1000000) // (2 * df1 + 1) AS idf1,
+         ((2 * n - 2 * df2 + 1) * 1000000) // (2 * df2 + 1) AS idf2,
+         n, s FROM g
+),
+scored AS (
+  SELECT d.doc_id, d.tf1 + d.tf2 AS rel,
+         (CASE WHEN d.tf1 > 0 THEN
+            (idf.idf1 * (22 * d.tf1 * idf.s))
+            // (10 * d.tf1 * idf.s + 3 * idf.s + 9 * d.dl * idf.n)
+          ELSE 0 END)
+         + (CASE WHEN d.tf2 > 0 THEN
+            (idf.idf2 * (22 * d.tf2 * idf.s))
+            // (10 * d.tf2 * idf.s + 3 * idf.s + 9 * d.dl * idf.n)
+          ELSE 0 END) AS score
+  FROM d, idf
+),
+sys AS (
+  SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           AS rk
+  FROM scored WHERE score > 0
+  ORDER BY score DESC, doc_id ASC LIMIT %(k)d
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+           AS rk
+  FROM scored WHERE rel > 0
+  ORDER BY rel DESC LIMIT %(k)d
+),
+dc AS (
+  SELECT CAST(coalesce(sum(rel * (CASE rk %(cases)s END)), 0)
+              AS HUGEINT) AS dcg
+  FROM sys),
+ic AS (
+  SELECT CAST(coalesce(sum(rel * (CASE rk %(cases)s END)), 0)
+              AS HUGEINT) AS idcg
+  FROM ideal)
+SELECT CAST(dc.dcg AS BIGINT) AS dcg_micro,
+       CAST(ic.idcg AS BIGINT) AS idcg_micro,
+       CAST(1000000 * dc.dcg // greatest(ic.idcg, 1) AS BIGINT)
+         AS ndcg_ppm
+FROM dc, ic
+""" % {"k": NDCG_K, "cases": disc_cases}
+
+
+BM25_NDCG_SQL = _ndcg_sql()
