@@ -254,7 +254,20 @@ def run_bench() -> dict:
              ("lineitem_mann_whitney", Q.lineitem_mann_whitney),
              ("part_kendall_tau", Q.part_kendall_tau),
              ("events_sprt_decision", Q.events_sprt_decision),
-             ("embed_knn_ivf_planted", Q.embed_knn_ivf_planted)]
+             ("embed_knn_ivf_planted", Q.embed_knn_ivf_planted),
+             ("er_fs_em_weights", Q.er_fs_em_weights),
+             ("split_leakage_safe", Q.split_leakage_safe),
+             ("lang_ppl_buckets", Q.lang_ppl_buckets),
+             ("doc_gopher_rules", Q.doc_gopher_rules),
+             ("orders_croston_demand", Q.orders_croston_demand),
+             ("vocab_good_turing", Q.vocab_good_turing),
+             ("orders_xbar_control", Q.orders_xbar_control),
+             ("vocab_textrank_keywords", Q.vocab_textrank_keywords),
+             ("doc_readability_fk", Q.doc_readability_fk),
+             ("kg_attack_robustness", Q.kg_attack_robustness),
+             ("doc_mattr", Q.doc_mattr),
+             ("events_burstiness_gb", Q.events_burstiness_gb),
+             ("bm25_ndcg_eval", Q.bm25_ndcg_eval)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
