@@ -4745,3 +4745,144 @@ FROM dc, ic
 
 
 BM25_NDCG_SQL = _ndcg_sql()
+
+
+def doc_readability_lix(sf_dir):
+    """LIX readability (Björnsson '68 — the Swedish läsbarhetsindex,
+    the readability measure of the reference engine's home domain and
+    the standard one for Swedish legal text): LIX = W/S + 100·L₇/W
+    with L₇ = words of ≥7 characters, on the exact integer milli grid
+    (1000·W//S + 100000·L7//W, floor division both engines; sentence
+    runs [.!?]+ with floor 1, the doc_readability_fk conventions).
+    Zero shuffle, one row per document."""
+    import re as _re
+
+    sent_re = _re.compile(r"[.!?]+")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        w_out, s_out, l7_out = [], [], []
+        for t in df["text"].fillna(""):
+            toks = t.split()
+            w_out.append(len(toks))
+            s_out.append(max(len(sent_re.findall(t)), 1))
+            l7_out.append(sum(1 for w in toks if len(w) >= 7))
+        w = np.asarray(w_out, dtype=np.int64)
+        s = np.asarray(s_out, dtype=np.int64)
+        l7 = np.asarray(l7_out, dtype=np.int64)
+        lix = 1000 * w // s + 100000 * l7 // np.maximum(w, 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": w, "n_sentences": s, "n_long_words": l7,
+            "lix_milli": lix.astype("int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+LIX_SQL = """
+WITH x AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(text, '\\S{7,}')) AS BIGINT)
+           AS l7
+  FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sentences, l7 AS n_long_words,
+       CAST(1000 * w // s + 100000 * l7 // greatest(w, 1)
+            AS BIGINT) AS lix_milli
+FROM x
+"""
+
+
+BOILER_DF_CAP = 2  # a trigram in > 2 documents is boilerplate here
+
+from .sketches import _shingle_cte as _sess_shingle_cte
+
+_SESS_SHINGLE_CTE = _sess_shingle_cte("documents")
+
+
+def doc_boilerplate_share(sf_dir):
+    """Per-document BOILERPLATE DENSITY — the share of a document's
+    distinct word-trigram shingles that are corpus-frequent
+    (document frequency > BOILER_DF_CAP): the curation signal behind
+    boilerplate stripping (navigation chrome, license footers,
+    templated headers repeat across pages; CCNet/RefinedWeb drop
+    high-df lines for the same reason). Shingle grammar identical to
+    the dedup family (_shingle_cte's 3-word windows).
+
+    Scale shape: per-doc distinct postings (doc_id, gram) ride ONE
+    gram-hash bucketed exchange — a gram's df finalizes entirely in
+    its bucket, so each bucket marks df > cap and emits additive
+    (doc_id, n_grams, n_boiler) partials; a second doc-keyed
+    exchange folds them (two exchanges, no union — within the DAG
+    budget). Exact integer permille."""
+    buckets = _exchange_buckets(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for i, t in zip(df["doc_id"], df["text"].fillna("")):
+            toks = t.split()
+            L = len(toks)
+            sh = {" ".join(toks[j:j + 3])
+                  for j in range(max(L - 2, 1))} if L else set()
+            for g in sh:
+                ids.append(int(i))
+                grams.append(g)
+        out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "g": pd.Series(grams, dtype=object)})
+        if not len(out):
+            out["_bucket"] = pd.Series(dtype="int32")
+            return out
+        h = pd.util.hash_pandas_object(out["g"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
+        dfreq = g.groupby("g")["doc_id"].transform("size")
+        boil = (dfreq > BOILER_DF_CAP).astype(np.int64)
+        p = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                          "n_grams": 1, "n_boiler": boil})
+        out = (p.groupby("doc_id", as_index=False)
+               .agg(n_grams=("n_grams", "sum"),
+                    n_boiler=("n_boiler", "sum")))
+        h = pd.util.hash_pandas_object(out["doc_id"],
+                                       index=False).values
+        out["_b2"] = (h % np.uint64(buckets)).astype("int32")
+        return out.astype({"doc_id": "int64", "n_grams": "int64",
+                           "n_boiler": "int64", "_b2": "int32"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(n_grams=("n_grams", "sum"),
+                    n_boiler=("n_boiler", "sum")))
+        out["boiler_permille"] = (1000 * out["n_boiler"]
+                                  // out["n_grams"].clip(lower=1))
+        return out.astype("int64")
+
+    return (ds.map_batches(postings, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(bucket_mark, batch_format="pandas")
+            .groupby("_b2")
+            .map_groups(fold, batch_format="pandas"))
+
+
+BOILER_SQL = """
+WITH s AS (%s
+),
+gr AS (SELECT doc_id, unnest(sh) AS g FROM s),
+df AS (SELECT g, CAST(count(*) AS BIGINT) AS dfreq
+       FROM gr GROUP BY 1),
+per AS (
+  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN df.dfreq > %d THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boiler
+  FROM gr JOIN df USING (g) GROUP BY 1)
+SELECT doc_id, n_grams, n_boiler,
+       CAST(1000 * n_boiler // greatest(n_grams, 1) AS BIGINT)
+         AS boiler_permille
+FROM per
+""" % (_SESS_SHINGLE_CTE, BOILER_DF_CAP)
