@@ -4886,3 +4886,85 @@ SELECT doc_id, n_grams, n_boiler,
          AS boiler_permille
 FROM per
 """ % (_SESS_SHINGLE_CTE, BOILER_DF_CAP)
+
+
+def doc_novelty_share(sf_dir):
+    """Per-document n-gram NOVELTY — the share of a document's
+    distinct trigram shingles whose FIRST corpus occurrence (minimum
+    doc_id) is this document: the per-document decomposition of the
+    Heaps vocabulary-growth curve and the standard memorization /
+    content-freshness proxy (a near-duplicate of earlier material
+    scores ≈ 0; genuinely new text scores ≈ 1000‰).
+
+    Scale shape: identical to doc_boilerplate_share — postings ride
+    ONE gram-hash exchange where each bucket owns its grams entirely
+    and can compute min(doc_id) per gram, emitting additive
+    (doc_id, n_grams, n_novel) partials; one doc-keyed fold."""
+    buckets = _exchange_buckets(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for i, t in zip(df["doc_id"], df["text"].fillna("")):
+            toks = t.split()
+            L = len(toks)
+            sh = {" ".join(toks[j:j + 3])
+                  for j in range(max(L - 2, 1))} if L else set()
+            for g in sh:
+                ids.append(int(i))
+                grams.append(g)
+        out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "g": pd.Series(grams, dtype=object)})
+        if not len(out):
+            out["_bucket"] = pd.Series(dtype="int32")
+            return out
+        h = pd.util.hash_pandas_object(out["g"], index=False).values
+        out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
+        return out
+
+    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("g")["doc_id"].transform("min")
+        novel = (g["doc_id"].to_numpy(np.int64)
+                 == first.to_numpy(np.int64)).astype(np.int64)
+        p = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                          "n_grams": 1, "n_novel": novel})
+        out = (p.groupby("doc_id", as_index=False)
+               .agg(n_grams=("n_grams", "sum"),
+                    n_novel=("n_novel", "sum")))
+        h = pd.util.hash_pandas_object(out["doc_id"],
+                                       index=False).values
+        out["_b2"] = (h % np.uint64(buckets)).astype("int32")
+        return out.astype({"doc_id": "int64", "n_grams": "int64",
+                           "n_novel": "int64", "_b2": "int32"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(n_grams=("n_grams", "sum"),
+                    n_novel=("n_novel", "sum")))
+        out["novelty_permille"] = (1000 * out["n_novel"]
+                                   // out["n_grams"].clip(lower=1))
+        return out.astype("int64")
+
+    return (ds.map_batches(postings, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(bucket_mark, batch_format="pandas")
+            .groupby("_b2")
+            .map_groups(fold, batch_format="pandas"))
+
+
+NOVELTY_SQL = """
+WITH s AS (%s
+),
+gr AS (SELECT doc_id, unnest(sh) AS g FROM s),
+fo AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM gr GROUP BY 1),
+per AS (
+  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN fo.first_doc = gr.doc_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM gr JOIN fo USING (g) GROUP BY 1)
+SELECT doc_id, n_grams, n_novel,
+       CAST(1000 * n_novel // greatest(n_grams, 1) AS BIGINT)
+         AS novelty_permille
+FROM per
+""" % _SESS_SHINGLE_CTE
