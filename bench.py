@@ -267,7 +267,10 @@ def run_bench() -> dict:
              ("kg_attack_robustness", Q.kg_attack_robustness),
              ("doc_mattr", Q.doc_mattr),
              ("events_burstiness_gb", Q.events_burstiness_gb),
-             ("bm25_ndcg_eval", Q.bm25_ndcg_eval)]
+             ("bm25_ndcg_eval", Q.bm25_ndcg_eval),
+             ("doc_readability_lix", Q.doc_readability_lix),
+             ("doc_boilerplate_share", Q.doc_boilerplate_share),
+             ("doc_novelty_share", Q.doc_novelty_share)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:
