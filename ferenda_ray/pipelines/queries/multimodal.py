@@ -233,3 +233,79 @@ SELECT doc_id AS media_id,
            AS frame_idx
 FROM documents
 """
+
+
+LUM_BINS = 16
+
+
+def media_image_histogram(sf_dir):
+    """Global luminance histogram over the decoded image corpus —
+    the exposure/contrast census an ingest pipeline runs before
+    training-time augmentation decisions: every payload decodes
+    through the REAL PPM pixel path (``parse_pnm_pixels``), per-pixel
+    integer luminance (r+g+b)//3 buckets into 16 bins (lum//16), and
+    the bounded 16-cell census (bin → n_pixels, share_permille) is a
+    lossless per-batch combiner. The synthetic pixels are pure
+    doc_id arithmetic, so SQL replays every pixel's bin.
+
+    Stateless decode (no model/codec state) → task pool by design;
+    the stateful-decoder convention (DecodeImage actors) applies to
+    codec-library paths, not the stdlib parser."""
+    from ...stages.multimodal import parse_pnm_pixels
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w, h = 8 + i % 5, 8 + i % 3
+            px = ((np.arange(w * h * 3) * 31 + i) % 256).astype(np.uint8)
+            payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+        return _media_table(ids, "image", payloads)
+
+    media = (_read(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(synth, batch_format="pyarrow"))
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        counts = np.zeros(LUM_BINS, dtype=np.int64)
+        for payload in t["payload"].to_pylist():
+            out = parse_pnm_pixels(payload)
+            if out is None:
+                raise NotImplementedError("payload is not PPM")
+            px, _ = out
+            lum = px.astype(np.int64).sum(axis=2) // px.shape[2]
+            counts += np.bincount((lum // LUM_BINS).ravel(),
+                                  minlength=LUM_BINS)[:LUM_BINS]
+        return pd.DataFrame({"bin": np.arange(LUM_BINS, dtype=np.int64),
+                             "n_pixels": counts})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("bin", as_index=False)["n_pixels"].sum()
+             .sort_values("bin").reset_index(drop=True))
+        g = g[g["n_pixels"] > 0].reset_index(drop=True)  # SQL GROUP
+        total = int(g["n_pixels"].sum())
+        g["share_permille"] = 1000 * g["n_pixels"] // max(total, 1)
+        return g.astype("int64")
+
+    return _merge_partials(
+        media.map_batches(hist, batch_format="pyarrow"), final)
+
+
+MEDIA_HIST_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         unnest(generate_series(0,
+           (8 + d.doc_id %% 5) * (8 + d.doc_id %% 3) - 1)) AS k
+  FROM documents d),
+lum AS (
+  SELECT ((31 * (3 * k) + doc_id) %% 256
+          + (31 * (3 * k + 1) + doc_id) %% 256
+          + (31 * (3 * k + 2) + doc_id) %% 256) // 3 AS l
+  FROM px),
+h AS (SELECT l // %d AS bin, CAST(count(*) AS BIGINT) AS n_pixels
+      FROM lum GROUP BY 1),
+t AS (SELECT CAST(sum(n_pixels) AS BIGINT) AS total FROM h)
+SELECT CAST(h.bin AS BIGINT) AS bin, h.n_pixels,
+       CAST(1000 * h.n_pixels // greatest(t.total, 1) AS BIGINT)
+         AS share_permille
+FROM h, t ORDER BY h.bin
+""" % LUM_BINS

@@ -52,10 +52,12 @@ def _try_import(name):
 # real decoders (stdlib + numpy only)
 # ---------------------------------------------------------------------
 
-def _parse_pnm(data: bytes, offset: int = 0):
-    """Binary PPM (P6) / PGM (P5) at ``offset`` → (gray_2d, next_offset)
-    or None if no valid header there. Tolerates comments/whitespace per
-    the Netpbm spec (public format)."""
+def parse_pnm_pixels(data: bytes, offset: int = 0):
+    """Binary PPM (P6) / PGM (P5) at ``offset`` → (pixels_uint8 with
+    shape (h, w, channels), next_offset) or None — the raw-pixel
+    surface under ``_parse_pnm`` (public Netpbm format), used by
+    stages that need exact integer pixel values (histograms) rather
+    than the float gray plane."""
     if data[offset:offset + 2] not in (b"P5", b"P6"):
         return None
     channels = 3 if data[offset:offset + 2] == b"P6" else 1
@@ -83,9 +85,17 @@ def _parse_pnm(data: bytes, offset: int = 0):
     if maxval > 255 or pos + n > len(data) or w <= 0 or h <= 0:
         return None
     px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
-    px = px.reshape(h, w, channels).astype(np.float64)
-    gray = px.mean(axis=2)
-    return gray, pos + n
+    return px.reshape(h, w, channels), pos + n
+
+
+def _parse_pnm(data: bytes, offset: int = 0):
+    """Binary PPM/PGM at ``offset`` → (gray_2d, next_offset) or None
+    (the float mean-channel plane the hash/feature paths consume)."""
+    out = parse_pnm_pixels(data, offset)
+    if out is None:
+        return None
+    px, nxt = out
+    return px.astype(np.float64).mean(axis=2), nxt
 
 
 def _parse_bmp(data: bytes):
