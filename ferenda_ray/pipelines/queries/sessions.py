@@ -4968,3 +4968,118 @@ SELECT doc_id, n_grams, n_novel,
          AS novelty_permille
 FROM per
 """ % _SESS_SHINGLE_CTE
+
+
+def curation_funnel_census(sf_dir):
+    """The curation FUNNEL table — the stage-by-stage survivor counts
+    every dataset paper publishes (C4, RefinedWeb, FineWeb all lead
+    with one): documents in → after the PII-redact + C4 quality gate
+    → after exact dedup → after MinHash near-dup removal, each with
+    its exact retention permille (of the input). Runs the REAL
+    curation stages (pipelines/curation semantics) and counts the
+    surviving Datasets — the bounded 1-row census, not the survivor
+    list (curation_pipeline carries that).
+
+    Scale shape: identical to curate() — the quality prefix
+    materializes once and each count is a streaming count over it;
+    the near-dup removal count comes from the cluster label table
+    (non-canonical keys), never a second anti-join."""
+    import ray.data as rd
+
+    from ...stages.dedup import exact_dedup, minhash_dedup
+    from ...stages.pii import pii_scan
+    from ...stages.text_analysis import quality_filter, quality_metrics
+
+    def redact(t: pa.Table) -> pa.Table:
+        df = pii_scan(t, redact=True)
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "text": pa.array(df["clean"], pa.string())})
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = quality_metrics(t)
+        t = quality_filter(t, min_tokens=5, min_mean_token_len=2.0,
+                           max_mean_token_len=12.0)
+        return t.select(["doc_id", "text"])
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_input = docs.count()
+    q = (docs.map_batches(redact, batch_format="pyarrow")
+         .map_batches(gate, batch_format="pyarrow").materialize())
+    n_quality = q.count()
+    ex = exact_dedup(q, text_col="text", key_col="doc_id") \
+        .materialize()
+    n_exact = ex.count()
+    labels = minhash_dedup(ex, text_col="text", key_col="doc_id",
+                           threshold=0.5)
+    if isinstance(labels, pd.DataFrame):
+        n_removed = int((labels["key"]
+                         != labels["canonical_key"]).sum())
+    else:
+        n_removed = int(labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int((df["key"] != df["canonical_key"]).sum())]}),
+            batch_format="pandas").to_pandas()["n"].sum())
+    n_final = n_exact - n_removed
+
+    def pm(n):
+        return 1000 * n // max(n_input, 1)
+
+    return pd.DataFrame({
+        "n_input": pd.Series([n_input], dtype="int64"),
+        "n_after_quality": pd.Series([n_quality], dtype="int64"),
+        "n_after_exact": pd.Series([n_exact], dtype="int64"),
+        "n_after_neardup": pd.Series([n_final], dtype="int64"),
+        "quality_permille": pd.Series([pm(n_quality)], dtype="int64"),
+        "exact_permille": pd.Series([pm(n_exact)], dtype="int64"),
+        "final_permille": pd.Series([pm(n_final)], dtype="int64")})
+
+
+def _funnel_sql() -> str:
+    from ...stages.pii import PII_PATTERNS
+    from .sketches import (_CC_CTES, _jaccard_pair_select,
+                           _shingle_cte)
+
+    clean = "text"
+    for _, pat, token in PII_PATTERNS:
+        clean = "regexp_replace(%s, '%s', '%s', 'g')" % (
+            clean, pat.replace("'", "''"), token)
+    return f"""
+WITH RECURSIVE clean AS (
+  SELECT doc_id, {clean} AS text FROM documents),
+m AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) AS alpha_len
+  FROM clean),
+q AS (
+  SELECT doc_id, text FROM m
+  WHERE n_tokens >= 5 AND alpha_len >= 2.0 * n_tokens
+    AND alpha_len <= 12.0 * n_tokens),
+ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+qq AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+s AS ({_shingle_cte("qq")}),
+p AS ({_jaccard_pair_select("ka", "kb")}),
+{_CC_CTES},
+canon AS (SELECT node AS doc_id, min(lbl) AS canonical
+          FROM reach GROUP BY node),
+kept AS (
+  SELECT qq.doc_id FROM qq LEFT JOIN canon USING (doc_id)
+  WHERE canonical IS NULL OR canonical = qq.doc_id),
+c AS (SELECT
+        CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+        CAST((SELECT count(*) FROM q) AS BIGINT) AS n_q,
+        CAST((SELECT count(*) FROM qq) AS BIGINT) AS n_ex,
+        CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_f)
+SELECT n_input, n_q AS n_after_quality, n_ex AS n_after_exact,
+       n_f AS n_after_neardup,
+       CAST(1000 * n_q // greatest(n_input, 1) AS BIGINT)
+         AS quality_permille,
+       CAST(1000 * n_ex // greatest(n_input, 1) AS BIGINT)
+         AS exact_permille,
+       CAST(1000 * n_f // greatest(n_input, 1) AS BIGINT)
+         AS final_permille
+FROM c
+"""
+
+
+FUNNEL_SQL = _funnel_sql()
