@@ -5083,3 +5083,100 @@ FROM c
 
 
 FUNNEL_SQL = _funnel_sql()
+
+
+def orders_mann_kendall(sf_dir):
+    """Mann–Kendall trend test over daily revenue (Mann '45 /
+    Kendall '75 — the standard nonparametric monotone-trend test;
+    the significance companion to orders_theil_sen_trend's slope):
+    S = Σ_{i<j} sign(x_j − x_i) over day-ordered daily cents; the
+    tie-corrected variance stays integer as 18·Var(S) =
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5); and the continuity-corrected
+    normal score is reported on a shared integer grid,
+    z_milli_x4 = sign(S) · 1000·(|S|−1)·4 // isqrt(18·VarS)
+    (4 = isqrt(18), so the column is a fixed monotone multiple
+    ≈ 0.943·1000·z — a floor convention both engines replay
+    exactly, never the float z).
+
+    Scale shape: the daily series is a bounded (day → cents)
+    combiner; the O(days²) pair walk is driver-side over the bounded
+    day table (the SPRT/Croston precedent). SQL replays with a
+    day self-join + the same integer conventions."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = (t["o_orderdate"].to_numpy()
+                .astype("datetime64[us]").astype(np.int64)
+                // 86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        return (pd.DataFrame({"day": days, "cents": cents})
+                .groupby("day", as_index=False)["cents"].sum()
+                .astype("int64"))
+
+    d = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("day", as_index=False)["cents"].sum()
+         .sort_values("day").reset_index(drop=True))
+    x = d["cents"].to_numpy(np.int64)
+    n = len(x)
+    s_stat = 0
+    for i in range(n - 1):
+        diff = x[i + 1:] - x[i]
+        s_stat += int((diff > 0).sum()) - int((diff < 0).sum())
+    ties = pd.Series(x).value_counts()
+    tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                   for t in ties if int(t) > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    denom = math.isqrt(var18)
+    mag = max(abs(s_stat) - 1, 0)  # continuity correction
+    sign = 1 if s_stat > 0 else (-1 if s_stat < 0 else 0)
+    z_milli = sign * (1000 * mag * 4) // max(denom, 1)  # isqrt(18)=4
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "s_stat": pd.Series([s_stat], dtype="int64"),
+        "var18": pd.Series([var18], dtype="int64"),
+        "z_milli_x4": pd.Series([z_milli], dtype="int64")})
+
+
+MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+s AS (
+  SELECT CAST(coalesce(sum(CASE WHEN b.cents > a.cents THEN 1
+                                WHEN b.cents < a.cents THEN -1
+                                ELSE 0 END), 0) AS HUGEINT) AS s_stat
+  FROM d a JOIN d b ON b.day > a.day),
+t AS (
+  SELECT CAST(coalesce(sum(CASE WHEN c > 1
+                                THEN c * (c - 1) * (2 * c + 5)
+                                ELSE 0 END), 0) AS HUGEINT) AS tt
+  FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM d
+        GROUP BY cents)),
+v AS (SELECT n.n * (n.n - 1) * (2 * n.n + 5) - t.tt AS var18,
+             s.s_stat, n.n
+      FROM n, s, t),
+r0 AS (SELECT *, CAST(floor(sqrt(CAST(var18 AS DOUBLE)))
+                      AS HUGEINT) AS r FROM v),
+rr AS (SELECT *, r + (CASE WHEN (r + 2) * (r + 2) <= var18 THEN 2
+                           WHEN (r + 1) * (r + 1) <= var18 THEN 1
+                           WHEN r * r <= var18 THEN 0
+                           WHEN (r - 1) * (r - 1) <= var18 THEN -1
+                           ELSE -2 END) AS denom
+       FROM r0)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       CAST(var18 AS BIGINT) AS var18,
+       CAST((CASE WHEN s_stat > 0 THEN 1
+                  WHEN s_stat < 0 THEN -1 ELSE 0 END)
+            * (1000 * greatest(abs(s_stat) - 1, 0) * 4)
+            // greatest(denom, 1) AS BIGINT) AS z_milli_x4
+FROM rr
+"""
