@@ -3872,6 +3872,22 @@ def _fs_em_step(census, p, m, u):
     return p_new, m_new, u_new
 
 
+_FS_CENSUS_CACHE: dict = {}
+
+
+def _fs_census(sf_dir):
+    """(pattern, n_pairs) list, computed once per sf_dir — the
+    blocked pattern pass is the expensive part and both
+    er_fellegi_sunter's decision table and the EM estimator consume
+    the same sufficient statistic (the _KG_CACHE discipline)."""
+    if sf_dir not in _FS_CENSUS_CACHE:
+        census_df = er_fellegi_sunter(sf_dir).to_pandas()
+        _FS_CENSUS_CACHE[sf_dir] = [
+            (int(r["pattern"]), int(r["n_pairs"]))
+            for _, r in census_df.iterrows()]
+    return _FS_CENSUS_CACHE[sf_dir]
+
+
 def er_fs_em_weights(sf_dir):
     """EM ESTIMATION of the Fellegi–Sunter parameters (Winkler '88;
     Herzog/Scheuren/Winkler '07 ch. 9) — the companion to
@@ -3887,9 +3903,7 @@ def er_fs_em_weights(sf_dir):
     the only thing EM ever touches — so the distributed work is
     exactly er_fellegi_sunter's block-bucketed pattern pass; the EM
     loop is driver arithmetic over ≤16 rows."""
-    census_df = er_fellegi_sunter(sf_dir).to_pandas()
-    census = [(int(r["pattern"]), int(r["n_pairs"]))
-              for _, r in census_df.iterrows()]
+    census = _fs_census(sf_dir)
     p, m, u = FS_EM_P0, [FS_EM_M0] * 4, [FS_EM_U0] * 4
     for _ in range(FS_EM_ITERS):
         p, m, u = _fs_em_step(census, p, m, u)
