@@ -3265,32 +3265,74 @@ def er_fellegi_sunter(sf_dir):
         df["_bucket"] = (h % np.uint64(buckets)).astype("int32")
         return df
 
+    # pattern census WITHOUT materializing the pair frame: for every
+    # subset S of the three EQUALITY comparators (nat, seg, lastchar),
+    # count A_S = pairs agreeing on all of S (Σ C(group,2) over the
+    # S-projection — pure value_counts) and B_S = those pairs ALSO
+    # within the balance band (one global searchsorted over a
+    # group-offset-keyed sorted balance array — the groups can't
+    # overlap because the offset spacing exceeds any balance span);
+    # inclusion–exclusion (Möbius over the subset lattice) then
+    # yields the exact 16-cell census. Replaces the per-block
+    # C(1000,2)-row pandas merge (measured 1.5 s → sub-second at
+    # sf0.1); equality is pinned by the brute-force pair test.
+    _EQ_BITS = (0, 1, 3)        # nat, seg, lastchar pattern bits
+    _BAND_SPACING = np.int64(1) << 40  # >> any balance span
+
+    def _band_pairs_grouped(grp_ids: np.ndarray,
+                            bal: np.ndarray) -> int:
+        """# unordered pairs within one grp sharing |Δbal| ≤ cap."""
+        order = np.lexsort((bal, grp_ids))
+        keyed = (grp_ids[order].astype(np.int64) * _BAND_SPACING
+                 + bal[order])
+        lo = np.searchsorted(keyed, keyed - FS_BAL_CENTS, side="left")
+        return int((np.arange(len(keyed)) - lo).sum())
+
     def pattern_census(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, blk in g.groupby("blk", sort=False):
-            j = blk.merge(blk, on="blk")
-            j = j[j["ck_x"] < j["ck_y"]]
-            if not len(j):
-                continue
-            bits = (
-                (j["nat_x"].to_numpy() == j["nat_y"].to_numpy())
-                .astype(np.int64)
-                | ((j["seg_x"].to_numpy() == j["seg_y"].to_numpy())
-                   .astype(np.int64) << 1)
-                | ((np.abs(j["bal_x"].to_numpy()
-                           - j["bal_y"].to_numpy()) <= FS_BAL_CENTS)
-                   .astype(np.int64) << 2)
-                | ((j["lc_x"].to_numpy() == j["lc_y"].to_numpy())
-                   .astype(np.int64) << 3))
-            c = pd.DataFrame({"pattern": bits}).groupby(
-                "pattern", as_index=False).size().rename(
-                columns={"size": "n_pairs"})
-            outs.append(c)
-        if not outs:
-            return pd.DataFrame({"pattern": pd.Series(dtype="int64"),
-                                 "n_pairs": pd.Series(dtype="int64")})
-        return pd.concat(outs).groupby("pattern", as_index=False)[
-            "n_pairs"].sum().astype("int64")
+        from itertools import combinations
+
+        nat = g["nat"].to_numpy(np.int64)
+        seg = pd.factorize(g["seg"])[0].astype(np.int64)
+        lc = pd.factorize(g["lc"])[0].astype(np.int64)
+        blk = pd.factorize(g["blk"])[0].astype(np.int64)
+        bal = g["bal"].to_numpy(np.int64)
+        eq = (nat, seg, lc)
+        counts = np.zeros(16, dtype=object)
+
+        A = {}
+        B = {}
+        for r in range(4):
+            for S in combinations(range(3), r):
+                # composite group id: block + the S fields
+                gid = blk.copy()
+                for f in S:
+                    col = eq[f]
+                    gid = gid * np.int64(col.max() + 2) + col
+                _, gid = np.unique(gid, return_inverse=True)
+                sizes = np.bincount(gid)
+                A[S] = int((sizes.astype(object)
+                            * (sizes - 1) // 2).sum())
+                B[S] = _band_pairs_grouped(gid, bal)
+
+        for r in range(4):
+            for P in combinations(range(3), r):
+                pset = set(P)
+                e_p = b_p = 0
+                for rr in range(len(P), 4):
+                    for T in combinations(range(3), rr):
+                        if pset <= set(T):
+                            sign = (-1) ** (len(T) - len(P))
+                            e_p += sign * A[T]
+                            b_p += sign * B[T]
+                bits = sum(1 << _EQ_BITS[f] for f in P)
+                counts[bits | 4] += b_p
+                counts[bits] += e_p - b_p
+
+        mask = np.array([int(c) > 0 for c in counts])
+        return pd.DataFrame({
+            "pattern": pd.Series(np.arange(16)[mask], dtype="int64"),
+            "n_pairs": pd.Series([int(c) for c in counts[mask]],
+                                 dtype="int64")})
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby("pattern", as_index=False)["n_pairs"].sum()
