@@ -3282,6 +3282,14 @@ def er_fellegi_sunter(sf_dir):
     def _band_pairs_grouped(grp_ids: np.ndarray,
                             bal: np.ndarray) -> int:
         """# unordered pairs within one grp sharing |Δbal| ≤ cap."""
+        # int64 packing headroom: gid * 2^40 + bal overflows (and
+        # silently corrupts counts) once gid ≥ 2^23 — fail loudly
+        # instead (a census batch never holds that many groups; if
+        # one ever does, widen the packing or drop to object dtype).
+        if len(grp_ids) and int(grp_ids.max()) >= (1 << 23):
+            raise OverflowError(
+                "FS band census: %d composite groups exceeds the "
+                "int64 packing headroom (2^23)" % (int(grp_ids.max()) + 1))
         order = np.lexsort((bal, grp_ids))
         keyed = (grp_ids[order].astype(np.int64) * _BAND_SPACING
                  + bal[order])

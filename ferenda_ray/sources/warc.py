@@ -95,7 +95,12 @@ def parse_warc_records(data: bytes):
                     if hl.lower().startswith("content-type:"):
                         ctype = hl.split(":", 1)[1].strip()
                 body = block[http_end + 4:]
-            elif not block[:5] == b"HTTP/":
+            elif block[:5] == b"HTTP/":
+                # starts like an HTTP response but the \r\n\r\n header
+                # terminator never arrives: malformed — flag it rather
+                # than passing raw headers through as body bytes
+                err = "truncated HTTP headers in block"
+            else:
                 err = "no HTTP response header in block"
         except Exception as e:  # malformed record → error row
             err = "%s: %s" % (type(e).__name__, e)

@@ -130,11 +130,13 @@ def render_xhtml(sections_ds, annotations_ds=None):
     return _render_grouped(sections_ds, render_document)
 
 
-def _render_grouped(sections_ds, render_fn):
+def _render_grouped(sections_ds, render_fn, out_col: str = "xhtml"):
     """Shared scaffolding: hash-bucket by url, one Ray group per
     bucket, one ``render_fn(doc_group) -> DataFrame`` call per url
     inside — never one Ray group per document at corpus
-    cardinality."""
+    cardinality. ``out_col`` names the rendered column so an empty
+    bucket emits the SAME (url, out_col) schema as non-empty ones
+    (a mismatched empty block breaks downstream block builders)."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -145,7 +147,8 @@ def _render_grouped(sections_ds, render_fn):
     def render_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = [render_fn(grp) for _, grp in g.groupby("url", sort=False)]
         if not out:
-            return pd.DataFrame({"url": [], "xhtml": []})
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 out_col: pd.Series([], dtype=object)})
         return pd.concat(out, ignore_index=True)
 
     return (sections_ds.map_batches(add_bucket, batch_format="pandas")
@@ -237,7 +240,7 @@ def render_with_template(sections_ds, template, params: dict | None = None,
                                     url_map=umap)
         return pd.DataFrame({"url": [url], out_col: [markup]})
 
-    return _render_grouped(sections_ds, render_one)
+    return _render_grouped(sections_ds, render_one, out_col=out_col)
 
 
 def distill_rdfa(xhtml: str) -> list[tuple]:

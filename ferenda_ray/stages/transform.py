@@ -240,7 +240,9 @@ def patch_if_needed(ds, patches, col: str = "text",
     for key, val in patches.items():
         ptext, desc = val if isinstance(val, tuple) else (val, None)
         hunks, inline_desc = parse_unified_diff(ptext)
-        parsed[key] = (hunks, desc or inline_desc
+        # Reference precedence (documentrepository.py:1389-1394):
+        # inline hunk comment first, .desc sidecar as fallback.
+        parsed[key] = (hunks, inline_desc or desc
                        or "(No patch description available)")
 
     ref = ray.put(parsed if not ignorepatch else {})

@@ -107,6 +107,24 @@ def test_patch_if_needed_dataset(ray_session):
     assert sorted(out2["text"]) == sorted(docs["text"])
 
 
+def test_patch_desc_precedence_inline_over_sidecar(ray_session):
+    """Reference (documentrepository.py:1389-1394) prefers the inline
+    hunk comment; the .desc sidecar is only the fallback."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({"url": ["u1"], "text": [ORIG]})
+    new = ORIG.replace("line 5", "five")
+    both = patch_if_needed(
+        rd.from_pandas(docs),
+        {"u1": (_diff(ORIG, new, "inline says"), "sidecar says")},
+    ).to_pandas()
+    assert both.loc[0, "patch_desc"] == "inline says"
+    only_sidecar = patch_if_needed(
+        rd.from_pandas(docs),
+        {"u1": (_diff(ORIG, new), "sidecar says")}).to_pandas()
+    assert only_sidecar.loc[0, "patch_desc"] == "sidecar says"
+
+
 def test_golden_pipeline_patch(ray_session, sf_smoke):
     """Patch ONE synthesized page's html pre-parse: its extracted text
     changes exactly as the diff says; every other url's extracted

@@ -73,6 +73,19 @@ def test_parse_plain_and_gzip_variants():
     assert all(r["error"] is None for r in rows)
 
 
+def test_truncated_http_headers_flagged():
+    """A response block that starts with HTTP/ but never terminates
+    its headers (\\r\\n\\r\\n) is malformed: the error column must say
+    so rather than passing raw header bytes through as body."""
+    bad = _record("response", "http://w.test/bad",
+                  "2024-01-04T00:00:00Z",
+                  b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n")
+    rows = parse_warc_records(bad)
+    assert len(rows) == 1
+    assert rows[0]["error"] == "truncated HTTP headers in block"
+    assert rows[0]["http_status"] == -1
+
+
 def test_read_warc_dataset(ray_session, tmp_path):
     (tmp_path / "a.warc").write_bytes(_warc_bytes())
     (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
