@@ -289,11 +289,20 @@ def fulltext_delta_search(sf_dir):
                          "text": pa.array(out_tx, pa.string())})
 
     delta = docs.map_batches(delta_rows, batch_format="pyarrow")
-    # the re-crawl manifest IS the superseded-key list (bounded by
-    # the delta batch, never by the corpus)
+
+    # the re-crawl manifest IS the superseded-key list: the mod
+    # filter runs MAP-SIDE so only the ≤ delta-sized survivors reach
+    # the driver — never the full corpus key column
+    def recrawled(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = (ids % FT_DELTA_REPL_MOD) == 0
+        return pa.table({"doc_id": pa.array(
+            ids[keep].astype(np.int64), pa.int64())})
+
     replaced = [int(r["doc_id"]) for r in
                 _read(sf_dir, "documents", columns=["doc_id"])
-                .take_all() if r["doc_id"] % FT_DELTA_REPL_MOD == 0]
+                .map_batches(recrawled, batch_format="pyarrow")
+                .take_all()]
     merged = "%s_delta_v1" % base
     ftindex.merge_index_delta(base, delta, merged,
                               replaced_keys=replaced)
@@ -4161,11 +4170,12 @@ def q7_nation_volume(sf_dir):
     ATTRIBUTES (supplier nation, customer nation) must propagate
     through a fact×fact join before a bounded rollup.
 
-    Scale shape: the supplier nation resolves via a broadcast dict
-    BEFORE the exchange; the customer arm goes through
-    ``joins.attach_dim`` (broadcast ≤ threshold, bucketed hash join
-    above — forced-path tested), and the nation-pair filter
-    prunes map-side, so only matching rows enter the ONE
+    Scale shape: BOTH dimension arms go through ``joins.attach_dim``
+    (broadcast ≤ threshold, bucketed hash join above — forced-path
+    tested): the supplier arm pre-filters suppliers to the two pair
+    nations map-side and inner-attaches the nation name to lineitem,
+    the customer arm does the same through orders. The nation-pair
+    filter prunes map-side, so only matching rows enter the ONE
     orderkey-bucketed tagged exchange; lineitem pre-reduces per batch
     to (okey, supp_nation, year) → cents partials (lossless combiner).
     Each bucket joins, drops same-nation flows, and emits BOUNDED
@@ -4175,9 +4185,10 @@ def q7_nation_volume(sf_dir):
     lowest-suppkey suppliers with distinct nations) so the query is
     non-degenerate at every scale factor — the synthetic corpus
     spreads few suppliers over 25 nations at sf0.001; the SQL oracle
-    replays the same rule."""
-    import ray
-
+    replays the same rule. The derivation itself never collects the
+    supplier table: a per-batch (nationkey → min suppkey) combiner
+    emits ≤25 rows per block and only those bounded partials reach
+    the driver (zero shuffle; at 10⁹ suppliers this is KBs)."""
     buckets = _exchange_buckets(sf_dir, "lineitem")
     COLS = ["okey", "nat", "year", "cents", "_bucket", "_side"]
 
@@ -4185,17 +4196,54 @@ def q7_nation_volume(sf_dir):
                 for r in _read(sf_dir, "nation",
                                columns=["n_nationkey",
                                         "n_name"]).take_all()}
-    supp_nat = {int(r["s_suppkey"]): nat_name[int(r["s_nationkey"])]
-                for r in _read(sf_dir, "supplier",
-                               columns=["s_suppkey",
-                                        "s_nationkey"]).take_all()}
+
     # pair rule shared with the SQL oracle: nation of the lowest
-    # suppkey, and of the lowest suppkey in a DIFFERENT nation
-    by_key = sorted(supp_nat)
-    nat_a = supp_nat[by_key[0]]
-    nat_b = next(supp_nat[k] for k in by_key if supp_nat[k] != nat_a)
+    # suppkey, and of the lowest suppkey in a DIFFERENT nation —
+    # both read off the per-nation min-suppkey combiner output
+    def min_by_nat(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"nk": t["s_nationkey"].to_numpy().astype(np.int64),
+             "sk": t["s_suppkey"].to_numpy().astype(np.int64)})
+        p = df.groupby("nk", as_index=False)["sk"].min()
+        return pa.table({"nk": pa.array(p["nk"], pa.int64()),
+                         "sk": pa.array(p["sk"], pa.int64())})
+
+    min_sk: dict[int, int] = {}
+    for r in (_read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"])
+              .map_batches(min_by_nat, batch_format="pyarrow")
+              .take_all()):
+        k, v = int(r["nk"]), int(r["sk"])
+        if k not in min_sk or v < min_sk[k]:
+            min_sk[k] = v
+    nat_a = nat_name[min(min_sk, key=min_sk.get)]
+    others = {k: v for k, v in min_sk.items()
+              if nat_name[k] != nat_a}
+    nat_b = nat_name[min(others, key=others.get)]
     pair = {nat_a, nat_b}
-    supp_ref = ray.put(supp_nat)
+
+    # supplier arm: suppliers prune to the two pair nations map-side
+    # (a 2-element value set), the nation NAME attaches from the
+    # 25-row nation dict, and attach_dim inner-joins it onto lineitem
+    # — broadcast below the threshold, bucketed above (10⁹-supplier
+    # contract, forced-path tested)
+    supp_pair_keys = sorted(k for k, v in nat_name.items()
+                            if v in pair)
+    supp_names_by_key = dict(nat_name)
+
+    def supp_pair(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(
+            t["s_nationkey"],
+            value_set=pa.array(supp_pair_keys,
+                               type=t.schema.field("s_nationkey").type)))
+        nm = pa.array([supp_names_by_key[int(k)]
+                       for k in t["s_nationkey"].to_pylist()],
+                      type=pa.string())
+        return pa.table({"s_suppkey": t["s_suppkey"], "snat": nm})
+
+    supp_ds = (_read(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"])
+               .map_batches(supp_pair, batch_format="pyarrow"))
 
     # customer arm: nationkey→name resolves from the 25-row nation
     # dict map-side, the pair filter prunes BEFORE the dispatch, and
@@ -4224,19 +4272,17 @@ def q7_nation_volume(sf_dir):
         how="inner")
 
     def prep_li(t: pa.Table) -> pd.DataFrame:
-        import ray as _ray
-        sn = _ray.get(supp_ref)
-        nat = pd.Series(t["l_suppkey"].to_numpy()).map(sn)
-        keep = nat.isin(pair).to_numpy()
+        # nation name already inner-attached by attach_dim ("nat")
         cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
                                              pa.scalar(100.0)),
                                  round_mode="half_towards_infinity"),
-                        pa.int64()).to_numpy()[keep]
-        year = (t["l_shipdate"].to_numpy()[keep]
+                        pa.int64()).to_numpy()
+        year = (t["l_shipdate"].to_numpy()
                 .astype("datetime64[Y]").astype(np.int64) + 1970)
-        df = pd.DataFrame({"okey": t["l_orderkey"].to_numpy()[keep],
-                           "nat": nat.to_numpy()[keep],
-                           "year": year, "cents": cents})
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy().astype(np.int64),
+            "nat": pd.Series(t["nat"].to_pylist(), dtype=object),
+            "year": year, "cents": cents})
         p = df.groupby(["okey", "nat", "year"],
                        as_index=False)["cents"].sum()
         for c in ("okey", "year", "cents"):
@@ -4270,9 +4316,12 @@ def q7_nation_volume(sf_dir):
             "l_year": out["year"].astype("int64"),
             "revenue_cents": out["cents"].astype("int64")})
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_suppkey", "l_shipdate",
-                        "l_extendedprice"])
+    li = joins.attach_dim(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                       "l_extendedprice"]),
+        supp_ds, "l_suppkey", "s_suppkey", "snat", out_col="nat",
+        how="inner")
     tagged = (li.map_batches(prep_li, batch_format="pyarrow")
               .union(od_tagged.map_batches(prep_od,
                                            batch_format="pyarrow")))

@@ -207,45 +207,56 @@ def q19_bracket_revenue(sf_dir):
     join sides — the predicate that defeats naive pushdown because
     no single conjunct applies to either table alone.
 
-    Scale shape: the bracket predicates select a small fraction of
-    parts, so the part side reduces to a broadcast dict
-    partkey → (qty_lo, qty_hi) built from a pruned 3-column read
-    (the filtered-dimension-leg contract of q3_shipping; at 10⁹
-    parts swap in joins.bucket_join). The lineitem pass is then
-    zero-shuffle: map each row's partkey, range-check its quantity,
-    sum cents per batch, merge one bounded block."""
-    import ray
+    Scale shape: the bracket predicates prune the part scan MAP-SIDE
+    (pruned 3-column read, vectorized brand+size masks) down to
+    partkey → packed quantity range; ``joins.attach_dim`` then
+    inner-attaches the range onto lineitem — broadcast dict below the
+    threshold, bucketed hash join above (the 10⁹-part contract,
+    forced-path tested — nothing part-sized ever reaches the driver).
+    The lineitem pass stays a lossless combiner: range-check the
+    attached bounds, sum cents per batch, merge one bounded block.
 
-    pt = _read(sf_dir, "part",
-               columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
-    bracket_keys = []
-    for brand, slo, shi, qlo, qhi in Q19_BRACKETS:
-        m = ((pt["p_brand"] == brand)
-             & (pt["p_size"] >= slo) & (pt["p_size"] <= shi))
-        bracket_keys.append(
-            (frozenset(pt.loc[m, "p_partkey"].astype(int)), qlo, qhi))
-    ref = ray.put(bracket_keys)
+    The two range bounds pack into ONE int64 (qlo·1000 + qhi; TPC-H
+    quantities are < 1000) because attach_dim carries a single value
+    column; both sides unpack with exact integer arithmetic."""
+    def part_brackets(t: pa.Table) -> pa.Table:
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        size = t["p_size"].to_numpy()
+        keep = np.zeros(len(brand), dtype=bool)
+        qrange = np.zeros(len(brand), dtype=np.int64)
+        for b, slo, shi, qlo, qhi in Q19_BRACKETS:  # disjoint brands
+            m = (brand == b) & (size >= slo) & (size <= shi)
+            keep |= m
+            qrange[m] = qlo * 1000 + qhi
+        return pa.table({
+            "p_partkey": pa.array(
+                t["p_partkey"].to_numpy()[keep].astype(np.int64),
+                pa.int64()),
+            "qrange": pa.array(qrange[keep], pa.int64())})
+
+    part_ds = (_read(sf_dir, "part",
+                     columns=["p_partkey", "p_brand", "p_size"])
+               .map_batches(part_brackets, batch_format="pyarrow"))
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        brackets = ray.get(ref)
-        pk = pd.Series(t["l_partkey"].to_numpy())
         qty = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+        qr = t["qrange"].to_numpy()
         disc = pc.multiply(t["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
         cents = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0)),
                                  round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy()
-        m = np.zeros(len(pk), dtype=bool)
-        for keys, qlo, qhi in brackets:  # 3 vectorized passes
-            m |= pk.isin(keys).to_numpy() & (qty >= qlo) & (qty <= qhi)
+        m = (qty >= qr // 1000) & (qty <= qr % 1000)
         return pd.DataFrame(
             {"revenue_cents": pd.Series([int(cents[m].sum())],
                                         dtype="int64"),
              "n_items": pd.Series([int(m.sum())], dtype="int64")})
 
-    ds = _read(sf_dir, "lineitem",
-               columns=["l_partkey", "l_quantity",
-                        "l_extendedprice", "l_discount"])
+    ds = joins.attach_dim(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity",
+                       "l_extendedprice", "l_discount"]),
+        part_ds, "l_partkey", "p_partkey", "qrange", how="inner")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -283,44 +294,78 @@ def q16_supplier_count(sf_dir):
     span the whole fact table, with lineitem standing in for
     partsupp as the part↔supplier association.
 
-    Scale shape: the filtered part attributes broadcast as
-    partkey → (brand, type, size) (filtered-dimension contract) and
-    the blocklist as a set; each lineitem batch projects to
-    batch-locally-deduped (suppkey, brand, type, size) rows — the
-    dedup is the combiner — before ONE suppkey-hash-bucketed
-    exchange. A supplier's rows land in exactly one bucket, so the
-    per-bucket global dedup makes per-group distinct-counts additive
-    across buckets; the ≤ brands×types×sizes merge is bounded."""
-    import ray
-
-    pt = _read(sf_dir, "part",
-               columns=["p_partkey", "p_brand", "p_type",
-                        "p_size"]).to_pandas()
-    pt = pt[pt["p_size"].isin(Q16_SIZES)
-            & (pt["p_brand"] != Q16_EXCL_BRAND)]
-    pk = pt["p_partkey"].astype(int)
-    brand_of = dict(zip(pk, pt["p_brand"]))
-    type_of = dict(zip(pk, pt["p_type"]))
-    size_of = dict(zip(pk, pt["p_size"].astype(int)))
-    sup = _read(sf_dir, "supplier",
-                columns=["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = set(sup.loc[sup["s_acctbal"] < Q16_MIN_BAL, "s_suppkey"]
-              .astype(int))
-    ref = ray.put((brand_of, type_of, size_of, bad))
+    Scale shape: the size/brand filter prunes the part scan MAP-SIDE,
+    the surviving (brand, type, size) attributes pack into one string
+    column and ``joins.attach_dim`` inner-attaches it onto lineitem
+    (broadcast ≤ threshold, bucketed hash join above); the supplier
+    blocklist derives from a map-side acctbal filter and applies via
+    ``joins.membership_join`` (keyset broadcast ≤ threshold, Bloom +
+    exact hash-partitioned recheck above) — NEITHER dimension ever
+    materializes unfiltered on the driver (the 10⁹-row contract,
+    forced-path tested). Each lineitem batch then projects to
+    batch-locally-deduped (suppkey, attrs) rows — the dedup is the
+    combiner — before ONE suppkey-hash-bucketed exchange. A
+    supplier's rows land in exactly one bucket, so the per-bucket
+    global dedup makes per-group distinct-counts additive across
+    buckets; the ≤ brands×types×sizes merge is bounded."""
+    SEP = "\x1f"
     buckets = _exchange_buckets(sf_dir, "lineitem")
 
+    def part_filtered(t: pa.Table) -> pa.Table:
+        size = t["p_size"].to_numpy()
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        keep = (np.isin(size, Q16_SIZES)
+                & (brand != Q16_EXCL_BRAND))
+        df = pd.DataFrame({
+            "brand": brand[keep],
+            "type": np.asarray(t["p_type"].to_pylist(),
+                               dtype=object)[keep],
+            "size": size[keep].astype(np.int64)})
+        attr = (df["brand"] + SEP + df["type"] + SEP
+                + df["size"].astype(str))
+        return pa.table({
+            "p_partkey": pa.array(
+                t["p_partkey"].to_numpy()[keep].astype(np.int64),
+                pa.int64()),
+            "pattr": pa.array(attr.tolist(), pa.string())})
+
+    part_ds = (_read(sf_dir, "part",
+                     columns=["p_partkey", "p_brand", "p_type",
+                              "p_size"])
+               .map_batches(part_filtered, batch_format="pyarrow"))
+
+    bad_ds = (_read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_acctbal"])
+              .map_batches(
+                  lambda t: t.filter(
+                      pc.less(t["s_acctbal"],
+                              pa.scalar(float(Q16_MIN_BAL))))
+                  .select(["s_suppkey"]),
+                  batch_format="pyarrow"))
+
+    li = joins.attach_dim(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        part_ds, "l_partkey", "p_partkey", "pattr", how="inner")
+    li = joins.membership_join(li, "l_suppkey", bad_ds, "s_suppkey",
+                               mode="anti")
+
+    _EMPTY = {"skey": "int64", "p_brand": object, "p_type": object,
+              "p_size": "int64", "_bucket": "int32"}
+
     def prep(t: pa.Table) -> pd.DataFrame:
-        brand_, type_, size_, bad_ = ray.get(ref)
-        df = pd.DataFrame({"pkey": t["l_partkey"].to_numpy(),
-                           "skey": t["l_suppkey"].to_numpy()})
-        df = df[df["pkey"].isin(brand_) & ~df["skey"].isin(bad_)]
+        df = pd.DataFrame({
+            "skey": t["l_suppkey"].to_numpy().astype(np.int64),
+            "pattr": pd.Series(t["pattr"].to_pylist(), dtype=object)})
         df = df.drop_duplicates()  # batch-local combiner
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in _EMPTY.items()})
+        attrs = df["pattr"].str.split(SEP, expand=True)
         out = pd.DataFrame({
             "skey": df["skey"].to_numpy(),
-            "p_brand": df["pkey"].map(brand_).to_numpy(),
-            "p_type": df["pkey"].map(type_).to_numpy(),
-            "p_size": df["pkey"].map(size_).to_numpy(np.int64)})
-        out = out.drop_duplicates()
+            "p_brand": attrs[0].to_numpy(),
+            "p_type": attrs[1].to_numpy(),
+            "p_size": attrs[2].astype(np.int64).to_numpy()})
         h = pd.util.hash_pandas_object(out["skey"], index=False).values
         out["_bucket"] = (h % np.uint64(buckets)).astype("int32")
         return out
@@ -334,7 +379,6 @@ def q16_supplier_count(sf_dir):
         out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
         return out
 
-    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
     per_bucket = (li.map_batches(prep, batch_format="pyarrow")
                   .groupby("_bucket")
                   .map_groups(bucket_counts, batch_format="pandas"))

@@ -33,6 +33,8 @@ DISPATCHED = [
     "q5_local_suppliers",
     "q7_nation_volume",
     "q8_market_share",
+    "q16_supplier_count",
+    "q19_bracket_revenue",
     "orders_pit_dimension_join",
     "source_embedding_coherence",
     "split_leakage_safe",
