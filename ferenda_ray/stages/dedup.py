@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import lineage
+
 # --- deterministic minhash permutation parameters -----------------------
 # Standard 31-bit universal hashing: h_i(x) = (a_i*x + b_i) mod p with
 # p = 2^31 - 1 (Mersenne prime), shingles masked to 31 bits, a,b < p.
@@ -901,8 +903,10 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
         return pd.DataFrame({"key": d["key"].astype("int64"),
                              "start": d["start"].astype("int64")})
 
-    cov = (ds.map_batches(occurrences, batch_format="pandas")
-           .groupby("_bucket").map_groups(covered, batch_format="pandas"))
+    cov = lineage.exchange(
+        ds.map_batches(occurrences, batch_format="pandas"),
+        lambda d: d.groupby("_bucket").map_groups(
+            covered, batch_format="pandas"))
 
     def _key_bucket(s: pd.Series) -> np.ndarray:
         h = s.to_numpy(dtype="int64").astype(np.uint64) \
@@ -932,8 +936,10 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
         out["_b"] = _key_bucket(out["key"])
         return out
 
-    both = (ds.map_batches(prep_docs, batch_format="pandas")
-            .union(cov.map_batches(prep_cov, batch_format="pandas")))
+    both = lineage.union_tracked(
+        ds.map_batches(prep_docs, batch_format="pandas"),
+        lineage.derive(cov.map_batches(prep_cov, batch_format="pandas"),
+                       cov))
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         g = _restore_int64(g, ("key", "start"))
@@ -958,7 +964,9 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
             "clean_text": pd.Series(texts_out, dtype="object"),
         })
 
-    return both.groupby("_b").map_groups(rebuild, batch_format="pandas")
+    return lineage.exchange(
+        both, lambda d: d.groupby("_b").map_groups(
+            rebuild, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------
@@ -1070,9 +1078,10 @@ def _contamination_hits(docs_ds, bench_ds, n: int,
             return out
         return fn
 
-    both = (docs_ds.map_batches(grams_of(0, True), batch_format="pandas")
-            .union(bench_ds.map_batches(grams_of(1, False),
-                                        batch_format="pandas")))
+    both = lineage.union_tracked(
+        docs_ds.map_batches(grams_of(0, True), batch_format="pandas"),
+        bench_ds.map_batches(grams_of(1, False),
+                             batch_format="pandas"))
 
     def hits(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1081,9 +1090,9 @@ def _contamination_hits(docs_ds, bench_ds, n: int,
         d = g[(g["side"] == 0) & g["gram"].isin(set(bench))]
         return pd.DataFrame({"key": d["key"].unique().astype("int64")})
 
-    return (both.repartition(num_buckets)
-            .groupby("_bucket")
-            .map_groups(hits, batch_format="pandas"))
+    return lineage.exchange(
+        both, lambda d: d.repartition(num_buckets).groupby("_bucket")
+        .map_groups(hits, batch_format="pandas"))
 
 
 def contamination_flags(docs_ds, bench_ds, n: int = 8,
@@ -1186,8 +1195,10 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
         out["_b"] = _key_bucket(out["key"])
         return out
 
-    both = (docs_ds.map_batches(prep_docs, batch_format="pandas")
-            .union(hits.map_batches(prep_hits, batch_format="pandas")))
+    both = lineage.union_tracked(
+        docs_ds.map_batches(prep_docs, batch_format="pandas"),
+        lineage.derive(
+            hits.map_batches(prep_hits, batch_format="pandas"), hits))
 
     def keep(g: pd.DataFrame) -> pd.DataFrame:
         g = _restore_int64(g, ("key", "_drop"))
@@ -1197,8 +1208,9 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
         return pd.DataFrame({"key": d["key"].astype("int64"),
                              "text": d["text"].astype("object")})
 
-    return (both.repartition(num_buckets)
-            .groupby("_b").map_groups(keep, batch_format="pandas"))
+    return lineage.exchange(
+        both, lambda d: d.repartition(num_buckets).groupby("_b")
+        .map_groups(keep, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------
