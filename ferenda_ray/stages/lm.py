@@ -157,12 +157,24 @@ class DSIRScorer:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        scores = []
-        for t in batch[self.text_col].to_pylist():
-            f = _batch_feature_codes([t])
-            scores.append(int(self.w[f].sum()) if len(f) else 0)
-        return pa.table({self.id_col: pa.array(ids),
+        # batch-wide: ONE factorize+md5 over all words, then per-doc
+        # segment sums via np.add.reduceat (every doc yields >= 1
+        # word because split(" ") of "" is [""], so no empty segment)
+        texts = batch[self.text_col].to_pylist()
+        words: list = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").split(" ")
+            lens[i] = len(ws)
+            words.extend(ws)
+        if words:
+            codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+            vals = self.w[_md5_feature(uniq)[codes]]
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            scores = np.add.reduceat(vals, offs).astype(np.int64)
+        else:
+            scores = np.empty(0, dtype=np.int64)
+        return pa.table({self.id_col: batch[self.id_col],
                          "dsir_score": pa.array(scores, pa.int64())})
 
 
