@@ -23,6 +23,7 @@ from .. import corpus, facets
 from ..kg import kg_pipeline
 from ._shared import _exchange_buckets, _merge_partials, _read
 from .relational import CM_DEPTH, _cm_col
+from .kg_fullsql import KG_SECTIONS_SQL
 from .graph import BPE_MERGES, DOC_BPE_SQL, _CITE_EDGES_SQL, _kg_edges
 from .tpch_extra import KANON_BAND
 
@@ -5243,4 +5244,121 @@ SELECT CAST(n AS BIGINT) AS n_days,
             * (1000 * greatest(abs(s_stat) - 1, 0) * 4)
             // greatest(denom, 1) AS BIGINT) AS z_milli_x4
 FROM rr
+"""
+
+
+# ---------------------------------------------------------------------
+# round-4 surfaces through the correctness gate: XSLT + push sink
+# ---------------------------------------------------------------------
+
+_XSLT_TOC_SHEET = """\
+<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+    xmlns:xhtml="http://www.w3.org/1999/xhtml">
+  <xsl:template match="/">
+    <xsl:for-each select="//xhtml:div[@about]">
+      <xsl:value-of select="substring-after(@about, '#')"/>
+      <xsl:text>\t</xsl:text>
+      <xsl:value-of select="@content"/>
+      <xsl:text>\n</xsl:text>
+    </xsl:for-each>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+
+def xslt_toc_extract(sf_dir):
+    """The XSLT interpreter through the exact-correctness gate: the
+    flagship sections render to XHTML (``render_xhtml``) and the
+    reference-shaped presentation step (transformer.py:25-330,
+    ``ferenda_ray.xslt``) extracts each document's TOC — one row per
+    section div via apply/for-each + substring-after + attribute
+    reads. The stylesheet emits TSV lines which split back into rows,
+    so every (url, sec_id, title) the XSLT engine sees is compared
+    against the SQL-reconstructed section table: a match proves the
+    XML parse, the XPath descendant walk, the attribute access and
+    the string functions are all exact over the whole corpus.
+
+    Scale shape: render is the proven hash-bucketed group render;
+    the XSLT pass is a zero-shuffle actor-pool map (stylesheet parsed
+    once per actor); the line split is map-side."""
+    from ...sources.xhtml import render_xhtml
+    from ...xslt import transform_dataset
+    from ._shared import _kg
+
+    xhtml = render_xhtml(_kg(sf_dir)["sections"])
+    toc = transform_dataset(xhtml, _XSLT_TOC_SHEET,
+                            col="xhtml", out_col="toc")
+
+    def split_rows(df: pd.DataFrame) -> pd.DataFrame:
+        urls, sids, titles = [], [], []
+        for url, tsv in zip(df["url"], df["toc"]):
+            for line in tsv.split("\n"):
+                if not line:
+                    continue
+                sid, title = line.split("\t", 1)
+                urls.append(url)
+                sids.append(sid)
+                titles.append(title)
+        return pd.DataFrame({
+            "url": pd.Series(urls, dtype=object),
+            "sec_id": pd.Series(sids, dtype=object),
+            "title": pd.Series(titles, dtype=object)})
+
+    return toc.map_batches(split_rows, batch_format="pandas")
+
+
+XSLT_TOC_SQL = """
+WITH s AS (%s)
+SELECT url, substr(section_uri, strpos(section_uri, '#') + 1) AS sec_id,
+       title
+FROM s WHERE kind <> 'body'
+""" % KG_SECTIONS_SQL
+
+
+def push_roundtrip(sf_dir):
+    """External push sink round-trip through the exact-correctness
+    gate: the documents table streams through ``pushsink.push_bulk``
+    (actor-held client, keyed-upsert bulk batches — the ES-bulk
+    semantics of fulltextindex.py:685-1178) into a file-backed store,
+    then the STORE is read back distributed (read_binary_files →
+    JSON parse) and compared against the table itself. Equality
+    proves the sink wrote every document exactly once with exact
+    content — the store IS the assertion, not the manifest (whose
+    batch boundaries are engine-dependent).
+
+    Scale shape: push is a zero-shuffle actor-pool map emitting
+    bounded manifest rows; the read-back is one binary-files read
+    fanned over the store directory."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ...sources.pushsink import FileBulkClient, push_bulk
+
+    store = "/tmp/ferenda_ray_push/%s" % os.path.basename(
+        sf_dir.rstrip("/"))
+    shutil.rmtree(store, ignore_errors=True)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    push_bulk(docs, lambda: FileBulkClient(store),
+              id_col="doc_id", batch_size=256).materialize()
+
+    def parse(t: pa.Table) -> pa.Table:
+        import json
+
+        ids, texts = [], []
+        for payload in t["bytes"]:
+            doc = json.loads(bytes(payload.as_py()).decode("utf-8"))
+            ids.append(int(doc["doc_id"]))
+            texts.append(doc["text"])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return rd.read_binary_files(store).map_batches(
+        parse, batch_format="pyarrow")
+
+
+PUSH_ROUNDTRIP_SQL = """
+SELECT doc_id, text FROM documents
 """

@@ -167,7 +167,10 @@ def push_bulk(ds, client_factory, id_col: str = "url",
                                "acked": acked},
         batch_size=batch_size,
         batch_format="pyarrow",
-        concurrency=concurrency or 4)
+        # autoscaling pool: a FIXED pool equal to the CPU count can
+        # reserve every core and starve upstream read tasks (deadlock
+        # on small clusters) — min 1 actor always makes progress
+        concurrency=concurrency or (1, 4))
 
 
 def acked_ids(manifest_ds) -> frozenset:
