@@ -31,7 +31,6 @@ Higher = more in-distribution. Tokens = whitespace split (the same
 
 from __future__ import annotations
 
-from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -198,21 +197,52 @@ def dsir_score(source_ds, target_ds, id_col: str = "doc_id",
     )
 
 
+def _doc_words(texts):
+    """Concatenated token stream + per-doc lengths (shared by the
+    bigram combiner and the scorer)."""
+    words: list = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = (t or "").split()
+        lens[i] = len(ws)
+        words.extend(ws)
+    return words, lens
+
+
+def _pair_codes(words, lens):
+    """(codes a*V+b for adjacent pairs, valid mask, uniq vocab, V).
+    Pairs straddling a document boundary are masked out — exactly
+    the per-doc zip(toks, toks[1:]) semantics, vectorized."""
+    codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+    V = np.int64(len(uniq))
+    a = codes[:-1].astype(np.int64) * V + codes[1:]
+    valid = np.ones(len(a), dtype=bool)
+    ends = np.cumsum(lens)
+    idx = ends[:-1] - 1
+    idx = idx[(idx >= 0) & (idx < len(a))]
+    valid[idx] = False
+    return a, valid, uniq, V
+
+
 def _bigram_partials(batch: pa.Table, text_col: str) -> pa.Table:
-    """Per-batch combiner: Counter over all adjacent token pairs →
-    narrow (w1, w2, c) rows; the exchange never sees text."""
-    counts: Counter = Counter()
-    for text in batch[text_col].to_pylist():
-        toks = (text or "").split()
-        counts.update(zip(toks, toks[1:]))
-    if not counts:
+    """Per-batch combiner: one factorize + np.unique over the packed
+    pair codes → narrow (w1, w2, c) rows; no Python loop over pairs
+    and the exchange never sees text."""
+    words, lens = _doc_words(batch[text_col].to_pylist())
+    if len(words) < 2:
         return pa.table({"w1": pa.array([], pa.string()),
                          "w2": pa.array([], pa.string()),
                          "c": pa.array([], pa.int64())})
-    w1, w2 = zip(*counts.keys())
-    return pa.table({"w1": pa.array(w1, pa.string()),
-                     "w2": pa.array(w2, pa.string()),
-                     "c": pa.array(list(counts.values()), pa.int64())})
+    a, valid, uniq, V = _pair_codes(words, lens)
+    upair, cnt = np.unique(a[valid], return_counts=True)
+    if not len(upair):
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    return pa.table({
+        "w1": pa.array(uniq[(upair // V)], pa.string()),
+        "w2": pa.array(uniq[(upair % V)], pa.string()),
+        "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
 
 def train_bigram_model(docs_ds, text_col: str = "text",
@@ -295,16 +325,46 @@ class LMScorer:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # vectorized: factorize the batch's words once, project the
+        # (bounded, broadcast) model onto the batch vocabulary as
+        # sorted packed pair codes, gather credits via searchsorted,
+        # and read per-doc totals off one prefix sum — no per-pair
+        # Python loop (the DSIRScorer discipline)
         model = self.model
-        ids = batch[self.id_col].to_pylist()
-        scores = []
-        for text in batch[self.text_col].to_pylist():
-            toks = (text or "").split()
-            total = 0
-            for pair in zip(toks, toks[1:]):
-                total += model.get(pair, 0)
-            scores.append(total // max(len(toks) - 1, 1))
-        return pa.table({self.id_col: pa.array(ids),
+        texts = batch[self.text_col].to_pylist()
+        words, lens = _doc_words(texts)
+        if len(words) < 2:
+            scores = np.zeros(len(texts), dtype=np.int64)
+        else:
+            a, valid, uniq, V = _pair_codes(words, lens)
+            index = {w: np.int64(i) for i, w in enumerate(uniq)}
+            mk, mv = [], []
+            for (w1, w2), credit in model.items():
+                i1 = index.get(w1)
+                if i1 is None:
+                    continue
+                i2 = index.get(w2)
+                if i2 is None:
+                    continue
+                mk.append(i1 * V + i2)
+                mv.append(credit)
+            credits = np.zeros(len(a), dtype=np.int64)
+            if mk:
+                order = np.argsort(mk)
+                mk_s = np.asarray(mk, dtype=np.int64)[order]
+                mv_s = np.asarray(mv, dtype=np.int64)[order]
+                pos = np.clip(np.searchsorted(mk_s, a), 0,
+                              len(mk_s) - 1)
+                hit = (mk_s[pos] == a) & valid
+                credits[hit] = mv_s[pos[hit]]
+            cum = np.concatenate([[0], np.cumsum(credits)])
+            off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            start = np.minimum(off, len(credits))
+            stop = np.minimum(off + np.maximum(lens - 1, 0),
+                              len(credits))
+            scores = ((cum[stop] - cum[start])
+                      // np.maximum(lens - 1, 1)).astype(np.int64)
+        return pa.table({self.id_col: batch[self.id_col],
                          "lm_score": pa.array(scores, pa.int64())})
 
 
