@@ -4415,11 +4415,13 @@ def kg_attack_robustness(sf_dir):
                .to_pandas())
     hubs = frozenset(hubs_df["node"])
 
+    hub_arr = pa.array(sorted(hubs), pa.string())
+
     def remove_hubs(t: pa.Table) -> pa.Table:
-        keep = [a not in hubs and b not in hubs
-                for a, b in zip(t["a"].to_pylist(),
-                                t["b"].to_pylist())]
-        return t.filter(pa.array(keep, pa.bool_()))
+        keep = pc.and_(
+            pc.invert(pc.is_in(t["a"], value_set=hub_arr)),
+            pc.invert(pc.is_in(t["b"], value_set=hub_arr)))
+        return t.filter(keep)
 
     base_nc, base_giant = census(pairs)
     att_nc, att_giant = census(

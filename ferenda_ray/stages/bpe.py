@@ -59,14 +59,18 @@ def word_counts(docs_ds, text_col: str = "text",
     global merge so the cut is exact."""
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        counts: Counter = Counter()
+        words: list = []
         for t in df[text_col]:
-            counts.update(_WORD_RE.findall(t or ""))
+            words.extend(_WORD_RE.findall(t or ""))
+        if not words:
+            return pd.DataFrame({
+                "word": pd.Series([], dtype="object"),
+                "c": pd.Series([], dtype="int64"),
+                "_bucket": pd.Series([], dtype="int32")})
+        codes, uniq = pd.factorize(np.asarray(words, dtype=object))
         out = pd.DataFrame({
-            "word": pd.Series(list(counts.keys()), dtype="object"),
-            "c": pd.Series(list(counts.values()), dtype="int64"),
+            "word": pd.Series(uniq, dtype="object"),
+            "c": np.bincount(codes).astype("int64"),
         })
         out["_bucket"] = _bucket_of(out["word"], num_buckets)
         return out
@@ -159,12 +163,25 @@ class BPEEncoder:
         return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        counts = []
-        for t in batch[self.text_col].to_pylist():
-            counts.append(sum(self._n_tokens(w)
-                              for w in _WORD_RE.findall(t or "")))
-        return pa.table({self.id_col: pa.array(ids),
+        # segment only DISTINCT words (cache + factorize); per-doc
+        # totals gather + prefix-sum — no per-occurrence Python sum
+        texts = batch[self.text_col].to_pylist()
+        words: list = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = _WORD_RE.findall(t or "")
+            lens[i] = len(ws)
+            words.extend(ws)
+        if words:
+            codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+            per_uniq = np.fromiter(
+                (self._n_tokens(w) for w in uniq), np.int64, len(uniq))
+            cum = np.concatenate([[0], np.cumsum(per_uniq[codes])])
+            ends = np.cumsum(lens)
+            counts = (cum[ends] - cum[ends - lens]).astype(np.int64)
+        else:
+            counts = np.zeros(len(texts), dtype=np.int64)
+        return pa.table({self.id_col: batch[self.id_col],
                          "n_bpe_tokens": pa.array(counts, pa.int64())})
 
 

@@ -6,9 +6,10 @@ brief adds on top).
 
 Two-phase operator, both phases distributed:
 
-1. **train** — bigram counts over the corpus with per-batch partial
-   Counters (combiner) before ONE bucketed exchange keyed on the
-   bigram hash; the model is pruned to the global top-K bigrams
+1. **train** — bigram counts over the corpus with a vectorized
+   per-batch partial count (combiner) before ONE bucketed exchange
+   keyed on the bigram hash; the model is pruned to the global top-K
+   bigrams
    (deterministic ``count DESC, w1 ASC, w2 ASC`` order — every global
    top-K row is in its bucket's top-K, so a per-bucket top-K followed
    by one bounded merge is exact). Prefix totals ``C(w1)`` are
