@@ -527,7 +527,11 @@ class _XPath:
             return False
         if not isinstance(node.tag, str):
             return False  # comments / PIs
-        return want is None or node.tag == want
+        if want is None:
+            return True
+        if want.endswith("}*"):  # pfx:* namespace wildcard
+            return node.tag.startswith(want[:-1])
+        return node.tag == want
 
     def _predicate(self, nodes):
         # evaluate the predicate expression once per node with
@@ -635,7 +639,21 @@ class _Pattern:
     def __init__(self, text: str, nsmap: dict):
         self.text = text
         self.alts = []
-        for alt in text.split("|"):
+        # split alternatives on TOP-LEVEL | only (a | inside a
+        # predicate like [w:b|w:i] belongs to the predicate's XPath)
+        alts, cur, depth = [], "", 0
+        for ch in text:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if ch == "|" and depth == 0:
+                alts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        alts.append(cur)
+        for alt in alts:
             alt = alt.strip()
             if alt == "/":
                 self.alts.append(("root", ()))
@@ -662,7 +680,8 @@ class _Pattern:
                 steps.append(("__root__", ()))
             for p in parts:
                 p = p.strip()
-                m = re.match(r"^(@\*|@[\w:-]+|[\w-]+:[\w-]+|[\w-]+"
+                m = re.match(r"^(@\*|@[\w:-]+|[\w-]+:\*"
+                             r"|[\w-]+:[\w-]+|[\w-]+"
                              r"|\*|text\(\)|node\(\))"
                              r"((?:\[[^\]]*\])*)$", p)
                 if not m:
@@ -729,6 +748,11 @@ class _Pattern:
                   and node.name == _qname(test[1:], self.nsmap))
         elif test == "*":
             ok = hasattr(node, "tag") and isinstance(node.tag, str)
+        elif test.endswith(":*"):
+            uri = self.nsmap.get(test[:-2])
+            ok = (uri is not None and hasattr(node, "tag")
+                  and isinstance(node.tag, str)
+                  and node.tag.startswith("{%s}" % uri))
         else:
             ok = (hasattr(node, "tag")
                   and node.tag == _qname(test, self.nsmap))

@@ -248,3 +248,20 @@ def test_reference_generic_xsl_end_to_end():
     assert 'id="s1"' in out               # substring-after(@about,'#')
     assert "hello world" in out
     assert "navbar" in out                # base.xsl chrome
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_XSL),
+                    reason="reference checkout not present")
+def test_all_reference_stylesheets_load():
+    """Every stylesheet the reference ships (res/xsl/*.xsl, 17 files
+    incl. the OOXML simplifier's nested-predicate patterns and
+    atom.xsl's namespace wildcards) parses into templates."""
+    import os
+
+    loaded = 0
+    for fn in sorted(os.listdir(REF_XSL)):
+        if fn.endswith(".xsl"):
+            t = XSLTTransformer(os.path.join(REF_XSL, fn))
+            assert t.templates or t.named, fn
+            loaded += 1
+    assert loaded == 17
