@@ -1137,9 +1137,11 @@ def contamination_flags(docs_ds, bench_ds, n: int = 8,
         out["_b"] = _key_bucket(out["key"])
         return out
 
-    tagged = (docs_ds.map_batches(all_keys, batch_format="pandas")
-              .union(contaminated.map_batches(hit_keys,
-                                              batch_format="pandas")))
+    tagged = lineage.union_tracked(
+        docs_ds.map_batches(all_keys, batch_format="pandas"),
+        lineage.derive(
+            contaminated.map_batches(hit_keys, batch_format="pandas"),
+            contaminated))
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
         g = _restore_int64(g, ("key", "hit"))
@@ -1147,8 +1149,9 @@ def contamination_flags(docs_ds, bench_ds, n: int = 8,
         return pd.DataFrame({"key": out["key"].astype("int64"),
                              "contaminated": out["hit"].astype("int64")})
 
-    return (tagged.repartition(num_buckets)
-            .groupby("_b").map_groups(flag, batch_format="pandas"))
+    return lineage.exchange(
+        tagged, lambda d: d.repartition(num_buckets).groupby("_b")
+        .map_groups(flag, batch_format="pandas"))
 
 
 def decontaminate(docs_ds, bench_ds, n: int = 8,
@@ -1261,9 +1264,12 @@ def cluster_representatives(clusters_ds, docs_ds, score_col: str,
         out["_b"] = _kb(out["key"])
         return out
 
-    both = (docs_ds.map_batches(prep_docs, batch_format="pandas")
-            .union(clusters_ds.map_batches(prep_clusters,
-                                           batch_format="pandas")))
+    both = lineage.union_tracked(
+        docs_ds.map_batches(prep_docs, batch_format="pandas"),
+        lineage.derive(
+            clusters_ds.map_batches(prep_clusters,
+                                    batch_format="pandas"),
+            clusters_ds))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         canon = dict(zip(g.loc[g["score"] < 0, "key"],
@@ -1305,11 +1311,18 @@ def cluster_representatives(clusters_ds, docs_ds, score_col: str,
             "n_members": n.loc[best["canon"]].to_numpy(dtype="int64"),
         })
 
-    return (both.repartition(num_buckets)
-            .groupby("_b").map_groups(attach, batch_format="pandas")
-            .map_batches(argmax_part, batch_format="pandas")
-            .groupby("_b2").map_groups(argmax_merge,
-                                       batch_format="pandas"))
+    attached = lineage.exchange(
+        both, lambda d: d.repartition(num_buckets).groupby("_b")
+        .map_groups(attach, batch_format="pandas"))
+    parts = lineage.derive(
+        attached.map_batches(argmax_part, batch_format="pandas"),
+        attached)
+    # a depth-2 lineage here is the allowed shape; a caller feeding a
+    # deeper clusters_ds lineage gets the materialize fallback instead
+    # of the forbidden third-exchange DAG
+    return lineage.exchange(
+        parts, lambda d: d.groupby("_b2").map_groups(
+            argmax_merge, batch_format="pandas"))
 
 
 # --- materialized LSH index for incremental (delta-crawl) near-dup ------
