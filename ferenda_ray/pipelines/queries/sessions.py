@@ -4372,17 +4372,21 @@ def kg_attack_robustness(sf_dir):
             [t["a"].combine_chunks().cast(pa.string()),
              t["b"].combine_chunks().cast(pa.string())])})
 
-    def census(p) -> tuple:
-        """(n_components, giant_share_permille) for a pairs Dataset."""
+    def census(p, deg=None) -> tuple:
+        """(n_components, giant_share_permille) for a pairs Dataset.
+        ``deg``: an already-materialized degree table for these pairs
+        (the base census reuses the hub-selection degrees — one fewer
+        full execution)."""
         def as_edges(t: pa.Table) -> pa.Table:
             return pa.table({"uri_a": t["a"], "uri_b": t["b"]})
 
         labels = connected_components_distributed(
             p.map_batches(as_edges, batch_format="pyarrow")) \
             .materialize()
-        deg = graph.degrees(p.map_batches(flat_nodes,
-                                          batch_format="pyarrow"),
-                            "node").materialize()
+        if deg is None:
+            deg = graph.degrees(p.map_batches(flat_nodes,
+                                              batch_format="pyarrow"),
+                                "node").materialize()
         j = bucket_join(deg, labels, left_on="node", right_on="node",
                         suffix="_l")
 
@@ -4399,10 +4403,11 @@ def kg_attack_robustness(sf_dir):
         return (len(comp),
                 1000 * int(comp["dc"].max()) // max(total, 1))
 
-    # hub selection: local top-k + one coalesced merge
+    # hub selection: local top-k + one coalesced merge (materialized
+    # once — the base census reuses the same degree table)
     deg_all = graph.degrees(pairs.map_batches(flat_nodes,
                                               batch_format="pyarrow"),
-                            "node")
+                            "node").materialize()
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values(["deg", "node"],
@@ -4423,7 +4428,7 @@ def kg_attack_robustness(sf_dir):
             pc.invert(pc.is_in(t["b"], value_set=hub_arr)))
         return t.filter(keep)
 
-    base_nc, base_giant = census(pairs)
+    base_nc, base_giant = census(pairs, deg=deg_all)
     att_nc, att_giant = census(
         pairs.map_batches(remove_hubs, batch_format="pyarrow")
         .materialize())
