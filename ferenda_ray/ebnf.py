@@ -170,29 +170,41 @@ def _unescape(s: str) -> str:
 # ---------------------------------------------------------------------
 
 def _strip_comments(text: str) -> str:
-    # '#' starts a comment unless inside a literal or char class
+    # '#' starts a comment unless inside a literal or char class.
+    # Escapes are honored, and quote chars INSIDE a char class (e.g.
+    # ["'] ) do not open strings — class state takes precedence.
     out = []
     for line in text.split("\n"):
-        pos = 0
-        depth = False
         cut = len(line)
         quote = None
+        in_class = False
+        class_start = False
+        esc = False
         for i, ch in enumerate(line):
+            if esc:
+                esc = False
+                continue
+            if ch == "\\":
+                esc = True
+                continue
             if quote:
                 if ch == quote:
                     quote = None
                 continue
+            if in_class:
+                if ch == "]" and not class_start:
+                    in_class = False
+                class_start = False
+                continue
             if ch in "'\"":
                 quote = ch
             elif ch == "[":
-                depth = True
-            elif ch == "]":
-                depth = False
-            elif ch == "#" and not depth:
+                in_class = True
+                class_start = True  # leading ] is a literal member
+            elif ch == "#":
                 cut = i
                 break
         out.append(line[:cut])
-        pos += 1
     return "\n".join(out)
 
 
@@ -260,7 +272,18 @@ def _single_chars(node, prods, depth: int = 0):
     if k == "alt":
         parts = [_single_chars(n, prods, depth + 1) for n in node[1]]
         if all(p is not None for p in parts):
-            return "".join(parts)
+            # escape edge chars so concatenation cannot create
+            # accidental ranges ('a-' + 'z' must not become a-z) or
+            # a class-negation marker ('^' first)
+            safe = []
+            for p in parts:
+                if p.endswith("-") and not p.endswith("\\-"):
+                    p = p[:-1] + "\\-"
+                safe.append(p)
+            body = "".join(safe)
+            if body.startswith("^"):
+                body = "\\" + body
+            return body
     return None
 
 

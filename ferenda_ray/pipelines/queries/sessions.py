@@ -5344,8 +5344,12 @@ def push_roundtrip(sf_dir):
 
     from ...sources.pushsink import FileBulkClient, push_bulk
 
-    store = "/tmp/ferenda_ray_push/%s" % os.path.basename(
-        sf_dir.rstrip("/"))
+    # pid-scoped store: two concurrent sessions (the documented
+    # local-pytest-vs-driver pattern) must not rmtree each other's
+    # in-flight pushes; within one process the rmtree keeps reruns
+    # deterministic
+    store = "/tmp/ferenda_ray_push/%s_%d" % (
+        os.path.basename(sf_dir.rstrip("/")), os.getpid())
     shutil.rmtree(store, ignore_errors=True)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     push_bulk(docs, lambda: FileBulkClient(store),

@@ -904,7 +904,8 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
                              "start": d["start"].astype("int64")})
 
     cov = lineage.exchange(
-        ds.map_batches(occurrences, batch_format="pandas"),
+        lineage.derive(
+            ds.map_batches(occurrences, batch_format="pandas"), ds),
         lambda d: d.groupby("_bucket").map_groups(
             covered, batch_format="pandas"))
 
@@ -937,7 +938,8 @@ def scrub_duplicated_passages(ds, n: int = 6, text_col: str = "text",
         return out
 
     both = lineage.union_tracked(
-        ds.map_batches(prep_docs, batch_format="pandas"),
+        lineage.derive(
+            ds.map_batches(prep_docs, batch_format="pandas"), ds),
         lineage.derive(cov.map_batches(prep_cov, batch_format="pandas"),
                        cov))
 
@@ -1079,9 +1081,12 @@ def _contamination_hits(docs_ds, bench_ds, n: int,
         return fn
 
     both = lineage.union_tracked(
-        docs_ds.map_batches(grams_of(0, True), batch_format="pandas"),
-        bench_ds.map_batches(grams_of(1, False),
-                             batch_format="pandas"))
+        lineage.derive(
+            docs_ds.map_batches(grams_of(0, True),
+                                batch_format="pandas"), docs_ds),
+        lineage.derive(
+            bench_ds.map_batches(grams_of(1, False),
+                                 batch_format="pandas"), bench_ds))
 
     def hits(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1138,7 +1143,9 @@ def contamination_flags(docs_ds, bench_ds, n: int = 8,
         return out
 
     tagged = lineage.union_tracked(
-        docs_ds.map_batches(all_keys, batch_format="pandas"),
+        lineage.derive(
+            docs_ds.map_batches(all_keys, batch_format="pandas"),
+            docs_ds),
         lineage.derive(
             contaminated.map_batches(hit_keys, batch_format="pandas"),
             contaminated))
@@ -1199,7 +1206,9 @@ def decontaminate(docs_ds, bench_ds, n: int = 8,
         return out
 
     both = lineage.union_tracked(
-        docs_ds.map_batches(prep_docs, batch_format="pandas"),
+        lineage.derive(
+            docs_ds.map_batches(prep_docs, batch_format="pandas"),
+            docs_ds),
         lineage.derive(
             hits.map_batches(prep_hits, batch_format="pandas"), hits))
 
@@ -1265,7 +1274,9 @@ def cluster_representatives(clusters_ds, docs_ds, score_col: str,
         return out
 
     both = lineage.union_tracked(
-        docs_ds.map_batches(prep_docs, batch_format="pandas"),
+        lineage.derive(
+            docs_ds.map_batches(prep_docs, batch_format="pandas"),
+            docs_ds),
         lineage.derive(
             clusters_ds.map_batches(prep_clusters,
                                     batch_format="pandas"),

@@ -277,21 +277,35 @@ class _XPath:
 
     @staticmethod
     def _compare(a, b, op):
+        # XPath 1.0: comparisons with node-sets are EXISTENTIAL for
+        # both = and != independently (some node satisfies the op) —
+        # != is NOT the negation of =
         if isinstance(a, list) or isinstance(b, list):
             nodes, other = (a, b) if isinstance(a, list) else (b, a)
             if isinstance(other, list):
                 vals = {_string_value(n) for n in other}
-                hit = any(_string_value(n) in vals for n in nodes)
-            elif isinstance(other, (int, float)):
-                hit = any(_to_num(_string_value(n)) == other
-                          for n in nodes)
-            else:
-                hit = any(_string_value(n) == str(other) for n in nodes)
-            return hit if op == "=" else not hit
-        if isinstance(a, (int, float)) or isinstance(b, (int, float)):
-            eq = _to_num(a) == _to_num(b)
-        elif isinstance(a, bool) or isinstance(b, bool):
+                if op == "=":
+                    return any(_string_value(n) in vals for n in nodes)
+                return any(_string_value(n) not in vals for n in nodes)
+            if isinstance(other, bool):
+                eq = _to_bool(nodes) == other
+                return eq if op == "=" else not eq
+            if isinstance(other, (int, float)):
+                if op == "=":
+                    return any(_to_num(_string_value(n)) == other
+                               for n in nodes)
+                return any(_to_num(_string_value(n)) != other
+                           for n in nodes)
+            if op == "=":
+                return any(_string_value(n) == str(other)
+                           for n in nodes)
+            return any(_string_value(n) != str(other) for n in nodes)
+        # bool first: isinstance(True, int) is True, so the numeric
+        # branch would otherwise swallow booleans as NaN comparisons
+        if isinstance(a, bool) or isinstance(b, bool):
             eq = _to_bool(a) == _to_bool(b)
+        elif isinstance(a, (int, float)) or isinstance(b, (int, float)):
+            eq = _to_num(a) == _to_num(b)
         else:
             eq = _to_string(a) == _to_string(b)
         return eq if op == "=" else not eq
@@ -468,15 +482,11 @@ class _XPath:
                 # //test == descendant-or-self::node()/child::test —
                 # walk descendants pre-order so DOCUMENT ORDER holds
                 # (collecting per-descendant children would misorder)
+                if want == "text()":
+                    out.extend(self._deep_texts(n))
+                    continue
                 for b in base:
-                    if want == "text()":
-                        if b is not n:
-                            continue
-                        for d in base:
-                            if not isinstance(d, (AttrNode, RootNode,
-                                                  str)):
-                                out.extend(self._texts(d))
-                    elif b is not n and self._test_node(b, want):
+                    if b is not n and self._test_node(b, want):
                         out.append(b)
                 continue
             for b in base:
@@ -506,6 +516,24 @@ class _XPath:
                     for c in self._children(b):
                         if self._test_node(c, want):
                             out.append(c)
+        return out
+
+    def _deep_texts(self, node):
+        """All descendant text nodes in true document order (text
+        before children's text before tails)."""
+        out = []
+        if isinstance(node, RootNode):
+            node = node.elem
+        if isinstance(node, (AttrNode, str)):
+            return out
+        if node.text:
+            out.append(node.text)
+        for c in list(node):
+            if isinstance(c.tag, str):
+                self.ctx.parents.setdefault(id(c), node)
+                out.extend(self._deep_texts(c))
+            if c.tail:
+                out.append(c.tail)
         return out
 
     def _texts(self, node):
@@ -834,6 +862,11 @@ class XSLTTransformer:
                             "{%s}transform" % XSL):
             raise XSLTError("not an XSLT stylesheet: %r" % root.tag)
         nsmap = dict(nsmap)
+        # the OUTERMOST stylesheet's prefixes drive global xsl:param
+        # select evaluation (the doc's nsmap would be wrong — a
+        # typical XHTML doc declares only a default xmlns)
+        if not hasattr(self, "nsmap"):
+            self.nsmap = nsmap
         for child in root:
             if not isinstance(child.tag, str):
                 continue
@@ -905,10 +938,12 @@ class XSLTTransformer:
                 cache[href] = []
                 return []
             root, _ = _parse_with_ns(text)
-            self._index_parents(root)
-            rn = RootNode(root)
-            self.parents[id(root)] = rn
-            cache[href] = [rn]
+            cache[href] = [RootNode(root)]
+        # transform() resets self.parents each call — re-register the
+        # cached doc's parent links every time it is requested
+        rn = cache[href][0]
+        self._index_parents(rn.elem)
+        self.parents[id(rn.elem)] = rn
         return cache[href]
 
     # --- transform ---
@@ -926,7 +961,7 @@ class XSLTTransformer:
                 self.global_vars[k] = merged[k]
             elif sel is not None:
                 ctx = _Ctx(root, 1, 1, self.global_vars,
-                           doc_ns, self.parents, self)
+                           self.nsmap, self.parents, self)
                 self.global_vars[k] = _XPath(sel).evaluate(ctx)
             else:
                 self.global_vars[k] = content
@@ -1023,9 +1058,14 @@ class XSLTTransformer:
         return fn(elem, ctx)
 
     def _avt(self, text, ctx):
+        # {{ and }} are the spec's literal-brace escapes — protect
+        # them before expression substitution, restore after
+        text = text.replace("{{", "\x00").replace("}}", "\x01")
+
         def sub(m):
             return _to_string(_XPath(m.group(1)).evaluate(ctx))
-        return _AVT_RE.sub(sub, text)
+        out = _AVT_RE.sub(sub, text)
+        return out.replace("\x00", "{").replace("\x01", "}")
 
     def _literal(self, elem, ctx):
         out = ET.Element(elem.tag)

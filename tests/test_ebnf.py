@@ -178,3 +178,31 @@ def test_all_reference_citation_families_convert():
                 except UnsupportedEBNF:
                     continue
     assert converted >= 4  # at least the major citation families
+
+
+def test_negation_merge_edge_chars():
+    """Review-fix regression: merging char-level alternatives for
+    negation must not create accidental ranges or class-negation
+    markers (-([a-]/'z') rejects exactly {a,-,z}, not a..z)."""
+    prods = parse_ebnf("bad ::= -([a-]/'z')\ncaret ::= -('^'/[b])")
+    rx = re.compile(production_regex(prods, "bad"))
+    assert rx.fullmatch("m")
+    for ch in "a-z":
+        assert not rx.fullmatch(ch), ch
+    cx = re.compile(production_regex(prods, "caret"))
+    assert cx.fullmatch("q")
+    assert not cx.fullmatch("^") and not cx.fullmatch("b")
+
+
+def test_comment_stripper_class_and_escape_precedence():
+    """Review-fix regression: quote chars inside char classes (["'])
+    and escaped quotes must not derail comment stripping; leading-]
+    classes keep their body."""
+    prods = parse_ebnf(
+        "q ::= [\"']  # trailing comment\n"
+        "brack ::= [][!\"#$%']+  # class containing # and quotes\n")
+    rx = re.compile(production_regex(prods, "q"))
+    assert rx.fullmatch('"') and rx.fullmatch("'")
+    br = re.compile(production_regex(prods, "brack"))
+    assert br.fullmatch('][!"#$%\'')
+    assert not br.fullmatch("x")

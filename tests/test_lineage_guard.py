@@ -143,3 +143,43 @@ def test_migrated_scrub_family_depths(ray_session):
         _bucket_sum)
     assert exchange_depth(nxt) == 1
     assert sorted(nxt.to_pandas()["k"]) == [2, 3, 5]
+
+
+def test_composed_operators_propagate_depth(ray_session):
+    """Composition regression (review finding): feeding one guarded
+    operator's depth-2 output into another must NOT restart depth at
+    0 on the primary arm — the second operator's exchanges see the
+    true depth and the guard cuts the lineage instead of silently
+    forming the forbidden DAG."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import (
+        decontaminate,
+        scrub_duplicated_passages,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the quick brown fox jumps over the lazy dog now",
+                 "the quick brown fox jumps over the lazy dog again",
+                 "completely different words in this one here",
+                 "another unique document with its own words",
+                 "the quick brown fox jumps over the lazy dog too",
+                 "yet more unrelated content for padding out"]}))
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([100], dtype=np.int64),
+        "text": ["completely different words in this one here"]}))
+    clean = decontaminate(docs, bench, n=7)  # bench doc is 7 words
+    assert exchange_depth(clean) == 2
+    # scrub over the depth-2 output: its internal exchanges would
+    # chain to depth 3-4 — the guard must materialize, and the
+    # composed RESULT must be correct
+    renamed = derive(clean.map_batches(
+        lambda df: df.rename(columns={"key": "doc_id"}),
+        batch_format="pandas"), clean)
+    scrubbed = scrub_duplicated_passages(renamed, n=6)
+    assert 1 <= exchange_depth(scrubbed) <= 2
+    out = scrubbed.to_pandas().sort_values("key")
+    assert sorted(out["key"]) == [0, 1, 3, 4, 5]  # doc 2 decontaminated
+    for t in out.loc[out["key"].isin([0, 1, 4]), "clean_text"]:
+        assert "quick brown fox" not in t

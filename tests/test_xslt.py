@@ -265,3 +265,55 @@ def test_all_reference_stylesheets_load():
             assert t.templates or t.named, fn
             loaded += 1
     assert loaded == 17
+
+
+def test_xpath_comparison_semantics():
+    """Review-fix regressions: existential != over node-sets, booleans
+    compared as booleans (not NaN numerics), {{ }} AVT escapes,
+    //text() in document order."""
+    t = XSLTTransformer(textwrap.dedent("""\
+        <xsl:stylesheet version="1.0"
+            xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/">
+            <r a="{{lit}}">
+              <xsl:if test="//d/@class != 'main'">NEQ</xsl:if>
+              <xsl:text>:</xsl:text>
+              <xsl:variable name="f" select="contains('xyz', 'y')"/>
+              <xsl:if test="$f = 'true'">BOOL</xsl:if>
+              <xsl:text>:</xsl:text>
+              <xsl:for-each select="//text()">
+                <xsl:value-of select="."/>
+              </xsl:for-each>
+            </r>
+          </xsl:template>
+        </xsl:stylesheet>"""))
+    out = t.transform(
+        "<x><d class='main'/><d class='side'/><p>a<b>c</b>d</p></x>")
+    # some node's @class != 'main' → existential true
+    assert ">NEQ:" in out
+    # boolean = 'true' must hit the boolean branch
+    assert ":BOOL:" in out
+    # document order a, c, d (not a, d, c)
+    assert out.endswith("acd</r>")
+    assert 'a="{lit}"' in out
+
+
+def test_document_function_parents_survive_cache(tmp_path):
+    """document() results are cached per engine, but transform()
+    resets the parent index — the cached doc's parents must
+    re-register on every transform (review fix: row 2+ of an
+    actor-pool batch saw empty ancestor axes)."""
+    ann = tmp_path / "ann.xml"
+    ann.write_text("<graph><resource uri='u1'><t>T</t></resource></graph>")
+    t = XSLTTransformer(textwrap.dedent("""\
+        <xsl:stylesheet version="1.0"
+            xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:param name="annfile"/>
+          <xsl:template match="/">
+            <o><xsl:value-of
+              select="document($annfile)/graph/resource/t/../@uri"/></o>
+          </xsl:template>
+        </xsl:stylesheet>"""))
+    for _ in range(3):  # row 2+ exercises the cached path
+        out = t.transform("<x/>", params={"annfile": str(ann)})
+        assert out == "<o>u1</o>"
