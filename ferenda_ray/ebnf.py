@@ -279,6 +279,10 @@ def _single_chars(node, prods, depth: int = 0):
             for p in parts:
                 if p.endswith("-") and not p.endswith("\\-"):
                     p = p[:-1] + "\\-"
+                # a LEADING '-' must be escaped too, or 'ab' + '-z'
+                # concatenates into the accidental range b-z
+                if p.startswith("-"):
+                    p = "\\" + p
                 safe.append(p)
             body = "".join(safe)
             if body.startswith("^"):

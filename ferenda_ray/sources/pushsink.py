@@ -119,12 +119,18 @@ class BulkPusher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docs = batch.to_pylist()
-        ids = sorted(quote(str(d[self.id_col]), safe="") for d in docs)
-        batch_id = hashlib.md5("\n".join(ids).encode()).hexdigest()
-        if batch_id in self.acked:
+        qids = [quote(str(d[self.id_col]), safe="") for d in docs]
+        batch_id = hashlib.md5(
+            "\n".join(sorted(qids)).encode()).hexdigest()
+        # acked is keyed on DOCUMENT ids, not batch hashes, so resume
+        # skips already-durable docs even when Ray produces different
+        # batch boundaries on the second run (ADVICE r4)
+        fresh = [(d, q) for d, q in zip(docs, qids)
+                 if q not in self.acked]
+        if not fresh:
             status, attempts = "skipped", 0
         else:
-            actions = [doc_action(d, self.id_col) for d in docs]
+            actions = [doc_action(d, self.id_col) for d, _ in fresh]
             attempts = 0
             while True:
                 attempts += 1
@@ -143,8 +149,10 @@ class BulkPusher:
         return pa.table({
             "batch_id": pa.array([batch_id], pa.string()),
             "n_docs": pa.array([len(docs)], pa.int64()),
+            "n_pushed": pa.array([len(fresh)], pa.int64()),
             "attempts": pa.array([attempts], pa.int64()),
-            "status": pa.array([status], pa.string())})
+            "status": pa.array([status], pa.string()),
+            "doc_ids": pa.array([qids], pa.list_(pa.string()))})
 
 
 def push_bulk(ds, client_factory, id_col: str = "url",
@@ -152,12 +160,14 @@ def push_bulk(ds, client_factory, id_col: str = "url",
               max_retries: int = 3, backoff_s: float = 0.05,
               acked=None):
     """Push every row of ``ds`` to the external store; returns the
-    manifest Dataset (batch_id, n_docs, attempts, status). ``acked``:
-    an iterable (or ``ray.put`` ref) of batch_ids already durable from
-    a previous run's manifest — those batches are skipped without
-    re-serializing. Replays of NON-skipped batches are harmless by
-    construction (keyed upserts), so resume needs no coordination
-    beyond optionally passing the old manifest."""
+    manifest Dataset (batch_id, n_docs, n_pushed, attempts, status,
+    doc_ids). ``acked``: an iterable (or ``ray.put`` ref) of quoted
+    DOCUMENT ids already durable from a previous run's manifest
+    (``acked_ids``) — those docs are skipped without re-serializing,
+    independent of how Ray re-batches the input on the resumed run.
+    Replays of non-skipped docs are harmless by construction (keyed
+    upserts), so resume needs no coordination beyond optionally
+    passing the old manifest."""
     return ds.map_batches(
         BulkPusher,
         fn_constructor_kwargs={"client_factory": client_factory,
@@ -174,8 +184,12 @@ def push_bulk(ds, client_factory, id_col: str = "url",
 
 
 def acked_ids(manifest_ds) -> frozenset:
-    """Batch ids a previous run durably pushed (its manifest rows with
-    status != failure) — feed to ``push_bulk(acked=...)`` on resume."""
-    return frozenset(
-        r["batch_id"] for r in manifest_ds.take_all()
-        if r["status"] in ("pushed", "skipped"))
+    """Quoted doc ids a previous run durably pushed (every id in a
+    manifest row with status pushed/skipped is durable: the fresh
+    subset was just pushed, the rest was acked before) — feed to
+    ``push_bulk(acked=...)`` on resume."""
+    out = set()
+    for r in manifest_ds.take_all():
+        if r["status"] in ("pushed", "skipped"):
+            out.update(r["doc_ids"])
+    return frozenset(out)

@@ -286,7 +286,13 @@ class _XPath:
                 vals = {_string_value(n) for n in other}
                 if op == "=":
                     return any(_string_value(n) in vals for n in nodes)
-                return any(_string_value(n) not in vals for n in nodes)
+                # != is existential over PAIRS: true iff some (a, b)
+                # pair differs — with both sets non-empty that is
+                # "more than one distinct string across both sets"
+                avals = {_string_value(n) for n in nodes}
+                if not avals or not vals:
+                    return False
+                return len(avals | vals) > 1
             if isinstance(other, bool):
                 eq = _to_bool(nodes) == other
                 return eq if op == "=" else not eq
@@ -763,33 +769,57 @@ class _Pattern:
             rest = rest[:-1]
         return True
 
-    def _match_one(self, node, test, preds, engine) -> bool:
+    def _test_hit(self, node, test) -> bool:
         if test == "text()":
-            ok = isinstance(node, str)
-        elif test == "node()":
-            ok = isinstance(node, str) or (
+            return isinstance(node, str)
+        if test == "node()":
+            return isinstance(node, str) or (
                 hasattr(node, "tag") and isinstance(node.tag, str))
-        elif test == "@*":
-            ok = isinstance(node, AttrNode)
-        elif test.startswith("@"):
-            ok = (isinstance(node, AttrNode)
-                  and node.name == _qname(test[1:], self.nsmap))
-        elif test == "*":
-            ok = hasattr(node, "tag") and isinstance(node.tag, str)
-        elif test.endswith(":*"):
+        if test == "@*":
+            return isinstance(node, AttrNode)
+        if test.startswith("@"):
+            return (isinstance(node, AttrNode)
+                    and node.name == _qname(test[1:], self.nsmap))
+        if test == "*":
+            return hasattr(node, "tag") and isinstance(node.tag, str)
+        if test.endswith(":*"):
             uri = self.nsmap.get(test[:-2])
-            ok = (uri is not None and hasattr(node, "tag")
-                  and isinstance(node.tag, str)
-                  and node.tag.startswith("{%s}" % uri))
-        else:
-            ok = (hasattr(node, "tag")
-                  and node.tag == _qname(test, self.nsmap))
-        if not ok or not preds:
-            return ok
-        ctx = _Ctx(node, 1, 1, engine.global_vars, self.nsmap,
+            return (uri is not None and hasattr(node, "tag")
+                    and isinstance(node.tag, str)
+                    and node.tag.startswith("{%s}" % uri))
+        return (hasattr(node, "tag")
+                and node.tag == _qname(test, self.nsmap))
+
+    def _match_one(self, node, test, preds, engine) -> bool:
+        if not self._test_hit(node, test):
+            return False
+        if not preds:
+            return True
+        # Predicate context in a match pattern is the node's parent
+        # acting as the child axis (XSLT 1.0 §5.2): position()/last()
+        # count the like-test siblings, so match="b[1]" selects only
+        # the first b — not every b (ADVICE r4).
+        pos = size = 1
+        if not isinstance(node, (str, AttrNode)):
+            parent = engine.parents.get(id(node))
+            if isinstance(parent, RootNode):
+                pos = size = 1
+            elif parent is not None and hasattr(parent, "tag"):
+                sibs = [c for c in list(parent)
+                        if self._test_hit(c, test)]
+                for i, s in enumerate(sibs):
+                    if s is node:
+                        pos, size = i + 1, len(sibs)
+                        break
+        ctx = _Ctx(node, pos, size, engine.global_vars, self.nsmap,
                    engine.parents, engine)
         for p in preds:
-            if not _to_bool(_XPath(p).evaluate(ctx)):
+            v = _XPath(p).evaluate(ctx)
+            # numeric predicate means position()=N, same as _predicate
+            if isinstance(v, float):
+                if int(v) != pos:
+                    return False
+            elif not _to_bool(v):
                 return False
         return True
 

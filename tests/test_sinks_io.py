@@ -234,12 +234,17 @@ def test_push_bulk_kill_resume_manifest(ray_session, tmp_path):
     half = _push_docs().limit(12)
     m1 = push_bulk(half, mk, id_col="url", batch_size=6).materialize()
     acked = acked_ids(m1)
-    assert len(acked) == 2
+    # acked is keyed on DOC ids (12 pushed docs), not batch hashes,
+    # so resume survives different batch boundaries on run 2
+    assert len(acked) == 12
     assert len(_store_state(store)) == 12
 
     m2 = push_bulk(_push_docs(), mk, id_col="url", batch_size=6,
                    acked=ray.put(acked)).to_pandas()
     assert m2["n_docs"].sum() == 20
+    # exactly the 8 not-yet-durable docs re-serialize, whatever the
+    # batch boundaries of run 2 turned out to be
+    assert m2["n_pushed"].sum() == 8
     skipped = m2[m2["status"] == "skipped"]
     assert len(skipped) == 2 and (skipped["attempts"] == 0).all()
     assert (m2[m2["status"] == "pushed"]["attempts"] >= 1).all()
