@@ -165,13 +165,34 @@ def membership_join(rows_ds, key_col: str, keys_ds, keys_col: str | None = None,
 
     if not force_bloom and n_keys <= broadcast_threshold:
         keyset = set(keys_ds.to_pandas()[keys_col])
-        ref = ray.put(keyset)
+        # scalar keys probe vectorized with pc.is_in (whose default
+        # null semantics — null matches null in the value set, else
+        # false — are exactly the Python `k in keys` behavior); the
+        # Python-set loop stays only as the non-scalar fallback
+        keys_arr = None
+        try:
+            arr = pa.array(list(keyset))
+            if not (pa.types.is_nested(arr.type)
+                    or pa.types.is_null(arr.type)):
+                keys_arr = arr
+        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError):
+            pass
+        ref = ray.put(keyset if keys_arr is None else keys_arr)
 
         def flt(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t
             keys = ray.get(ref)
-            member = np.array([k in keys for k in t[key_col].to_pylist()])
+            col = t[key_col]
+            if keys_arr is not None:
+                vs = keys if keys.type.equals(col.type) \
+                    else keys.cast(col.type)
+                member = pc.is_in(col, value_set=vs)
+                keep = member if keep_members \
+                    else pc.invert(member)
+                return t.filter(keep)
+            member = np.array([k in keys for k in col.to_pylist()])
             return t.filter(pa.array(member if keep_members else ~member))
 
         return rows_ds.map_batches(flt, batch_format="pyarrow")
