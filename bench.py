@@ -76,6 +76,58 @@ def run_bench() -> dict:
             read_pages(pages_dir),
             pages_slim=read_pages_slim(pages_dir)).count()
 
+    def warc_ingest(_sf):
+        """WARC acquisition path: the cached pages corpus re-packed
+        once (untimed) into Common-Crawl-style per-record-member
+        .warc.gz shards, then timed read_warc → pages_from_warc."""
+        import glob
+        import gzip as _gzip
+
+        import pyarrow.parquet as _pq
+
+        from ferenda_ray.sources.warc import pages_from_warc, read_warc
+
+        wdir = "/tmp/ferenda_ray_warc/%s" % os.path.basename(
+            pages_dir.rstrip("/"))
+        marker = os.path.join(wdir, "_SUCCESS")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(wdir, ignore_errors=True)
+            os.makedirs(wdir)
+            shards = [open(os.path.join(wdir, "part-%02d.warc.gz" % i),
+                           "wb") for i in range(16)]
+            i = 0
+            for pf in sorted(glob.glob(pages_dir + "/*.parquet")):
+                for b in _pq.ParquetFile(pf).iter_batches(
+                        columns=["url", "warc_ts", "html"]):
+                    urls = b["url"].to_pylist()
+                    tss = b["warc_ts"].to_pylist()
+                    htmls = b["html"].to_pylist()
+                    for url, ts, html in zip(urls, tss, htmls):
+                        body = html.encode() if isinstance(html, str) \
+                            else (html or b"")
+                        http = (("HTTP/1.1 200 OK\r\nContent-Type: "
+                                 "text/html\r\nContent-Length: %d\r\n"
+                                 % len(body)).encode()
+                                + b"\r\n" + body)
+                        rec = (("WARC/1.0\r\nWARC-Type: response\r\n"
+                                "WARC-Target-URI: %s\r\n"
+                                "WARC-Date: %s\r\n"
+                                "Content-Length: %d\r\n"
+                                % (url,
+                                   ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                                   len(http))).encode()
+                               + b"\r\n" + http + b"\r\n\r\n")
+                        shards[i % 16].write(_gzip.compress(rec))
+                        i += 1
+            for f in shards:
+                f.close()
+            with open(marker, "w") as f:
+                f.write("ok")
+        paths = sorted(glob.glob(wdir + "/*.warc.gz"))
+        return pages_from_warc(read_warc(paths))
+
     # scaling legs skip the query sweep: the efficiency ratio is
     # computed on the flagship alone, and a 14-query sweep per leg
     # only adds host-contention exposure to the measurement window
@@ -270,7 +322,16 @@ def run_bench() -> dict:
              ("bm25_ndcg_eval", Q.bm25_ndcg_eval),
              ("doc_readability_lix", Q.doc_readability_lix),
              ("doc_boilerplate_share", Q.doc_boilerplate_share),
-             ("doc_novelty_share", Q.doc_novelty_share)]
+             ("doc_novelty_share", Q.doc_novelty_share),
+             # round-4/5 surfaces (VERDICT r4 #4): XSLT transform,
+             # push sink, WARC acquisition, composed search endpoint
+             ("xslt_toc_extract", Q.xslt_toc_extract),
+             ("push_roundtrip", Q.push_roundtrip),
+             ("archived_versions", Q.archived_versions),
+             ("crawl_delta_status", Q.crawl_delta_status),
+             ("warc_ingest", warc_ingest),
+             ("search_api", Q.search_api),
+             ("search_api_stats", Q.search_api_stats)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

@@ -36,7 +36,7 @@ def curate(docs_ds, threshold: float = 0.5, min_tokens: int = 5,
            min_mean_token_len: float = 2.0,
            max_mean_token_len: float = 12.0,
            out_dir: str | None = None,
-           driver_threshold: int = 5_000_000):
+           driver_threshold: int | None = None):
     """documents(doc_id, text, ...) -> Dataset/DataFrame of
     (doc_id, split) for every surviving document. With ``out_dir``,
     also writes one parquet directory per split (resumable: a rerun

@@ -339,7 +339,7 @@ def keyword_concepts(triples_ds):
     )
 
 
-def skeleton_entities(triples_ds, broadcast_threshold: int = 5_000_000,
+def skeleton_entities(triples_ds, broadcast_threshold: int | None = None,
                       force_bloom: bool = False):
     """skeleton-repo anti-join (sources/general/skeleton.py:99-120):
     URIs occurring as objects but never as subjects → stub entities.

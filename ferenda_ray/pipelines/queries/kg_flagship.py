@@ -159,18 +159,19 @@ def phrase_search(sf_dir):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        oid, osc = [], []
-        for i, txt in zip(ids, texts):
-            toks = (txt or "").split()
-            c = sum(1 for a, b in zip(toks, toks[1:])
-                    if a == "window" and b == "join")
-            if c:
-                oid.append(i)
-                osc.append(c)
-        return pa.table({"doc_id": pa.array(oid, pa.int64()),
-                         "n_hits": pa.array(osc, pa.int64())})
+        # vectorized adjacency count: DOUBLING each whitespace run
+        # makes consecutive phrase hits non-overlapping (each match
+        # consumes one of the two boundary spaces), so re2's
+        # non-overlapping count_substring_regex — no lookarounds —
+        # equals the token-pair count exactly
+        txt = pc.coalesce(t["text"], pa.scalar("", pa.string()))
+        norm = pc.replace_substring_regex(txt, r"\s+", "  ")
+        c = pc.count_substring_regex(
+            norm, r"(?:^| )window  join(?: |$)")
+        mask = pc.greater(c, 0)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(mask).cast(pa.int64()),
+            "n_hits": c.filter(mask).cast(pa.int64())})
 
     return (ds.map_batches(score, batch_format="pyarrow")
             .sort(["n_hits", "doc_id"], descending=[True, False])

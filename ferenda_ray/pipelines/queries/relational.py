@@ -457,6 +457,302 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """ % _BM25_CTES
 
 
+# ---------------------------------------------------------------------
+# composed search endpoint — the reference's "search request → paged,
+# highlighted result rows" function (wsgiapp.py:386-520 query() →
+# parse_parameters() → fulltextindex.py:504-560 WhooshIndex.query()
+# → mangle_results()), over the documents table.
+# ---------------------------------------------------------------------
+
+# the fixed request both engines replay (wsgiapp.parse_parameters
+# output shape): free text q, one exact field Term, one Wildcard,
+# one min- range (fulltextindex.More), page 2 of 10
+SEARCH_REQ = {
+    "q": ("merge", "join"),     # OR semantics, BM25-ranked
+    "lang": "en",               # exact Term filter
+    "source": "src1*",          # Wildcard filter
+    "min-n_chars": 100,         # More range filter
+    "pagenum": 2,
+    "pagelen": 10,
+}
+_SNIP_W = 30
+_IRI_PREFIX = "https://example.org/doc/"
+
+
+def search_api(sf_dir):
+    """The composed search endpoint: parse → filter → rank → page →
+    highlight, exactly the reference's request semantics:
+
+    - field filters AND together with the free-text query
+      (WhooshIndex.query builds whoosh.query.And(filter + [freetext]),
+      fulltextindex.py:550-556): Term (lang), Wildcard (source,
+      trailing *), More (min-n_chars ≥, wsgiapp.parse_parameters'
+      min-/max- handling);
+    - free text ranks by BM25 with CORPUS-WIDE statistics (the whoosh
+      index's collection stats), OR-combined terms — the shared
+      ``_bm25_scored`` arithmetic, bit-exact in SQL;
+    - paging slices (pagenum-1)*pagelen .. pagenum*pagelen of the
+      (score desc, doc_id asc) ranking; the envelope rides along as
+      constant columns (startIndex = firstresult-1, itemsPerPage,
+      totalResults — wsgiapp.query's result container);
+    - each hit carries a highlighted snippet (mangle_results wraps
+      matches in ``<em class="match">``): ±30 chars around the
+      EARLIEST query-term substring occurrence;
+    - the returned page orders by iri DESCENDING — wsgiapp.
+      mangle_results' ``sorted(res, key=itemgetter("uri"),
+      reverse=True)`` quirk, replayed faithfully.
+
+    Scale shape: one bounded stats pre-pass (four integers), then ONE
+    zero-shuffle pass fusing filter + score + snippet that emits per
+    batch only the top-(pagenum·pagelen) candidate rows plus a count
+    row; a single bounded merge block pages and builds the envelope.
+    No shuffle, no corpus materialization."""
+    terms = SEARCH_REQ["q"]
+    pagenum, pagelen = SEARCH_REQ["pagenum"], SEARCH_REQ["pagelen"]
+    cap = pagenum * pagelen
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        n, s = len(texts), 0
+        df = [0] * len(terms)
+        for txt in texts:
+            toks = (txt or "").split()
+            s += len(toks)
+            for j, term in enumerate(terms):
+                if term in toks:
+                    df[j] += 1
+        row = {"n": [n], "s": [s]}
+        row.update({"df%d" % j: [df[j]] for j in range(len(terms))})
+        return pd.DataFrame(row)
+
+    merged = _merge_partials(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        lambda g: g.sum().to_frame().T).take(1)[0]
+    N, S = int(merged["n"]), int(merged["s"])
+    idf = [((2 * N - 2 * int(merged["df%d" % j]) + 1) * 1_000_000)
+           // (2 * int(merged["df%d" % j]) + 1)
+           for j in range(len(terms))]
+    src_prefix = SEARCH_REQ["source"].rstrip("*")
+    min_chars = SEARCH_REQ["min-n_chars"]
+    want_lang = SEARCH_REQ["lang"]
+
+    _PART_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("score", pa.int64()),
+        ("snippet", pa.string()), ("cnt", pa.int64())])
+
+    def part(t: pa.Table) -> pa.Table:
+        # field filters, vectorized map-side
+        keep = pc.and_(
+            pc.and_(pc.equal(t["lang"], want_lang),
+                    pc.starts_with(t["source"], src_prefix)),
+            pc.greater_equal(t["n_chars"], min_chars))
+        t = t.filter(keep)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").split()
+            dl = len(toks)
+            sc = 0
+            for j, term in enumerate(terms):
+                tf = toks.count(term)
+                if tf:
+                    sc += (idf[j] * (22 * tf * S)) \
+                        // (10 * tf * S + 3 * S + 9 * dl * N)
+            if sc <= 0:
+                continue
+            # earliest substring occurrence of any query term (the
+            # deterministic one-fragment highlighter)
+            pos, term = None, None
+            for tm in terms:
+                p = txt.find(tm)
+                if p >= 0 and (pos is None or p < pos):
+                    pos, term = p, tm
+            snip = (txt[max(0, pos - _SNIP_W):pos]
+                    + '<em class="match">' + term + "</em>"
+                    + txt[pos + len(term):pos + len(term) + _SNIP_W])
+            out.append((i, sc, snip))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        n_match = len(out)
+        out = out[:cap]
+        return pa.Table.from_pydict({
+            "doc_id": [r[0] for r in out] + [-1],
+            "score": [r[1] for r in out] + [0],
+            "snippet": [r[2] for r in out] + [""],
+            "cnt": [0] * len(out) + [n_match]}, schema=_PART_SCHEMA)
+
+    def page(g: pd.DataFrame) -> pd.DataFrame:
+        total = int(g["cnt"].sum())
+        cand = g[g["doc_id"] >= 0].sort_values(
+            ["score", "doc_id"], ascending=[False, True])
+        sl = cand.iloc[(pagenum - 1) * pagelen:pagenum * pagelen]
+        out = pd.DataFrame({
+            "iri": [_IRI_PREFIX + str(int(d)) for d in sl["doc_id"]],
+            "doc_id": sl["doc_id"].astype("int64").to_numpy(),
+            "score": sl["score"].astype("int64").to_numpy(),
+            "snippet": sl["snippet"].to_numpy(),
+        })
+        out["total_results"] = np.int64(total)
+        out["start_index"] = np.int64((pagenum - 1) * pagelen)
+        out["items_per_page"] = np.int64(pagelen)
+        # mangle_results orders the page by uri DESC (string order)
+        return out.sort_values("iri", ascending=False) \
+                  .reset_index(drop=True)
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"), page)
+
+
+SEARCH_API_SQL = """
+WITH %s,
+q AS (
+  SELECT l.doc_id, l.score, doc.text
+  FROM lexall l JOIN documents doc USING (doc_id)
+  WHERE doc.lang = 'en' AND doc.source LIKE 'src1%%'
+    AND doc.n_chars >= 100
+),
+tot AS (SELECT count(*) AS total FROM q),
+page AS (
+  SELECT doc_id, score, text FROM q
+  ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+),
+pos AS (
+  SELECT doc_id, score, text,
+         strpos(text, 'merge') AS p1, strpos(text, 'join') AS p2
+  FROM page
+),
+sel AS (
+  SELECT doc_id, score, text,
+         CASE WHEN p1 > 0 AND (p2 = 0 OR p1 < p2) THEN p1 ELSE p2 END
+           AS p,
+         CASE WHEN p1 > 0 AND (p2 = 0 OR p1 < p2) THEN 'merge'
+              ELSE 'join' END AS term
+  FROM pos
+)
+SELECT ('https://example.org/doc/' || CAST(doc_id AS VARCHAR)) AS iri,
+       doc_id, score,
+       substr(text, greatest(1, p - 30), p - greatest(1, p - 30))
+         || '<em class="match">' || term || '</em>'
+         || substr(text, p + length(term), 30) AS snippet,
+       CAST(t.total AS BIGINT) AS total_results,
+       CAST(10 AS BIGINT) AS start_index,
+       CAST(10 AS BIGINT) AS items_per_page
+FROM sel, tot t
+ORDER BY iri DESC
+""" % _BM25_CTES
+
+
+def search_api_stats(sf_dir):
+    """The endpoint's faceted statistics pane (wsgiapp.query's
+    ``options["stats"]`` → wsgiapp.stats(): per-dimension observation
+    counts over the FULL matching set, not just the page). Dimensions
+    here: the ``source`` facet and an ``n_chars`` century band (the
+    numeric-faceting shape of wsgiapp.stats' year buckets).
+
+    Scale shape: same fused filter+match pass as ``search_api`` but
+    reducing each batch to bounded (dimension, value, n) partials —
+    dimension cardinality is facet-bounded, so the merge is one tiny
+    block. Zero shuffle."""
+    terms = SEARCH_REQ["q"]
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+    src_prefix = SEARCH_REQ["source"].rstrip("*")
+    min_chars = SEARCH_REQ["min-n_chars"]
+    want_lang = SEARCH_REQ["lang"]
+
+    # corpus-wide BM25 constants: the match set must be EXACTLY
+    # lexall's score > 0 (a df ≈ N term floors its idf to 0 at large
+    # N, excluding its docs), not tf > 0
+    def stats(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        n, s = len(texts), 0
+        df = [0] * len(terms)
+        for txt in texts:
+            toks = (txt or "").split()
+            s += len(toks)
+            for j, term in enumerate(terms):
+                if term in toks:
+                    df[j] += 1
+        row = {"n": [n], "s": [s]}
+        row.update({"df%d" % j: [df[j]] for j in range(len(terms))})
+        return pd.DataFrame(row)
+
+    merged = _merge_partials(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        lambda g: g.sum().to_frame().T).take(1)[0]
+    N, S = int(merged["n"]), int(merged["s"])
+    idf = [((2 * N - 2 * int(merged["df%d" % j]) + 1) * 1_000_000)
+           // (2 * int(merged["df%d" % j]) + 1)
+           for j in range(len(terms))]
+
+    def _score(txt: str) -> int:
+        toks = (txt or "").split()
+        dl = len(toks)
+        sc = 0
+        for j, term in enumerate(terms):
+            tf = toks.count(term)
+            if tf:
+                sc += (idf[j] * (22 * tf * S)) \
+                    // (10 * tf * S + 3 * S + 9 * dl * N)
+        return sc
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        keep = pc.and_(
+            pc.and_(pc.equal(t["lang"], want_lang),
+                    pc.starts_with(t["source"], src_prefix)),
+            pc.greater_equal(t["n_chars"], min_chars))
+        t = t.filter(keep)
+        texts = t["text"].to_pylist()
+        hit = np.array([_score(txt) > 0 for txt in texts],
+                       dtype=bool) if texts else np.zeros(0, bool)
+        df = pd.DataFrame({
+            "source": np.asarray(t["source"].to_pylist(),
+                                 dtype=object)[hit],
+            "band": (t["n_chars"].to_numpy()[hit] // 100) * 100,
+        })
+        s = df.groupby("source").size()
+        b = df.groupby("band").size()
+        return pd.DataFrame({
+            "dimension": ["source"] * len(s) + ["n_chars"] * len(b),
+            "value": [str(v) for v in s.index]
+            + [str(int(v)) for v in b.index],
+            "n": np.concatenate([s.to_numpy(), b.to_numpy()])
+            .astype("int64")
+            if len(s) + len(b) else np.zeros(0, "int64"),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["dimension", "value"], sort=True)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"), merge)
+
+
+SEARCH_API_STATS_SQL = """
+WITH %s,
+q AS (
+  SELECT doc.source, doc.n_chars
+  FROM lexall l JOIN documents doc USING (doc_id)
+  WHERE doc.lang = 'en' AND doc.source LIKE 'src1%%'
+    AND doc.n_chars >= 100
+)
+SELECT 'source' AS dimension, source AS value,
+       CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY source
+UNION ALL
+SELECT 'n_chars' AS dimension,
+       CAST((n_chars // 100) * 100 AS VARCHAR) AS value,
+       CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY (n_chars // 100) * 100
+ORDER BY dimension, value
+""" % _BM25_CTES
+
+
 RRF_KK, RRF_POOL, RRF_TOP = 60, 50, 10
 RRF_UNIT = 10 ** 12  # fixed-point 1/(k+rank) unit — exact in int64
 # embedding quantization family (shared with kmeans / semantic dedup /

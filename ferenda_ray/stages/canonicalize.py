@@ -311,9 +311,14 @@ def connected_components_starcontract(edges_ds, max_rounds: int = 50):
             .map_groups(emit, batch_format="pandas"))
 
 
-def canonical_map(edges_ds, driver_threshold: int = 5_000_000):
+DRIVER_THRESHOLD = 5_000_000
+
+
+def canonical_map(edges_ds, driver_threshold: int | None = None):
     """edges Dataset → {uri: canonical_uri} dict (small path) or a
     (node, label) Dataset (distributed path)."""
+    if driver_threshold is None:
+        driver_threshold = DRIVER_THRESHOLD
     n = edges_ds.count()
     if n <= driver_threshold:
         tbl = edges_ds.to_pandas()

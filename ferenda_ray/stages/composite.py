@@ -56,21 +56,46 @@ def composite_parse_batch(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([ok, text_out])
 
 
-def archive_versions(pages, dup_threshold: int = 5_000_000):
+def archive_versions(pages, dup_threshold: int | None = None):
     """The inverse of latest_per_url: all NON-latest versions per url
-    (the reference's archive/ directory as a table)."""
+    (the reference's archive/ directory as a table).
+
+    Duplicated-url sets below ``dup_threshold`` broadcast as a
+    {url: max_ts} dict and filter map-side (zero movement of the html
+    column); above it the winner table stays a Dataset and meets the
+    pages in a url-hash-bucketed exchange instead — same rows either
+    way (the forced-distributed sweep pins dup_threshold=0)."""
     import ray
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max
 
+    from .parse_html import DUP_BROADCAST_THRESHOLD
+    if dup_threshold is None:
+        dup_threshold = DUP_BROADCAST_THRESHOLD
+
     slim = pages.select_columns(["url", "warc_ts"])
-    agg = (slim.groupby("url")
-           .aggregate(Count(alias_name="n"),
-                      Max("warc_ts", alias_name="max_ts"))
-           .map_batches(lambda df: df[df["n"] > 1], batch_format="pandas")
-           .to_pandas())
-    if agg.empty:
+    agg_ds = (slim.groupby("url")
+              .aggregate(Count(alias_name="n"),
+                         Max("warc_ts", alias_name="max_ts"))
+              .map_batches(lambda df: df[df["n"] > 1],
+                           batch_format="pandas")
+              .materialize())
+    n_dups = agg_ds.count()
+    if n_dups == 0:
         return pages.limit(0)
+    if n_dups > dup_threshold:
+        from .joins import bucket_join
+
+        winners = agg_ds.map_batches(
+            lambda t: t.select(["url", "max_ts"]),
+            batch_format="pyarrow")
+        joined = bucket_join(pages, winners, left_on="url")
+        return joined.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t["warc_ts"], t["max_ts"])).drop(
+                    ["max_ts"]),
+            batch_format="pyarrow")
+    agg = agg_ds.to_pandas()
     winner = dict(zip(agg["url"], agg["max_ts"]))
     ref = ray.put(winner)
 

@@ -47,6 +47,13 @@ _N_PERM = 64
 _A = _RNG.randint(1, _MERSENNE, size=_N_PERM).astype(np.uint64)
 _B = _RNG.randint(0, _MERSENNE, size=_N_PERM).astype(np.uint64)
 _SHINGLE_MASK = np.uint64((1 << 31) - 1)
+
+# Driver-vs-distributed dispatch knobs (resolved at CALL time so the
+# forced-distributed sweep can zero them globally): candidate-pair /
+# verify steps collect driver-side below PAIR_DRIVER_THRESHOLD pairs;
+# minhash cluster union-find below CLUSTER_DRIVER_THRESHOLD.
+PAIR_DRIVER_THRESHOLD = 500_000
+CLUSTER_DRIVER_THRESHOLD = 5_000_000
 # polynomial-combine / finalizer constants (splitmix64 family — public)
 _POLY_MULT = np.uint64(0x100000001B3)  # FNV prime
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -245,7 +252,7 @@ def lsh_candidate_pairs(band_ds, max_bucket: int = 64,
 def verify_jaccard(pairs_ds, docs_ds, text_col: str = "text",
                    key_col: str = "doc_id", threshold: float = 0.8,
                    shingle_k: int = 3, num_buckets: int = 64,
-                   driver_threshold: int = 500_000):
+                   driver_threshold: int | None = None):
     """Exact n-gram Jaccard over candidate pairs. Always returns a
     Dataset(key_a, key_b, jaccard) with distinct pairs.
 
@@ -270,6 +277,8 @@ def verify_jaccard(pairs_ds, docs_ds, text_col: str = "text",
     import ray
     import ray.data as rd
 
+    if driver_threshold is None:
+        driver_threshold = PAIR_DRIVER_THRESHOLD
     pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() <= driver_threshold:
         pairs_df = pairs_ds.to_pandas()
@@ -394,7 +403,7 @@ def verify_jaccard(pairs_ds, docs_ds, text_col: str = "text",
 
 def minhash_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
                   threshold: float = 0.8, bands: int = 16,
-                  shingle_k: int = 3, driver_threshold: int = 5_000_000):
+                  shingle_k: int = 3, driver_threshold: int | None = None):
     """Full near-dup pipeline → (key, canonical_key) for every doc in
     a near-dup cluster (canonical = min key over the verified pair
     graph).
@@ -407,6 +416,8 @@ def minhash_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
     """
     from .canonicalize import connected_components_distributed, union_find
 
+    if driver_threshold is None:
+        driver_threshold = CLUSTER_DRIVER_THRESHOLD
     bands_ds = minhash_bands(ds, text_col, key_col, bands, shingle_k)
     # dedup=False: verify_jaccard's (key_a, key_b) grouping dedups
     # multi-band hits for free — one whole exchange saved
@@ -444,7 +455,7 @@ def minhash_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
 def ngram_jaccard_pairs(ds, text_col: str = "text", key_col: str = "doc_id",
                         threshold: float = 0.5, shingle_k: int = 3,
                         num_buckets: int = 64, max_posting: int = 1024,
-                        driver_threshold: int = 500_000):
+                        driver_threshold: int | None = None):
     """EXACT n-gram Jaccard similarity self-join — the deterministic
     sibling of minhash_dedup (no LSH false negatives), via the
     prefix-filtering principle of AllPairs / PPJoin (Bayardo, Ma &
@@ -1387,7 +1398,7 @@ def neardup_vs_index(delta_ds, index_dir: str, verify_docs_ds,
                      num_partitions: int = 16, threshold: float = 0.5,
                      text_col: str = "text", key_col: str = "doc_id",
                      num_buckets: int = 64,
-                     driver_threshold: int = 500_000,
+                     driver_threshold: int | None = None,
                      max_bucket: int = 64):
     """Incremental near-dup: probe a DELTA of documents against the
     materialized LSH index (``build_minhash_index``) — the rolling

@@ -364,7 +364,7 @@ def _solo_pagerank(g, iterations, scale, dn, dd, src, dst,
 def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
              damping_num: int = 85, damping_den: int = 100,
              num_buckets: int = 64, src: str = "src", dst: str = "dst",
-             small_graph_edges: int = SMALL_GRAPH_EDGES,
+             small_graph_edges: int | None = None,
              seed_fn=None):
     """Unnormalized integer PageRank (graphanalyze.py:32 semantics,
     distributed). Recurrence, replicated verbatim by the SQL oracle:
@@ -401,6 +401,8 @@ def pagerank(edges_ds, iterations: int = 2, scale: int = 10 ** 12,
         return node_series.map(lambda n: bool(seed_fn(n))) \
             .to_numpy(dtype=bool)
 
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
     raw = edges_ds.materialize()
     if raw.count() <= small_graph_edges:
         def solo(g: pd.DataFrame) -> pd.DataFrame:
@@ -648,7 +650,7 @@ def _solo_hits(g, iterations, src, dst):
 
 def hits(edges_ds, iterations: int = 2, num_buckets: int = 64,
          src: str = "src", dst: str = "dst",
-         small_graph_edges: int = SMALL_GRAPH_EDGES):
+         small_graph_edges: int | None = None):
     """Unnormalized integer HITS (graphanalyze.py:33). Recurrence,
     replicated verbatim by the SQL oracle:
 
@@ -664,6 +666,8 @@ def hits(edges_ds, iterations: int = 2, num_buckets: int = 64,
     Dataset(node, hub, auth). Same adaptive small-graph width-1 path
     as ``pagerank`` (``small_graph_edges=0`` forces distributed)."""
 
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
     raw = edges_ds.materialize()
     if raw.count() <= small_graph_edges:
         def solo(g: pd.DataFrame) -> pd.DataFrame:

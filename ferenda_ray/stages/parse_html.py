@@ -107,7 +107,10 @@ def parse_pages_batch(batch: pa.Table, default_lang: str = "en") -> pa.Table:
     )
 
 
-def latest_per_url(pages, dup_threshold: int = 5_000_000, slim=None):
+DUP_BROADCAST_THRESHOLD = 5_000_000
+
+
+def latest_per_url(pages, dup_threshold: int | None = None, slim=None):
     """Keep only the newest ``warc_ts`` row per url (recrawl dedup,
     SURVEY §2.9: ``groupby(url).max_by(warc_ts)``).
 
@@ -135,6 +138,8 @@ def latest_per_url(pages, dup_threshold: int = 5_000_000, slim=None):
 
     import pandas as pd
 
+    if dup_threshold is None:
+        dup_threshold = DUP_BROADCAST_THRESHOLD
     if slim is None:
         slim = pages.select_columns(["url", "warc_ts"])
 
