@@ -4419,12 +4419,21 @@ def q10_returned_customers(sf_dir):
                         "l_extendedprice"])
     od = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    tagged = (li.map_batches(prep_li, batch_format="pyarrow")
-              .union(od.map_batches(prep_od, batch_format="pyarrow")))
-    per_cust = (tagged.groupby("_bucket")
-                .map_groups(bucket_cust, batch_format="pandas")
-                .groupby("_b2")
-                .map_groups(bucket_top, batch_format="pandas"))
+    # the canonical double re-key rides the lineage guard: exactly
+    # two chained keyed exchanges with one union — a future third
+    # exchange on this lineage auto-materializes instead of forming
+    # the forbidden DAG shape (stages/lineage.py)
+    from ...stages import lineage
+
+    tagged = lineage.union_tracked(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        od.map_batches(prep_od, batch_format="pyarrow"))
+    per_cust = lineage.exchange(
+        tagged, lambda d: d.groupby("_bucket")
+        .map_groups(bucket_cust, batch_format="pandas"))
+    per_cust = lineage.exchange(
+        per_cust, lambda d: d.groupby("_b2")
+        .map_groups(bucket_top, batch_format="pandas"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         top = (df.sort_values(["cents", "ckey"],

@@ -4372,52 +4372,57 @@ def kg_attack_robustness(sf_dir):
             [t["a"].combine_chunks().cast(pa.string()),
              t["b"].combine_chunks().cast(pa.string())])})
 
-    def census(p, deg=None) -> tuple:
+    def census(p) -> tuple:
         """(n_components, giant_share_permille) for a pairs Dataset.
-        ``deg``: an already-materialized degree table for these pairs
-        (the base census reuses the hub-selection degrees — one fewer
-        full execution)."""
+
+        Degree-mass census WITHOUT a degree table (r5 execution
+        shave): every edge is intra-component by construction, so a
+        component's degree sum dc = 2·(its edge count) and the
+        permille share 1000·max(dc)//Σdc = 1000·max(m)//Σm — the 2s
+        cancel exactly under floor division (2000a//2b = 1000a//b).
+        One bucketed edges⋈labels join on endpoint ``a``'s label
+        replaces the old degrees + deg⋈labels subtree, and every
+        component owns ≥1 edge (pairs nodes come from edges), so the
+        distinct-label count is unchanged."""
         def as_edges(t: pa.Table) -> pa.Table:
             return pa.table({"uri_a": t["a"], "uri_b": t["b"]})
 
         labels = connected_components_distributed(
-            p.map_batches(as_edges, batch_format="pyarrow")) \
-            .materialize()
-        if deg is None:
-            deg = graph.degrees(p.map_batches(flat_nodes,
-                                              batch_format="pyarrow"),
-                                "node").materialize()
-        j = bucket_join(deg, labels, left_on="node", right_on="node",
-                        suffix="_l")
+            p.map_batches(as_edges, batch_format="pyarrow"))
+        edge_a = p.map_batches(
+            lambda t: pa.table({"node": t["a"]}),
+            batch_format="pyarrow")
+        j = bucket_join(edge_a, labels, left_on="node",
+                        right_on="node", suffix="_l")
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("label", as_index=False)["deg"].sum()
+            g = df.groupby("label", as_index=False).size()
             return pd.DataFrame({
                 "component": g["label"].astype(object),
-                "dc": g["deg"].astype("int64")})
+                "m": g["size"].astype("int64")})
 
         comp = (j.map_batches(partial, batch_format="pandas")
                 .to_pandas()
-                .groupby("component", as_index=False)["dc"].sum())
-        total = int(comp["dc"].sum())
+                .groupby("component", as_index=False)["m"].sum())
+        total = int(comp["m"].sum())
         return (len(comp),
-                1000 * int(comp["dc"].max()) // max(total, 1))
+                1000 * int(comp["m"].max()) // max(total, 1))
 
-    # hub selection: local top-k + one coalesced merge (materialized
-    # once — the base census reuses the same degree table)
-    deg_all = graph.degrees(pairs.map_batches(flat_nodes,
-                                              batch_format="pyarrow"),
-                            "node").materialize()
-
+    # hub selection: degree partials → local top-k → one coalesced
+    # merge, chained as a SINGLE execution (the census no longer
+    # consumes degrees, so nothing else needs the full table)
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values(["deg", "node"],
                                ascending=[False, True])
                 .head(ATTACK_K).reset_index(drop=True))
 
-    hubs_df = (deg_all.map_batches(local_top, batch_format="pandas")
-               .repartition(1)
-               .map_batches(local_top, batch_format="pandas")
-               .to_pandas())
+    hubs_df = (graph.degrees(
+        pairs.map_batches(flat_nodes, batch_format="pyarrow"),
+        "node")
+        .map_batches(local_top, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_top, batch_format="pandas")
+        .to_pandas())
     hubs = frozenset(hubs_df["node"])
 
     hub_arr = pa.array(sorted(hubs), pa.string())
@@ -4428,7 +4433,7 @@ def kg_attack_robustness(sf_dir):
             pc.invert(pc.is_in(t["b"], value_set=hub_arr)))
         return t.filter(keep)
 
-    base_nc, base_giant = census(pairs, deg=deg_all)
+    base_nc, base_giant = census(pairs)
     att_nc, att_giant = census(
         pairs.map_batches(remove_hubs, batch_format="pyarrow")
         .materialize())

@@ -1478,11 +1478,12 @@ def neardup_vs_index(delta_ds, index_dir: str, verify_docs_ds,
                             "key_b": m["key_i"].astype("int64")})
         return out.drop_duplicates()
 
-    tagged = (delta_bands.map_batches(tag(0), batch_format="pandas")
-              .union(idx_bands.map_batches(tag(1),
-                                           batch_format="pandas")))
-    cands = (tagged.groupby("_bucket")
-             .map_groups(cand_pairs, batch_format="pandas"))
+    tagged = lineage.union_tracked(
+        delta_bands.map_batches(tag(0), batch_format="pandas"),
+        idx_bands.map_batches(tag(1), batch_format="pandas"))
+    cands = lineage.exchange(
+        tagged, lambda d: d.groupby("_bucket")
+        .map_groups(cand_pairs, batch_format="pandas"))
 
     verified = verify_jaccard(
         cands, verify_docs_ds, text_col=text_col, key_col=key_col,
@@ -1596,11 +1597,15 @@ def containment_pairs(delta_ds, corpus_ds, cont_num: int = 4,
         df["_bucket"] = (h % np.uint64(num_buckets)).astype("int32")
         return df
 
-    tagged = (delta_ds.map_batches(explode(0), batch_format="pandas")
-              .union(corpus_ds.map_batches(explode(1),
-                                           batch_format="pandas")))
-    partials = (tagged.groupby("_bucket")
-                .map_groups(per_gram, batch_format="pandas"))
-    return (partials.map_batches(rebucket, batch_format="pandas")
-            .groupby("_bucket")
-            .map_groups(finalize, batch_format="pandas"))
+    tagged = lineage.union_tracked(
+        delta_ds.map_batches(explode(0), batch_format="pandas"),
+        corpus_ds.map_batches(explode(1), batch_format="pandas"))
+    partials = lineage.exchange(
+        tagged, lambda d: d.groupby("_bucket")
+        .map_groups(per_gram, batch_format="pandas"))
+    return lineage.exchange(
+        lineage.derive(partials.map_batches(rebucket,
+                                            batch_format="pandas"),
+                       partials),
+        lambda d: d.groupby("_bucket")
+        .map_groups(finalize, batch_format="pandas"))
