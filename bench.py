@@ -331,7 +331,10 @@ def run_bench() -> dict:
              ("crawl_delta_status", Q.crawl_delta_status),
              ("warc_ingest", warc_ingest),
              ("search_api", Q.search_api),
-             ("search_api_stats", Q.search_api_stats)]
+             ("search_api_stats", Q.search_api_stats),
+             ("pdf_textboxes", Q.pdf_textboxes),
+             ("pdf_roundtrip", Q.pdf_roundtrip),
+             ("docx_roundtrip", Q.docx_roundtrip)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

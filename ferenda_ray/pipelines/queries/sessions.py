@@ -5378,3 +5378,182 @@ def push_roundtrip(sf_dir):
 PUSH_ROUNDTRIP_SQL = """
 SELECT doc_id, text FROM documents
 """
+
+
+# ---------------------------------------------------------------------
+# PDF / Word ingestion oracles (round 5 — the reference's PDFReader /
+# WordReader surfaces, sources/pdf.py + sources/docx.py)
+# ---------------------------------------------------------------------
+
+PDF_WORDS_PER_LINE = 6
+PDF_TOP0, PDF_LINE_STEP, PDF_PARA_GAP = 72, 15, 15
+PDF_LEFT, PDF_BOX_W, PDF_BOX_H, PDF_SIZE = 72, 400, 12, 12
+
+
+def _pdf_lpp(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def pdf_textboxes(sf_dir):
+    """PDF layout parse + line glue through the REAL code path
+    (sources/pdf.py: parse_pdf2xml = pdfreader.py:522-905 _parse_xml,
+    glue_page_boxes = pdfreader.py:961-1071 textboxes() +
+    _default_glue): every document renders to a deterministic pdf2xml
+    intermediate (6-word lines at left=72, 15px line step, 2+doc_id%3
+    lines per paragraph with a 15px paragraph gap — inside the
+    1.5-linespacing glue window within a paragraph, outside it
+    across), the real parser+glue runs, and the SQL oracle recomputes
+    every glued paragraph box (top/bottom/text) from the same
+    arithmetic. Zero shuffle: synthesis+parse+glue are one map pass."""
+    from ...sources.pdf import glue_page_boxes, parse_pdf2xml
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def esc(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    def run(t: pa.Table) -> pa.Table:
+        out_id, out_para, out_top, out_bot, out_text = \
+            [], [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            words = (text or "").split()
+            if not words:
+                continue
+            lpp = _pdf_lpp(did)
+            lines = [words[i:i + PDF_WORDS_PER_LINE]
+                     for i in range(0, len(words), PDF_WORDS_PER_LINE)]
+            parts = ['<pdf2xml><page number="1" width="612" '
+                     'height="100000">',
+                     '<fontspec id="0" size="%d" family="Times" '
+                     'color="#000"/>' % PDF_SIZE]
+            for i, ws in enumerate(lines):
+                para = i // lpp
+                top = PDF_TOP0 + PDF_LINE_STEP * i + PDF_PARA_GAP * para
+                parts.append(
+                    '<text top="%d" left="%d" width="%d" height="%d" '
+                    'font="0">%s </text>'
+                    % (top, PDF_LEFT, PDF_BOX_W, PDF_BOX_H,
+                       esc(" ".join(ws))))
+            parts.append("</page></pdf2xml>")
+            pages = parse_pdf2xml("".join(parts))
+            for p in pages:
+                for seq, box in enumerate(glue_page_boxes(p["boxes"])):
+                    out_id.append(did)
+                    out_para.append(seq)
+                    out_top.append(box["top"])
+                    out_bot.append(box["top"] + box["height"])
+                    out_text.append(box["text"])
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "para": pa.array(out_para, pa.int64()),
+            "top": pa.array(out_top, pa.int64()),
+            "bottom": pa.array(out_bot, pa.int64()),
+            "text": pa.array(out_text, pa.string())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+PDF_TEXTBOXES_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+           FROM documents),
+p AS (SELECT doc_id, w, len(w) AS nw,
+             (len(w) + %(WPL)d - 1) // %(WPL)d AS nlines,
+             2 + doc_id %% 3 AS lpp
+      FROM t WHERE len(w) > 0),
+paras AS (SELECT doc_id, w, nw, nlines, lpp,
+                 CAST(unnest(range((nlines + lpp - 1) // lpp))
+                      AS BIGINT) AS para
+          FROM p)
+SELECT doc_id, para,
+       CAST(%(TOP0)d + %(STEP)d * (para * lpp)
+            + %(GAP)d * para AS BIGINT) AS top,
+       CAST(%(TOP0)d + %(STEP)d * least(nlines - 1, (para+1)*lpp - 1)
+            + %(GAP)d * para + %(H)d AS BIGINT) AS bottom,
+       array_to_string(
+           w[para*lpp*%(WPL)d + 1 :
+             least(nw, (least(nlines - 1, (para+1)*lpp - 1) + 1)
+                   * %(WPL)d)], ' ') || ' ' AS text
+FROM paras
+""" % {"WPL": PDF_WORDS_PER_LINE, "TOP0": PDF_TOP0,
+       "STEP": PDF_LINE_STEP, "GAP": PDF_PARA_GAP, "H": PDF_BOX_H}
+
+
+PDF_CHUNK = 64
+
+
+def pdf_roundtrip(sf_dir):
+    """REAL-PDF round-trip through the exact-correctness gate: every
+    document is written as an actual %%PDF file (sources/pdf.py
+    build_pdf — FlateDecode streams, valid xref) with its text in
+    64-char chunks as Tj show operations, then the content streams
+    are decoded and interpreted back (extract_pdf_text: zlib +
+    BT/ET Tf/Tm/Tj tokenizer) and the chunks reassembled. Equality
+    with the documents table proves the binary writer+parser pair on
+    real bytes — the push_roundtrip discipline applied to PDF. The
+    reference needs poppler's pdftohtml for this step
+    (pdfreader.py:332-404); here decode runs inside map_batches on
+    binary payloads (the multimodal-column contract)."""
+    from ...sources.pdf import build_pdf, extract_pdf_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            text = text or ""
+            shows = [(72, 720 - 15 * j, 12,
+                      text[j * PDF_CHUNK:(j + 1) * PDF_CHUNK])
+                     for j in range((len(text) + PDF_CHUNK - 1)
+                                    // PDF_CHUNK)] or [(72, 720, 12, "")]
+            data = build_pdf([shows])
+            back = "".join(s for _, _, _, _, s in
+                           ((p, x, y, sz, txt) for p, x, y, sz, txt
+                            in extract_pdf_text(data)))
+            ids.append(did)
+            texts.append(back)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+PDF_ROUNDTRIP_SQL = """
+SELECT doc_id, text FROM documents
+"""
+
+
+def docx_roundtrip(sf_dir):
+    """Word (.docx) round-trip: every document written as a REAL docx
+    zip (sources/docx.py build_docx — [Content_Types].xml, rels,
+    document.xml with each paragraph's runs deliberately SPLIT) and
+    read back through parse_docx, which must merge the
+    identically-formatted adjacent runs (the _merge_ooxml rule,
+    wordreader.py:149-180) to reconstruct the exact text. Paragraphs
+    = the document's sentences (split on '. ' — deterministic, SQL-
+    replicable); equality of the rejoined text with the documents
+    table proves zip + OOXML writer/parser and the merge rule."""
+    from ...sources.docx import build_docx, parse_docx
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            paras = (text or "").split(". ")
+            data = build_docx(paras)
+            back = ". ".join(p["text"] for p in parse_docx(data))
+            ids.append(did)
+            texts.append(back)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+DOCX_ROUNDTRIP_SQL = """
+SELECT doc_id, text FROM documents
+"""
