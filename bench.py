@@ -334,7 +334,9 @@ def run_bench() -> dict:
              ("search_api_stats", Q.search_api_stats),
              ("pdf_textboxes", Q.pdf_textboxes),
              ("pdf_roundtrip", Q.pdf_roundtrip),
-             ("docx_roundtrip", Q.docx_roundtrip)]
+             ("docx_roundtrip", Q.docx_roundtrip),
+             ("pdf_margins", Q.pdf_margins),
+             ("pdf_sections", Q.pdf_sections)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

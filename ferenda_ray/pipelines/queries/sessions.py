@@ -5557,3 +5557,436 @@ def docx_roundtrip(sf_dir):
 DOCX_ROUNDTRIP_SQL = """
 SELECT doc_id, text FROM documents
 """
+
+
+PDF_M_TITLE_SIZE, PDF_M_BODY_W = 16, 350
+
+
+def pdf_margins(sf_dir):
+    """PDFAnalyzer layout metrics (pdfanalyze.py:325-549) per source,
+    through the REAL analysis code (sources/pdf.py margins_from_counts
+    + styles_from_counts): every document lays out as a title line
+    (Times-Bold 16 at top 36+2·(doc_id%3)), 6-word body lines
+    (Times 12, left 72 — or 108 for every 5th doc —, right
+    422+10·(doc_id%7)) and a small page-number footer; the analyzer's
+    mode left margin, ceil-binned right margin with the 80%-candidate
+    rule, 0.2% char-weighted header/footer walks and charcount style
+    roles are recomputed by the SQL oracle from the same arithmetic.
+
+    Scale shape: one map pass reduces the corpus to bounded
+    (source, kind, coord, family, size) → charcount histograms
+    (coordinate space ≤ pageheight), one tiny merge block, then an
+    O(sources × pageheight) driver walk — the census discipline."""
+    from ...sources.pdf import margins_from_counts, styles_from_counts
+
+    PAGE_W, PAGE_H = 612, 4000
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+
+    def boxes_of(did: int, text: str):
+        words = (text or "").split()
+        if not words:
+            return
+        title = " ".join(words[:5])
+        yield (36 + 2 * (did % 3), 72, 72 + 300, PDF_M_TITLE_SIZE,
+               "Times-Bold", PDF_M_TITLE_SIZE, title)
+        left = 108 if did % 5 == 0 else 72
+        right = left + PDF_M_BODY_W + 10 * (did % 7)
+        lpp = _pdf_lpp(did)
+        n_lines = (len(words) + PDF_WORDS_PER_LINE - 1) \
+            // PDF_WORDS_PER_LINE
+        for i in range(n_lines):
+            para = i // lpp
+            top = PDF_TOP0 + PDF_LINE_STEP * i + PDF_PARA_GAP * para
+            line = " ".join(
+                words[i * PDF_WORDS_PER_LINE:
+                      (i + 1) * PDF_WORDS_PER_LINE])
+            yield (top, left, right, PDF_BOX_H, "Times", PDF_SIZE,
+                   line)
+        yield (3980, 300, 312, 10, "Times", 6, str(did % 100))
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        rows: dict = {}
+        for did, text, src in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(),
+                                  t["source"].to_pylist()):
+            for top, left, right, h, fam, size, txt in \
+                    boxes_of(did, text):
+                n = len(txt.strip())
+                for kind, coord in (("left", left), ("right", right),
+                                    ("top", top),
+                                    ("bottom", top + h)):
+                    w = 1 if kind in ("left", "right") else n
+                    key = (src, kind, coord, "", 0)
+                    rows[key] = rows.get(key, 0) + w
+                key = (src, "style", 0, fam, size)
+                rows[key] = rows.get(key, 0) + n
+        if not rows:
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "kind": pd.Series(dtype=object),
+                                 "coord": pd.Series(dtype="int64"),
+                                 "family": pd.Series(dtype=object),
+                                 "size": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        ks = list(rows)
+        return pd.DataFrame({
+            "source": [k[0] for k in ks],
+            "kind": [k[1] for k in ks],
+            "coord": pd.Series([k[2] for k in ks], dtype="int64"),
+            "family": [k[3] for k in ks],
+            "size": pd.Series([k[4] for k in ks], dtype="int64"),
+            "n": pd.Series([rows[k] for k in ks], dtype="int64")})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["source", "kind", "coord", "family", "size"],
+                       as_index=False)["n"].sum())
+        out = []
+        for src, sg in g.groupby("source"):
+            def counter(kind):
+                k = sg[sg["kind"] == kind]
+                return dict(zip(k["coord"].astype(int),
+                                k["n"].astype(int)))
+            m = margins_from_counts(counter("left"), counter("right"),
+                                    counter("top"), counter("bottom"),
+                                    PAGE_W, PAGE_H)
+            st = sg[sg["kind"] == "style"]
+            sc = {(f, int(s)): int(n) for f, s, n in
+                  zip(st["family"], st["size"], st["n"])}
+            roles = styles_from_counts(sc)
+            out.append({
+                "source": src,
+                "leftmargin": m["leftmargin"],
+                "rightmargin": m["rightmargin"],
+                "topmargin": m["topmargin"],
+                "bottommargin": m["bottommargin"],
+                "default_family": roles["default"][0],
+                "default_size": roles["default"][1],
+                "h1_family": roles.get("h1", ("", 0))[0],
+                "h1_size": roles.get("h1", ("", 0))[1]})
+        df = pd.DataFrame(out).sort_values("source") \
+            .reset_index(drop=True)
+        for c in ("leftmargin", "rightmargin", "topmargin",
+                  "bottommargin", "default_size", "h1_size"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"), finish)
+
+
+PDF_MARGINS_SQL = """
+WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS w
+           FROM documents),
+d AS (SELECT doc_id, source, w, len(w) AS nw,
+             (len(w) + 5) // 6 AS nlines, 2 + doc_id % 3 AS lpp,
+             CASE WHEN doc_id % 5 = 0 THEN 108 ELSE 72 END AS bleft,
+             CASE WHEN doc_id % 5 = 0 THEN 108 ELSE 72 END
+               + 350 + 10 * (doc_id % 7) AS bright
+      FROM t WHERE len(w) > 0),
+-- every box: (source, left, right, top, bottom, family, size, chars)
+boxes AS (
+  SELECT source, 72 AS l, 372 AS r, 36 + 2 * (doc_id % 3) AS top,
+         36 + 2 * (doc_id % 3) + 16 AS bottom,
+         'Times-Bold' AS family, 16 AS size,
+         length(trim(array_to_string(w[1:least(nw,5)], ' '))) AS chars
+  FROM d
+  UNION ALL
+  SELECT source, bleft, bright,
+         72 + 15 * i + 15 * (i // lpp),
+         72 + 15 * i + 15 * (i // lpp) + 12,
+         'Times', 12,
+         length(trim(array_to_string(
+             w[i*6 + 1:least(nw, (i+1)*6)], ' ')))
+  FROM d, LATERAL (SELECT CAST(unnest(range(nlines)) AS BIGINT) AS i)
+  UNION ALL
+  SELECT source, 300, 312, 3980, 3990, 'Times', 6,
+         length(CAST(doc_id % 100 AS VARCHAR))
+  FROM d),
+-- left margin: mode of left edges below midpage (ties: smaller)
+lm AS (
+  SELECT source, l AS leftmargin FROM (
+    SELECT source, l, count(*) AS n,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, l ASC) AS rk
+    FROM boxes WHERE 2 * l < 612 GROUP BY source, l)
+  WHERE rk = 1),
+-- right margin: ceil-10 bins above midpage, candidates 5n>=4top, max
+rbins AS (
+  SELECT source, ((r + 9) // 10) * 10 AS bin, count(*) AS n
+  FROM boxes WHERE 2 * r > 612 GROUP BY source, ((r + 9) // 10) * 10),
+rm AS (
+  SELECT b.source, max(b.bin) AS rightmargin
+  FROM rbins b JOIN (SELECT source, max(n) AS top FROM rbins
+                     GROUP BY source) m ON b.source = m.source
+  WHERE 5 * b.n >= 4 * m.top GROUP BY b.source),
+-- header / footer: 0.2% char-weighted cumulative walks
+tots AS (SELECT source, sum(chars) AS total FROM boxes
+         GROUP BY source),
+tcum AS (
+  SELECT source, top AS coord,
+         sum(sum(chars)) OVER (PARTITION BY source ORDER BY top)
+           AS cum
+  FROM boxes GROUP BY source, top),
+hm AS (
+  SELECT t.source, min(t.coord) - 1 AS topmargin
+  FROM tcum t JOIN tots ON t.source = tots.source
+  WHERE 1000 * t.cum > 2 * tots.total GROUP BY t.source),
+bcum AS (
+  SELECT source, bottom AS coord,
+         sum(sum(chars)) OVER (PARTITION BY source
+                               ORDER BY bottom DESC) AS cum
+  FROM boxes GROUP BY source, bottom),
+fm AS (
+  SELECT b.source, max(b.coord) + 1 AS bottommargin
+  FROM bcum b JOIN tots ON b.source = tots.source
+  WHERE 1000 * b.cum > 2 * tots.total GROUP BY b.source),
+-- styles: charcount mode (ties: smaller fontsize_key, family)
+styles AS (SELECT source, family, size, sum(chars) AS n
+           FROM boxes GROUP BY source, family, size),
+defs AS (
+  SELECT source, family AS default_family, size AS default_size
+  FROM (SELECT source, family, size, n,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n DESC, size ASC,
+                 CASE WHEN family LIKE '%Bold%' THEN 2
+                      WHEN family LIKE '%Italic%' THEN 1
+                      ELSE 0 END ASC, family ASC) AS rk
+        FROM styles)
+  WHERE rk = 1),
+h1s AS (
+  SELECT s.source, s.family AS h1_family, s.size AS h1_size
+  FROM (SELECT st.source, st.family, st.size, st.n,
+               row_number() OVER (PARTITION BY st.source
+                 ORDER BY st.size DESC,
+                 CASE WHEN st.family LIKE '%Bold%' THEN 2
+                      WHEN st.family LIKE '%Italic%' THEN 1
+                      ELSE 0 END DESC, st.family DESC) AS rk
+        FROM styles st
+        JOIN defs ON st.source = defs.source
+        JOIN tots ON st.source = tots.source
+        WHERE 1000 * st.n > 5 * tots.total
+          AND (st.size > defs.default_size
+               OR (st.size = defs.default_size
+                   AND (CASE WHEN st.family LIKE '%Bold%' THEN 2
+                             WHEN st.family LIKE '%Italic%' THEN 1
+                             ELSE 0 END)
+                     > (CASE WHEN defs.default_family
+                               LIKE '%Bold%' THEN 2
+                             WHEN defs.default_family
+                               LIKE '%Italic%' THEN 1
+                             ELSE 0 END)))) s
+  WHERE s.rk = 1)
+SELECT lm.source, CAST(lm.leftmargin AS BIGINT) AS leftmargin,
+       CAST(rm.rightmargin AS BIGINT) AS rightmargin,
+       CAST(hm.topmargin AS BIGINT) AS topmargin,
+       CAST(fm.bottommargin AS BIGINT) AS bottommargin,
+       defs.default_family, CAST(defs.default_size AS BIGINT)
+         AS default_size,
+       coalesce(h1s.h1_family, '') AS h1_family,
+       CAST(coalesce(h1s.h1_size, 0) AS BIGINT) AS h1_size
+FROM lm JOIN rm ON lm.source = rm.source
+JOIN hm ON lm.source = hm.source
+JOIN fm ON lm.source = fm.source
+JOIN defs ON lm.source = defs.source
+LEFT JOIN h1s ON lm.source = h1s.source
+ORDER BY lm.source
+"""
+
+
+PDF_SEC_PARAS = 4   # body paragraphs per section
+
+
+def pdf_sections(sf_dir):
+    """PDF → structured document: the reference's
+    PDFReader-feeds-sectionizer composition (pdfreader textboxes →
+    FSM/style-driven section split, the repo pattern of e.g.
+    ferenda/sources/tech — headings recognized BY STYLE ROLE, not by
+    markup): documents render as pdf2xml with a Times-Bold-16 heading
+    before every 4 body paragraphs, the real parse+glue runs, the
+    heading ROLE is derived from the analyzer's style census (the h1
+    of styles_from_counts per source — not hardcoded), and glued
+    boxes fold into (doc_id, sec, title, n_paras, top) sections.
+
+    Two bounded passes: the style census (map partials → tiny merge →
+    20 driver rows, broadcast back by closure) and the per-doc
+    parse+glue+fold map. SQL replays both — including deriving h1
+    from the same census arithmetic."""
+    from ...sources.pdf import (
+        glue_page_boxes,
+        parse_pdf2xml,
+        styles_from_counts,
+    )
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+
+    def esc(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    def synth(did: int, text: str) -> str | None:
+        words = (text or "").split()
+        if not words:
+            return None
+        lpp = _pdf_lpp(did)
+        nlines = (len(words) + PDF_WORDS_PER_LINE - 1) \
+            // PDF_WORDS_PER_LINE
+        parts = ['<pdf2xml><page number="1" width="612" '
+                 'height="100000">',
+                 '<fontspec id="0" size="%d" family="Times" '
+                 'color="#000"/>' % PDF_SIZE,
+                 '<fontspec id="1" size="%d" family="Times-Bold" '
+                 'color="#000"/>' % PDF_M_TITLE_SIZE]
+        for i in range(nlines):
+            para = i // lpp
+            if i % (lpp * PDF_SEC_PARAS) == 0:
+                k = para // PDF_SEC_PARAS
+                gl = i + k
+                pidx = para + k
+                top = PDF_TOP0 + PDF_LINE_STEP * gl \
+                    + PDF_PARA_GAP * pidx
+                parts.append(
+                    '<text top="%d" left="%d" width="300" '
+                    'height="%d" font="1">Part %d</text>'
+                    % (top, PDF_LEFT, PDF_M_TITLE_SIZE, k + 1))
+            nheads = para // PDF_SEC_PARAS + 1
+            gl = i + nheads
+            pidx = para + nheads
+            top = PDF_TOP0 + PDF_LINE_STEP * gl + PDF_PARA_GAP * pidx
+            line = " ".join(words[i * PDF_WORDS_PER_LINE:
+                                  (i + 1) * PDF_WORDS_PER_LINE])
+            parts.append(
+                '<text top="%d" left="%d" width="%d" height="%d" '
+                'font="0">%s </text>'
+                % (top, PDF_LEFT, PDF_BOX_W, PDF_BOX_H, esc(line)))
+        parts.append("</page></pdf2xml>")
+        return "".join(parts)
+
+    # pass 1: style census per source → h1 role (the analyzer's)
+    def style_part(t: pa.Table) -> pd.DataFrame:
+        rows: dict = {}
+        for did, text, src in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(),
+                                  t["source"].to_pylist()):
+            xml = synth(did, text)
+            if xml is None:
+                continue
+            for page in parse_pdf2xml(xml):
+                for b in page["boxes"]:
+                    key = (src, b["family"], b["size"])
+                    rows[key] = rows.get(key, 0) \
+                        + len(b["text"].strip())
+        ks = list(rows)
+        return pd.DataFrame({
+            "source": [k[0] for k in ks],
+            "family": [k[1] for k in ks],
+            "size": pd.Series([k[2] for k in ks], dtype="int64"),
+            "n": pd.Series([rows[k] for k in ks], dtype="int64")})
+
+    census = _merge_partials(
+        ds.map_batches(style_part, batch_format="pyarrow"),
+        lambda g: g.groupby(["source", "family", "size"],
+                            as_index=False)["n"].sum()).to_pandas()
+    h1_by_source = {}
+    for src, sg in census.groupby("source"):
+        sc = {(f, int(s)): int(n) for f, s, n in
+              zip(sg["family"], sg["size"], sg["n"])}
+        roles = styles_from_counts(sc)
+        if "h1" in roles:
+            h1_by_source[src] = roles["h1"]
+
+    # pass 2: parse + glue + fold into sections under h1-role boxes
+    def fold(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in
+               ("doc_id", "sec", "title", "n_paras", "top")}
+        for did, text, src in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(),
+                                  t["source"].to_pylist()):
+            xml = synth(did, text)
+            if xml is None:
+                continue
+            h1 = h1_by_source.get(src)
+            sec = -1
+            for page in parse_pdf2xml(xml):
+                for box in glue_page_boxes(page["boxes"]):
+                    if (box["family"], box["size"]) == h1:
+                        sec += 1
+                        out["doc_id"].append(did)
+                        out["sec"].append(sec)
+                        out["title"].append(box["text"])
+                        out["n_paras"].append(0)
+                        out["top"].append(box["top"])
+                    elif sec >= 0:
+                        out["n_paras"][-1] += 1
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "sec": pa.array(out["sec"], pa.int64()),
+            "title": pa.array(out["title"], pa.string()),
+            "n_paras": pa.array(out["n_paras"], pa.int64()),
+            "top": pa.array(out["top"], pa.int64())})
+
+    return ds.map_batches(fold, batch_format="pyarrow")
+
+
+PDF_SECTIONS_SQL = """
+WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS w
+           FROM documents),
+d AS (SELECT doc_id, source, len(w) AS nw,
+             (len(w) + 5) // 6 AS nlines, 2 + doc_id %% 3 AS lpp
+      FROM t WHERE len(w) > 0),
+dd AS (SELECT *, (nlines + lpp - 1) // lpp AS nparas FROM d),
+-- the style census the analyzer derives h1 from: headings carry
+-- 'Part N' (len 6 for N<10, 7 for N<100, ...), body carries the
+-- line chars — h1 = largest significant non-default style
+chars AS (
+  SELECT source, 'Times-Bold' AS family, 16 AS size,
+         sum(length('Part ' || CAST(k + 1 AS VARCHAR)))
+           AS n
+  FROM dd, LATERAL (SELECT CAST(unnest(range((nparas + %(SP)d - 1)
+                                             // %(SP)d)) AS BIGINT)
+                    AS k)
+  GROUP BY source
+  UNION ALL
+  SELECT d2.source, 'Times', 12,
+         sum(length(trim(array_to_string(
+             t2.w[i*6 + 1:least(d2.nw, (i+1)*6)], ' '))))
+  FROM dd d2 JOIN t t2 USING (doc_id),
+       LATERAL (SELECT CAST(unnest(range(d2.nlines)) AS BIGINT)
+                AS i)
+  GROUP BY d2.source),
+tots AS (SELECT source, sum(n) AS total FROM chars GROUP BY source),
+defs AS (
+  SELECT source, family AS dfam, size AS dsize FROM (
+    SELECT source, family, size, n,
+           row_number() OVER (PARTITION BY source
+             ORDER BY n DESC, size ASC,
+             CASE WHEN family LIKE '%%Bold%%' THEN 2
+                  WHEN family LIKE '%%Italic%%' THEN 1
+                  ELSE 0 END ASC, family ASC) AS rk
+    FROM chars) WHERE rk = 1),
+h1s AS (
+  SELECT source, family AS h1fam, size AS h1size FROM (
+    SELECT c.source, c.family, c.size,
+           row_number() OVER (PARTITION BY c.source
+             ORDER BY c.size DESC, c.family DESC) AS rk
+    FROM chars c JOIN defs ON c.source = defs.source
+    JOIN tots ON c.source = tots.source
+    WHERE 1000 * c.n > 5 * tots.total AND c.size > defs.dsize)
+  WHERE rk = 1)
+-- sections: heading k sits before body paragraph 4k; its glued-box
+-- top replays the slot arithmetic (gl = body lines before + k,
+-- paragraph index = body paras before + k)
+SELECT dd.doc_id, CAST(k AS BIGINT) AS sec,
+       'Part ' || CAST(k + 1 AS VARCHAR) AS title,
+       CAST(least(dd.nparas - k * %(SP)d, %(SP)d) AS BIGINT)
+         AS n_paras,
+       CAST(%(T0)d + %(ST)d * (least(k * %(SP)d * dd.lpp, dd.nlines)
+                               + k)
+            + %(GAP)d * (least(k * %(SP)d, dd.nparas) + k)
+            AS BIGINT) AS top
+FROM dd JOIN h1s ON dd.source = h1s.source
+     AND h1s.h1fam = 'Times-Bold' AND h1s.h1size = 16,
+     LATERAL (SELECT CAST(unnest(range((dd.nparas + %(SP)d - 1)
+                                       // %(SP)d)) AS BIGINT) AS k)
+""" % {"SP": PDF_SEC_PARAS, "T0": PDF_TOP0, "ST": PDF_LINE_STEP,
+       "GAP": PDF_PARA_GAP}
