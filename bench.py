@@ -336,7 +336,8 @@ def run_bench() -> dict:
              ("pdf_roundtrip", Q.pdf_roundtrip),
              ("docx_roundtrip", Q.docx_roundtrip),
              ("pdf_margins", Q.pdf_margins),
-             ("pdf_sections", Q.pdf_sections)]
+             ("pdf_sections", Q.pdf_sections),
+             ("pdf_pagination", Q.pdf_pagination)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

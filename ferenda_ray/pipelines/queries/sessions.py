@@ -5990,3 +5990,81 @@ FROM dd JOIN h1s ON dd.source = h1s.source
                                        // %(SP)d)) AS BIGINT) AS k)
 """ % {"SP": PDF_SEC_PARAS, "T0": PDF_TOP0, "ST": PDF_LINE_STEP,
        "GAP": PDF_PARA_GAP}
+
+
+def pdf_pagination(sf_dir):
+    """Physical→printed page-number mapping (pdfanalyze.py:114-236
+    paginate / guess_pagenumber family) through the REAL code path
+    (sources/pdf.py paginate_pages): every document renders as a
+    multi-page pdf2xml — doc_id%3 roman front-matter pages ('i',
+    'ii'), then arabic body pages restarting at 1, every page also
+    carrying a '2013' header (the year guard must ignore it), and
+    every 5th document OMITS its page-3 number box (the walk must
+    carry the expectation forward). The strict-arabic rule, the
+    roman-only-on-page-1-or-roman-expectation rule, the
+    probable-first/smallest-≥/TypeError-fallback selection and
+    util.increment's roman carry all execute for real; the SQL
+    oracle recomputes the printed string per physical page from the
+    same arithmetic. One map pass, zero shuffle."""
+    from ...sources.pdf import paginate_pages, parse_pdf2xml
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        from ...functions import to_roman
+
+        out_id, out_phys, out_printed = [], [], []
+        for did in t["doc_id"].to_pylist():
+            front = did % 3
+            total = 3 + did % 4
+            parts = ["<pdf2xml>"]
+            for k in range(1, total + 1):
+                parts.append(
+                    '<page number="%d" width="612" height="792">' % k)
+                parts.append(
+                    '<fontspec id="0" size="10" family="Times" '
+                    'color="#000"/>' if k == 1 else "")
+                parts.append(
+                    '<text top="20" left="400" width="40" '
+                    'height="10" font="0">2013</text>')
+                parts.append(
+                    '<text top="60" left="72" width="300" '
+                    'height="10" font="0">body of page %d</text>' % k)
+                # omit page 3's number only for all-arabic docs:
+                # an omission AT the roman→arabic switch would keep
+                # the roman expectation (walk-correct, but then the
+                # printed value is genuinely path-dependent)
+                if not (k == 3 and did % 5 == 0 and front == 0):
+                    num = to_roman(k, lower=True) if k <= front \
+                        else str(k - front)
+                    parts.append(
+                        '<text top="770" left="300" width="20" '
+                        'height="10" font="0">%s</text>' % num)
+                parts.append("</page>")
+            parts.append("</pdf2xml>")
+            pages = parse_pdf2xml("".join(parts),
+                                  detect_footnotes=False)
+            mapping = paginate_pages(
+                [(p["number"], p["boxes"]) for p in pages])
+            for phys, printed in mapping:
+                out_id.append(did)
+                out_phys.append(phys)
+                out_printed.append(str(printed))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "physical": pa.array(out_phys, pa.int64()),
+            "printed": pa.array(out_printed, pa.string())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+PDF_PAGINATION_SQL = """
+WITH d AS (SELECT doc_id, doc_id % 3 AS front,
+                  3 + doc_id % 4 AS total FROM documents)
+SELECT doc_id, CAST(k AS BIGINT) AS physical,
+       CASE WHEN k <= front THEN (CASE k WHEN 1 THEN 'i'
+                                         WHEN 2 THEN 'ii' END)
+            ELSE CAST(k - front AS VARCHAR) END AS printed
+FROM d, LATERAL (SELECT CAST(unnest(range(1, total + 1)) AS BIGINT)
+                 AS k)
+"""

@@ -698,3 +698,96 @@ def build_pdf(pages, compress: bool = True) -> bytes:
             b"startxref\n%d\n%%%%EOF\n"
             % (len(objs) + 1, catalog, xref))
     return bytes(buf)
+
+
+# ---------------------------------------------------------------------
+# pagination: physical page → printed page number
+# (pdfanalyze.py:114-236 paginate / guess_pagenumber*)
+# ---------------------------------------------------------------------
+
+PAGINATION_MIN_SIZE = 6   # pdfanalyze.PDFAnalyzer.pagination_min_size
+
+_ARABIC_RE = re.compile(r"[0-9]+$")
+
+
+def guess_pagenumber_boxes(boxes):
+    """The last 5 + first 5 boxes of a page, font size ≥ the
+    pagination minimum (filters footnote markers) —
+    guess_pagenumber_boxes, pdfanalyze.py:211-216."""
+    return [b for b in list(reversed(boxes))[:5] + list(boxes)[:5]
+            if b["size"] >= PAGINATION_MIN_SIZE]
+
+
+def guess_pagenumber_candidates(boxes, page_number,
+                                probable_pagenumber):
+    """pdfanalyze.py:189-209: strict-arabic tokens (the [0-9]+$ rule
+    — .isdigit() matches too much) with the <1900 year guard; roman
+    tokens only on the first physical page or while the expected
+    number is itself roman."""
+    from ..functions import is_roman
+
+    out = []
+    for box in guess_pagenumber_boxes(boxes):
+        el = box["text"].strip()
+        if _ARABIC_RE.match(el) and (
+                int(el) < 1900
+                or (isinstance(probable_pagenumber, int)
+                    and probable_pagenumber >= 1900)):
+            out.append(int(el))
+        elif ((page_number == 1 or is_roman(probable_pagenumber))
+              and is_roman(el)):
+            out.append(el)
+    return out
+
+
+def guess_pagenumber_select(candidates, probable_pagenumber):
+    """pdfanalyze.py:219-236: the expected number itself wins when
+    present; else the smallest candidate ≥ expected; a mixed
+    roman/arabic comparison falls back to the first candidate; no
+    suitable candidate → None."""
+    if probable_pagenumber in candidates:
+        return probable_pagenumber
+    try:
+        return next(c for c in sorted(candidates)
+                    if c >= probable_pagenumber)
+    except TypeError:
+        return candidates[0]
+    except StopIteration:
+        return None
+
+
+def _increment(v, amount=1):
+    """util.increment (ferenda/util.py:712-722): arabic ints add;
+    roman strings increment as romans, preserving case."""
+    from ..functions import from_roman, is_roman, to_roman
+
+    if is_roman(v):
+        lower = v.islower()
+        s = to_roman(from_roman(v) + amount)
+        return s.lower() if lower else s
+    return v + amount
+
+
+def paginate_pages(pages):
+    """[(page_number, boxes)] → [(page_number, printed)] — the core
+    walk of pdfanalyze.paginate (pdfanalyze.py:114-180): carry an
+    expected printed number forward (incremented by the physical
+    page skip), let each page's guess override it, keep the
+    expectation when a page offers no guess. (The reference's
+    double-misguess repair state machine is driven by logging
+    concerns; the mapping it produces for consistently paginated
+    documents is this walk's.)"""
+    out = []
+    current = 0
+    last_physical = 0
+    for number, boxes in pages:
+        current = _increment(current, number - last_physical)
+        last_physical = number
+        guess = None
+        cands = guess_pagenumber_candidates(boxes, number, current)
+        if cands:
+            guess = guess_pagenumber_select(cands, current)
+        if guess is not None:
+            current = guess
+        out.append((number, current))
+    return out
