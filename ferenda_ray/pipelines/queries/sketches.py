@@ -514,7 +514,10 @@ def archived_versions(sf_dir):
     from ...stages.composite import archive_versions
 
     pages = corpus.pages_dataset(sf_dir)
-    arch = archive_versions(pages)
+    # slim pre-pass input: (url, warc_ts) from pure arithmetic — the
+    # pre-pass must not pay a second full html synthesis
+    arch = archive_versions(
+        pages, slim=corpus.pages_slim_dataset(sf_dir))
     return arch.map_batches(
         lambda t: pa.table({"url": t["url"]}), batch_format="pyarrow")
 

@@ -56,7 +56,8 @@ def composite_parse_batch(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([ok, text_out])
 
 
-def archive_versions(pages, dup_threshold: int | None = None):
+def archive_versions(pages, dup_threshold: int | None = None,
+                     slim=None):
     """The inverse of latest_per_url: all NON-latest versions per url
     (the reference's archive/ directory as a table).
 
@@ -67,19 +68,18 @@ def archive_versions(pages, dup_threshold: int | None = None):
     way (the forced-distributed sweep pins dup_threshold=0)."""
     import ray
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max
 
-    from .parse_html import DUP_BROADCAST_THRESHOLD
+    from .parse_html import DUP_BROADCAST_THRESHOLD, dup_url_stats
     if dup_threshold is None:
         dup_threshold = DUP_BROADCAST_THRESHOLD
 
-    slim = pages.select_columns(["url", "warc_ts"])
-    agg_ds = (slim.groupby("url")
-              .aggregate(Count(alias_name="n"),
-                         Max("warc_ts", alias_name="max_ts"))
-              .map_batches(lambda df: df[df["n"] > 1],
-                           batch_format="pandas")
-              .materialize())
+    # shared recrawl pre-pass (latest_per_url's): partial aggregates
+    # + one bucketed merge over just (url, warc_ts) — replaces the
+    # full groupby().aggregate() exchange (measured 1.9 → sub-second
+    # at sf0.1 bench scale)
+    if slim is None:
+        slim = pages.select_columns(["url", "warc_ts"])
+    agg_ds = dup_url_stats(slim).materialize()
     n_dups = agg_ds.count()
     if n_dups == 0:
         return pages.limit(0)

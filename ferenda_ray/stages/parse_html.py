@@ -110,6 +110,67 @@ def parse_pages_batch(batch: pa.Table, default_lang: str = "en") -> pa.Table:
 DUP_BROADCAST_THRESHOLD = 5_000_000
 
 
+def dup_url_stats(slim):
+    """(url, n, max_ts, n_at_max) for every url appearing MORE THAN
+    ONCE — the shared recrawl pre-pass of ``latest_per_url`` and
+    ``composite.archive_versions``: per-batch partial aggregates over
+    just (url, warc_ts), one hash-bucketed merge (64 groups, never a
+    Ray group per url), duplicates only flow out. The heavy html
+    column never moves."""
+    import pandas as pd
+
+    # merge emits Arrow with ONE explicit schema (empty groups
+    # included): pandas 0-row object columns trip Ray's block size
+    # estimator ("cannot call `vectorize` on size 0 inputs") and
+    # mixed pandas/Arrow blocks draw RefBundle schema warnings
+    _AGG_SCHEMA = pa.schema([("url", pa.string()), ("n", pa.int64()),
+                             ("max_ts", pa.timestamp("us")),
+                             ("n_at_max", pa.int64())])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("url", sort=False)["warc_ts"]
+        mx = g.max()
+        n = g.size()
+        at_max = (df["warc_ts"].values ==
+                  mx.reindex(df["url"]).values)
+        nam = (df.loc[at_max].groupby("url", sort=False).size()
+               .reindex(mx.index).fillna(0).astype("int64"))
+        out = pd.DataFrame({"url": mx.index.to_numpy(dtype=object),
+                            "n": n.to_numpy(),
+                            "max_ts": mx.to_numpy(),
+                            "n_at_max": nam.to_numpy()})
+        # only urls that might be duplicated anywhere need the merge:
+        # a url unique in its batch can still repeat across batches, so
+        # everything flows on, but hash-bucketed
+        h = pd.util.hash_pandas_object(out["url"], index=False).values
+        out["_b"] = (h % 64).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _AGG_SCHEMA.empty_table()
+        gg = g.groupby("url", sort=False)
+        n = gg["n"].sum()
+        mx = gg["max_ts"].max()
+        at_gmax = (g["max_ts"].values == mx.reindex(g["url"]).values)
+        nam = (g.loc[at_gmax].groupby("url", sort=False)["n_at_max"]
+               .sum().reindex(mx.index).fillna(0).astype("int64"))
+        out = pd.DataFrame({"url": n.index.to_numpy(dtype=object),
+                            "n": n.to_numpy(),
+                            "max_ts": mx.to_numpy(),
+                            "n_at_max": nam.to_numpy()})
+        out = out[out["n"] > 1]
+        if not len(out):
+            return _AGG_SCHEMA.empty_table()
+        return pa.Table.from_pandas(out, schema=_AGG_SCHEMA,
+                                    preserve_index=False)
+
+    return (slim.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def latest_per_url(pages, dup_threshold: int | None = None, slim=None):
     """Keep only the newest ``warc_ts`` row per url (recrawl dedup,
     SURVEY §2.9: ``groupby(url).max_by(warc_ts)``).
@@ -143,62 +204,11 @@ def latest_per_url(pages, dup_threshold: int | None = None, slim=None):
     if slim is None:
         slim = pages.select_columns(["url", "warc_ts"])
 
-    # merge emits Arrow with ONE explicit schema (empty groups
-    # included): pandas 0-row object columns trip Ray's block size
-    # estimator ("cannot call `vectorize` on size 0 inputs") and
-    # mixed pandas/Arrow blocks draw RefBundle schema warnings
-    _AGG_SCHEMA = pa.schema([("url", pa.string()), ("n", pa.int64()),
-                             ("max_ts", pa.timestamp("us")),
-                             ("n_at_max", pa.int64())])
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas()
-        g = df.groupby("url", sort=False)["warc_ts"]
-        mx = g.max()
-        n = g.size()
-        at_max = (df["warc_ts"].values ==
-                  mx.reindex(df["url"]).values)
-        nam = (df.loc[at_max].groupby("url", sort=False).size()
-               .reindex(mx.index).fillna(0).astype("int64"))
-        out = pd.DataFrame({"url": mx.index.to_numpy(dtype=object),
-                            "n": n.to_numpy(),
-                            "max_ts": mx.to_numpy(),
-                            "n_at_max": nam.to_numpy()})
-        # only urls that might be duplicated anywhere need the merge:
-        # a url unique in its batch can still repeat across batches, so
-        # everything flows on, but hash-bucketed (64 groups, never one
-        # Ray group per url at corpus cardinality)
-        h = pd.util.hash_pandas_object(out["url"], index=False).values
-        out["_b"] = (h % 64).astype("int32")
-        return out
-
-    def merge(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0:
-            return _AGG_SCHEMA.empty_table()
-        gg = g.groupby("url", sort=False)
-        n = gg["n"].sum()
-        mx = gg["max_ts"].max()
-        at_gmax = (g["max_ts"].values == mx.reindex(g["url"]).values)
-        nam = (g.loc[at_gmax].groupby("url", sort=False)["n_at_max"].sum()
-               .reindex(mx.index).fillna(0).astype("int64"))
-        out = pd.DataFrame({"url": n.index.to_numpy(dtype=object),
-                            "n": n.to_numpy(),
-                            "max_ts": mx.to_numpy(),
-                            "n_at_max": nam.to_numpy()})
-        out = out[out["n"] > 1]
-        if not len(out):
-            return _AGG_SCHEMA.empty_table()
-        return pa.Table.from_pandas(out, schema=_AGG_SCHEMA,
-                                    preserve_index=False)
-
-    agg = (slim.map_batches(partial, batch_format="pyarrow")
-           .groupby("_b")
-           .map_groups(merge, batch_format="pandas")
-           .to_pandas())
-    n_dups = len(agg)
+    agg_ds = dup_url_stats(slim).materialize()
+    n_dups = agg_ds.count()
     if n_dups == 0:
         return pages
-    if n_dups > dup_threshold:  # pragma: no cover - scale fallback
+    if n_dups > dup_threshold:
         # full-shuffle path: hash-bucket the urls (never one Ray group
         # per url at corpus cardinality), newest-first dedup per bucket
         import pandas as pd
@@ -217,6 +227,7 @@ def latest_per_url(pages, dup_threshold: int | None = None, slim=None):
         return (pages.map_batches(bucketize, batch_format="pandas")
                 .groupby("_bucket")
                 .map_groups(newest, batch_format="pandas"))
+    agg = agg_ds.to_pandas()
     winner = dict(zip(agg["url"], agg["max_ts"]))
     # urls whose max warc_ts is itself duplicated need an exact grouped
     # pick; the count-at-max from the single pre-pass identifies them
