@@ -49,6 +49,7 @@ reference's ``<xsl:param>`` configuration knobs.
 
 from __future__ import annotations
 
+import functools
 import io
 import os
 import re
@@ -199,12 +200,21 @@ class _Ctx:
         self.engine = engine
 
 
+@functools.lru_cache(maxsize=4096)
+def _xp_tokens_cached(text: str) -> tuple:
+    """Token stream per expression text — stylesheets evaluate the
+    same handful of expressions once per NODE, so memoizing the
+    tokenizer removes the per-evaluation regex scan (the tuple is
+    immutable; evaluation state lives on the _XPath instance)."""
+    return tuple(_xp_tokenize(text))
+
+
 class _XPath:
     """One parsed expression, evaluated against a context."""
 
     def __init__(self, text: str):
         self.text = text
-        self.toks = _xp_tokenize(text)
+        self.toks = _xp_tokens_cached(text)
 
     # --- public ---
     def evaluate(self, ctx: _Ctx):
