@@ -62,6 +62,7 @@ BOX_SCHEMA = pa.schema([
     ("size", pa.int32()),
     ("text", pa.string()),
     ("tags", pa.string()),      # e.g. "|b|i|" member tags, "" if none
+    ("uris", pa.string()),      # "|"-joined link hrefs in the box
     ("page_width", pa.int32()),
     ("page_height", pa.int32()),
 ])
@@ -83,39 +84,41 @@ def _txt(s) -> str:
 
 
 def _element_texts(el):
-    """One pdf2xml <text> element → list of (tag, text) member
+    """One pdf2xml <text> element → list of (tag, text, uri) member
     elements: plain runs tag '', <b>→'b', <i>→'i', <b><i>→'bi',
-    <a href>→'a' (the Textelement/LinkedTextelement tag model,
-    pdfreader.py:814-906), whitespace-only members merged into the
-    previous member when present (the 'merge whitespace-only-boxes'
-    rule at pdfreader.py:795-812)."""
+    <a href>→'a' with the href carried as ``uri`` (the
+    Textelement/LinkedTextelement model, pdfreader.py:814-906),
+    whitespace-only members merged into the previous member when
+    present (the 'merge whitespace-only-boxes' rule at
+    pdfreader.py:795-812)."""
     out = []
 
-    def emit(tag, s):
+    def emit(tag, s, uri):
         if s is None or s == "":
             return
         s = _txt(s)
-        if out and s.strip() == "" and out[-1][0] == tag:
-            out[-1] = (tag, out[-1][1] + s)
+        if out and s.strip() == "" and out[-1][0] == tag                 and out[-1][2] == uri:
+            out[-1] = (tag, out[-1][1] + s, uri)
         elif out and s.strip() == "":
             # whitespace-only member: merge with previous even if the
             # tag differs (the tag of whitespace is irrelevant)
-            out[-1] = (out[-1][0], out[-1][1] + s)
+            out[-1] = (out[-1][0], out[-1][1] + s, out[-1][2])
         else:
-            out.append((tag, s))
+            out.append((tag, s, uri))
 
-    def walk(node, tag):
-        emit(tag, node.text)
+    def walk(node, tag, uri):
+        emit(tag, node.text, uri)
         for child in node:
             ctag = {"b": "b", "i": "i", "a": "a"}.get(child.tag, "")
+            curi = child.get("href") if child.tag == "a" else uri
             if tag and ctag and ctag != tag:
                 ctag = tag + ctag  # <b><i> → "bi"
             elif tag and not ctag:
                 ctag = tag
-            walk(child, ctag)
-            emit(tag, child.tail)
+            walk(child, ctag, curi)
+            emit(tag, child.tail, uri)
 
-    walk(el, "")
+    walk(el, "", None)
     return out
 
 
@@ -163,6 +166,7 @@ def parse_pdf2xml(data, detect_footnotes: bool = True):
                 continue  # empty textbox elimination
             font = fontspec.get(int(element.get("font", "0")),
                                 {"family": "", "size": 0})
+            uris = sorted({m[2] for m in members if m[2]})
             box = {
                 "top": int(element.get("top")),
                 "left": int(element.get("left")),
@@ -172,6 +176,7 @@ def parse_pdf2xml(data, detect_footnotes: bool = True):
                 "size": font["size"],
                 "text": text,
                 "tags": _tags_of(m[0] for m in members),
+                "uris": "|".join(uris),
             }
             last = boxes[-1] if boxes else None
             nextel = next((e for e in elements[i + 1:]
@@ -221,6 +226,10 @@ def _merge_into(dst, src):
         merged = {t for box in (dst, src) if box["tags"]
                   for t in box["tags"].strip("|").split("|")}
         dst["tags"] = _tags_of(merged)
+    if src.get("uris"):
+        us = {u for box in (dst, src) if box.get("uris")
+              for u in box["uris"].split("|")}
+        dst["uris"] = "|".join(sorted(us))
 
 
 def _is_footnote_marker(box, text, last, nextel, fontspec) -> bool:
@@ -306,7 +315,7 @@ def pages_to_rows(doc_key, pages, glue: bool = False) -> dict:
     column); ``glue`` applies default_glue per page first."""
     cols = {name: [] for name in
             ("key", "page", "seq", "top", "left", "width", "height",
-             "family", "size", "text", "tags", "page_width",
+             "family", "size", "text", "tags", "uris", "page_width",
              "page_height")}
     for page in pages:
         boxes = glue_page_boxes(page["boxes"]) if glue \
@@ -316,8 +325,8 @@ def pages_to_rows(doc_key, pages, glue: bool = False) -> dict:
             cols["page"].append(page["number"])
             cols["seq"].append(seq)
             for f in ("top", "left", "width", "height",
-                      "family", "size", "text", "tags"):
-                cols[f].append(b[f])
+                      "family", "size", "text", "tags", "uris"):
+                cols[f].append(b.get(f, ""))
             cols["page_width"].append(page["width"])
             cols["page_height"].append(page["height"])
     return cols

@@ -151,3 +151,16 @@ def test_read_docx_dataset(ray_session, tmp_path):
     assert good["error"].isna().all()
     bad = df[df["key"] == "bad"]
     assert len(bad) == 1 and bad.iloc[0]["error"]
+
+
+def test_link_uris_carried():
+    xml = """<pdf2xml><page number="1" width="612" height="792">
+<fontspec id="0" size="12" family="Times" color="#000"/>
+<text top="100" left="72" width="400" height="12" font="0">See <a href="http://x.test/ref">the spec</a> and <b><a href="http://y.test/2">notes</a></b>.</text>
+</page></pdf2xml>"""
+    b = pdf.parse_pdf2xml(xml)[0]["boxes"][0]
+    assert b["text"] == "See the spec and notes."
+    # LinkedTextelement model: hrefs ride the box; nested <b><a>
+    # composes the tag like the reference's "ba"
+    assert b["uris"] == "http://x.test/ref|http://y.test/2"
+    assert "ba" in b["tags"]
