@@ -19,9 +19,11 @@ action per document; ``commit`` PUTs the buffered bulk body, raises
   retries raise :class:`IndexingError` (failing the task so Ray's
   task retry / the caller's resume takes over);
 - the sink RETURNS a manifest Dataset — one row per pushed batch
-  (batch_id, n_docs, attempts, status) — the audit/resume artifact; a
-  resumed run passes the previous manifest's acked ids to skip
-  already-pushed batches without re-serializing them.
+  (batch_id, n_docs, n_pushed, attempts, status, doc_ids) — the
+  audit/resume artifact; a resumed run passes the previous
+  manifest's acked DOCUMENT ids (``acked_ids``) to skip
+  already-durable docs without re-serializing them, independent of
+  how Ray re-batches the input on the second run.
 
 No network exists in this environment, so the shipped client is the
 file-backed :class:`FileBulkClient` (atomic per-doc JSON files —
