@@ -514,6 +514,12 @@ def _parse_literal(data: bytes, i: int):
         c = data[i:i + 1]
         if c == b"\\":
             nxt = data[i + 1:i + 2]
+            if nxt in (b"\r", b"\n"):
+                # line continuation: swallow the EOL (and a CRLF pair)
+                i += 2
+                if nxt == b"\r" and data[i:i + 1] == b"\n":
+                    i += 1
+                continue
             if nxt.isdigit():
                 j = i + 1
                 oct_ = b""
@@ -569,6 +575,9 @@ def _tokenize_content(data: bytes):
             i += m.end()
         elif re.match(rb"[-+.\d]", c):
             m = re.match(rb"[-+]?\d*\.?\d+", data[i:])
+            if not m:   # stray sign/dot — not a number
+                i += 1
+                continue
             yield ("num", float(m.group(0)))
             i += m.end()
         else:
@@ -613,7 +622,7 @@ def extract_pdf_text(data: bytes):
                 continue
             if kind in ("num", "str", "name"):
                 (arr if arr is not None else stack).append(
-                    (kind, val) if arr is None else (kind, val))
+                    (kind, val))
                 continue
             op = val
             if op == b"Tf" and len(stack) >= 1:
