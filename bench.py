@@ -337,7 +337,8 @@ def run_bench() -> dict:
              ("docx_roundtrip", Q.docx_roundtrip),
              ("pdf_margins", Q.pdf_margins),
              ("pdf_sections", Q.pdf_sections),
-             ("pdf_pagination", Q.pdf_pagination)]
+             ("pdf_pagination", Q.pdf_pagination),
+             ("search_autocomplete", Q.search_autocomplete)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

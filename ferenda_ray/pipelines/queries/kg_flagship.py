@@ -494,3 +494,69 @@ SELECT {PAGE_URL_SQL} AS subj,
        cast(doc_id AS VARCHAR) AS dcterms_identifier
 FROM documents
 """
+
+
+AC_PREFIX = "ME"
+AC_LIMIT = 10
+
+
+def search_autocomplete(sf_dir):
+    """The search endpoint's AUTOCOMPLETE mode (wsgiapp.py:411
+    ``ac_query`` → fulltextindex.py:828-914 label-field regexp
+    matching on the lowercase_keyword analyzer; mangle_results
+    KEEPS the index's relevance order for ac queries — wsgiapp.py:
+    446-448 — and trims the envelope, returning bare items): the
+    prefix query matches document LABELS from the REAL flagship
+    pipeline (dcterms:title triples), relevance = earliest matching
+    word (then iri — deterministic where ES leaves order to scoring),
+    top-10 items of (iri, label, match_pos).
+
+    Scale shape: one map pass over the titles projection emitting
+    per-batch top-10 partials, one bounded merge block. Zero
+    shuffle."""
+    t = _kg(sf_dir)["triples"]
+    prefix = AC_PREFIX
+
+    def part(tb: pa.Table) -> pd.DataFrame:
+        mask = pc.and_(pc.equal(tb["pred"], "dcterms:title"),
+                       pc.equal(tb["subj"], tb["source_url"]))
+        f = tb.filter(mask)
+        subjs = f["subj"].to_pylist()
+        titles = f["obj"].to_pylist()
+        rows = []
+        for s, title in zip(subjs, titles):
+            pos = next((i + 1 for i, w in
+                        enumerate((title or "").split(" "))
+                        if w.startswith(prefix)), None)
+            if pos is not None:
+                rows.append((pos, s, title))
+        rows.sort()
+        rows = rows[:AC_LIMIT]
+        return pd.DataFrame({
+            "iri": pd.Series([r[1] for r in rows], dtype=object),
+            "label": pd.Series([r[2] for r in rows], dtype=object),
+            "match_pos": pd.Series([r[0] for r in rows],
+                                   dtype="int64")})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["match_pos", "iri"])
+                .head(AC_LIMIT).reset_index(drop=True))
+
+    from ._shared import _merge_partials
+
+    return _merge_partials(
+        t.map_batches(part, batch_format="pyarrow"), final)
+
+
+SEARCH_AC_SQL = f"""
+WITH t AS (SELECT {PAGE_URL_SQL} AS subj, {TITLE_SQL} AS title
+           FROM documents),
+w AS (SELECT subj, title, unnest(str_split(title, ' ')) AS word,
+             generate_subscripts(str_split(title, ' '), 1) AS pos
+      FROM t),
+m AS (SELECT subj, title, min(pos) AS match_pos FROM w
+      WHERE word LIKE '{AC_PREFIX}%' GROUP BY subj, title)
+SELECT subj AS iri, title AS label,
+       CAST(match_pos AS BIGINT) AS match_pos
+FROM m ORDER BY match_pos ASC, iri ASC LIMIT {AC_LIMIT}
+"""
