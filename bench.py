@@ -338,7 +338,8 @@ def run_bench() -> dict:
              ("pdf_margins", Q.pdf_margins),
              ("pdf_sections", Q.pdf_sections),
              ("pdf_pagination", Q.pdf_pagination),
-             ("search_autocomplete", Q.search_autocomplete)]
+             ("search_autocomplete", Q.search_autocomplete),
+             ("search_api_boosted", Q.search_api_boosted)]
 
     for _ in range(TRIALS):
         for name, fn in SWEEP:

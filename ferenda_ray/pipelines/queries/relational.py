@@ -644,6 +644,100 @@ ORDER BY iri DESC
 """ % _BM25_CTES
 
 
+BOOST_REPO, BOOST_W = "src0", 3
+EXCLUDE_REPO = "src19"
+
+
+def search_api_boosted(sf_dir):
+    """The endpoint's remaining query() parameters
+    (fulltextindex.py:504/828: ``boost_repos`` — a function_score
+    weight multiplying the relevance of one repo's hits — and
+    ``exclude_repos`` — hits from listed repos dropped entirely):
+    same BM25 free-text leg as ``search_api``, lang filter only,
+    src0 hits boosted ×3, src19 hits excluded, top-10 by
+    (boosted score desc, doc_id). Integer multiply, so the SQL
+    oracle replays the reordering bit-exactly.
+
+    Scale shape: identical to search_api — bounded stats pre-pass,
+    one fused filter+score map emitting per-batch top-k partials +
+    zero shuffle."""
+    terms = SEARCH_REQ["q"]
+    k = 10
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        n, s = len(texts), 0
+        df = [0] * len(terms)
+        for txt in texts:
+            toks = (txt or "").split()
+            s += len(toks)
+            for j, term in enumerate(terms):
+                if term in toks:
+                    df[j] += 1
+        row = {"n": [n], "s": [s]}
+        row.update({"df%d" % j: [df[j]] for j in range(len(terms))})
+        return pd.DataFrame(row)
+
+    merged = _merge_partials(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        lambda g: g.sum().to_frame().T).take(1)[0]
+    N, S = int(merged["n"]), int(merged["s"])
+    idf = [((2 * N - 2 * int(merged["df%d" % j]) + 1) * 1_000_000)
+           // (2 * int(merged["df%d" % j]) + 1)
+           for j in range(len(terms))]
+    want_lang = SEARCH_REQ["lang"]
+
+    def part(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["lang"], want_lang),
+                       pc.not_equal(t["source"], EXCLUDE_REPO))
+        t = t.filter(keep)
+        out = []
+        for i, txt, src in zip(t["doc_id"].to_pylist(),
+                               t["text"].to_pylist(),
+                               t["source"].to_pylist()):
+            toks = (txt or "").split()
+            dl = len(toks)
+            sc = 0
+            for j, term in enumerate(terms):
+                tf = toks.count(term)
+                if tf:
+                    sc += (idf[j] * (22 * tf * S)) \
+                        // (10 * tf * S + 3 * S + 9 * dl * N)
+            if sc <= 0:
+                continue
+            if src == BOOST_REPO:
+                sc *= BOOST_W
+            out.append((i, sc, src))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        out = out[:k]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in out], pa.int64()),
+            "score": pa.array([r[1] for r in out], pa.int64()),
+            "source": pa.array([r[2] for r in out], pa.string())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    return _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"), final)
+
+
+SEARCH_API_BOOSTED_SQL = """
+WITH %s
+SELECT l.doc_id,
+       CAST(CASE WHEN doc.source = 'src0' THEN l.score * 3
+                 ELSE l.score END AS BIGINT) AS score,
+       doc.source
+FROM lexall l JOIN documents doc USING (doc_id)
+WHERE doc.lang = 'en' AND doc.source <> 'src19'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""" % _BM25_CTES
+
+
 def search_api_stats(sf_dir):
     """The endpoint's faceted statistics pane (wsgiapp.query's
     ``options["stats"]`` → wsgiapp.stats(): per-dimension observation
